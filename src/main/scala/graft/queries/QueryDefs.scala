@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared shapes for the declared query surface (SURVEY §2.11).
+  *
+  * Each query is a named pair: a Spark implementation
+  * `(SparkSession, sfDir) => DataFrame` and (where ANSI-SQL-expressible) an
+  * equivalent DuckDB oracle SQL over the same Parquet tables. Determinism
+  * rules (SURVEY §2.11): total-order ORDER BY, no wall-clock columns,
+  * floating aggregates rounded, timestamps compared as epoch microseconds,
+  * dates as `yyyy-MM-dd` strings, money sums as DECIMAL(18,2).
+  */
+final case class QueryDef(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDefs {
+  /** Round a floating aggregate for oracle comparison. */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Timestamp → epoch microseconds (DuckDB `epoch_us`). */
+  def tsUs(c: Column): Column = unix_micros(c)
+
+  /** Timestamp → `yyyy-MM-dd` day string (DuckDB `strftime '%Y-%m-%d'`). */
+  def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Money column (clean 2-decimal doubles) → exact DECIMAL(12,2).
+    * All downstream arithmetic stays in decimal so sums are exact and
+    * engine-independent; only one final `round(_, 2)` happens per
+    * aggregate (Spark HALF_UP == DuckDB round-half-away for positives —
+    * DuckDB's scale-reducing decimal CAST truncates, so never rely on it).
+    */
+  def money(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Exact-decimal discounted price: price × (1 − discount). */
+  def discPrice(price: Column, disc: Column): Column =
+    money(price) * (lit(1).cast("decimal(3,2)") - disc.cast("decimal(4,2)"))
+
+  /** Final money aggregate: round to cents, fix the output type. */
+  def moneySum(c: Column): Column = round(sum(c), 2).cast("decimal(18,2)")
+}
