@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline surface:
+  * tokenization, token counting (whitespace + BPE-ish regex), stopword /
+  * punctuation stats, quality scoring, n-gram shingling, language-ID
+  * heuristic, and document fingerprinting.
+  *
+  * Everything here is built from codegen'd built-ins (`split`,
+  * `regexp_extract_all`, higher-order array functions) — no UDFs — so the
+  * whole pipeline stays inside whole-stage codegen and scales linearly with
+  * input rows: no shuffles, no driver participation.
+  */
+object TextFns {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Non-whitespace token count via regex — robust to irregular spacing. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** English stopword hits (tiny fixed lexicon, word-bounded). */
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(the|a|of|and|to|in|is|it|for|on)\\b"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  /** Heuristic document quality in [0,1]: length, stopword density,
+    * punctuation density (mirrors common LLM-corpus quality filters).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val tok = greatest(nTok, lit(1)).cast("double")
+    val stopRatio = stopwordCount(text) / tok
+    val punctRatio = punctCount(text) * lit(10.0) / tok
+    lit(0.4) * least(lit(1.0), nTok / lit(100.0)) +
+      lit(0.4) * least(lit(1.0), stopRatio * lit(5.0)) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), punctRatio))
+  }
+
+  /** Distinct word n-gram shingles (for Jaccard / MinHash dedup).
+    * Documents shorter than n tokens yield an empty shingle set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    when(size(w) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-language stopword-count heuristic + CJK script detection.
+    * Deterministic argmax with a fixed tie-break order (en,de,es,fr).
+    */
+  def langId(text: Column): Column = {
+    def cnt(words: String): Column =
+      size(regexp_extract_all(lower(text), lit(s"\\b($words)\\b"), lit(0)))
+    val en = cnt("the|a|of|and|is|to")
+    val de = cnt("der|die|das|und|ist|ein")
+    val es = cnt("el|los|las|de|y|es")
+    val fr = cnt("le|les|et|est|un|une")
+    val han = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    when(han > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text. Identical content → identical
+    * fingerprint regardless of spacing/case — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Canonical token-set key: sorted distinct tokens joined — catches
+    * reordered/duplicated-word copies (bag-of-words duplicate).
+    */
+  def tokenSetKey(text: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(tokens(text))))
+}
