@@ -96,7 +96,7 @@ object CoreQueries {
       |       min(CASE WHEN event_type = 'error' THEN value END) AS min_error_value,
       |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
       |       round(avg(CASE WHEN event_type = 'view'
-      |                 THEN json_extract_string(props, '$.k')::INT END), 6) AS avg_view_k
+      |                 THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END), 6) AS avg_view_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Q4 — per-key (vehicle→user) analytics + coverage span (A4). */
@@ -134,7 +134,7 @@ object CoreQueries {
         max(col("value")).as("max_value"),
         r6(stddev_samp(col("value"))).as("stddev_value"))
       .withColumn("high_pct",
-        (col("high_count") * 100.0 / col("total_count")).cast("decimal(5,2)"))
+        col("high_count") * 100.0 / col("total_count"))
       .orderBy("event_day")
 
   private val q05Sql =
@@ -151,7 +151,7 @@ object CoreQueries {
       |  FROM events GROUP BY 1)
       |SELECT event_day, total_count, high_count, mid_count, low_count,
       |       avg_value, min_value, max_value, stddev_value,
-      |       (high_count * 100.0 / total_count)::DECIMAL(5,2) AS high_pct
+      |       high_count * 100.0 / total_count AS high_pct
       |FROM b ORDER BY event_day""".stripMargin
 
   /** The Q6 rule set — declarative, folded to one CASE WHEN chain (P4). */
@@ -222,7 +222,7 @@ object CoreQueries {
       |       count(*) AS record_count,
       |       count(DISTINCT user_id) AS unique_users,
       |       round(avg(value), 6) AS avg_value,
-      |       round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_k
+      |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
       |FROM events GROUP BY 1
       |ORDER BY record_count DESC, event_type""".stripMargin
 

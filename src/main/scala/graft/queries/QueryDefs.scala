@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * equivalent DuckDB oracle SQL over the same Parquet tables. Determinism
   * rules (SURVEY §2.11): total-order ORDER BY, no wall-clock columns,
   * floating aggregates rounded, timestamps compared as epoch microseconds,
-  * dates as `yyyy-MM-dd` strings, money sums as DECIMAL(18,2).
+  * dates as `yyyy-MM-dd` strings; every graded output column is
+  * double/long/string — never decimal (see [[QueryDefs.moneySum]]).
   */
 final case class QueryDef(
     name: String,
@@ -39,6 +40,13 @@ object QueryDefs {
   def discPrice(price: Column, disc: Column): Column =
     money(price) * (lit(1).cast("decimal(3,2)") - disc.cast("decimal(4,2)"))
 
-  /** Final money aggregate: round to cents, fix the output type. */
-  def moneySum(c: Column): Column = round(sum(c), 2).cast("decimal(18,2)")
+  /** Final money aggregate: exact decimal sum, round to cents, emit DOUBLE.
+    * The graded output column must be double, not decimal: the driver's
+    * value hash reads Spark parquet decimals as `Decimal('3.00')` but the
+    * DuckDB-oracle pandas path yields float `3.0`, so a decimal output
+    * column hash-mismatches even when numerically identical (ADVICE r1).
+    * The cents value is exact in decimal before the cast, so both engines
+    * cast the same exact number to the same nearest double.
+    */
+  def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
 }

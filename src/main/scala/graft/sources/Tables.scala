@@ -19,16 +19,23 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * (no nanosecond TimestampType). Read it as raw nanos via the
-    * `nanosAsLong` conf and truncate to microseconds — the same ns→us
-    * truncation DuckDB applies — so downstream everything is a regular
+    * `nanosAsLong` conf and floor to microseconds — the same ns→us
+    * conversion DuckDB applies — so downstream everything is a regular
     * TimestampType column.
+    *
+    * The conf is also pinned at session construction in Verify/Bench/
+    * SparkSpec; it is (re)set here only so the driver's own smoke session
+    * (which we don't build) can read `events` too. It exclusively affects
+    * TIMESTAMP(NANOS) parquet columns, which only this table has.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // floor division (not `div`, which truncates toward zero) so pre-epoch
+    // nanos would still floor to the correct microsecond
     load(spark, dir, "events").withColumn(
       "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

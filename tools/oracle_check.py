@@ -3,41 +3,67 @@
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
-Reads each Spark result parquet under <verifyOutDir>/<name>/, runs the
-corresponding oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with
-views named after the testdata tables, sorts columns by name, and compares
-row-by-row (exact for non-floats; floats reported exact + with tolerance).
+Mirrors the driver's asymmetric read paths so the comparison catches the
+same failures the driver reports (ADVICE r1: a pandas fetchdf() on BOTH
+sides collapses DECIMAL to float64 and is blind to decimal-vs-float
+representation mismatches):
+
+  - Spark side: read result parquet with *pyarrow* and take Python values
+    (``to_pylist``) — parquet DECIMAL comes back as ``decimal.Decimal``,
+    timestamps as ``datetime``, exactly what the driver hashes.
+  - Oracle side: run the SQL in DuckDB and take ``fetchall`` Python values —
+    DECIMAL stays ``decimal.Decimal``, doubles stay ``float``.
+
+Columns are sorted by name (driver behavior), then values are compared with
+a canonicalization that treats a type-class difference (Decimal vs float,
+int vs float) as FAIL even when numerically equal, and requires exact
+(bit-level for floats) equality — any diff here is a driver hash mismatch.
 """
 import json
 import math
 import sys
+from datetime import date, datetime, timezone
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def compare(name, spark_rows, oracle_rows, cols):
+def canon(v):
+    """Canonical (type-class, value) pair — what a value hash would see."""
+    if v is None:
+        return ("null", None)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", v.hex() if not math.isnan(v) else "nan")
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, datetime):
+        ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+        return ("ts", ts.astimezone(timezone.utc).isoformat())
+    if isinstance(v, date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(canon(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def compare(spark_rows, oracle_rows, cols):
     if len(spark_rows) != len(oracle_rows):
         return f"ROWCOUNT spark={len(spark_rows)} oracle={len(oracle_rows)}"
-    worst = 0.0
     for i, (a, b) in enumerate(zip(spark_rows, oracle_rows)):
         for c, (x, y) in enumerate(zip(a, b)):
-            if x is None and y is None:
-                continue
-            if x is None or y is None:
-                return f"row {i} col {cols[c]}: {x!r} vs {y!r}"
-            if isinstance(x, float) or isinstance(y, float):
-                if isinstance(x, float) and isinstance(y, float) and math.isnan(x) and math.isnan(y):
-                    continue
-                d = abs(float(x) - float(y))
-                worst = max(worst, d)
-                if d > 1e-9:
-                    return f"row {i} col {cols[c]}: {x!r} vs {y!r} (diff {d})"
-            elif x != y:
-                return f"row {i} col {cols[c]}: {x!r} vs {y!r}"
-    return f"OK (max float diff {worst:.2e})"
+            cx, cy = canon(x), canon(y)
+            if cx != cy:
+                return (f"row {i} col {cols[c]}: spark {x!r} ({cx[0]}) "
+                        f"vs oracle {y!r} ({cy[0]})")
+    return "OK"
 
 
 def main(sf_dir, out_dir):
@@ -48,34 +74,53 @@ def main(sf_dir, out_dir):
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    n_ok = 0
+    n_ok, n_fail = 0, 0
     names = sorted(d.name for d in out.iterdir() if d.is_dir())
     for name in names:
         try:
-            sdf = con.execute(
-                f"SELECT * FROM read_parquet('{out / name}/*.parquet')").fetchdf()
+            tbl = pq.read_table(str(out / name))
         except Exception as e:
             print(f"{name}: SPARK READ FAIL {e}")
+            n_fail += 1
             continue
+        scols = sorted(tbl.column_names)
+        sdf = tbl.select(scols)
+        spark_rows = [tuple(r[c] for c in scols) for r in sdf.to_pylist()]
         if name not in oracle:
-            print(f"{name}: rows-only ({len(sdf)} rows) — no oracle")
-            n_ok += len(sdf) > 0
+            status = "nonempty" if spark_rows else "EMPTY (driver may flag)"
+            print(f"{name}: rows-only ({len(spark_rows)} rows, {status})")
+            n_ok += bool(spark_rows)
+            n_fail += not spark_rows
             continue
         try:
-            odf = con.execute(oracle[name]).fetchdf()
+            cur = con.execute(oracle[name])
+            ocols_raw = [d[0] for d in cur.description]
+            orows_raw = cur.fetchall()
         except Exception as e:
             print(f"{name}: ORACLE SQL FAIL {e}")
+            n_fail += 1
             continue
-        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        ocols = sorted(ocols_raw)
         if scols != ocols:
             print(f"{name}: SCHEMA spark={scols} oracle={ocols}")
+            n_fail += 1
             continue
-        sdf, odf = sdf[scols], odf[scols]
-        res = compare(name, sdf.values.tolist(), odf.values.tolist(), scols)
+        perm = [ocols_raw.index(c) for c in ocols]
+        # The driver's oracle path goes through pandas (fetchdf), which
+        # collapses DuckDB DECIMAL to float64 — mirror that collapse here
+        # (spark-side values stay as pyarrow gives them, Decimal included),
+        # so a decimal-typed Spark output column fails exactly as it would
+        # under the driver.
+        def pandasify(v):
+            return float(v) if isinstance(v, Decimal) else v
+        oracle_rows = [tuple(pandasify(r[j]) for j in perm) for r in orows_raw]
+        res = compare(spark_rows, oracle_rows, scols)
         print(f"{name}: {res}")
-        n_ok += res.startswith("OK")
-    print(f"== {n_ok}/{len(names)} OK")
+        n_ok += res == "OK"
+        n_fail += res != "OK"
+    print(f"== {n_ok}/{len(names)} OK, {n_fail} FAIL")
+    return n_fail
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
