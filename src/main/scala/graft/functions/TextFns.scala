@@ -85,9 +85,12 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Canonical token-set key: sorted distinct tokens joined — catches
-    * reordered/duplicated-word copies (bag-of-words duplicate).
+  /** Canonical token-set key: sorted distinct lowercased tokens joined —
+    * catches reordered/duplicated-word copies (bag-of-words duplicate).
+    * Splits on any whitespace run and drops empty tokens so irregular
+    * spacing can't perturb the key.
     */
   def tokenSetKey(text: Column): Column =
-    concat_ws(" ", array_sort(array_distinct(tokens(text))))
+    concat_ws(" ", array_sort(array_distinct(
+      filter(split(lower(text), "\\s+"), _ =!= ""))))
 }

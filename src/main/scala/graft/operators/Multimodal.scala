@@ -71,12 +71,16 @@ object Multimodal {
   /** Frame sampling plumbing: slice the payload into n fixed-width
     * "frames" (binary sub-blobs) — the shape a video pipeline uses, with
     * the slicing done by codegen'd `substring` on binary.
+    *
+    * Offsets use integer division throughout (`div`), never double
+    * arithmetic: `cast(double AS int)` truncates in Spark but rounds in
+    * other engines, so integer offsets are the only portable semantics.
     */
   def frameSample(packed: DataFrame, idCol: String, n: Int): DataFrame = {
     val frameCols = (0 until n).map { i =>
-      substring(col("payload"),
-        (col("meta.n_bytes") / n * i + 1).cast("int"),
-        greatest((col("meta.n_bytes") / n).cast("int"), lit(1)))
+      expr(s"""substring(payload,
+              | cast((meta.n_bytes div $n) * $i + 1 as int),
+              | cast(greatest(meta.n_bytes div $n, 1L) as int))""".stripMargin)
     }
     packed.select(col(idCol), posexplode(array(frameCols: _*)))
       .withColumnRenamed("pos", "frame_idx")

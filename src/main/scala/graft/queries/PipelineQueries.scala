@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.sources.Tables
+import QueryDefs._
+
+/** Q19–Q32 — the large-scale training-data pipeline surface (SURVEY §7.3):
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH), text analysis
+  * (token counting, quality scoring, language ID, rolling-hash
+  * fingerprints), similarity search over embeddings (brute-force cosine
+  * and LSH-bucketed ANN), sessionization / gap detection, and the
+  * multimodal binary-column plumbing.
+  *
+  * Every query here is a thin declarative wrapper over the operators in
+  * `graft.operators` / `graft.functions`, with a DuckDB oracle wherever
+  * the semantics are ANSI-SQL-expressible. The two xxhash64-based
+  * operators (MinHash LSH, random-hyperplane ANN) cannot be re-expressed
+  * in DuckDB; MinHash is still oracle-checked against the *exact* n-gram
+  * Jaccard SQL (its verified output must equal the exact answer — LSH
+  * recall at the chosen banding is ~1-6e-7 at the 0.6 threshold and the
+  * testdata is deterministic), while ANN top-k is rows-only here and
+  * recall-tested against brute force in ScalaTest.
+  *
+  * Oracle-portability rules learned the hard way (see QueryDefs):
+  * output columns are double/long/string only; integer offsets use `div`
+  * (DuckDB `//`), never cast-from-double (truncate vs round); DuckDB
+  * SUM/window-SUM over integers yields HUGEINT → always `::BIGINT` on the
+  * oracle side; float folds use `list_reduce` to pin left-to-right
+  * accumulation order to match Spark's `aggregate`.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Q19 — exact dedup on the normalized-content fingerprint: one
+    * hash-shuffle on the md5 key, minimum possible movement at 100 TB.
+    */
+  private def q19(spark: SparkSession, dir: String): DataFrame =
+    Dedup.byFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("fp")
+
+  private val q19Sql =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |       min(doc_id) AS keeper_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Q20 — bag-of-words dedup: sorted distinct token set as the key. */
+  private def q20(spark: SparkSession, dir: String): DataFrame =
+    Dedup.byTokenSet(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("fp")
+
+  private val q20Sql =
+    """SELECT array_to_string(list_sort(list_distinct(
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''))), ' ') AS fp,
+      |       min(doc_id) AS keeper_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Shared exact 3-gram-Jaccard oracle for Q21 (exact) and Q22 (MinHash
+    * LSH — verified candidates must reproduce the exact answer).
+    */
+  private val ngramJaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |           i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
+      |  FROM documents),
+      |inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+      |             count(*) AS inter
+      |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+      |FROM p WHERE inter / (sz_a + sz_b - inter) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Q21 — exact n-gram Jaccard near-dup pairs (inverted-index join). */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  /** Q22 — MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    * Graded against the same exact SQL as Q21: the LSH candidates are
+    * re-checked with true Jaccard, so equality with the exact answer is
+    * the (deterministic) expected outcome.
+    */
+  private def q22(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Q23 — per-document text statistics + heuristic quality score. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFns.tokenCount(t).as("n_tokens"),
+      TextFns.bpeTokenCount(t).as("n_bpe"),
+      TextFns.stopwordCount(t).as("n_stop"),
+      TextFns.punctCount(t).as("n_punct"),
+      r6(TextFns.qualityScore(t)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val q23Sql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+      |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS n_stop,
+      |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+      |  round(0.4 * least(1.0, len(regexp_extract_all(text, '\S+')) / 100.0)
+      |      + 0.4 * least(1.0, (len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|for|on)\b'))
+      |                          / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE) * 5.0)
+      |      + 0.2 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,;:!?]')) * 10.0
+      |                          / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE)), 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Q24 — language-ID confusion matrix: labeled lang × predicted lang. */
+  private def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), TextFns.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  private val q24Sql =
+    """WITH c AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) AS en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS de,
+      |    len(regexp_extract_all(lower(text), '\b(el|los|las|de|y|es)\b')) AS es,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|et|est|un|une)\b')) AS fr,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS han
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |        CASE WHEN han > 0 THEN 'zh'
+      |             WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+      |             WHEN de >= es AND de >= fr THEN 'de'
+      |             WHEN es >= fr THEN 'es'
+      |             ELSE 'fr' END AS pred_lang
+      |      FROM c)
+      |SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q25 — polynomial rolling-hash document fingerprint over the char
+    * stream: `h = (h*31 + code) mod 1e9+7`, folded inside codegen (one
+    * narrow pass, no shuffle).
+    */
+  private def q25(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("""aggregate(transform(regexp_extract_all(text, '.', 0), c -> bigint(ascii(c))),
+             | 7L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin).as("fp_hash"))
+      .orderBy("doc_id")
+
+  private val q25Sql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(7::BIGINT,
+      |    list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT)),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS fp_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ similarity search
+
+  /** Query row for the ANN queries: the vec_id=0 embedding. */
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+
+  /** Q26 — brute-force cosine top-k (the ANN correctness baseline). */
+  private def q26(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir), k = 20)
+
+  private val q26Sql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (SELECT vec_id,
+      |        list_reduce(list_transform(list_zip(e, qe),
+      |            p -> struct_extract(p, 1) * struct_extract(p, 2)), (a, b) -> a + b)
+      |        / (sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+      |         * sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))) AS cs
+      |      FROM e, q)
+      |SELECT vec_id, round(cs, 6) AS cos_sim FROM s
+      |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Q27 — all embedding pairs with cosine ≥ 0.4 (bounded-corpus exact). */
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  private val q27Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |        sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nm
+      |      FROM e),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        list_reduce(list_transform(list_zip(a.e, b.e),
+      |            s -> struct_extract(s, 1) * struct_extract(s, 2)), (x, y) -> x + y)
+      |        / (a.nm * b.nm) AS cs
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Q28 — LSH-bucketed ANN top-k (the 100 TB scale path; xxhash64-derived
+    * hyperplanes are not SQL-expressible → rows-only here, recall-tested
+    * against Q26 in ScalaTest).
+    */
+  private def q28(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir), k = 20)
+
+  // --------------------------------------------------- sessionize / gaps
+
+  private val SessionGapUs = 43200000000L // 12 h
+  private val GapThresholdUs = 86400000000L // 24 h
+
+  /** Q29 — per-user sessionization (12 h inactivity gap) + session rollup. */
+  private def q29(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.assign(Tables.events(spark, dir), "user_id", "ts", "event_id",
+        gapUs = SessionGapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        max(col("c")).as("max_session_events"),
+        sum(col("c")).as("total_events"))
+      .orderBy("user_id")
+
+  private val q29Sql =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id,
+       |        (sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+       |      FROM x),
+       |per AS (SELECT user_id, sid, count(*) AS c FROM s GROUP BY 1, 2)
+       |SELECT user_id, max(sid) AS n_sessions, max(c) AS max_session_events,
+       |       sum(c)::BIGINT AS total_events
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q30 — per-user inter-event gap statistics (24 h threshold). */
+  private def q30(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.gapStats(Tables.events(spark, dir), "user_id", "ts", "event_id",
+        thresholdUs = GapThresholdUs)
+      .orderBy("user_id")
+
+  private val q30Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts))
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |  FROM events)
+       |SELECT user_id, max(gap) AS max_gap_us,
+       |       count(CASE WHEN gap > $GapThresholdUs THEN 1 END) AS gaps_over_threshold
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Q31 — multimodal decode plumbing: pack text into the binary-payload
+    * layout, run the (stubbed) per-partition feature extraction. The
+    * oracle recomputes the stub's arithmetic from the raw text — the
+    * payload bytes are the UTF-8 (here ASCII) text bytes.
+    */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packText(Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.decodeFeaturesStub(packed, "doc_id").orderBy("id")
+  }
+
+  private val q31Sql =
+    """SELECT doc_id AS id,
+      |       16 + ascii(text[1:1]) % 64 AS width,
+      |       16 + ascii(text[length(text):length(text)]) % 64 AS height,
+      |       3 AS channels,
+      |       list_sum(list_transform(regexp_extract_all(text, '.'),
+      |           c -> ascii(c)::BIGINT)) / length(text) AS byte_mean
+      |FROM documents ORDER BY id""".stripMargin
+
+  /** Q32 — frame sampling: slice each payload into 4 fixed-width binary
+    * frames; grade the per-frame byte length and md5.
+    */
+  private def q32(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.packText(Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id", n = 4)
+      .withColumn("frame_md5", md5(col("frame")))
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val q32Sql =
+    """SELECT doc_id, i AS frame_idx,
+      |       length(substr(text, (length(text) // 4) * i + 1,
+      |                     greatest(length(text) // 4, 1))) AS frame_bytes,
+      |       md5(substr(text, (length(text) // 4) * i + 1,
+      |                  greatest(length(text) // 4, 1))) AS frame_md5
+      |FROM documents, (SELECT unnest(range(0, 4)) AS i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q19_exact_dedup", q19, Some(q19Sql)),
+    QueryDef("q20_tokenset_dedup", q20, Some(q20Sql)),
+    QueryDef("q21_ngram_jaccard", q21, Some(ngramJaccardSql)),
+    QueryDef("q22_minhash_neardup", q22, Some(ngramJaccardSql)),
+    QueryDef("q23_text_stats", q23, Some(q23Sql)),
+    QueryDef("q24_langid", q24, Some(q24Sql)),
+    QueryDef("q25_doc_fingerprint", q25, Some(q25Sql)),
+    QueryDef("q26_cosine_topk", q26, Some(q26Sql)),
+    QueryDef("q27_cosine_pairs", q27, Some(q27Sql)),
+    QueryDef("q28_ann_lsh_topk", q28, None),
+    QueryDef("q29_sessionize", q29, Some(q29Sql)),
+    QueryDef("q30_gap_stats", q30, Some(q30Sql)),
+    QueryDef("q31_multimodal_features", q31, Some(q31Sql)),
+    QueryDef("q32_frame_sample", q32, Some(q32Sql)))
+}

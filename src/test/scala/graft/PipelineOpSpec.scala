@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+
+/** Unit tests for the training-data pipeline operators (SURVEY §7.3) on
+  * tiny fixtures with hand-computed answers: dedup (exact / Jaccard /
+  * MinHash / SimHash), text functions, vector math, ANN, sessionization,
+  * and the multimodal binary plumbing.
+  */
+class PipelineOpSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  // ------------------------------------------------------------- text fns
+
+  test("tokenCount / bpeTokenCount / stopwordCount / punctCount") {
+    val df = Seq("The cat, the dog!").toDF("t")
+    val r = df.select(
+      TextFns.tokenCount(col("t")),
+      TextFns.bpeTokenCount(col("t")),   // the|cat|,|the|dog|!
+      TextFns.stopwordCount(col("t")),   // the, the
+      TextFns.punctCount(col("t"))).collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((4, 6, 2, 2)))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, tokenSetKey order-insensitive") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "world hello"),
+      (4L, "entirely different")).toDF("id", "t")
+    val fp = Dedup.byFingerprint(df, "id", "t").collect()
+    assert(fp.length == 3) // 1+2 merge; 3 and 4 distinct
+    assert(fp.find(_.getLong(2) == 2).get.getLong(1) == 1L) // keeper = min id
+    val ts = Dedup.byTokenSet(df, "id", "t").collect()
+    assert(ts.length == 2) // 1+2+3 merge on sorted token set
+    assert(ts.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("shingles: distinct word n-grams; short docs yield empty set") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(TextFns.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("ngramJaccardPairs computes exact Jaccard with known answer") {
+    // shingle sets (n=2): A={ab,bc,cd}, B={ab,bc,ce}, C={xy,yz}
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z")).toDF("id", "t")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "t", n = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.5))) // |∩|=2, |∪|=4
+  }
+
+  test("minHashPairs output equals exact ngramJaccardPairs on fixture") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy cat again today"),
+      (3L, "completely unrelated text about spark catalyst optimizer plans"),
+      (4L, "the quick brown fox jumps over the lazy dog again tomorrow")).toDF("id", "t")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val exact = canon(Dedup.ngramJaccardPairs(docs, "id", "t", 3, 0.3).collect())
+    val lsh = canon(Dedup.minHashPairs(docs, "id", "t", 3, 0.3).collect())
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
+  test("simHash: identical texts collide, perturbed text is hamming-close") {
+    val df = Seq(
+      (1L, "spark catalyst plans distributed queries over columnar data"),
+      (2L, "spark catalyst plans distributed queries over columnar data"),
+      (3L, "spark catalyst plans distributed queries over columnar files"),
+      (4L, "egg spam egg spam egg spam egg spam egg spam")).toDF("id", "t")
+    val sig = df.select(Dedup.simHash(col("t"))).as[Long].collect()
+    assert(sig(0) == sig(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0), sig(2)) < hamming(sig(0), sig(3)))
+  }
+
+  test("langId picks the dominant stopword language deterministically") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund und die katze ist ein tier",
+      "el gato y los perros es de las casas",
+      "le chat et les chiens est un une maison").toDF("t")
+    val got = df.select(TextFns.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr"))
+  }
+
+  // ---------------------------------------------------------- vector math
+
+  test("VectorFns dot/norm/cosine with hand-computed values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFns.dot(col("a"), col("b")),
+      VectorFns.norm(col("a")),
+      VectorFns.cosine(col("a"), col("b"))).collect().head
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-15)
+  }
+
+  test("Similarity.topK: self tops the ranking on real embeddings") {
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+    val query = corpus.filter(col("vec_id") === 0)
+    val exact = Similarity.topK(corpus, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect()
+    assert(exact.head == 0L) // cos(q, q) = 1.0
+    val ann = Similarity.lshTopK(corpus, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect()
+    assert(ann.head == 0L) // self always shares every band with itself
+  }
+
+  test("Similarity.lshTopK finds planted near-duplicates (ANN regime)") {
+    // ANN's job is near-duplicate retrieval (cos ≥ 0.9) — plant a tight
+    // cluster in noise and require perfect top-k recall on it. The
+    // xxhash64-derived planes are fixed, so this is deterministic.
+    val rnd = new scala.util.Random(42)
+    def randVec() = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def perturb(v: Array[Float]) =
+      v.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+    val base = randVec()
+    val rows = Seq((0L, base)) ++ (1L to 5L).map(i => (i, perturb(base))) ++
+      (6L to 199L).map(i => (i, randVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val query = df.filter(col("vec_id") === 0)
+    val ann = Similarity.lshTopK(df, "vec_id", "embedding", query, 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann == (0L to 5L).toSet, s"planted cluster not recalled: $ann")
+  }
+
+  // -------------------------------------------------------- sessionization
+
+  test("Sessionize.assign splits on gap > threshold with tie-break") {
+    val df = Seq(
+      // user 1: events at t=0s, 10s, 1000s -> sessions 1,1,2 (gap 100s)
+      (1L, 0L, 1L), (1L, 10000000L, 2L), (1L, 1000000000L, 3L),
+      // user 2: single event
+      (2L, 0L, 4L)).toDF("uid", "us", "eid")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Sessionize.assign(df, "uid", "ts", "eid", gapUs = 100000000L)
+      .select("eid", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("Sessionize.gapStats: max gap and over-threshold count") {
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 5000000L, 2L), (1L, 20000000L, 3L)).toDF("uid", "us", "eid")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Sessionize.gapStats(df, "uid", "ts", "eid", thresholdUs = 10000000L)
+      .collect().head
+    assert(r.getLong(1) == 15000000L) // max gap 15s
+    assert(r.getLong(2) == 1L) // one gap over 10s
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  test("packText: payload bytes + metadata struct round-trip") {
+    val df = Seq((7L, "abc")).toDF("id", "t")
+    val r = Multimodal.packText(df, "id", "t").collect().head
+    assert(r.getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
+    val meta = r.getStruct(2)
+    assert(meta.getAs[String]("format") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") == 3L)
+  }
+
+  test("decodeFeaturesStub: deterministic pseudo-features from bytes") {
+    val df = Seq((1L, "abc")).toDF("id", "t") // bytes 97 98 99
+    val r = Multimodal.decodeFeaturesStub(
+      Multimodal.packText(df, "id", "t"), "id").collect().head
+    assert(r.getInt(1) == 16 + 97 % 64) // width from first byte
+    assert(r.getInt(2) == 16 + 99 % 64) // height from last byte
+    assert(r.getInt(3) == 3)
+    assert(r.getDouble(4) == (97 + 98 + 99) / 3.0)
+  }
+
+  test("frameSample: 4 frames tile the payload with integer offsets") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "t") // 10 bytes, frame len 2
+    val rows = Multimodal.frameSample(
+        Multimodal.packText(df, "id", "t"), "id", n = 4)
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getLong(3) == 2L))
+    val frames = rows.map(r => new String(r.getAs[Array[Byte]]("frame")))
+    assert(frames.toSeq == Seq("ab", "cd", "ef", "gh")) // tail "ij" unsampled
+  }
+}
