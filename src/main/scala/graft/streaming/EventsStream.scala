@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.{Anomaly, Quality}
+import graft.operators.Anomaly.AnomalyRule
+
+/** Structured Streaming pipeline (SURVEY §2.9, St1–St8) — the reference's
+  * legacy DStream job (`src/spark/streaming/SensorDataProcessor.scala`)
+  * re-expressed on the modern engine, with the two deliberate semantic
+  * upgrades documented in SURVEY §7.5.3:
+  *
+  *  - **true cross-batch tumbling windows** with a watermark, instead of
+  *    the reference's per-micro-batch windows (`SensorDataProcessor
+  *    .scala:161` computes `window()` inside `foreachRDD`, so windows
+  *    spanning batch boundaries are fragmented and re-emitted);
+  *  - **`approx_count_distinct`** in streaming aggregations (exact
+  *    distinct is unsupported in update-mode streaming; batch parity
+  *    queries keep exact `countDistinct`).
+  *
+  * One upstream plan (source → parse → quality) forks into the windowed
+  * analytics and the anomaly stream, exactly like the reference's
+  * quality → {analytics, anomalies} fan-out (`SensorDataProcessor
+  * .scala:116-122`), each written by its own checkpointed query (St5/St6:
+  * exactly-once to files via checkpoint + WAL, vs the reference's
+  * offsets-never-committed at-most-once).
+  */
+object EventsStream {
+
+  /** Canonical streamed-event schema (mirrors the `events` table). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S1/S2 — Kafka source → canonical events stream: subscribe, cast the
+    * payload to string, `from_json` with the declared schema (replaces
+    * the reference's per-record Jackson parse in `rdd.map`,
+    * `SensorDataProcessor.scala:100-112`), drop unparseable records.
+    */
+  def fromKafka(spark: SparkSession, brokers: String, topic: String,
+                startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .filter(col("e.event_id").isNotNull)
+      .select("e.*")
+
+  /** S7 — Kafka sink payload: key `userId_eventType` (the reference keys
+    * by `vehicleId_sensorId`, `SensorDataProducer.scala:53`), value =
+    * full-record JSON.
+    */
+  def kafkaPayload(df: DataFrame): DataFrame =
+    df.select(
+      concat_ws("_", col("user_id"), col("event_type")).as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** P1/P2 on the stream: completeness filter + normalized quality score
+    * — the same `graft.operators.Quality` the batch path uses (narrow,
+    * codegen'd, no state).
+    */
+  def qualityChecked(df: DataFrame): DataFrame =
+    Quality(df,
+      required = Seq("ts", "user_id", "event_type"),
+      scored = Seq("ts", "user_id", "event_type", "value", "props"))
+
+  /** A1/St2/St3 — cross-batch tumbling window analytics with watermark. */
+  def windowedAnalytics(df: DataFrame,
+                        watermark: String = "2 minutes",
+                        windowLength: String = "1 minute"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("record_count"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        avg(col("value")).as("avg_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("record_count"),
+        col("approx_users"), col("avg_value"))
+
+  /** P4/P10 on the stream — the same declarative rule fold as batch Q6. */
+  def anomalies(df: DataFrame, rules: Seq[AnomalyRule]): DataFrame =
+    Anomaly.detect(df, rules)
+
+  /** §7.3 extension — per-user session aggregation with a dynamic-gap
+    * session window (the streaming twin of the batch `Sessionize`
+    * operator; state is scoped per key and expired by the watermark, so
+    * it runs indefinitely at any scale).
+    */
+  def sessionAgg(df: DataFrame,
+                 gap: String = "30 minutes",
+                 watermark: String = "2 minutes"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("avg_value"))
+
+  /** S5 — checkpointed append sink to a parquet table path (the streaming
+    * replacement for the reference's per-batch `saveAsTable` with a
+    * `count() > 0` guard — Structured Streaming handles empty batches and
+    * recovery itself).
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+}

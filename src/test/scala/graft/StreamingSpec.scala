@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Anomaly.AnomalyRule
+import graft.streaming.EventsStream
+
+/** Structured Streaming semantics tests over MemoryStream (SURVEY §5.4):
+  * cross-batch window correctness (the St2 behavior the reference's
+  * per-micro-batch windows get wrong), watermark late-drop, anomaly
+  * stream, and session windows.
+  */
+class StreamingSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                        event_type: String, value: Double, props: String)
+
+  private def ev(id: Long, sec: Long, user: Long = 1L, typ: String = "click",
+                 value: Double = 1.0) =
+    Ev(id, new Timestamp(sec * 1000L), user, typ, value, "{}")
+
+  test("windowed agg merges a window across micro-batches (St2 fixed)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.windowedAnalytics(in.toDF())
+      .writeStream.format("memory").queryName("win_upd").outputMode("update").start()
+    try {
+      // batch 1: two events inside window [60s, 120s)
+      in.addData(ev(1, 61), ev(2, 70, user = 2))
+      q.processAllAvailable()
+      // batch 2: one more event in the SAME window — the reference's
+      // per-batch windowing would emit a fragmented second row of count 1;
+      // true streaming state must update the window to count 3
+      in.addData(ev(3, 80, user = 3))
+      q.processAllAvailable()
+      val rows = spark.table("win_upd")
+        .filter(col("window_start") === lit(new Timestamp(60000L)))
+        .orderBy(col("record_count").desc).collect()
+      assert(rows.head.getAs[Long]("record_count") == 3L)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the threshold (St3)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.windowedAnalytics(in.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("win_app").outputMode("append").start()
+    try {
+      in.addData(ev(1, 61), ev(2, 70))
+      q.processAllAvailable()
+      // advance event time far past the window: watermark = 600-60s ≫ 120s
+      in.addData(ev(3, 600))
+      q.processAllAvailable()
+      // the [60,120) window is finalized with 2 rows
+      val emitted = spark.table("win_app")
+        .filter(col("window_start") === lit(new Timestamp(60000L))).collect()
+      assert(emitted.length == 1 && emitted.head.getAs[Long]("record_count") == 2L)
+      // a late arrival inside the finalized window must be dropped
+      in.addData(ev(4, 75))
+      q.processAllAvailable()
+      val after = spark.table("win_app")
+        .filter(col("window_start") === lit(new Timestamp(60000L))).collect()
+      assert(after.length == 1 && after.head.getAs[Long]("record_count") == 2L)
+    } finally q.stop()
+  }
+
+  test("anomaly stream keeps only matching rows with rule scores (P4/P10)") {
+    implicit val ctx = spark.sqlContext
+    val rules = Seq(AnomalyRule("spike", col("value") > 100.0, 1.0))
+    val in = MemoryStream[Ev]
+    val q = EventsStream.anomalies(in.toDF(), rules)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      in.addData(ev(1, 10, value = 50.0), ev(2, 20, value = 150.0), ev(3, 30, value = 99.9))
+      q.processAllAvailable()
+      val rows = spark.table("anom").select("event_id", "anomaly_score").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((2L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("quality filter + score run unchanged on the stream (P1/P2)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.qualityChecked(in.toDF())
+      .writeStream.format("memory").queryName("qual").outputMode("append").start()
+    try {
+      in.addData(ev(1, 10), ev(2, 20))
+      q.processAllAvailable()
+      val rows = spark.table("qual").select("quality_score").collect()
+      assert(rows.length == 2 && rows.forall(_.getDouble(0) == 1.0))
+    } finally q.stop()
+  }
+
+  test("session windows split per-user activity on the gap (§7.3)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.sessionAgg(in.toDF(), gap = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: burst at 0-30s (one session), burst at 600-610s (another)
+      in.addData(ev(1, 0), ev(2, 30), ev(3, 600), ev(4, 610))
+      // close the watermark well past both sessions
+      in.addData(ev(5, 3600, user = 2))
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("user_id") === 1)
+        .orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L))
+    } finally q.stop()
+  }
+
+  test("throughput: a 10k-record batch clears in far under the 30s floor") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.windowedAnalytics(in.toDF())
+      .writeStream.format("memory").queryName("thru").outputMode("update").start()
+    try {
+      val t0 = System.nanoTime()
+      in.addData((1 to 10000).map(i => ev(i.toLong, 60 + i % 300, user = i % 50)))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // reference alert floor: 1,000 records/min sustained, <30 s latency
+      assert(sec < 30.0, f"micro-batch took $sec%.1f s")
+      assert(spark.table("thru").agg(sum("record_count")).collect().head.getLong(0) >= 10000L)
+    } finally q.stop()
+  }
+}
