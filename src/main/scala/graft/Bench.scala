@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
+  * prints the one-line JSON contract the driver parses.
+  *
+  * Timing honesty: results are materialized through the `noop` sink, not
+  * `count()` — counting lets Catalyst eliminate ORDER BY and prune every
+  * column, so sort- and projection-heavy queries would time as cheaper
+  * plans than the ones users run. Queries run in registry order after an
+  * untimed warmup action so JIT/codegen/parquet-reader startup isn't
+  * attributed to whichever query happens to run first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +22,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // untimed warmup: parquet reader, codegen, shuffle machinery
+    materialize(graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").count())
+    materialize(graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count())
+    val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try materialize(q.spark(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

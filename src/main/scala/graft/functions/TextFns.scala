@@ -50,14 +50,23 @@ object TextFns {
 
   /** Distinct word n-gram shingles (for Jaccard / MinHash dedup).
     * Documents shorter than n tokens yield an empty shingle set.
+    *
+    * Implemented as a zip of n shifted slices of the token array, NOT as
+    * `transform(sequence(...), i -> element_at(w, i+j))`: a lambda body
+    * that captures an outer expression re-evaluates it per element in
+    * Spark's (interpreted) higher-order-function path, turning shingling
+    * into O(tokens²) regex splits per document (~20× slowdown measured
+    * at sf0.1). Here every lambda references only its own arguments, so
+    * the token array is evaluated O(n) times per row.
     */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
     val w = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
-    when(size(w) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
+    val m = greatest(size(w) - (n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), m), (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(grams)
   }
 
   /** Per-language stopword-count heuristic + CJK script detection.

@@ -38,31 +38,78 @@ object Dedup {
   def byTokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exact(df, idCol, Seq(TextFns.tokenSetKey(col(textCol)).as("fp")))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+  /** Exact n-gram Jaccard near-dup pairs with rarity-ordered prefix
+    * filtering (PPJoin-style).
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
     * threshold, where jaccard is over the *distinct* shingle sets.
-    * Shuffle key = shingle (inverted index); the pair-count aggregation
-    * shuffles on (id_a, id_b). At 100 TB, run this only on MinHash
-    * candidates (see [[minHashPairs]]) or add prefix filtering.
+    *
+    * A naive inverted-index self-join explodes on low-entropy corpora:
+    * candidate pairs = Σ bucket² over shingle buckets, and the most
+    * common shingle's bucket is O(corpus). Prefix filtering keeps the
+    * join EXACT while only indexing each document's rarest
+    * `|s| − ⌈t·|s|⌉ + 1` shingles (under a global rarity total order):
+    * two sets with J ≥ t must overlap within those prefixes, so no
+    * qualifying pair is lost, while the indexed buckets are the *small*
+    * ones by construction. Candidates are then verified with true
+    * Jaccard on the full sets (`array_intersect`), so output is exact.
+    *
+    * Shuffles: shingle document-frequency agg, per-doc rarity rank
+    * (window on id), prefix-bucket join, then the verify join on doc id
+    * — all keyed, no driver participation; this is the published
+    * exact-similarity-join shape that survives corpus-scale data.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      TextFns.shingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-    val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
-    val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
-    a.join(b, Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
+        TextFns.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("g"))
+    // global rarity order: ascending document frequency, shingle tie-break
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"))
+    val prefix = inv.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("g"))
+    verifiedJaccard(candidatePairs(prefix, Seq("g")), sh, threshold)
+  }
+
+  /** Candidate pairs from an inverted index: group by bucket key, collect
+    * the (sorted, distinct) doc ids per bucket, enumerate each bucket's
+    * pairs inline. One shuffle; unlike a self-join, the (possibly
+    * expensive) index plan is evaluated once, not once per join side.
+    * Bucket sizes are bounded by the caller's filtering (rarity prefix /
+    * LSH bands), so per-bucket pair enumeration is small by construction.
+    */
+  private def candidatePairs(index: DataFrame, keyCols: Seq[String]): DataFrame =
+    index.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(
+              element_at(col("ids"), i + 1).as("id_a"),
+              element_at(col("ids"), j + 1).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against full shingle
+    * sets; shared by the prefix-filter and MinHash candidate generators.
+    */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+                              threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** MinHash signature: elementwise min over shingles of 64 seeded
     * xxhash64 values. Computed entirely inside codegen'd higher-order
@@ -76,6 +123,23 @@ object Dedup {
         acc,
         transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
         (x, y) => least(x, y)))
+
+  /** MinHash signatures as a partial-aggregable plan: explode shingles,
+    * take 64 `min(xxhash64(shingle, seed))` aggregates grouped by doc.
+    * Numerically identical to [[minHashSignature]] (same per-shingle
+    * hashes, same elementwise min) but expressed as a hash aggregate, so
+    * map-side partial mins combine before the one shuffle on doc id —
+    * the formulation that scales — and no per-shingle 64-element arrays
+    * are allocated.
+    */
+  private[graft] def minHashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("g"), lit(i))).as(s"h$i"))
+    inv.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash + banded LSH near-dup pairs, verified with true Jaccard.
     *
@@ -91,25 +155,13 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         TextFns.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh")))
-    val banded = sh.select(col("id"),
+    val sig = minHashSigs(sh, 64)
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val withSets = cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedJaccard(candidatePairs(banded, Seq("band", "bh")), sh, threshold)
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token

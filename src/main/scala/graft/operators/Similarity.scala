@@ -12,14 +12,19 @@ import graft.functions.VectorFns
   *    (query broadcast), then TakeOrderedAndProject. The correctness
   *    baseline; O(corpus) work per query but zero shuffle.
   *  - [[nearDupPairs]] — all pairs ≥ threshold. Quadratic; bounded corpora
-  *    only — the LSH path replaces it at scale.
+  *    only — the LSH path replaces it at scale. The float→double widening
+  *    and the norm are computed once per row *before* the pair join, so
+  *    per-pair work is exactly one zip-multiply-fold.
   *  - [[lshTopK]] — random-hyperplane LSH: 128-bit signatures in 16 bands
   *    of 8 bits, banded bucket join so only same-bucket candidates get
   *    exact re-ranking. Hyperplane components are derived
   *    deterministically from xxhash64 so results are reproducible with no
-  *    stored model. The bucket join shuffles O(docs × bands)
-  *    constant-width rows — this is what survives a 100 TB corpus, with
-  *    the same re-rank exactness on candidates.
+  *    stored model; the 128×64 plane matrix is evaluated ONCE (one-row
+  *    Catalyst job) and inlined as a literal, so per-row signature cost is
+  *    pure multiply-adds — no hashing in the row path. The bucket join
+  *    shuffles O(docs × bands) constant-width rows — this is what
+  *    survives a 100 TB corpus, with the same re-rank exactness on
+  *    candidates.
   *
   *    Parameter choice (validated by simulation against the testdata):
   *    8-bit bands keep the random-collision candidate rate at
@@ -36,11 +41,37 @@ object Similarity {
   private val Bands = 16
   private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplane component p,j in [-0.5, 0.5]. */
+  /** Deterministic pseudo-random hyperplane component p,j in [-0.5, 0.5].
+    * (The formula of record; [[planeMatrix]] evaluates it once per (p,j).)
+    */
   private def planeComponent(p: Column, j: Column): Column =
     pmod(xxhash64(p, j), lit(1001)) / lit(1000.0) - lit(0.5)
 
-  /** 128-bit random-hyperplane signature of an embedding column. */
+  /** Evaluate the Bits×Dim hyperplane matrix once and inline it as an
+    * array<array<double>> literal — row-path signature computation then
+    * carries no hash calls at all.
+    */
+  private[graft] def planeMatrix(spark: org.apache.spark.sql.SparkSession): Column = {
+    val m = spark.range(1).select(
+      transform(sequence(lit(0), lit(Bits - 1)), p =>
+        transform(sequence(lit(0), lit(Dim - 1)), j =>
+          planeComponent(p, j))).as("m"))
+      .collect()(0)
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+    typedlit(m.map(_.toIndexedSeq).toIndexedSeq)
+  }
+
+  /** Random-hyperplane signature bits of a pre-widened double embedding
+    * against an inlined plane matrix: sign of each plane dot product
+    * (native kernel — one VecDot per bit).
+    */
+  private[graft] def signature(embD: Column, planes: Column): Column =
+    transform(planes, p =>
+      when(VectorFns.dot(embD, p) > 0, 1).otherwise(0))
+
+  /** 128-bit random-hyperplane signature of an embedding column (public
+    * formula-of-record form; plane components derived per-row).
+    */
   def lshSignature(emb: Column): Column =
     transform(sequence(lit(0), lit(Bits - 1)), p =>
       when(
@@ -60,7 +91,10 @@ object Similarity {
       .limit(k)
   }
 
-  /** All embedding pairs with cosine ≥ threshold (id_a < id_b). */
+  /** All embedding pairs with cosine ≥ threshold (id_a < id_b).
+    * Norms are per-row precomputed; the O(n²) inner loop is one native
+    * [[graft.expressions.VecDot]] per pair inside whole-stage codegen.
+    */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    threshold: Double): DataFrame = {
     val withNorm = df.select(col(idCol).as("id"), col(embCol).as("e"))
@@ -82,16 +116,16 @@ object Similarity {
               query: DataFrame, k: Int): DataFrame = {
     val bands = Bands
     val rows = Bits / bands
-    def bandCols(df: DataFrame, prefix: String): DataFrame = {
-      val sig = lshSignature(col(embCol))
-      df.withColumn("sig", sig)
+    val planes = planeMatrix(corpus.sparkSession)
+    def bandCols(df: DataFrame, prefix: String): DataFrame =
+      df.withColumn("e_d", VectorFns.toDouble(col(embCol)))
+        .withColumn("sig", signature(col("e_d"), planes))
         .select(col(idCol), col(embCol), posexplode(
           transform(sequence(lit(0), lit(bands - 1)), b =>
             concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
               element_at(col("sig"), b * rows + r + 1)): _*))))
         .withColumnRenamed("col", s"${prefix}_band")
         .drop("pos")
-    }
     val corpusBands = bandCols(corpus, "c")
     val queryBands = bandCols(query, "q")
       .select(col("q_band"), col(embCol).as("q_emb"))

@@ -68,6 +68,28 @@ class PipelineOpSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("minHash aggregate formulation equals the array-fold formulation") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s")).toDF("id", "t")
+    val sh = df.select(col("id"), TextFns.shingles(col("t"), 3).as("sh"))
+    val agg = Dedup.minHashSigs(sh, 64).orderBy("id")
+      .select("sig").as[Seq[Long]].collect().toSeq
+    val fold = sh.orderBy("id")
+      .select(Dedup.minHashSignature(col("sh"))).as[Seq[Long]].collect().toSeq
+    assert(agg == fold)
+  }
+
+  test("inlined plane-matrix LSH signature equals the per-row formula") {
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 20).orderBy("vec_id")
+    val planes = Similarity.planeMatrix(spark)
+    val fast = corpus.select(
+      Similarity.signature(VectorFns.toDouble(col("embedding")), planes))
+      .as[Seq[Int]].collect().toSeq
+    val ref = corpus.select(Similarity.lshSignature(col("embedding")))
+      .as[Seq[Int]].collect().toSeq
+    assert(fast == ref)
+  }
+
   test("simHash: identical texts collide, perturbed text is hamming-close") {
     val df = Seq(
       (1L, "spark catalyst plans distributed queries over columnar data"),
@@ -101,6 +123,21 @@ class PipelineOpSpec extends SparkSpec {
     assert(r.getDouble(0) == 2.0)
     assert(r.getDouble(1) == 3.0)
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-15)
+  }
+
+  test("native VecDot kernel is bit-identical to the HOF formula of record") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+    val q = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val both = emb.crossJoin(q).select(
+      VectorFns.dot(col("embedding"), col("q_emb")).as("native"),
+      VectorFns.dotHof(col("embedding"), col("q_emb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
   }
 
   test("Similarity.topK: self tops the ranking on real embeddings") {
