@@ -125,6 +125,15 @@ class PipelineOpSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-15)
   }
 
+  test("vec_dot is usable from SQL text after extension registration") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS sq_norm
+        |FROM emb_v WHERE vec_id = 0""".stripMargin).collect().head
+    assert(r.getDouble(1) > 0.0)
+  }
+
   test("native VecDot kernel is bit-identical to the HOF formula of record") {
     val emb = graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
     val q = graft.sources.Tables.embeddings(spark, sf)
