@@ -109,6 +109,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the other classic scale path next to
+    * [[lshTopK]]: a coarse quantizer assigns every vector to its nearest
+    * centroid ONCE (the index build — one broadcast pass + one max_by
+    * aggregate, no all-pairs work), and a query exactly re-ranks only the
+    * vectors in its `nProbe` nearest centroid cells (~nProbe/nCentroids
+    * of the corpus).
+    *
+    * Centroids are a deterministic sample: the `nCentroids` lowest-id
+    * vectors (`TakeOrderedAndProject`, so selection is cheap at any
+    * corpus size). At 100 TB you'd drop k-means refinement in here; the
+    * index/probe plumbing — the part that shapes the shuffles — is
+    * unchanged by better centroids.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+              query: DataFrame, k: Int,
+              nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+    def nearestCells(df: DataFrame, n: Int, outCol: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", VectorFns.cosine(col(embCol), col("cent_emb")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+            .orderBy(col("cent_cos").desc, col("cent_id"))))
+        .filter(col("rk") <= n)
+        .select(col(idCol), col(embCol), col("cent_id").as(outCol))
+    val assigned = nearestCells(corpus, 1, "cell")
+    val probes = nearestCells(query, nProbe, "cell")
+      .select(col("cell"), col(embCol).as("q_emb"))
+    assigned.join(broadcast(probes), "cell")
+      .select(col(idCol),
+        round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
+      .groupBy(col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN top-k: candidates share at least one 8-bit signature
     * band with the query, then exact cosine re-rank.
     */

@@ -215,6 +215,14 @@ object PipelineQueries {
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       queryVec(spark, dir), k = 20)
 
+  /** Q33 — IVF ANN top-k (coarse-quantizer cells + nProbe exact re-rank;
+    * rows-only: the probe set depends on the engine-side centroid
+    * assignment, recall-tested against brute force in ScalaTest).
+    */
+  private def q33(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir), k = 20)
+
   // --------------------------------------------------- sessionize / gaps
 
   private val SessionGapUs = 43200000000L // 12 h
@@ -316,6 +324,7 @@ object PipelineQueries {
     QueryDef("q26_cosine_topk", q26, Some(q26Sql)),
     QueryDef("q27_cosine_pairs", q27, Some(q27Sql)),
     QueryDef("q28_ann_lsh_topk", q28, None),
+    QueryDef("q33_ann_ivf_topk", q33, None),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),
     QueryDef("q31_multimodal_features", q31, Some(q31Sql)),

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.TextFns
+import graft.operators.{Anomaly, Quality}
+import graft.operators.Anomaly.AnomalyRule
+
+/** ScalaCheck property tests (SURVEY §5.2): algebraic invariants of the
+  * operators on randomized batches, checked against plain-Scala reference
+  * implementations. Each sample is one batch (one Spark job), so test
+  * counts are kept small.
+  */
+object OperatorProps extends Properties("graft.operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val rowGen: Gen[(Option[Double], Option[String], Option[String])] =
+    for {
+      v <- Gen.option(Gen.choose(-1000.0, 1000.0))
+      p <- Gen.option(Gen.alphaNumStr)
+      t <- Gen.option(Gen.oneOf("click", "view", "error", "signup"))
+    } yield (v, p, t)
+
+  property("quality score == non-null fraction, within [0,1]") =
+    forAll(Gen.listOfN(60, rowGen)) { rows =>
+      val df = rows.toDF("v", "p", "t")
+      val got = df.select(Quality.qualityScore(Seq("v", "p", "t"))).as[Double].collect()
+      val want = rows.map { case (v, p, t) =>
+        Seq(v.isDefined, p.isDefined, t.isDefined).count(identity) / 3.0 }
+      got.forall(s => s >= 0.0 && s <= 1.0) && got.toSeq == want
+    }
+
+  private val rules = Seq(
+    AnomalyRule("high", col("v") > 200.0, 1.0),
+    AnomalyRule("mid", col("v") > 100.0, 0.5))
+
+  private def refScore(v: Double): Double =
+    if (v > 200.0) 1.0 else if (v > 100.0) 0.5 else 0.0
+
+  property("anomaly CASE fold: first match wins == reference impl") =
+    forAll(Gen.listOfN(80, Gen.choose(0.0, 300.0))) { vs =>
+      val got = vs.toDF("v").select(Anomaly.score(rules)).as[Double].collect()
+      got.toSeq == vs.map(refScore)
+    }
+
+  property("avg(when(cond,x)) == when-grouped avg (SURVEY §7.5.4)") =
+    forAll(Gen.listOfN(100,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-100.0, 100.0)))) { rows =>
+      val df = rows.toDF("t", "v")
+      // conventional form
+      val conv = df.groupBy("t")
+        .agg(avg(when(col("t") === "a", col("v"))).as("m"))
+        .orderBy("t").collect().map(r => Option(r.get(1)))
+      // the reference's form: aggregate inside when — equal because the
+      // grouping key includes the condition column
+      val ref = df.groupBy("t")
+        .agg(when(first(col("t")) === "a", avg(col("v"))).as("m"))
+        .orderBy("t").collect().map(r => Option(r.get(1)))
+      conv.toSeq == ref.toSeq
+    }
+
+  property("bucket counts partition the total for any values") =
+    forAll(Gen.listOfN(120, Gen.choose(0.0, 250.0))) { vs =>
+      val r = vs.toDF("value")
+        .agg(
+          count(lit(1)).as("total"),
+          count(when(col("value") >= 150.0, 1)).as("high"),
+          count(when(col("value") >= 100.0 && col("value") < 150.0, 1)).as("mid"),
+          count(when(col("value") < 100.0, 1)).as("low"))
+        .collect().head
+      r.getLong(0) == r.getLong(1) + r.getLong(2) + r.getLong(3)
+    }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("spark", "scan", "agg", "row", "table", "fast"))
+      .map(_.mkString(" "))
+
+  property("shingles: count bound, width n, self-Jaccard 1") =
+    forAll(Gen.listOfN(20, textGen)) { texts =>
+      val df = texts.toDF("t")
+      val sh = df.select(TextFns.shingles(col("t"), 3)).as[Seq[String]].collect()
+      sh.zip(texts).forall { case (grams, text) =>
+        val tokens = text.split(" ").filter(_.nonEmpty)
+        val bound = math.max(tokens.length - 2, 0)
+        grams.length <= bound &&
+          grams.forall(_.split(" ").length == 3) &&
+          grams.distinct.length == grams.length
+      }
+    }
+
+  property("token counts: whitespace count matches reference split") =
+    forAll(Gen.listOfN(30, textGen)) { texts =>
+      val got = texts.toDF("t")
+        .select(TextFns.tokenCount(col("t"))).as[Int].collect()
+      got.toSeq == texts.map(_.split("\\s+").count(_.nonEmpty))
+    }
+
+  property("rolling-hash fingerprint stays in [0, 1e9+7)") = Prop.secure {
+    val texts = List("spark agg row", "", "x", "a b c d e f g h i j")
+    val got = texts.toDF("text")
+      .select(expr(
+        """aggregate(transform(regexp_extract_all(text, '.', 0), c -> bigint(ascii(c))),
+          | 7L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin))
+      .as[Long].collect()
+    got.forall(h => h >= 0L && h < 1000000007L)
+  }
+}

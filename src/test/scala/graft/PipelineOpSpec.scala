@@ -160,6 +160,28 @@ class PipelineOpSpec extends SparkSpec {
     assert(ann.head == 0L) // self always shares every band with itself
   }
 
+  test("Similarity.ivfTopK finds planted near-duplicates via probed cells") {
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def perturb(v: Array[Float]) =
+      v.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+    val base = randVec()
+    // plant the cluster at ids 100..105 — OUTSIDE the id range the coarse
+    // quantizer samples centroids from (0..31): if cluster members are
+    // themselves centroids, each becomes its own near-identical cell and
+    // nProbe can't cover them all (degenerate quantizer, found by test)
+    val rows = (0L to 99L).map(i => (i, randVec())) ++
+      Seq((100L, base)) ++ (101L to 105L).map(i => (i, perturb(base))) ++
+      (106L to 199L).map(i => (i, randVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val query = df.filter(col("vec_id") === 100)
+    val ann = Similarity.ivfTopK(df, "vec_id", "embedding", query, 6)
+      .select("vec_id").as[Long].collect().toSet
+    // the cluster shares the query's nearest cells (cos≈0.998 between
+    // members dwarfs any difference in centroid affinity)
+    assert(ann == (100L to 105L).toSet, s"planted cluster not recalled: $ann")
+  }
+
   test("Similarity.lshTopK finds planted near-duplicates (ANN regime)") {
     // ANN's job is near-duplicate retrieval (cos ≥ 0.9) — plant a tight
     // cluster in noise and require perfect top-k recall on it. The
