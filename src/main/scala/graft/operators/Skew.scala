@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SURVEY §4 / the 100 TB checklist).
+  *
+  * AQE's skew-join split handles most cases at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); this is the
+  * explicit salted fallback for when a single key is hot enough that even
+  * one split of it overwhelms a task, or AQE is unavailable (e.g. inside
+  * a cached/reused exchange).
+  *
+  * Shape: the big side gets a deterministic pseudo-random salt in
+  * [0, salt); the small side is replicated `salt` times; the join key
+  * becomes (key, salt), spreading each hot key over `salt` reducers.
+  * Exact: every big-side row still meets every matching small-side row
+  * exactly once.
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed big side against a small side, salted.
+    * `saltSource` must be deterministic per row (defaults to a hash of
+    * the join key + a per-row disambiguator is unnecessary: any spread
+    * works — rows of one key are distributed by hash of the row's other
+    * content when provided, else round-robin via rand(seed)).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    val saltCol = saltSource
+      .map(c => pmod(xxhash64(c), lit(salt)))
+      .getOrElse((rand(42) * salt).cast("int"))
+    val bigS = big.withColumn("_salt", saltCol)
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.TableSink
+
+/** Tests for the batch sinks (dynamic partition overwrite, bucketed
+  * co-located joins) and the salted skew join.
+  */
+class SinkSkewSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    val day1 = Seq((1L, "d1", 10.0), (2L, "d1", 20.0)).toDF("id", "day", "v")
+    val day2 = Seq((3L, "d2", 30.0)).toDF("id", "day", "v")
+    TableSink.overwritePartitions(day1.union(day2), dir, Seq("day"))
+    // rewrite ONLY day2 with new content
+    val day2b = Seq((4L, "d2", 99.0)).toDF("id", "day", "v")
+    TableSink.overwritePartitions(day2b, dir, Seq("day"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"day" === "d1").count() == 2) // untouched
+    val d2 = back.filter($"day" === "d2").select("id").as[Long].collect()
+    assert(d2.toSeq == Seq(4L)) // replaced
+  }
+
+  test("bucketed tables join with no shuffle exchange on either side") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1L to 1000L).map(i => (i % 50, i.toDouble)).toDF("k", "v")
+      val dims = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+      TableSink.writeBucketed(facts, "graft_facts_b", "k", 8)
+      TableSink.writeBucketed(dims, "graft_dims_b", "k", 8)
+      val joined = spark.table("graft_facts_b").join(spark.table("graft_dims_b"), "k")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$physical")
+      assert(joined.count() == 1000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salted join equals the plain join (exactness under salting)") {
+    val big = (1L to 500L).map(i => (if (i <= 450) 1L else i % 10, i))
+      .toDF("k", "payload") // key 1 is hot: 450 of 500 rows
+    val small = (0L until 10L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = canon(big.join(small, "k"))
+    val salted = canon(Skew.saltedJoin(big, small, "k", salt = 8))
+    assert(salted == plain && plain.nonEmpty)
+  }
+}
