@@ -38,8 +38,8 @@ object Dedup {
   def byTokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exact(df, idCol, Seq(TextFns.tokenSetKey(col(textCol)).as("fp")))
 
-  /** Exact n-gram Jaccard near-dup pairs with rarity-ordered prefix
-    * filtering (PPJoin-style).
+  /** Exact n-gram Jaccard near-dup pairs with prefix filtering
+    * (PPJoin-style).
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
     * threshold, where jaccard is over the *distinct* shingle sets.
@@ -47,33 +47,36 @@ object Dedup {
     * A naive inverted-index self-join explodes on low-entropy corpora:
     * candidate pairs = Σ bucket² over shingle buckets, and the most
     * common shingle's bucket is O(corpus). Prefix filtering keeps the
-    * join EXACT while only indexing each document's rarest
-    * `|s| − ⌈t·|s|⌉ + 1` shingles (under a global rarity total order):
-    * two sets with J ≥ t must overlap within those prefixes, so no
-    * qualifying pair is lost, while the indexed buckets are the *small*
-    * ones by construction. Candidates are then verified with true
-    * Jaccard on the full sets (`array_intersect`), so output is exact.
+    * join EXACT while only indexing each document's first
+    * `|s| − ⌈t·|s|⌉ + 1` shingles under a global total order: two sets
+    * with J ≥ t must overlap within those prefixes, so no qualifying
+    * pair is lost. Candidates are then verified with true Jaccard on the
+    * full sets (`array_intersect`), so output is exact.
     *
-    * Shuffles: shingle document-frequency agg, per-doc rarity rank
-    * (window on id), prefix-bucket join, then the verify join on doc id
-    * — all keyed, no driver participation; this is the published
-    * exact-similarity-join shape that survives corpus-scale data.
+    * The global order is by xxhash64 (tie-break: shingle text), ranked
+    * IN-ROW (sort the shingle array by hash, slice the prefix): the
+    * index build is one narrow codegen pass — no document-frequency
+    * aggregation, no per-doc window, no join. The classic rarity
+    * (ascending-df) order shrinks buckets further on zipfian corpora at
+    * the cost of a df aggregate + join + window; hash order keeps
+    * buckets at average document frequency, which profiling showed is
+    * the better trade until bucket skew actually bites.
+    *
+    * Shuffles: prefix-bucket groupBy, candidate distinct, verify joins —
+    * all keyed, no driver participation.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         TextFns.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("g"))
-    // global rarity order: ascending document frequency, shingle tie-break
-    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("g"))
-    val prefix = inv.join(dfreq, "g")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("g"))
+    val prefLen =
+      (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val hashOrdered = transform(
+      array_sort(transform(col("sh"), g => struct(xxhash64(g).as("h"), g.as("g")))),
+      s => s.getField("g"))
+    val prefix = sh.select(col("id"),
+      explode(slice(hashOrdered, lit(1), prefLen)).as("g"))
     verifiedJaccard(candidatePairs(prefix, Seq("g")), sh, threshold)
   }
 
