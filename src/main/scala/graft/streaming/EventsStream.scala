@@ -125,4 +125,35 @@ object EventsStream {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
+
+  /** S8/St6 — exactly-once-effect batch sink: each micro-batch lands in a
+    * `_batch_id=<id>` partition via dynamic partition overwrite, so a
+    * batch REPLAYED after restart overwrites its own partition instead of
+    * appending duplicates (the reference commits no offsets at all —
+    * at-most-once; checkpoint + idempotent-by-batchId writes give
+    * effectively-exactly-once, the same pattern a JDBC upsert keyed by
+    * batchId uses).
+    */
+  def idempotentBatchSink(df: DataFrame, path: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(path)
+      }
+
+  /** St8 — per-batch observed metrics (replaces the reference's
+    * driver-side `count()` prints, which re-execute the plan): metrics
+    * ride the existing computation and surface in each
+    * `StreamingQueryProgress.observedMetrics` / via listener.
+    */
+  def withMetrics(df: DataFrame, name: String = "graft_metrics"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      avg(col("value")).as("avg_value"),
+      max(col("ts")).as("max_event_time"))
 }

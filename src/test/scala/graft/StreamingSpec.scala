@@ -13,12 +13,15 @@ import graft.streaming.EventsStream
   * per-micro-batch windows get wrong), watermark late-drop, anomaly
   * stream, and session windows.
   */
+/** Top-level so the case-class encoder stays codegen-friendly (a nested
+  * class forces UnsafeProjection to fall back to interpreter mode).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
 class StreamingSpec extends SparkSpec {
   private lazy val sess = spark
   import sess.implicits._
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-                        event_type: String, value: Double, props: String)
 
   private def ev(id: Long, sec: Long, user: Long = 1L, typ: String = "click",
                  value: Double = 1.0) =
@@ -112,6 +115,49 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length == 2)
       assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L))
     } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes without loss or duplication (St5/St6)") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    val in = MemoryStream[Ev]
+    val q1 = EventsStream.idempotentBatchSink(in.toDF(), out, ck).start()
+    try {
+      in.addData(ev(1, 10), ev(2, 20))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: same source, same checkpoint — committed offsets skip 1,2
+    val q2 = EventsStream.idempotentBatchSink(in.toDF(), out, ck).start()
+    try {
+      in.addData(ev(3, 30))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // each exactly once
+  }
+
+  test("observed metrics ride each micro-batch (St8)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val q = EventsStream.withMetrics(in.toDF())
+      .writeStream.format("memory").queryName("obs").outputMode("append").start()
+    try {
+      in.addData(ev(1, 10, value = 10.0), ev(2, 20, value = 30.0))
+      q.processAllAvailable()
+      observed = q.lastProgress.observedMetrics.asScala.get("graft_metrics")
+      assert(observed.isDefined)
+      assert(observed.get.getAs[Long]("n_rows") == 2L)
+      assert(observed.get.getAs[Double]("avg_value") == 20.0)
+    } finally q.stop()
+  }
+
+  private implicit class MapConv[K, V](m: java.util.Map[K, V]) {
+    def asScala: scala.collection.mutable.Map[K, V] =
+      scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
   }
 
   test("throughput: a 10k-record batch clears in far under the 30s floor") {
