@@ -11,11 +11,17 @@ import org.apache.spark.sql.types._
   * (`array<float>` / `array<double>`) — the hot kernel of the similarity
   * operators.
   *
-  * Semantics are bit-identical to the declarative formula of record
+  * For equal-length arrays with non-null elements — the embedding
+  * contract, and the only case the engine produces — semantics are
+  * bit-identical to the declarative formula of record
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, +)`
   * (see `graft.functions.VectorFns.dotHof`): elements are widened to
   * double exactly and accumulated strictly left-to-right from 0.0, so the
   * DuckDB `list_reduce` oracle and this kernel agree to the last bit.
+  * Outside that contract the two deliberately diverge: `zip_with`
+  * null-pads ragged arrays and nulls poison its sum, whereas this kernel
+  * clamps to the shorter length and reads elements unchecked — a partial
+  * dot product instead of NULL.
   *
   * Why a custom `Expression`: Spark's higher-order array functions run
   * interpreted (lambda per element, boxed), which costs ~10 µs per

@@ -68,8 +68,11 @@ object SensorModel {
     StructField("acceleration", xyz),
     StructField("gyroscope", xyz),
     StructField("magnetometer", xyz),
-    // gps — sensor_data_generator.py:110-120 (latitude/longitude/speed
-    // shared with radar/location names are payload-local here)
+    // gps — sensor_data_generator.py:110-120 (payload-local latitude/
+    // longitude at 6 dp are FINER than the top-level location struct's
+    // jitter and must not be dropped; `speed` is shared with radar)
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
     StructField("altitude", DoubleType),
     StructField("heading", DoubleType),
     StructField("accuracy", DoubleType),

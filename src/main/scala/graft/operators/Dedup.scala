@@ -70,8 +70,13 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         TextFns.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // round before ceil: raw double t*|s| can land epsilon ABOVE the exact
+    // rational (0.55*100 = 55.000000000000007), and ceil of that shortens
+    // the prefix by one — silently dropping qualifying pairs and breaking
+    // the exactness guarantee for thresholds whose product is integral
     val prefLen =
-      (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+      (size(col("sh")) - ceil(round(lit(threshold) * size(col("sh")), 9)) + 1)
+        .cast("int")
     val hashOrdered = transform(
       array_sort(transform(col("sh"), g => struct(xxhash64(g).as("h"), g.as("g")))),
       s => s.getField("g"))

@@ -111,33 +111,42 @@ object Similarity {
 
   /** IVF (inverted-file) ANN top-k — the other classic scale path next to
     * [[lshTopK]]: a coarse quantizer assigns every vector to its nearest
-    * centroid ONCE (the index build — one broadcast pass + one max_by
-    * aggregate, no all-pairs work), and a query exactly re-ranks only the
-    * vectors in its `nProbe` nearest centroid cells (~nProbe/nCentroids
-    * of the corpus).
+    * centroid ONCE, and a query exactly re-ranks only the vectors in its
+    * `nProbe` nearest centroid cells (~nProbe/nCentroids of the corpus).
     *
-    * Centroids are a deterministic sample: the `nCentroids` lowest-id
-    * vectors (`TakeOrderedAndProject`, so selection is cheap at any
-    * corpus size). At 100 TB you'd drop k-means refinement in here; the
-    * index/probe plumbing — the part that shapes the shuffles — is
-    * unchanged by better centroids.
+    * The quantizer is a MODEL, not data: the `nCentroids` lowest-id
+    * vectors are collected (nCentroids × dim floats — a few KB) and
+    * inlined as a literal, so cell assignment is an IN-ROW argmax inside
+    * codegen — one narrow pass over the corpus with no join, no row
+    * blowup, and no shuffle. (An earlier draft crossJoined the broadcast
+    * centroids and ranked with a per-id window — a nCentroids× row
+    * explosion plus a full shuffle keyed by a unique id, caught in
+    * review.) At 100 TB you'd drop k-means refinement in here; the
+    * assignment plumbing is unchanged by better centroids.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
               query: DataFrame, k: Int,
               nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
-    def nearestCells(df: DataFrame, n: Int, outCol: String): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("cent_cos", VectorFns.cosine(col(embCol), col("cent_emb")))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-            .orderBy(col("cent_cos").desc, col("cent_id"))))
-        .filter(col("rk") <= n)
-        .select(col(idCol), col(embCol), col("cent_id").as(outCol))
-    val assigned = nearestCells(corpus, 1, "cell")
-    val probes = nearestCells(query, nProbe, "cell")
-      .select(col("cell"), col(embCol).as("q_emb"))
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
+    val centArr = typedlit(cents.toIndexedSeq) // array<struct<_1:long,_2:array<float>>>
+    // per-row centroid ranking: sort struct(-cos, cent_id) ascending ==
+    // cos descending with centroid-id tie-break (same order the windowed
+    // formulation used)
+    def rankedCells: Column = array_sort(transform(centArr, c =>
+      struct(
+        (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+        c.getField("_1").as("cent"))))
+    val assigned = corpus.withColumn("cell",
+      element_at(rankedCells, 1).getField("cent"))
+      .select(col(idCol), col(embCol), col("cell"))
+    val probes = query
+      .select(col(embCol).as("q_emb"),
+        explode(slice(transform(rankedCells, s => s.getField("cent")),
+          1, nProbe)).as("cell"))
+      .select(col("cell"), col("q_emb"))
     assigned.join(broadcast(probes), "cell")
       .select(col(idCol),
         round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))

@@ -20,19 +20,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of a skewed big side against a small side, salted.
-    * `saltSource` must be deterministic per row (defaults to a hash of
-    * the join key + a per-row disambiguator is unnecessary: any spread
-    * works — rows of one key are distributed by hash of the row's other
-    * content when provided, else round-robin via rand(seed)).
+    *
+    * `saltSource`, when given, must VARY WITHIN a join key (e.g. a
+    * row id or payload column) — hashing the join key itself would give
+    * every row of the hot key the same salt and defeat the spread. The
+    * default `rand(seed)` round-robins rows uniformly. The working
+    * column name is chosen to not collide with either side's columns.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    val taken = (big.columns ++ small.columns).toSet
+    val saltName = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .find(!taken.contains(_)).get
     val saltCol = saltSource
       .map(c => pmod(xxhash64(c), lit(salt)))
       .getOrElse((rand(42) * salt).cast("int"))
-    val bigS = big.withColumn("_salt", saltCol)
-    val smallS = small.withColumn("_salt",
+    val bigS = big.withColumn(saltName, saltCol)
+    val smallS = small.withColumn(saltName,
       explode(sequence(lit(0), lit(salt - 1))))
-    bigS.join(smallS, Seq(key, "_salt"), "inner").drop("_salt")
+    bigS.join(smallS, Seq(key, saltName), "inner").drop(saltName)
   }
 }

@@ -57,6 +57,12 @@ class SensorModelSpec extends SparkSpec {
     val meta = parsed.filter($"sensorType" === "gps")
       .select(element_at($"metadata", "manufacturer")).as[String].head()
     assert(meta == "acme")
+    // gps payload lat/long are finer than the top-level location struct
+    // and must survive the union schema (regression: review found them
+    // missing from measurementsSchema)
+    val gpsLat = parsed.filter($"sensorType" === "gps")
+      .select($"measurements.latitude").as[Double].head()
+    assert(gpsLat == 45.5)
     // ISO-8601 string became a real timestamp
     assert(parsed.schema("timestamp").dataType.typeName == "timestamp")
   }
