@@ -24,11 +24,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    // untimed warmup: parquet reader, codegen, shuffle machinery
-    materialize(graft.sources.Tables.events(spark, sfDir)
-      .groupBy("event_type").count())
-    materialize(graft.sources.Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag").count())
+    // Untimed warmup at the smallest SF: generated code depends on plan
+    // shape, not data size, so this compiles each query's codegen/JIT
+    // once (worth ~9 s on the heaviest expression trees) without paying
+    // full-size execution twice. Residual cold cost: AQE join-shape
+    // differences between SFs.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.registry.foreach { q =>
+      try materialize(q.spark(spark, warmDir)) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try materialize(q.spark(spark, sfDir))

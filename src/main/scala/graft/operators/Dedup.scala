@@ -30,6 +30,17 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Row-preserving exact dedup: keep exactly the keeper row (min id) of
+    * each duplicate group, with all original columns. Deterministic —
+    * unlike `dropDuplicates`, which keeps an arbitrary row per group.
+    * One extra broadcast-or-shuffle semi-join against the keeper set.
+    */
+  def dropDuplicatesExact(df: DataFrame, idCol: String,
+                          keyCols: Seq[Column]): DataFrame =
+    df.join(
+      exact(df, idCol, keyCols).select(col("keeper_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Normalized-fingerprint dedup (whitespace/case-insensitive exact). */
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exact(df, idCol, Seq(TextFns.fingerprint(col(textCol)).as("fp")))
@@ -170,6 +181,40 @@ object Dedup {
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     verifiedJaccard(candidatePairs(banded, Seq("band", "bh")), sh, threshold)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Pigeonhole candidate generation: the 64-bit signature is split into
+    * `maxHamming + 1` blocks — two signatures within Hamming distance d
+    * must agree EXACTLY on at least one block — so candidates come from
+    * a bucket join on (block index, block bits): O(docs × blocks)
+    * constant-width rows, no all-pairs work. Candidates are then
+    * verified with the true Hamming distance (`bit_count(xor)`), so the
+    * output is exact with respect to the signatures.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
+        // block b = bits [b*width, b*width+width) (the final block keeps
+        // the 64 mod blocks remainder bits via the unmasked top block)
+        when(b < blocks - 1,
+          call_function("shiftright", col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)))
+          .otherwise(call_function("shiftright", col("sig"), b * width)))))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bits")
+    val cand = candidatePairs(
+      blocked.select(col("id"), col("blk"), col("bits")), Seq("blk", "bits"))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token

@@ -94,6 +94,15 @@ object PipelineQueries {
         n = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** Q34 — SimHash near-dup pairs (pigeonhole blocks + exact Hamming
+    * verify; xxhash64-based signature → rows-only, exactness-tested
+    * against brute force in ScalaTest).
+    */
+  private def q34(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
   // ---------------------------------------------------------- text analysis
 
   /** Q23 — per-document text statistics + heuristic quality score. */
@@ -318,6 +327,7 @@ object PipelineQueries {
     QueryDef("q20_tokenset_dedup", q20, Some(q20Sql)),
     QueryDef("q21_ngram_jaccard", q21, Some(ngramJaccardSql)),
     QueryDef("q22_minhash_neardup", q22, Some(ngramJaccardSql)),
+    QueryDef("q34_simhash_neardup", q34, None),
     QueryDef("q23_text_stats", q23, Some(q23Sql)),
     QueryDef("q24_langid", q24, Some(q24Sql)),
     QueryDef("q25_doc_fingerprint", q25, Some(q25Sql)),

@@ -90,6 +90,40 @@ class PipelineOpSpec extends SparkSpec {
     assert(fast == ref)
   }
 
+  test("dropDuplicatesExact keeps exactly the min-id row per group") {
+    val df = Seq(
+      (5L, "hello world", "keep-not"), (2L, "Hello  WORLD", "keep"),
+      (7L, "other text", "keep")).toDF("id", "t", "tag")
+    val kept = Dedup.dropDuplicatesExact(df, "id",
+      Seq(TextFns.fingerprint(col("t"))))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 7L))
+  }
+
+  test("simHashPairs equals brute-force hamming pairs (pigeonhole exactness)") {
+    val texts = Seq(
+      "spark catalyst plans distributed queries over columnar data today",
+      "spark catalyst plans distributed queries over columnar data today",
+      "spark catalyst plans distributed queries over columnar files today",
+      "completely different words about ultrasonic radar telemetry",
+      "the quick brown fox jumps over the lazy dog repeatedly",
+      "the quick brown fox jumps over the lazy cat repeatedly")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val sigs = df.select(col("id"), Dedup.simHash(col("t")))
+      .as[(Long, Long)].collect().toMap
+    val budget = 20
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= budget
+    } yield (a, b, h)).toSeq.sorted
+    val got = Dedup.simHashPairs(df, "id", "t", maxHamming = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    // pigeonhole candidates must be a superset of every <=budget pair, so
+    // after exact verification the operator equals brute force
+    assert(got == expected)
+    assert(expected.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+  }
+
   test("simHash: identical texts collide, perturbed text is hamming-close") {
     val df = Seq(
       (1L, "spark catalyst plans distributed queries over columnar data"),
