@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.{Anomaly, Quality}
@@ -145,6 +145,71 @@ object EventsStream {
           .partitionBy("_batch_id")
           .parquet(path)
       }
+
+  /** Per-key gap-alert state for [[gapAlerts]]. */
+  case class GapState(lastTsUs: Long)
+
+  /** A detected inter-event gap over the threshold. */
+  case class GapAlert(user_id: Long, gap_us: Long, at_us: Long)
+
+  /** §7.3/St4 — custom streaming state: per-user gap detection via
+    * `flatMapGroupsWithState` (the streaming twin of the batch
+    * `Sessionize.gapStats`). Emits an alert whenever the gap between
+    * consecutive events of a user exceeds `thresholdUs`. State is one
+    * timestamp per key, expired by EVENT-TIME timeout riding the
+    * watermark — bounded regardless of stream length (the property that
+    * lets it run forever on an unbounded fleet of keys), and no
+    * timeout-driven idle micro-batches (a processing-time timeout keeps
+    * the engine re-triggering empty batches forever).
+    *
+    * Input must carry `user_id: long` and `ts: timestamp`. Events
+    * within a micro-batch are processed in event-time order; exact
+    * cross-batch ordering is the engine's delivery order, as with any
+    * per-key streaming state.
+    */
+  def gapAlerts(df: DataFrame, thresholdUs: Long,
+                watermark: String = "10 minutes"): Dataset[GapAlert] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the watermarked timestamp column must flow INTO the stateful op
+    // unchanged — projecting it away (e.g. to unix_micros) discards the
+    // watermark and the analyzer rejects event-time timeout
+    df.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            val sorted = rows.map(r => micros(r._2)).toSeq.sorted
+            var last = state.getOption.map(_.lastTsUs)
+            val alerts = sorted.flatMap { us =>
+              val a = last match {
+                case Some(prev) if us - prev > thresholdUs =>
+                  Some(GapAlert(user, us - prev, us))
+                case _ => None
+              }
+              last = Some(us)
+              a
+            }
+            last.foreach { us =>
+              state.update(GapState(us))
+              // expire once the watermark passes last-event + threshold:
+              // a further gap alert for this key is then impossible
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs + 1,
+                  us / 1000 + thresholdUs / 1000))
+            }
+            alerts.iterator
+          }
+      }
+  }
 
   /** St8 — per-batch observed metrics (replaces the reference's
     * driver-side `count()` prints, which re-execute the plan): metrics

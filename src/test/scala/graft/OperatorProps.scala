@@ -102,6 +102,19 @@ object OperatorProps extends Properties("graft.operators") {
       got.toSeq == texts.map(_.split("\\s+").count(_.nonEmpty))
     }
 
+  property("VecDot == HOF fold bit-for-bit on random float vectors") =
+    forAll(Gen.listOfN(15, Gen.zip(
+      Gen.listOfN(16, Gen.choose(-10.0f, 10.0f)),
+      Gen.listOfN(16, Gen.choose(-10.0f, 10.0f))))) { pairs =>
+      val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      val rows = df.select(
+        graft.functions.VectorFns.dot(col("a"), col("b")),
+        graft.functions.VectorFns.dotHof(col("a"), col("b"))).collect()
+      rows.forall(r =>
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+
   property("rolling-hash fingerprint stays in [0, 1e9+7)") = Prop.secure {
     val texts = List("spark agg row", "", "x", "a b c d e f g h i j")
     val got = texts.toDF("text")

@@ -160,6 +160,26 @@ class StreamingSpec extends SparkSpec {
       scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
   }
 
+  test("gapAlerts: flatMapGroupsWithState emits per-user over-threshold gaps") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.gapAlerts(in.toDF(), thresholdUs = 60000000L) // 60 s
+      .writeStream.format("memory").queryName("gaps").outputMode("append").start()
+    try {
+      // user 1: 0s, 10s (no gap alert), then batch 2 at 600s (gap 590s)
+      in.addData(ev(1, 0), ev(2, 10))
+      q.processAllAvailable()
+      in.addData(ev(3, 600), ev(4, 605), ev(5, 1000, user = 2))
+      q.processAllAvailable()
+      val alerts = spark.table("gaps").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      // exactly one alert: user 1's 590s gap (10s -> 600s), detected
+      // ACROSS the micro-batch boundary via kept state; user 2 has no
+      // prior event, the 5s gap is under threshold
+      assert(alerts.toSeq == Seq((1L, 590000000L)))
+    } finally q.stop()
+  }
+
   test("throughput: a 10k-record batch clears in far under the 30s floor") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
