@@ -43,6 +43,11 @@ object EventsStream {
     * payload to string, `from_json` with the declared schema (replaces
     * the reference's per-record Jackson parse in `rdd.map`,
     * `SensorDataProcessor.scala:100-112`), drop unparseable records.
+    *
+    * Requires the `spark-sql-kafka` connector on the classpath (present
+    * in any Kafka-enabled Spark distribution; NOT in this container's
+    * `/opt/spark/jars`, so tests drive the identical post-source plan via
+    * `MemoryStream` instead — see StreamingSpec).
     */
   def fromKafka(spark: SparkSession, brokers: String, topic: String,
                 startingOffsets: String = "latest"): DataFrame =

@@ -95,6 +95,19 @@ class SensorModelSpec extends SparkSpec {
     assert(q.select($"quality_score").as[Double].head() == 1.0)
   }
 
+  test("VariantType alternative for semi-structured payloads (SURVEY §7.4)") {
+    // Spark 4's VARIANT is the other encoding considered for the
+    // semi-structured payload; the typed union struct stays the canonical
+    // model (oracle comparability + schema-checked paths), but the engine
+    // must interoperate: parse once, extract typed fields.
+    val df = Seq("""{"k": 42, "nested": {"x": 1.5}}""").toDF("props")
+      .select(parse_json(col("props")).as("v"))
+    val r = df.select(
+      try_variant_get(col("v"), "$.k", "int").as("k"),
+      try_variant_get(col("v"), "$.nested.x", "double").as("x")).collect().head
+    assert(r.getInt(0) == 42 && r.getDouble(1) == 1.5)
+  }
+
   test("A3 conditional aggregates read the union struct paths") {
     val rows = Seq(
       record("radar", """{"distance":100.0}"""),
