@@ -160,6 +160,16 @@ class StreamingSpec extends SparkSpec {
       scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
   }
 
+  test("kafkaPayload: keyed JSON round-trips through the wire schema (S7)") {
+    val df = Seq(ev(7, 42, user = 3, typ = "view", value = 5.5)).toDF()
+    val payload = EventsStream.kafkaPayload(df).collect().head
+    assert(payload.getAs[String]("key") == "3_view")
+    val back = Seq(payload.getAs[String]("value")).toDF("value")
+      .select(from_json(col("value"), EventsStream.schema).as("e"))
+      .select("e.*").as[Ev].head()
+    assert(back == Ev(7, new Timestamp(42000L), 3, "view", 5.5, "{}"))
+  }
+
   test("gapAlerts: flatMapGroupsWithState emits per-user over-threshold gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
