@@ -217,6 +217,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Portable 60-bit SimHash: identical to [[simHash]] in structure, but
+    * per-token hashes come from the first 15 hex digits of md5 instead of
+    * xxhash64 — md5 is computable identically in any engine, so this
+    * variant is fully oracle-expressible (the DuckDB mirror parses the
+    * same hex digits and folds the same ±1 bit sums).
+    *
+    * Token hashes are materialized ONCE per token before the bit fold —
+    * putting `md5(t)` inside the per-bit lambda would re-evaluate the
+    * digest 60× per token (the captured-expression trap).
+    */
+  def simHashPortable(textCol: Column): Column = {
+    val hashes = transform(TextFns.tokens(textCol),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bitSums = aggregate(
+      hashes,
+      expr("transform(sequence(0, 59), i -> 0)"),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(59)), i =>
+          when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === lit(1L), 1)
+            .otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(59)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token
     * hashes, take the sign. One narrow codegen'd pass per document.
     */

@@ -103,6 +103,28 @@ object PipelineQueries {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Q35 — portable SimHash signatures, fully oracle-graded: per-token
+    * hashes from md5 hex (engine-independent), ±1 bit sums, sign-packed
+    * 60-bit signature. The xxhash64-based [[q34]] pair generation is the
+    * fast path; this one proves the SimHash computation itself against
+    * an independent engine.
+    */
+  private def q35(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simHashPortable(col("text")).as("sig"))
+      .orderBy("doc_id")
+
+  private val q35Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(range(0, 60), i ->
+      |      CASE WHEN list_sum(list_transform(string_split(text, ' '),
+      |             tok -> CASE WHEN ((('0x' || substr(md5(tok), 1, 15))::BIGINT >> i) & 1) = 1
+      |                         THEN 1 ELSE -1 END)) > 0
+      |           THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+      |    (a, b) -> a | b) AS sig
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- text analysis
 
   /** Q23 — per-document text statistics + heuristic quality score. */
@@ -328,6 +350,7 @@ object PipelineQueries {
     QueryDef("q21_ngram_jaccard", q21, Some(ngramJaccardSql)),
     QueryDef("q22_minhash_neardup", q22, Some(ngramJaccardSql)),
     QueryDef("q34_simhash_neardup", q34, None),
+    QueryDef("q35_simhash_portable", q35, Some(q35Sql)),
     QueryDef("q23_text_stats", q23, Some(q23Sql)),
     QueryDef("q24_langid", q24, Some(q24Sql)),
     QueryDef("q25_doc_fingerprint", q25, Some(q25Sql)),
