@@ -8,7 +8,7 @@ import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
 import graft.sources.Tables
 import QueryDefs._
 
-/** Q19–Q34 — the large-scale training-data pipeline surface (SURVEY §7.3):
+/** Q19–Q35 — the large-scale training-data pipeline surface (SURVEY §7.3):
   * deduplication (exact, n-gram Jaccard, MinHash+LSH), text analysis
   * (token counting, quality scoring, language ID, rolling-hash
   * fingerprints), similarity search over embeddings (brute-force cosine
