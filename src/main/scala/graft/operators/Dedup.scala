@@ -77,7 +77,8 @@ object Dedup {
     * all keyed, no driver participation.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        hotBucketCap: Int = HotBucketCap): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         TextFns.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -93,18 +94,40 @@ object Dedup {
       s => s.getField("g"))
     val prefix = sh.select(col("id"),
       explode(slice(hashOrdered, lit(1), prefLen)).as("g"))
-    verifiedJaccard(candidatePairs(prefix, Seq("g")), sh, threshold)
+    verifiedJaccard(candidatePairs(prefix, Seq("g"), hotBucketCap), sh, threshold)
   }
+
+  /** Buckets larger than this switch from in-row pair enumeration to a
+    * streamed self-join. Both paths are exact; the cap only bounds the
+    * per-task memory of a pathological hot bucket (e.g. a boilerplate
+    * shingle shared by a large share of the corpus).
+    */
+  private[graft] val HotBucketCap = 4096
 
   /** Candidate pairs from an inverted index: group by bucket key, collect
     * the (sorted, distinct) doc ids per bucket, enumerate each bucket's
-    * pairs inline. One shuffle; unlike a self-join, the (possibly
-    * expensive) index plan is evaluated once, not once per join side.
-    * Bucket sizes are bounded by the caller's filtering (rarity prefix /
-    * LSH bands), so per-bucket pair enumeration is small by construction.
+    * pairs inline. One shuffle + one sort; unlike a self-join, the
+    * (possibly expensive) index plan is evaluated once, not once per join
+    * side. Prefix filtering / LSH banding bounds the AVERAGE bucket, but a
+    * hot shingle or band can still concentrate a large share of the corpus
+    * in one bucket; `collect_set` over such a bucket is O(bucket) memory
+    * in a single aggregation buffer — a task OOM at 100 TB. So buckets
+    * over `cap` bypass the collect and enumerate their pairs through a
+    * sort-merge self-join instead, whose per-key buffer spills to disk
+    * (ExternalAppendOnlyUnsafeRowArray) rather than growing an in-heap
+    * array — same exact output, bounded memory. The bucket census is a
+    * window count over the same exchange the aggregate/join consume, so
+    * the index is still evaluated once and shuffled once (AQE reuses the
+    * exchange across the three consumers).
     */
-  private def candidatePairs(index: DataFrame, keyCols: Seq[String]): DataFrame =
-    index.groupBy(keyCols.map(col): _*)
+  private[graft] def candidatePairs(index: DataFrame, keyCols: Seq[String],
+                                    cap: Int = HotBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val sized = index.withColumn("__graft_bn",
+      count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val smallPairs = sized.filter(col("__graft_bn") <= cap)
+      .groupBy(keys: _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(
@@ -113,7 +136,15 @@ object Dedup {
             struct(
               element_at(col("ids"), i + 1).as("id_a"),
               element_at(col("ids"), j + 1).as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("p.id_a"), col("p.id_b"))
+    val hot = sized.filter(col("__graft_bn") > cap)
+      .select((keys :+ col("id")): _*)
+    val hotPairs = hot.withColumnRenamed("id", "id_a")
+      .join(hot.withColumnRenamed("id", "id_b"), keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    smallPairs.unionByName(hotPairs).distinct()
+  }
 
   /** Exact-Jaccard verification of candidate pairs against full shingle
     * sets; shared by the prefix-filter and MinHash candidate generators.
@@ -247,15 +278,21 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token
     * hashes, take the sign. One narrow codegen'd pass per document.
+    *
+    * Token hashes are materialized ONCE per token before the bit fold —
+    * putting `xxhash64(t)` inside the per-bit lambda would re-evaluate it
+    * 64× per token under the interpreted HOF path (the captured-expression
+    * trap [[simHashPortable]] already avoids).
     */
   def simHash(textCol: Column): Column = {
+    val hashes = transform(TextFns.tokens(textCol), t => xxhash64(t))
     val bitSums = aggregate(
-      TextFns.tokens(textCol),
+      hashes,
       expr("transform(sequence(0, 63), i -> 0)"),
-      (acc, t) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i) % 2 =!= 0, 1)
+          i => when(call_function("shiftright", h, i) % 2 =!= 0, 1)
             .otherwise(-1)),
         (x, y) => x + y))
     aggregate(

@@ -24,8 +24,13 @@ object Skew {
     * `saltSource`, when given, must VARY WITHIN a join key (e.g. a
     * row id or payload column) — hashing the join key itself would give
     * every row of the hot key the same salt and defeat the spread. The
-    * default `rand(seed)` round-robins rows uniformly. The working
-    * column name is chosen to not collide with either side's columns.
+    * default hashes ALL big-side columns, so each row's salt is a pure
+    * function of its content: task retries and speculative attempts
+    * recompute the SAME assignment (a seeded `rand` is only deterministic
+    * per partition-ordering, so a retry with a different input split
+    * could re-salt rows and produce inconsistent attempt outputs on a
+    * real cluster). The working column name is chosen to not collide
+    * with either side's columns.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int = 16, saltSource: Option[Column] = None): DataFrame = {
@@ -33,8 +38,8 @@ object Skew {
     val saltName = Iterator.from(0).map(i => s"__graft_salt_$i")
       .find(!taken.contains(_)).get
     val saltCol = saltSource
-      .map(c => pmod(xxhash64(c), lit(salt)))
-      .getOrElse((rand(42) * salt).cast("int"))
+      .map(c => pmod(xxhash64(c), lit(salt)).cast("int"))
+      .getOrElse(pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
     val bigS = big.withColumn(saltName, saltCol)
     val smallS = small.withColumn(saltName,
       explode(sequence(lit(0), lit(salt - 1))))

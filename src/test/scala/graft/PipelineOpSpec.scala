@@ -55,6 +55,29 @@ class PipelineOpSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.5))) // |∩|=2, |∪|=4
   }
 
+  test("candidatePairs: hot buckets route through the streamed self-join exactly") {
+    // "common" is shared by every doc (the boilerplate-shingle scale-killer):
+    // with cap=2 its bucket takes the spill-safe self-join path while the
+    // size-2 "x1" bucket still uses in-row enumeration — output must be the
+    // exact union of both, deduplicated
+    val index = Seq(
+      (1L, "common"), (2L, "common"), (3L, "common"), (4L, "common"),
+      (1L, "x1"), (2L, "x1"),
+      (3L, "solo")).toDF("id", "g")
+    val got = Dedup.candidatePairs(index, Seq("g"), cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(got == expected)
+  }
+
+  test("ngramJaccardPairs stays exact when every bucket is hot (cap=1)") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z")).toDF("id", "t")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "t", n = 2, threshold = 0.1,
+        hotBucketCap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
   test("minHashPairs output equals exact ngramJaccardPairs on fixture") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
