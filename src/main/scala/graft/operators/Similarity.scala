@@ -38,28 +38,53 @@ import graft.functions.VectorFns
 object Similarity {
 
   private val Bits = 128
-  private val Bands = 16
+  private[graft] val Bands = 16
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplane component p,j in [-0.5, 0.5].
-    * (The formula of record; [[planeMatrix]] evaluates it once per (p,j).)
+    * (The formula of record; [[planeMatrix]] inlines it once per (p,j).)
     */
   private def planeComponent(p: Column, j: Column): Column =
     pmod(xxhash64(p, j), lit(1001)) / lit(1000.0) - lit(0.5)
 
-  /** Evaluate the Bits×Dim hyperplane matrix once and inline it as an
-    * array<array<double>> literal — row-path signature computation then
-    * carries no hash calls at all.
+  /** Spark's XXH64-for-int primitive (the public xxHash algorithm, as in
+    * `org.apache.spark.sql.catalyst.expressions.XXH64`), restated so the
+    * plane model — and the DuckDB oracle that mirrors it — can be
+    * generated driver-side with no Spark job. Equality with the SQL
+    * `xxhash64` formula is pinned by the plane-matrix ScalaTest.
     */
-  private[graft] def planeMatrix(spark: org.apache.spark.sql.SparkSession): Column = {
-    val m = spark.range(1).select(
-      transform(sequence(lit(0), lit(Bits - 1)), p =>
-        transform(sequence(lit(0), lit(Dim - 1)), j =>
-          planeComponent(p, j))).as("m"))
-      .collect()(0)
-      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
-    typedlit(m.map(_.toIndexedSeq).toIndexedSeq)
+  private object XxHash64Pure {
+    private val P1 = 0x9E3779B185EBCA87L
+    private val P2 = 0xC2B2AE3D27D4EB4FL
+    private val P3 = 0x165667B19E3779F9L
+    private val P5 = 0x27D4EB2F165667C5L
+    def hashInt(input: Int, seed: Long): Long = {
+      var h = seed + P5 + 4L
+      h ^= (input & 0xFFFFFFFFL) * P1
+      h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+      h
+    }
   }
+
+  /** `pmod(xxhash64(p, j), 1001)` — the small integer each double plane
+    * component derives from (`k/1000.0 - 0.5`). Exposed so the q28 oracle
+    * SQL can embed the identical model as a literal.
+    */
+  private[graft] lazy val planeInts: IndexedSeq[IndexedSeq[Int]] =
+    (0 until Bits).map { p =>
+      val hp = XxHash64Pure.hashInt(p, 42L)
+      (0 until Dim).map { j =>
+        val m = (XxHash64Pure.hashInt(j, hp) % 1001L).toInt
+        if (m < 0) m + 1001 else m
+      }
+    }
+
+  /** The Bits×Dim hyperplane matrix as an array<array<double>> literal —
+    * row-path signature computation carries no hash calls at all.
+    */
+  private[graft] def planeMatrix: Column =
+    typedlit(planeInts.map(_.map(_ / 1000.0 - 0.5)))
 
   /** Random-hyperplane signature bits of a pre-widened double embedding
     * against an inlined plane matrix: sign of each plane dot product
@@ -162,7 +187,7 @@ object Similarity {
               query: DataFrame, k: Int): DataFrame = {
     val bands = Bands
     val rows = Bits / bands
-    val planes = planeMatrix(corpus.sparkSession)
+    val planes = planeMatrix
     def bandCols(df: DataFrame, prefix: String): DataFrame =
       df.withColumn("e_d", VectorFns.toDouble(col(embCol)))
         .withColumn("sig", signature(col("e_d"), planes))

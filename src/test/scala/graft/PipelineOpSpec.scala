@@ -104,7 +104,7 @@ class PipelineOpSpec extends SparkSpec {
   test("inlined plane-matrix LSH signature equals the per-row formula") {
     val corpus = graft.sources.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 20).orderBy("vec_id")
-    val planes = Similarity.planeMatrix(spark)
+    val planes = Similarity.planeMatrix
     val fast = corpus.select(
       Similarity.signature(VectorFns.toDouble(col("embedding")), planes))
       .as[Seq[Int]].collect().toSeq
