@@ -9,11 +9,22 @@ import org.apache.spark.sql.SparkSession
   * plans than the ones users run. Queries run in registry order after an
   * untimed warmup action so JIT/codegen/parquet-reader startup isn't
   * attributed to whichever query happens to run first.
+  *
+  * Timing stability: each query is timed SPARK_GRAFT_BENCH_ITERS times
+  * (default 3) and the MIN is reported — single-sample timings swung the
+  * heaviest query 12→26 s across identical-code runs (GC / AQE / page
+  * cache), confounding every round-over-round comparison; the min is the
+  * standard steady-state estimator for that noise profile.
+  * SPARK_GRAFT_BENCH_ONLY=q21_...,q22_... restricts the run for local
+  * iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,16 +41,20 @@ object Bench {
     // full-size execution twice. Residual cold cost: AQE join-shape
     // differences between SFs.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.registry.foreach { q =>
+    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+    selected.foreach { q =>
       try materialize(q.spark(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      try materialize(q.spark(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+    val results = selected.map { q =>
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(q.spark(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

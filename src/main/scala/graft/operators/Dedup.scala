@@ -106,27 +106,47 @@ object Dedup {
 
   /** Candidate pairs from an inverted index: group by bucket key, collect
     * the (sorted, distinct) doc ids per bucket, enumerate each bucket's
-    * pairs inline. One shuffle + one sort; unlike a self-join, the
-    * (possibly expensive) index plan is evaluated once, not once per join
-    * side. Prefix filtering / LSH banding bounds the AVERAGE bucket, but a
-    * hot shingle or band can still concentrate a large share of the corpus
-    * in one bucket; `collect_set` over such a bucket is O(bucket) memory
-    * in a single aggregation buffer — a task OOM at 100 TB. So buckets
-    * over `cap` bypass the collect and enumerate their pairs through a
-    * sort-merge self-join instead, whose per-key buffer spills to disk
-    * (ExternalAppendOnlyUnsafeRowArray) rather than growing an in-heap
-    * array — same exact output, bounded memory. The bucket census is a
-    * window count over the same exchange the aggregate/join consume, so
-    * the index is still evaluated once and shuffled once (AQE reuses the
-    * exchange across the three consumers).
+    * pairs inline. Prefix filtering / LSH banding bounds the AVERAGE
+    * bucket, but a hot shingle or band can still concentrate a large
+    * share of the corpus in one bucket; `collect_set` over such a bucket
+    * is O(bucket) memory in a single aggregation buffer — a task OOM at
+    * 100 TB. So buckets over `cap` bypass the collect and enumerate their
+    * pairs through a sort-merge self-join instead, whose per-key buffer
+    * spills to disk (ExternalAppendOnlyUnsafeRowArray) rather than
+    * growing an in-heap array — same exact output, bounded memory.
+    *
+    * The census is a partial-aggregable `groupBy(keys).count()` kept only
+    * where count > cap: map-side combine shrinks the shuffle to distinct
+    * keys, and the surviving hot-key set is ≤ |index| / cap rows by
+    * construction — small enough to broadcast back. The small path drops
+    * hot keys with a broadcast anti-join; the hot path keeps them with a
+    * broadcast semi-join. In the common no-hot-bucket case the broadcast
+    * side is empty, AQE's empty-relation propagation collapses the
+    * semi-join (and the whole hot subtree, including its index scan) to
+    * an empty relation and rewrites the anti-join to a pass-through, so
+    * the steady-state cost over the pre-cap code is one cheap count
+    * aggregate — not the full-index sort a window census would pay.
+    *
+    * `cap` bounds bucket ROW count; every in-repo caller emits distinct
+    * (key, id) index rows, so rows = distinct ids. A caller that emits
+    * duplicate (key, id) rows stays exact (final `distinct()`) but may
+    * route a small-distinct bucket through the hot path early — harmless.
+    *
+    * Known bound: one pathological hot bucket still emits its O(bucket²)
+    * pair output through a single sort-merge-join task — spill-safe on
+    * memory, but a straggler if a boilerplate shingle covers a large
+    * corpus share. At that scale, pre-filter boilerplate shingles by
+    * document frequency (or use [[minHashPairs]], whose banding caps
+    * collision probability) rather than salting an exact self-join.
     */
   private[graft] def candidatePairs(index: DataFrame, keyCols: Seq[String],
                                     cap: Int = HotBucketCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val sized = index.withColumn("__graft_bn",
-      count(lit(1)).over(Window.partitionBy(keys: _*)))
-    val smallPairs = sized.filter(col("__graft_bn") <= cap)
+    val hotKeys = index.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__graft_bn"))
+      .filter(col("__graft_bn") > cap)
+      .select(keys: _*)
+    val smallPairs = index.join(broadcast(hotKeys), keyCols, "left_anti")
       .groupBy(keys: _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -137,7 +157,7 @@ object Dedup {
               element_at(col("ids"), i + 1).as("id_a"),
               element_at(col("ids"), j + 1).as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-    val hot = sized.filter(col("__graft_bn") > cap)
+    val hot = index.join(broadcast(hotKeys), keyCols, "left_semi")
       .select((keys :+ col("id")): _*)
     val hotPairs = hot.withColumnRenamed("id", "id_a")
       .join(hot.withColumnRenamed("id", "id_b"), keyCols)
