@@ -245,14 +245,45 @@ object Dedup {
     * output is exact with respect to the signatures.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig")),
+      bits = 64, maxHamming = maxHamming)
+
+  /** SimHash near-dup pairs over the PORTABLE (md5-derived, 60-bit)
+    * signature — same pigeonhole candidate generation and exact Hamming
+    * verify as [[simHashPairs]], but every step (signature, blocks,
+    * verify) is computable identically in any SQL engine, so the full
+    * pair output is oracle-gradable end to end. Pigeonhole generation is
+    * LOSSLESS for Hamming ≤ blocks−1, so a brute-force all-pairs Hamming
+    * filter over the same signatures is an equivalent (and much simpler)
+    * restatement for the oracle. The xxhash64-based [[simHashPairs]]
+    * remains the at-scale fast path (one codegen'd hash per token vs
+    * md5 + hex parse here).
+    */
+  def simHashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simHashPortable(col(textCol)).as("sig")),
+      bits = 60, maxHamming = maxHamming)
+
+  /** Pigeonhole Hamming-distance pairs over precomputed long signatures
+    * occupying the low `bits` bits: the signature is split into
+    * `maxHamming + 1` blocks — two signatures within Hamming distance d
+    * must agree EXACTLY on at least one block — so candidates come from
+    * a bucket join on (block index, block bits): O(docs × blocks)
+    * constant-width rows, no all-pairs work. Candidates are then
+    * verified with the true Hamming distance (`bit_count(xor)`), so the
+    * output is exact with respect to the signatures.
+    */
+  private def hammingPairs(sigs: DataFrame, bits: Int,
+                           maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
-    val width = 64 / blocks
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val width = bits / blocks
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
         // block b = bits [b*width, b*width+width) (the final block keeps
-        // the 64 mod blocks remainder bits via the unmasked top block)
+        // the bits mod blocks remainder bits via the unmasked top block)
         when(b < blocks - 1,
           call_function("shiftright", col("sig"), b * width)
             .bitwiseAND(lit((1L << width) - 1)))

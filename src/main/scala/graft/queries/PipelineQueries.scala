@@ -24,8 +24,9 @@ import QueryDefs._
   * is deterministic). Hyperplane-LSH ANN embeds its deterministic plane
   * model as a literal in the oracle SQL and IVF ANN is hash-free, so
   * both ANN queries are graded by restating the FULL algorithm in
-  * DuckDB; only SimHash pair generation (q34) stays rows-only, covered
-  * by q35's portable oracle plus a brute-force equality test.
+  * DuckDB; SimHash pairs (q34) run over the portable md5-derived
+  * signature, graded by an equivalent brute-force Hamming restatement
+  * (the xxhash64 fast path keeps a brute-force equality ScalaTest).
   *
   * Oracle-portability rules learned the hard way (see QueryDefs):
   * output columns are double/long/string only; integer offsets use `div`
@@ -96,36 +97,55 @@ object PipelineQueries {
         n = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
-  /** Q34 — SimHash near-dup pairs (pigeonhole blocks + exact Hamming
-    * verify; xxhash64-based signature → rows-only, exactness-tested
-    * against brute force in ScalaTest).
+  /** The q34/q35 oracle signature: DuckDB restatement of
+    * [[Dedup.simHashPortable]] — per-token hashes from md5 hex digits,
+    * ±1 bit sums, sign-packed 60-bit signature.
+    */
+  private val portableSigSql =
+    """list_reduce(
+      |    list_transform(range(0, 60), i ->
+      |      CASE WHEN list_sum(list_transform(string_split(text, ' '),
+      |             tok -> CASE WHEN ((('0x' || substr(md5(tok), 1, 15))::BIGINT >> i) & 1) = 1
+      |                         THEN 1 ELSE -1 END)) > 0
+      |           THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+      |    (a, b) -> a | b)""".stripMargin
+
+  /** Q34 — SimHash near-dup pairs over the portable 60-bit signature
+    * (pigeonhole blocks + exact Hamming verify), fully oracle-graded:
+    * pigeonhole candidate generation is LOSSLESS for Hamming ≤ blocks−1,
+    * so the oracle restates the semantics as a brute-force all-pairs
+    * Hamming filter over the same md5-derived signatures — equivalent
+    * output by construction, independently computed. The xxhash64-based
+    * [[Dedup.simHashPairs]] (one codegen'd hash per token) is the
+    * at-scale fast path, exactness-tested against brute force in
+    * ScalaTest.
     */
   private def q34(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.simHashPortablePairs(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("id_a", "id_b")
 
-  /** Q35 — portable SimHash signatures, fully oracle-graded: per-token
-    * hashes from md5 hex (engine-independent), ±1 bit sums, sign-packed
-    * 60-bit signature. The xxhash64-based [[q34]] pair generation is the
-    * fast path; this one proves the SimHash computation itself against
-    * an independent engine.
+  private lazy val q34Sql =
+    s"""WITH sigs AS (SELECT doc_id, $portableSigSql AS sig FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Q35 — portable SimHash signatures, fully oracle-graded: proves the
+    * SimHash computation itself bit-for-bit against an independent
+    * engine ([[q34]] then grades the pair generation built on it).
     */
   private def q35(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Dedup.simHashPortable(col("text")).as("sig"))
       .orderBy("doc_id")
 
-  private val q35Sql =
-    """SELECT doc_id,
-      |  list_reduce(
-      |    list_transform(range(0, 60), i ->
-      |      CASE WHEN list_sum(list_transform(string_split(text, ' '),
-      |             tok -> CASE WHEN ((('0x' || substr(md5(tok), 1, 15))::BIGINT >> i) & 1) = 1
-      |                         THEN 1 ELSE -1 END)) > 0
-      |           THEN (1::BIGINT << i) ELSE 0::BIGINT END),
-      |    (a, b) -> a | b) AS sig
-      |FROM documents ORDER BY doc_id""".stripMargin
+  private lazy val q35Sql =
+    s"""SELECT doc_id, $portableSigSql AS sig
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------- text analysis
 
@@ -415,7 +435,7 @@ object PipelineQueries {
     QueryDef("q20_tokenset_dedup", q20, Some(q20Sql)),
     QueryDef("q21_ngram_jaccard", q21, Some(ngramJaccardSql)),
     QueryDef("q22_minhash_neardup", q22, Some(ngramJaccardSql)),
-    QueryDef("q34_simhash_neardup", q34, None),
+    QueryDef("q34_simhash_neardup", q34, Some(q34Sql)),
     QueryDef("q35_simhash_portable", q35, Some(q35Sql)),
     QueryDef("q23_text_stats", q23, Some(q23Sql)),
     QueryDef("q24_langid", q24, Some(q24Sql)),

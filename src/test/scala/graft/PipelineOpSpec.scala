@@ -147,6 +147,28 @@ class PipelineOpSpec extends SparkSpec {
     assert(expected.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("simHashPortablePairs equals brute-force hamming over portable sigs") {
+    val texts = Seq(
+      "spark catalyst plans distributed queries over columnar data today",
+      "spark catalyst plans distributed queries over columnar data today",
+      "spark catalyst plans distributed queries over columnar files today",
+      "completely different words about ultrasonic radar telemetry",
+      "the quick brown fox jumps over the lazy dog repeatedly",
+      "the quick brown fox jumps over the lazy cat repeatedly")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val sigs = df.select(col("id"), Dedup.simHashPortable(col("t")))
+      .as[(Long, Long)].collect().toMap
+    val budget = 19 // 20 blocks of 3 bits over the 60-bit signature
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= budget
+    } yield (a, b, h)).toSeq.sorted
+    val got = Dedup.simHashPortablePairs(df, "id", "t", maxHamming = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(got == expected)
+    assert(expected.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+  }
+
   test("simHash: identical texts collide, perturbed text is hamming-close") {
     val df = Seq(
       (1L, "spark catalyst plans distributed queries over columnar data"),
