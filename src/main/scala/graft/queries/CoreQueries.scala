@@ -333,6 +333,84 @@ object CoreQueries {
        |       max(epoch_us(ts)) AS latest_ts_us
        |FROM events ORDER BY events_last_hour""".stripMargin
 
+  /** Q36 — alert emission (S9): quality+anomaly-score the events stream,
+    * fold the reference's monitoring probes into one aggregate pass at
+    * the pinned "now", and materialize every breached threshold as an
+    * alert row (`src/monitoring/alerting.py:56-64,107-296,403-425`).
+    * Graded columns are the portable subset of the stored-alert shape
+    * (id/type/severity/title + metric/threshold doubles); description
+    * text and the wall-clock-shaped timestamp stay in the operator
+    * output but out of the hash.
+    */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val now = lit(pinnedNow).cast("timestamp")
+    val scored = Quality(Tables.events(spark, dir),
+        required = Seq("ts", "user_id", "event_type"),
+        scored = Seq("ts", "user_id", "event_type", "value", "props"))
+      .withColumn("anomaly_score", Anomaly.score(anomalyRules))
+    graft.monitoring.Alerts(scored, now)
+      .select(col("alert_id"), col("alert_type"), col("severity"),
+        col("title"), col("metric_value"), col("threshold"))
+      .orderBy("alert_id")
+  }
+
+  /** The alert-id stamp [[graft.monitoring.Alerts.evaluate]] derives from
+    * the pinned now (`date_format(now, "yyyyMMdd_HHmmss")`).
+    */
+  private val pinnedStamp = java.time.LocalDateTime
+    .parse(pinnedNow, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+
+  private lazy val q36Sql = {
+    val hour = s"ts >= TIMESTAMP '$pinnedNow' - INTERVAL 1 HOUR"
+    s"""WITH s AS (
+       |  SELECT ts,
+       |         ((CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)
+       |        + (CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+       |        + (CASE WHEN event_type IS NOT NULL THEN 1.0 ELSE 0.0 END)
+       |        + (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)
+       |        + (CASE WHEN props IS NOT NULL THEN 1.0 ELSE 0.0 END)) / 5.0 AS q,
+       |         CASE WHEN event_type = 'error'  AND value > 180.0 THEN 1.0
+       |              WHEN event_type = 'signup' AND value > 190.0 THEN 0.8
+       |              ELSE 0.0 END AS a
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+       |m AS (
+       |  SELECT avg(CASE WHEN $hour THEN q END) AS avg_quality,
+       |         count(CASE WHEN $hour THEN 1 END) AS total_records,
+       |         count(CASE WHEN $hour AND q < 0.6 THEN 1 END) AS low_q,
+       |         count(CASE WHEN $hour AND a > 0.0 THEN 1 END) AS anom,
+       |         count(CASE WHEN ts >= TIMESTAMP '$pinnedNow' - INTERVAL 5 MINUTES THEN 1 END) AS recent,
+       |         count(CASE WHEN ts >= TIMESTAMP '$pinnedNow' - INTERVAL 1 MINUTE THEN 1 END) AS thru
+       |  FROM s),
+       |r AS (
+       |  SELECT 'data_quality_$pinnedStamp' AS alert_id, 'data_quality' AS alert_type,
+       |         'warning' AS severity, 'Data Quality Below Threshold' AS title,
+       |         round(coalesce(avg_quality, 0.0), 6)::DOUBLE AS metric_value,
+       |         0.8::DOUBLE AS threshold
+       |  FROM m WHERE coalesce(avg_quality, 0.0) < 0.8
+       |  UNION ALL
+       |  SELECT 'low_quality_rate_$pinnedStamp', 'data_quality', 'critical',
+       |         'High Low Quality Data Rate',
+       |         round(CASE WHEN total_records > 0 THEN low_q::DOUBLE / total_records ELSE 0.0 END, 6)::DOUBLE,
+       |         0.1::DOUBLE
+       |  FROM m WHERE CASE WHEN total_records > 0 THEN low_q::DOUBLE / total_records ELSE 0.0 END > 0.1
+       |  UNION ALL
+       |  SELECT 'no_data_$pinnedStamp', 'system_health', 'critical', 'No Data Received',
+       |         recent::DOUBLE, 0.0::DOUBLE
+       |  FROM m WHERE recent = 0
+       |  UNION ALL
+       |  SELECT 'low_throughput_$pinnedStamp', 'performance', 'warning', 'Low Throughput',
+       |         thru::DOUBLE, 1000.0::DOUBLE
+       |  FROM m WHERE thru < 1000
+       |  UNION ALL
+       |  SELECT 'high_anomaly_rate_$pinnedStamp', 'anomaly', 'warning', 'High Anomaly Rate',
+       |         round(CASE WHEN total_records > 0 THEN anom::DOUBLE / total_records ELSE 0.0 END, 6)::DOUBLE,
+       |         0.05::DOUBLE
+       |  FROM m WHERE CASE WHEN total_records > 0 THEN anom::DOUBLE / total_records ELSE 0.0 END > 0.05)
+       |SELECT * FROM r ORDER BY alert_id""".stripMargin
+  }
+
   /** Q14 — enrichment join: events ⋈ customer dimension, grouped rollup.
     * The dimension is explicitly broadcast — at 100 TB the fact side never
     * shuffles for this join.
@@ -372,5 +450,6 @@ object CoreQueries {
     QueryDef("q11_daily_user_view", q11, Some(q11Sql)),
     QueryDef("q12_minute_window", q12, Some(q12Sql)),
     QueryDef("q13_monitoring_probes", q13, Some(q13Sql)),
+    QueryDef("q36_alerts", q36, Some(q36Sql)),
     QueryDef("q14_enrichment_join", q14, Some(q14Sql)))
 }
