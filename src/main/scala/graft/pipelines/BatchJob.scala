@@ -74,7 +74,11 @@ object BatchJob {
           countDistinct(col("user_id")).as("unique_users")))
   }
 
-  /** Execute the full job: returns (table → row count) for observability. */
+  /** Execute the full job: returns (table → row count) for observability.
+    * Counts ride the writes via `observe()` — metrics accumulate during
+    * the write action itself, instead of re-reading every written table
+    * for a second scan-and-count per output.
+    */
   def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
     val quality = Quality(
       Tables.events(spark, sfDir),
@@ -86,8 +90,11 @@ object BatchJob {
         val withDay =
           if (df.columns.contains("event_day")) df
           else df.withColumn("event_day", to_date(col("ts")))
-        TableSink.overwritePartitions(withDay, s"$outDir/$name", Seq("event_day"))
-        name -> spark.read.parquet(s"$outDir/$name").count()
+        val obs = org.apache.spark.sql.Observation(s"graft_batch_$name")
+        TableSink.overwritePartitions(
+          withDay.observe(obs, count(lit(1)).as("n_rows")),
+          s"$outDir/$name", Seq("event_day"))
+        name -> obs.get("n_rows").asInstanceOf[Long]
       }
     } finally quality.unpersist()
   }

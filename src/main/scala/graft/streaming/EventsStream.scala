@@ -70,6 +70,43 @@ object EventsStream {
       concat_ws("_", col("user_id"), col("event_type")).as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Whether the `spark-sql-kafka` connector is on the classpath (it
+    * ships with Kafka-enabled Spark distributions, not with this
+    * container's `/opt/spark/jars`).
+    */
+  def kafkaConnectorAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** S7 (write half) — batch Kafka producer: land a DataFrame on a topic
+    * as keyed JSON records via [[kafkaPayload]]. Replaces the reference's
+    * driver-side producer loop (`SensorDataProducer.scala:26-84`: one
+    * KafkaProducer on the driver, a `Future` per record) with the
+    * distributed sink — each partition opens its own producer, so
+    * throughput scales with executors instead of one driver connection;
+    * durability options (acks=all, idempotence) pass through as
+    * `kafka.`-prefixed options.
+    *
+    * Guarded on connector presence so the failure mode is a clear
+    * message, not a provider-lookup stack trace.
+    */
+  def writeKafkaBatch(df: DataFrame, brokers: String, topic: String,
+                      options: Map[String, String] = Map(
+                        "kafka.acks" -> "all",
+                        "kafka.enable.idempotence" -> "true")): Unit = {
+    require(kafkaConnectorAvailable,
+      "spark-sql-kafka connector not on classpath; add the " +
+        "spark-sql-kafka-0-10 package to write to Kafka")
+    kafkaPayload(df)
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .options(options)
+      .save()
+  }
+
   /** P1/P2 on the stream: completeness filter + normalized quality score
     * — the same `graft.operators.Quality` the batch path uses (narrow,
     * codegen'd, no state).

@@ -170,6 +170,25 @@ class StreamingSpec extends SparkSpec {
     assert(back == Ev(7, new Timestamp(42000L), 3, "view", 5.5, "{}"))
   }
 
+  test("writeKafkaBatch: sink-contract payload; absent connector is guarded (S7 write)") {
+    val df = Seq(ev(7, 42, user = 3, typ = "view", value = 5.5)).toDF()
+    // the kafka sink contract: key/value columns, string or binary
+    val schema = EventsStream.kafkaPayload(df).schema
+    assert(schema.fieldNames.toSeq == Seq("key", "value"))
+    assert(schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    if (EventsStream.kafkaConnectorAvailable) {
+      // connector present (Kafka-enabled distribution): the provider
+      // must resolve; an actual save would need a broker, so stop at
+      // the provider lookup the sink performs first
+      assert(Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider") != null)
+    } else {
+      val e = intercept[IllegalArgumentException](
+        EventsStream.writeKafkaBatch(df, "localhost:9092", "t"))
+      assert(e.getMessage.contains("spark-sql-kafka"))
+    }
+  }
+
   test("gapAlerts: flatMapGroupsWithState emits per-user over-threshold gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
