@@ -34,6 +34,14 @@ import QueryDefs._
   * SUM/window-SUM over integers yields HUGEINT → always `::BIGINT` on the
   * oracle side; float folds use `list_reduce` to pin left-to-right
   * accumulation order to match Spark's `aggregate`.
+  *
+  * Accepted residual risk (q26–q28, q33): the graded `round(cos, 6)`
+  * column relies on DuckDB's double rounding bit-matching Spark's
+  * BigDecimal HALF_UP — a cosine within ~1 ULP of a 5e-7 boundary could
+  * round (or ORDER BY tie-break) differently and flip the hash. The
+  * testdata is deterministic so this is stable in practice; if one of
+  * these queries ever flakes on hash alone, check the boundary before
+  * suspecting the algorithm.
   */
 object PipelineQueries {
 

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Physical-plan regression guards: the scale claims in the dedup
+  * scaladocs — "the hot path collapses to nothing when no bucket is
+  * hot", "the index is scanned exactly census + small-path times" —
+  * are asserted against the FINAL adaptive plan here instead of staying
+  * unverified prose. A regression that silently reintroduces a full
+  * third scan or a join in the steady-state path fails this suite, not
+  * just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  /** Execute and return every node of the final adaptive plan,
+    * recursing through materialized query stages but NOT into reused
+    * exchanges (their subtree executed once under the original node).
+    */
+  private def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: QueryStageExec        => q +: walk(q.plan)
+      case _: ReusedExchangeExec    => Seq(p)
+      case _                        => p +: p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def names(nodes: Seq[SparkPlan]): Seq[String] = nodes.map(_.nodeName)
+
+  private lazy val indexPath: String = {
+    val dir = Files.createTempDirectory("graft_plan_idx").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "g").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("no-hot-bucket candidatePairs: hot subtree collapses, no join, 1 index scan") {
+    val index = spark.read.parquet(indexPath)
+    val nodes = names(finalNodes(Dedup.candidatePairs(index, Seq("g"))))
+    val joins = nodes.filter(_.contains("Join"))
+    assert(joins.isEmpty,
+      s"steady-state plan should contain no join at all (AQE collapses the " +
+        s"broadcast anti/semi joins against the empty hot-key set); got $joins")
+    // once AQE collapses both joins, the FINAL tree is exactly the
+    // pre-census shape: one index scan feeding the bucket aggregate (the
+    // census's own scan ran inside the already-materialized broadcast
+    // stage, which leaves the final tree with the joins)
+    val scans = nodes.count(_.startsWith("Scan parquet"))
+    assert(scans == 1,
+      s"expected exactly 1 index scan in the steady-state final plan, " +
+        s"got $scans in $nodes")
+  }
+
+  test("all-hot candidatePairs (cap=1): pair join present, hot keys broadcast") {
+    val index = spark.read.parquet(indexPath)
+    val nodes = names(finalNodes(Dedup.candidatePairs(index, Seq("g"), cap = 1)))
+    assert(nodes.exists(_.contains("Join")),
+      s"hot path must enumerate pairs through a join; got $nodes")
+    assert(nodes.exists(n => n.contains("BroadcastQueryStage") ||
+        n.contains("BroadcastExchange")),
+      s"hot-key set must reach the index sides via broadcast; got $nodes")
+  }
+
+  test("q21 plan: shingle filter is pushed into the documents scan") {
+    val q = SparkEntry.queries("q21_ngram_jaccard")(spark, sf)
+    val scans = finalNodes(q).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // every documents scan must read only the columns the query needs
+    scans.foreach { s =>
+      val cols = s.schema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"scan reads more than it needs: $cols")
+    }
+  }
+}

@@ -59,4 +59,13 @@ class SinkSkewSpec extends SparkSpec {
     val salted = canon(Skew.saltedJoin(big, small, "k", salt = 8))
     assert(salted == plain && plain.nonEmpty)
   }
+
+  test("salted join default salt skips unhashable map columns") {
+    val big = (1L to 100L).map(i => (1L, i)).toDF("k", "payload")
+      .withColumn("props", map(lit("a"), col("payload"))) // maps can't be hashed
+    val small = Seq((1L, "dim")).toDF("k", "name")
+    val got = Skew.saltedJoin(big, small, "k", salt = 4)
+      .select("k", "payload", "name").collect()
+    assert(got.length == 100) // would throw AnalysisException if maps were hashed
+  }
 }
