@@ -131,4 +131,26 @@ object Alerts {
   def apply(scored: DataFrame, now: Column, tsCol: String = "ts",
             latencyUs: Option[Column] = None): DataFrame =
     evaluate(probeMetrics(scored, now, tsCol, latencyUs), now)
+
+  /** Streaming alert landing: evaluate each micro-batch's probes at the
+    * batch's MAX EVENT TIME (the reference's monitoring cycle uses wall
+    * clock, `alerting.py:431-434`; event time makes replays
+    * deterministic) and upsert breaches into the serving store's
+    * `alerts` table keyed by batch id — a replayed batch re-emits the
+    * same alerts over its prior attempt instead of duplicating them.
+    * The one-row max() lookup per micro-batch is the only driver-side
+    * step.
+    */
+  def streamingSink(scored: DataFrame, url: String, checkpoint: String,
+                    table: String = "alerts")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val maxTs = batch.agg(max(col("ts"))).head.get(0)
+        if (maxTs != null) {
+          graft.sources.JdbcSink.upsertBatch(
+            apply(batch, lit(maxTs)), batchId, url, table)
+        }
+      }
 }

@@ -263,9 +263,39 @@ object Dedup {
     */
   def simHashPortablePairs(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3): DataFrame =
-    hammingPairs(
-      df.select(col(idCol).as("id"), simHashPortable(col(textCol)).as("sig")),
+    hammingPairs(simHashPortableSigs(df, idCol, textCol),
       bits = 60, maxHamming = maxHamming)
+
+  /** Portable SimHash signatures as a partial-aggregable plan: explode
+    * tokens, take 60 conditional ±1 sums grouped by doc, pack the signs.
+    * Numerically identical to the [[simHashPortable]] expression (same
+    * md5-derived per-token hashes, same bit sums — pinned by test) but
+    * expressed as a codegen'd hash aggregate instead of interpreted
+    * higher-order folds (60 lambda evaluations per token), so map-side
+    * partial sums combine before the one shuffle on doc id — the
+    * formulation that scales, and ~2× faster at sf0.1.
+    *
+    * Docs whose text yields no token rows (null text) keep sig 0 — the
+    * empty fold of the expression formulation — via the left join back
+    * to the id set.
+    */
+  private[graft] def simHashPortableSigs(df: DataFrame, idCol: String,
+                                         textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val sums = (0 until 60).map(i =>
+      sum(when(call_function("shiftright", col("h"), lit(i))
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i"))
+    val packed = toks.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
+    df.select(col(idCol).as("id")).join(packed, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
+  }
 
   /** Pigeonhole Hamming-distance pairs over precomputed long signatures
     * occupying the low `bits` bits: the signature is split into

@@ -3,7 +3,10 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.monitoring.Alerts
+import graft.operators.Anomaly
 import graft.queries.CoreQueries
+import graft.sources.JdbcSink
 import graft.streaming.EventsStream
 
 /** The reference's streaming processor
@@ -35,6 +38,35 @@ object StreamingJob {
         .outputMode("append").start(),
       EventsStream.parquetSink(anomalies, s"$outDir/anomalies",
         s"$outDir/_ck/anomalies")
+        .outputMode("append").start())
+  }
+
+  /** The reference's serving deployment: the same forked pipeline
+    * landing in the JDBC serving store instead of parquet tables —
+    * `quality_checked`, `analytics` (watermark-finalized windows, so a
+    * window lands exactly once), `anomalies` (the three tables of
+    * `docker/init-db.sql:5-44`), plus per-batch alert evaluation into
+    * `alerts` (`alerting.py`'s monitoring cycle, folded into the stream
+    * at the batch's max event time). Every landing is the batchId-keyed
+    * idempotent upsert, so restarts and replays converge to exactly one
+    * copy of each row.
+    */
+  def startServing(events: DataFrame, url: String, ckDir: String)
+      : Seq[StreamingQuery] = {
+    val quality = EventsStream.qualityChecked(events)
+    val scored = quality
+      .withColumn("anomaly_score", Anomaly.score(CoreQueries.anomalyRules))
+    Seq(
+      JdbcSink.streamingSink(scored, url, "quality_checked", s"$ckDir/quality")
+        .outputMode("append").start(),
+      JdbcSink.streamingSink(EventsStream.windowedAnalytics(quality), url,
+          "analytics", s"$ckDir/analytics")
+        .outputMode("append").start(),
+      JdbcSink.streamingSink(
+          EventsStream.anomalies(quality, CoreQueries.anomalyRules), url,
+          "anomalies", s"$ckDir/anomalies")
+        .outputMode("append").start(),
+      Alerts.streamingSink(scored, url, s"$ckDir/alerts")
         .outputMode("append").start())
   }
 

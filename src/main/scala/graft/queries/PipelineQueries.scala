@@ -147,8 +147,8 @@ object PipelineQueries {
     * engine ([[q34]] then grades the pair generation built on it).
     */
   private def q35(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.simHashPortable(col("text")).as("sig"))
+    Dedup.simHashPortableSigs(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("sig"))
       .orderBy("doc_id")
 
   private lazy val q35Sql =

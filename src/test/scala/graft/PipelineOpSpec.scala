@@ -147,6 +147,18 @@ class PipelineOpSpec extends SparkSpec {
     assert(expected.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("portable simhash aggregate formulation equals the expression of record") {
+    val df = Seq(
+      (1L, "the quick  brown fox"), // double space: empty token hashed too
+      (2L, "egg spam egg spam"),
+      (3L, "x")).toDF("id", "t")
+    val agg = Dedup.simHashPortableSigs(df, "id", "t").orderBy("id")
+      .select("sig").as[Long].collect().toSeq
+    val exprForm = df.orderBy("id")
+      .select(Dedup.simHashPortable(col("t"))).as[Long].collect().toSeq
+    assert(agg == exprForm)
+  }
+
   test("simHashPortablePairs equals brute-force hamming over portable sigs") {
     val texts = Seq(
       "spark catalyst plans distributed queries over columnar data today",
