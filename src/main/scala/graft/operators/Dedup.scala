@@ -79,9 +79,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         hotBucketCap: Int = HotBucketCap): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        TextFns.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(df, idCol, textCol, n)
     // round before ceil: raw double t*|s| can land epsilon ABOVE the exact
     // rational (0.55*100 = 55.000000000000007), and ceil of that shortens
     // the prefix by one — silently dropping qualifying pairs and breaking
@@ -166,6 +164,23 @@ object Dedup {
     smallPairs.unionByName(hotPairs).distinct()
   }
 
+  /** The (id, shingle-set) frame every near-dup path fans out from,
+    * pinned behind one hash exchange on id: the shingling work (regex
+    * split, n-gram zip, distinct) feeds the index build, the bucket
+    * census AND both sides of the verify join, and Spark does not dedupe
+    * common subtrees — each consumer would re-run the whole narrow
+    * pipeline. An explicit `repartition(id)` makes every consumer's
+    * exchange subtree identical, so ReusedExchange materializes the
+    * shingles ONCE and the shuffle files are read back instead (also
+    * exactly the partitioning the verify joins want on id).
+    */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFns.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("id"))
+
   /** Exact-Jaccard verification of candidate pairs against full shingle
     * sets; shared by the prefix-filter and MinHash candidate generators.
     */
@@ -222,9 +237,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, bands: Int = 32): DataFrame = {
     val rowsPerBand = 64 / bands
-    val sh = df.select(col(idCol).as("id"),
-        TextFns.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(df, idCol, textCol, n)
     val sig = minHashSigs(sh, 64)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
