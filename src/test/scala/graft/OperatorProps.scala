@@ -115,6 +115,22 @@ object OperatorProps extends Properties("graft.operators") {
           java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
 
+  property("pigeonhole simhash pairs == brute force for random corpora/budgets") =
+    forAll(
+      Gen.listOfN(12, textGen.suchThat(_.nonEmpty)),
+      Gen.choose(1, 11)) { (texts, budget) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val sigs = df.select(col("id"), graft.operators.Dedup.simHashPortable(col("t")))
+        .as[(Long, Long)].collect().toMap
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= budget
+      } yield (a, b, h)).toSeq.sorted
+      val got = graft.operators.Dedup.simHashPortablePairs(df, "id", "t", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      got == want
+    }
+
   property("rolling-hash fingerprint stays in [0, 1e9+7)") = Prop.secure {
     val texts = List("spark agg row", "", "x", "a b c d e f g h i j")
     val got = texts.toDF("text")
