@@ -73,6 +73,17 @@ class PlanSpec extends SparkSpec {
       s"hot-key set must reach the index sides via broadcast; got $nodes")
   }
 
+  test("near-dup queries reuse one materialized shingle exchange") {
+    // the shingle frame feeds the index, census and both verify sides;
+    // the repartition(id) pin must manifest as ReusedExchange nodes, or
+    // every consumer is re-running the shingling pipeline
+    Seq("q21_ngram_jaccard", "q22_minhash_neardup").foreach { name =>
+      val nodes = names(finalNodes(SparkEntry.queries(name)(spark, sf)))
+      assert(nodes.exists(_.contains("ReusedExchange")),
+        s"$name: no ReusedExchange in final plan — shingles recomputed per consumer")
+    }
+  }
+
   test("q21 plan: shingle filter is pushed into the documents scan") {
     val q = SparkEntry.queries("q21_ngram_jaccard")(spark, sf)
     val scans = finalNodes(q).collect {
