@@ -180,6 +180,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-banded near-dup PAIRS — the 100 TB replacement for the
+    * quadratic [[nearDupPairs]]: signature bands bucket the corpus
+    * (O(docs × bands) constant-width shuffle), [[Dedup.candidatePairs]]
+    * enumerates same-bucket pairs (hot-bucket spill-safe), and
+    * candidates get the exact cosine with per-row precomputed norms —
+    * so every emitted pair is exactly verified, and recall follows the
+    * banding curve (≈ 0.9999 at cos ≥ 0.9; weak pairs near the
+    * threshold floor may be missed, which is the documented ANN trade).
+    * The widened embedding frame is pinned behind one exchange on id so
+    * the banded index and both verify sides reuse one materialization.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                      threshold: Double): DataFrame = {
+    val rows = Bits / Bands
+    val base = df
+      .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))
+      .repartition(col("id"))
+    val banded = base
+      .withColumn("sig", signature(col("e_d"), planeMatrix))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(Bands - 1)), b =>
+          concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val withNorm = base.withColumn("n", VectorFns.norm(col("e_d")))
+    Dedup.candidatePairs(banded.select("id", "band", "bh"), Seq("band", "bh"))
+      .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
+        col("n").as("n_a")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("e_d").as("e_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("cos_sim",
+        VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share at least one 8-bit signature
     * band with the query, then exact cosine re-rank.
     */

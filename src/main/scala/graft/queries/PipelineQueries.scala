@@ -292,12 +292,16 @@ object PipelineQueries {
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       queryVec(spark, dir), k = 20)
 
-  private lazy val q28Sql: String = {
+  /** Shared q28/q37 oracle prelude: the embedded plane-model literal,
+    * per-vector signatures, and the banded buckets — the full LSH model
+    * restated in SQL.
+    */
+  private lazy val lshBandsSql: String = {
     val bands = Similarity.Bands
     val rows = Similarity.planeInts.length / bands
     val planeLit = Similarity.planeInts
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    s"""WITH pm AS (SELECT $planeLit AS m),
+    s"""pm AS (SELECT $planeLit AS m),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |sig AS (SELECT vec_id, list_transform(m, p ->
        |          CASE WHEN list_reduce(list_transform(list_zip(e, p),
@@ -306,7 +310,11 @@ object PipelineQueries {
        |        FROM e, pm),
        |bands AS (SELECT vec_id, unnest(list_transform(range(0,$bands),
        |           b -> b::VARCHAR || '_' || array_to_string(sg[b*$rows+1 : b*$rows+$rows], '_'))) AS band
-       |          FROM sig),
+       |          FROM sig)""".stripMargin
+  }
+
+  private lazy val q28Sql: String =
+    s"""WITH $lshBandsSql,
        |qbands AS (SELECT band FROM bands WHERE vec_id = 0),
        |cand AS (SELECT DISTINCT b.vec_id FROM bands b JOIN qbands qb USING (band)),
        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
@@ -314,7 +322,38 @@ object PipelineQueries {
        |      FROM cand c JOIN e ON e.vec_id = c.vec_id, q)
        |SELECT vec_id, round(cs, 6) AS cos_sim FROM s
        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
-  }
+
+  private val LshPairThreshold = 0.4
+
+  /** Q37 — LSH-banded embedding near-dup pairs: the 100 TB replacement
+    * for q27's quadratic all-pairs. Fully oracle-graded the q28 way: the
+    * deterministic plane model is embedded as a literal and the WHOLE
+    * algorithm — signatures, 16×8 banding, same-bucket candidate pairs,
+    * exact cosine verify — is restated in SQL, so the LSH semantics
+    * (including sub-unit recall at this far-below-near-dup threshold)
+    * are graded exactly rather than hoped to match brute force.
+    */
+  private def q37(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", threshold = LshPairThreshold)
+      .orderBy("id_a", "id_b")
+
+  private lazy val q37Sql: String =
+    s"""WITH $lshBandsSql,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_reduce(list_transform(e, x -> x*x), (x,y) -> x + y)) AS nm
+       |      FROM e),
+       |p AS (SELECT id_a, id_b,
+       |        list_reduce(list_transform(list_zip(a.e, b.e),
+       |            s -> struct_extract(s,1) * struct_extract(s,2)), (x,y) -> x + y)
+       |          / (a.nm * b.nm) AS cs
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |                JOIN n b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p
+       |WHERE cs >= $LshPairThreshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val IvfCentroids = 32
   private val IvfProbes = 4
@@ -451,6 +490,7 @@ object PipelineQueries {
     QueryDef("q26_cosine_topk", q26, Some(q26Sql)),
     QueryDef("q27_cosine_pairs", q27, Some(q27Sql)),
     QueryDef("q28_ann_lsh_topk", q28, Some(q28Sql)),
+    QueryDef("q37_ann_lsh_pairs", q37, Some(q37Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),

@@ -291,6 +291,26 @@ class PipelineOpSpec extends SparkSpec {
     assert(ann == (0L to 5L).toSet, s"planted cluster not recalled: $ann")
   }
 
+  test("lshNearDupPairs finds all planted near-dup pairs, every pair exact") {
+    val rnd = new scala.util.Random(11)
+    def randVec() = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def perturb(v: Array[Float]) =
+      v.map(x => x + (rnd.nextDouble() * 0.04 - 0.02).toFloat)
+    val base = randVec()
+    val rows = (0L to 3L).map(i => (i, if (i == 0) base else perturb(base))) ++
+      (4L to 149L).map(i => (i, randVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // all 6 planted pairs recalled (banding recall ~0.9999 at cos >= 0.9)
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toSet)
+    // and every emitted cosine is the exact brute-force value
+    val brute = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (a, b, c) => assert(brute((a, b)) == c) }
+  }
+
   // -------------------------------------------------------- sessionization
 
   test("Sessionize.assign splits on gap > threshold with tie-break") {
