@@ -77,11 +77,13 @@ class PlanSpec extends SparkSpec {
     // the shingle frame feeds the index, census and both verify sides;
     // the repartition(id) pin must manifest as ReusedExchange nodes, or
     // every consumer is re-running the shingling pipeline
-    Seq("q21_ngram_jaccard", "q22_minhash_neardup").foreach { name =>
-      val nodes = names(finalNodes(SparkEntry.queries(name)(spark, sf)))
-      assert(nodes.exists(_.contains("ReusedExchange")),
-        s"$name: no ReusedExchange in final plan — shingles recomputed per consumer")
-    }
+    Seq("q21_ngram_jaccard", "q22_minhash_neardup", "q37_ann_lsh_pairs")
+      .foreach { name =>
+        val nodes = names(finalNodes(SparkEntry.queries(name)(spark, sf)))
+        assert(nodes.exists(_.contains("ReusedExchange")),
+          s"$name: no ReusedExchange in final plan — the shared frame is " +
+            "recomputed per consumer")
+      }
   }
 
   test("q21 plan: shingle filter is pushed into the documents scan") {
