@@ -47,6 +47,11 @@ object Bench {
     }
     val results = selected.map { q =>
       val times = (1 to iters).map { _ =>
+        // pin GC state at iteration boundaries: heap pressure accumulated
+        // by earlier queries otherwise lands as pauses inside whichever
+        // query runs next, and a pause spanning all iterations defeats
+        // even min-of-N (observed: a 0.6 s query timing at 3.8 s)
+        System.gc()
         val t0 = System.nanoTime()
         try materialize(q.spark(spark, sfDir))
         catch { case e: Throwable =>
