@@ -183,18 +183,40 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against full shingle
     * sets; shared by the prefix-filter and MinHash candidate generators.
+    *
+    * Two-stage: candidates first pass a HASH-Jaccard upper-bound filter —
+    * intersection size of the per-doc sorted xxhash64 arrays via the
+    * codegen'd two-pointer [[graft.expressions.SortedIntersectCount]]
+    * kernel (primitive longs, ~100× cheaper than string
+    * `array_intersect`). Hashing can only INFLATE an intersection (every
+    * truly shared shingle shares a hash; a collision adds a phantom
+    * match, never removes a real one), so hashJaccard ≥ trueJaccard and
+    * no qualifying pair is dropped. Survivors — a superset of the true
+    * matches, usually within a few per mille — get the exact string-set
+    * verification, so the OUTPUT is exact regardless of collisions. On
+    * templated corpora (10⁵–10⁶ candidates for 10²–10³ true pairs) this
+    * removes the dominant stage cost.
     */
   private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
-                              threshold: Double): DataFrame =
+                              threshold: Double): DataFrame = {
+    def side(s: String): DataFrame = sh.select(
+      col("id").as(s"id_$s"), col("sh").as(s"sh_$s"),
+      sort_array(transform(col("sh"), g => xxhash64(g))).as(s"hs_$s"))
+    val interH = graft.expressions.SortedIntersectCount(
+      col("hs_a"), col("hs_b")).cast("double")
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(side("a"), "id_a")
+      .join(side("b"), "id_b")
+      .withColumn("inter_h", interH)
+      .filter(col("inter_h") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter_h")) >= threshold)
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** MinHash signature: elementwise min over shingles of 64 seeded
     * xxhash64 values. Computed entirely inside codegen'd higher-order

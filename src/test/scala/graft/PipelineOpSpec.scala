@@ -225,6 +225,22 @@ class PipelineOpSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("SortedIntersectCount: two-pointer merge semantics vs reference intersect") {
+    val cases = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), 2),  // plain overlap
+      (Seq.empty[Long], Seq(1L, 2L), 0),           // empty side
+      (Seq(1L, 1L, 2L), Seq(1L, 2L, 2L), 2),       // multiset: min multiplicity
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L), 3))     // identical incl. negatives
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(
+      graft.expressions.SortedIntersectCount(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == cases.map(_._3))
+    // null array -> null result (BinaryExpression null-safe contract)
+    val n = Seq((Seq(1L), null.asInstanceOf[Seq[Long]])).toDF("a", "b")
+      .select(graft.expressions.SortedIntersectCount(col("a"), col("b"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("native VecDot kernel is bit-identical to the HOF formula of record") {
     val emb = graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
     val q = graft.sources.Tables.embeddings(spark, sf)
