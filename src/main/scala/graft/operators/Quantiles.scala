@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group quantiles, exact and approximate.
+  *
+  * `exact` uses Spark's sort-based `percentile` aggregate (linear
+  * interpolation at rank p·(n-1), the same definition as ANSI
+  * `percentile_cont` / DuckDB `quantile_cont`) — deterministic and
+  * engine-portable, but it buffers every value of a group in one
+  * aggregation buffer, so it is only safe when per-group cardinality is
+  * bounded (dashboards over bounded key domains, correctness oracles).
+  *
+  * `approx` is the 100 TB path: `approx_percentile` (t-digest-style
+  * QuantileSummaries) keeps a bounded sketch per group, merges map-side,
+  * and guarantees rank error ≤ 1/accuracy — memory is O(accuracy·log n)
+  * per group no matter how many rows. Spark's implementation is
+  * deterministic for a given input multiset, but its compression
+  * boundaries are implementation detail, so it is graded by tolerance
+  * against `exact` in tests rather than by an external oracle.
+  */
+object Quantiles {
+
+  private def label(p: Double): String = {
+    val pct = p * 100
+    if (pct == pct.floor) f"p${pct.toInt}%d" else s"p${pct}".replace('.', '_')
+  }
+
+  /** Exact linear-interpolation quantiles per group, rounded to 6 places
+    * (column per percentile: p50, p95, ...).
+    */
+  def exact(df: DataFrame, keyCol: String, valCol: String,
+            ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val aggs = ps.map(p => round(percentile(col(valCol), lit(p)), 6).as(label(p)))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bounded-memory approximate quantiles per group; rank error bounded
+    * by 1/accuracy.
+    */
+  def approx(df: DataFrame, keyCol: String, valCol: String,
+             ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val aggs = ps.map(p =>
+      approx_percentile(col(valCol), lit(p), lit(accuracy)).as(label(p)))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

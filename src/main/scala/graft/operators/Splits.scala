@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines — train/val/test
+  * assignment as a pure function of a stable row id, NOT `randomSplit`:
+  * Spark's `randomSplit` is seeded per-partition, so adding a file,
+  * changing parallelism, or a task retry reassigns rows between splits —
+  * silently leaking validation data into training across pipeline runs.
+  * A content-hash bucket gives every row a permanent split membership
+  * that survives re-partitioning, re-runs, and incremental appends.
+  *
+  * The hash is the PORTABLE md5-derived 60-bit value (first 15 hex
+  * digits), namespaced with a salt string so independent splits of the
+  * same ids decorrelate — and computable identically in any engine, which
+  * is what lets an external system (or the DuckDB oracle) reproduce the
+  * exact assignment.
+  *
+  * Purely narrow (one hash + one CASE per row): no shuffle, no driver
+  * participation, scale-free.
+  */
+object Splits {
+
+  /** The shared portable 60-bit hash: `md5(salt || ':' || id)`'s first 15
+    * hex digits as a long in [0, 2^60).
+    */
+  def portableHash(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Split label for each row: `weights` are (label, weight) pairs; a row
+    * lands in label i with probability weight_i / Σweights, decided by
+    * its hash bucket in [0, Σweights). Weights must be positive ints
+    * (e.g. 80/10/10 — percentage points).
+    */
+  def assign(idCol: Column, weights: Seq[(String, Int)],
+             salt: String = "split"): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(portableHash(idCol, salt), lit(total))
+    val cums = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    weights.zip(cums).init.foldRight(lit(weights.last._1): Column) {
+      case (((label, _), hi), other) => when(bucket < hi, label).otherwise(other)
+    }
+  }
+
+  /** Convenience: add a `split` column with the given weights. */
+  def withSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                salt: String = "split"): DataFrame =
+    df.withColumn("split", assign(col(idCol), weights, salt))
+
+  /** Deterministic fractional sample: keep rows whose hash bucket (out of
+    * `outOf`) is < `keep` — the hash-based replacement for `df.sample` when the
+    * sampled set must be stable across runs and partitionings.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, keep: Int,
+                          outOf: Int = 100, salt: String = "sample"): DataFrame = {
+    require(keep >= 0 && keep <= outOf, s"keep=$keep must be in [0, $outOf]")
+    df.filter(pmod(portableHash(col(idCol), salt), lit(outOf)) < keep)
+  }
+}

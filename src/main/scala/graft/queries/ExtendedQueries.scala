@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.KMinValues
+import graft.functions.TfIdf
+import graft.operators.{AsOf, Quantiles, RangeJoin, Sessionize, Splits}
+import graft.sources.Tables
+import QueryDefs._
+
+/** Q38–Q43 — round-5 extension surface: the relational operators Spark
+  * has no built-in form of (as-of join, interval join), plus the
+  * pipeline primitives a 100 TB training-data curation run leans on
+  * (deterministic distinct-count sketch, permanent dataset splits,
+  * TF-IDF keywording, per-group quantiles).
+  *
+  * Same oracle discipline as the rest of the registry: every query is
+  * graded by a full-algorithm DuckDB restatement (the as-of and KMV
+  * algorithms are deliberately built from engine-portable pieces —
+  * union+window, md5-derived hashes — so the oracle can reproduce them
+  * bit-for-bit). Doubles carry the registry-wide accepted rounding risk
+  * (see PipelineQueries scaladoc).
+  */
+object ExtendedQueries {
+
+  // ------------------------------------------------------------ as-of join
+
+  /** Q38 — last-click attribution: each purchase event joined (as-of) to
+    * the same user's latest click at-or-before the purchase. Sort-merge
+    * as-of (one shuffle on user_id) — see [[AsOf.join]]; -1 sentinels
+    * instead of nulls keep the graded columns hash-stable across
+    * engines.
+    */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    AsOf.join(purchases, clicks, Seq("user_id"), "ts", "click_ts", "click_id")
+      .select(
+        col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(tsUs(col("click_ts")), lit(-1L)).as("click_ts_us"),
+        coalesce(tsUs(col("ts")) - tsUs(col("click_ts")), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** The oracle restates the same union+window algorithm (DuckDB's ASOF
+    * JOIN leaves equal-timestamp tie-breaks unspecified; this pins
+    * them identically to [[AsOf.join]]).
+    */
+  private val q38Sql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      |      WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, us, 0 AS side, event_id AS tie,
+      |         event_id AS c_id, us AS c_us, NULL::BIGINT AS p_id FROM c
+      |  UNION ALL
+      |  SELECT user_id, us, 1, 0, NULL, NULL, event_id FROM p),
+      |m AS (SELECT user_id, us, side, p_id,
+      |        last_value(c_id IGNORE NULLS) OVER w AS click_id,
+      |        last_value(c_us IGNORE NULLS) OVER w AS click_us
+      |      FROM u WINDOW w AS (PARTITION BY user_id ORDER BY us, side, tie
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT p_id AS event_id, user_id, us AS ts_us,
+      |       coalesce(click_id, -1)::BIGINT AS click_id,
+      |       coalesce(click_us, -1)::BIGINT AS click_ts_us,
+      |       coalesce(us - click_us, -1)::BIGINT AS gap_us
+      |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- interval join
+
+  private val OverlapGapUs = 3600000000L // 1 h session gap
+  private val OverlapBinUs = 3600000000L // 1 h bins ≈ session length scale
+
+  /** Q39 — session concurrency: per user session (1 h inactivity gap),
+    * how many OTHER users' sessions overlap it in time. The overlap join
+    * runs through [[RangeJoin.intervalJoin]]'s bin bucketing (time bins
+    * are the shuffle key — no nested loop), and the session frame is
+    * pinned behind one exchange so its three consumers (both join sides
+    * + the zero-fill join) materialize it once.
+    */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Sessionize.assign(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", gapUs = OverlapGapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("lo_us"),
+           max(unix_micros(col("ts"))).as("hi_us"))
+      .repartition(col("user_id"), col("session_id"))
+    val a = iv.select(col("user_id").as("a_user"), col("session_id").as("a_sid"),
+      col("lo_us").as("a_lo"), col("hi_us").as("a_hi"))
+    val b = iv.select(col("user_id").as("b_user"), col("session_id").as("b_sid"),
+      col("lo_us").as("b_lo"), col("hi_us").as("b_hi"))
+    val counts = RangeJoin.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = OverlapBinUs)
+      .filter(col("a_user") =!= col("b_user"))
+      .groupBy(col("a_user"), col("a_sid"))
+      .agg(count(lit(1)).as("n"))
+    iv.join(counts,
+        iv("user_id") === counts("a_user") && iv("session_id") === counts("a_sid"),
+        "left")
+      .select(iv("user_id"), iv("session_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlaps"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q39Sql =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $OverlapGapUs
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, us,
+       |        (sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+       |      FROM x),
+       |iv AS (SELECT user_id, sid, min(us) AS lo, max(us) AS hi
+       |       FROM s GROUP BY 1, 2)
+       |SELECT a.user_id, a.sid AS session_id, count(b.user_id)::BIGINT AS n_overlaps
+       |FROM iv a LEFT JOIN iv b
+       |  ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id != b.user_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ kmv sketch
+
+  private val KmvK = 64
+
+  /** Q40 — per-event-type distinct users via the KMV sketch (k = 64):
+    * bounded state per group regardless of cardinality — the scale
+    * route to COUNT(DISTINCT) — with a portable md5-derived hash so the
+    * estimate itself (not just the mechanism) is graded cross-engine.
+    */
+  private def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(KMinValues.kmvDistinct(
+          Splits.portableHash(col("user_id"), "kmv"), KmvK), 6).as("kmv_distinct"))
+      .orderBy("event_type")
+
+  /** Full estimator restatement: kth-smallest distinct hash per group,
+    * (k−1)·2^60/h_k above k distinct, exact size below. The double
+    * arithmetic mirrors [[KMinValues.eval]]'s operation order.
+    */
+  private val q40Sql =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |             ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT AS hv
+       |           FROM events),
+       |r AS (SELECT event_type, hv,
+       |             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |      FROM h),
+       |k AS (SELECT event_type, max(rn) AS nd,
+       |             max(CASE WHEN rn = $KmvK THEN hv END) AS hk
+       |      FROM r GROUP BY 1),
+       |c AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+       |SELECT c.event_type, c.n_events,
+       |       round(CASE WHEN k.nd >= $KmvK
+       |                  THEN (${KmvK - 1}.0 * 1152921504606846976.0) / k.hk
+       |                  ELSE k.nd::DOUBLE END, 6) AS kmv_distinct
+       |FROM c JOIN k USING (event_type) ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------- dataset split
+
+  /** Q41 — permanent train/val/test membership (80/10/10) for every
+    * document: a pure hash of the row id (see [[Splits]] for why not
+    * `randomSplit`), graded row-for-row.
+    */
+  private def q41(spark: SparkSession, dir: String): DataFrame =
+    Splits.withSplit(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .orderBy("doc_id")
+
+  private val q41Sql =
+    """SELECT doc_id, lang,
+      |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |        ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- tf-idf
+
+  /** Q42 — top-3 TF-IDF terms per document (deterministic tie-break by
+    * term; see [[TfIdf.topTerms]] for the two-shuffle plan shape).
+    */
+  private def q42(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(spark, dir), "doc_id", "text", topK = 3)
+      .withColumn("score", r6(col("score")))
+      .orderBy("doc_id", "rank")
+
+  private val q42Sql =
+    """WITH toks AS (SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                t -> t != '')) AS term
+      |       FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, term, tf * ln(n_docs / df) AS score
+      |      FROM tf JOIN df USING (term), n),
+      |r AS (SELECT doc_id, term, score,
+      |        row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, term) AS rank
+      |      FROM s)
+      |SELECT doc_id, rank, term, round(score, 6) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // -------------------------------------------------------------- quantiles
+
+  /** Q43 — per-event-type value quantiles, exact (`percentile_cont`
+    * semantics). Bounded key domain makes exact safe here; the unbounded
+    * case goes through [[Quantiles.approx]] (tolerance-tested, not
+    * oracle-graded — sketch internals are engine-private).
+    */
+  private def q43(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.exact(Tables.events(spark, dir), "event_type", "value",
+        Seq(0.5, 0.9, 0.99))
+      .orderBy("event_type")
+
+  private val q43Sql =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.9), 6) AS p90,
+      |       round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q38_asof_join", q38, Some(q38Sql)),
+    QueryDef("q39_interval_overlap", q39, Some(q39Sql)),
+    QueryDef("q40_kmv_distinct", q40, Some(q40Sql)),
+    QueryDef("q41_dataset_split", q41, Some(q41Sql)),
+    QueryDef("q42_tfidf_topterms", q42, Some(q42Sql)),
+    QueryDef("q43_quantiles", q43, Some(q43Sql)))
+}

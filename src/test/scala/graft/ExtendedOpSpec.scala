@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.KMinValues
+import graft.functions.TfIdf
+import graft.operators.{AsOf, Quantiles, RangeJoin, Splits}
+
+/** Unit tests for the round-5 extension operators: as-of join, binned
+  * range joins, the KMV distinct sketch, deterministic splits, TF-IDF,
+  * and quantiles — each checked against a brute-force or hand-computed
+  * answer on fixtures small enough to reason about.
+  */
+class ExtendedOpSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  // -------------------------------------------------------------- as-of
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("AsOf.join matches the latest prior right row; <= and tie semantics") {
+    val left = Seq(
+      (1L, 10L, ts(5000000)),   // before any right row -> null payload
+      (1L, 11L, ts(20000000)),  // exactly at a right ts -> that row matches
+      (1L, 12L, ts(30000000)),  // two right rows tied at 20s -> max tie wins
+      (2L, 20L, ts(25000000))   // other key
+    ).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 100L, ts(20000000)),
+      (1L, 101L, ts(20000000)), // tied ts, larger tie id
+      (1L, 102L, ts(31000000)), // after every left row
+      (2L, 200L, ts(24000000))
+    ).toDF("k", "rid", "rts")
+    val got = AsOf.join(left, right, Seq("k"), "lts", "rts", "rid")
+      .select($"lid", $"rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> None, 11L -> Some(101L), 12L -> Some(101L),
+      20L -> Some(200L)))
+  }
+
+  test("AsOf.join equals brute-force on events sf0.001") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val got = AsOf.join(purchases, clicks, Seq("user_id"), "ts", "click_ts", "click_id")
+      .select($"event_id", coalesce($"click_id", lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    // brute force: max (ts, id) click at-or-before each purchase
+    val cl = clicks.select($"user_id", unix_micros($"click_ts"), $"click_id")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val expect = purchases.select($"event_id", $"user_id", unix_micros($"ts"))
+      .as[(Long, Long, Long)].collect().map { case (eid, u, us) =>
+        val best = cl.getOrElse(u, Array.empty)
+          .filter(_._2 <= us).sortBy(c => (c._2, c._3)).lastOption
+        eid -> best.map(_._3).getOrElse(-1L)
+      }.toMap
+    assert(got == expect)
+  }
+
+  // -------------------------------------------------------------- ranges
+
+  test("intervalJoin: exact pair set, each pair exactly once") {
+    // intervals crafted to span multiple bins (width 10) and to overlap
+    // in several shared bins — the canonical-bin rule must emit 1 copy
+    val a = Seq((1L, 0L, 25L), (2L, 30L, 31L), (3L, 50L, 99L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 5L, 40L), (11L, 26L, 29L), (12L, 95L, 200L), (13L, 300L, 301L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 10)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    // brute force over the cross product
+    assert(got == Seq((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
+
+  test("intervalJoin equals brute-force on random intervals across bin widths") {
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 120).map(i => (i.toLong, rnd.nextInt(500).toLong))
+      .map { case (i, lo) => (i, lo, lo + rnd.nextInt(60)) }
+    val brute = for {
+      (i, lo, hi) <- xs; (j, lo2, hi2) <- xs
+      if lo <= hi2 && lo2 <= hi
+    } yield (i, j)
+    val l = xs.toDF("l_id", "l_lo", "l_hi")
+    val r = xs.toDF("r_id", "r_lo", "r_hi")
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi", w)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == brute.sorted, s"binWidth=$w")
+    }
+  }
+
+  test("pointJoin equals brute-force") {
+    val pts = (0L to 100L by 3).map(p => (p, p)).toDF("p_id", "p")
+    val iv = Seq((1L, 10L, 20L), (2L, 15L, 15L), (3L, 90L, 300L))
+      .toDF("i_id", "lo", "hi")
+    val got = RangeJoin.pointJoin(pts, "p", iv, "lo", "hi", binWidth = 8)
+      .select($"p_id", $"i_id").as[(Long, Long)].collect().sorted.toSeq
+    val brute = for {
+      p <- 0L to 100L by 3; (i, lo, hi) <- Seq((1L, 10L, 20L), (2L, 15L, 15L), (3L, 90L, 300L))
+      if p >= lo && p <= hi
+    } yield (p, i)
+    assert(got == brute.sorted)
+  }
+
+  // ----------------------------------------------------------------- kmv
+
+  test("KMinValues: exact below k, estimator formula at k, partition-invariant") {
+    val hashes = (1 to 500).map(i => s"u$i").toDF("id")
+      .select(Splits.portableHash($"id", "kmv").as("h")).as[Long].collect().toSeq
+    // below k: exact distinct count (duplicates collapse)
+    val small = (hashes.take(10) ++ hashes.take(10)).toDF("h")
+    val gotSmall = small.agg(KMinValues.kmvDistinct($"h", 64)).as[Double].head()
+    assert(gotSmall == 10.0)
+    // at/above k: (k-1)*2^60/h_k with h_k the kth smallest distinct hash
+    val k = 64
+    val expected = (k - 1).toDouble * (1L << 60).toDouble / hashes.sorted.apply(k - 1).toDouble
+    for (parts <- Seq(1, 7)) {
+      val got = hashes.toDF("h").repartition(parts)
+        .agg(KMinValues.kmvDistinct($"h", k)).as[Double].head()
+      assert(got == expected, s"parts=$parts")
+    }
+    // sanity: the estimate is in the right ballpark for 500 distinct
+    assert(expected > 300 && expected < 800)
+  }
+
+  // -------------------------------------------------------------- splits
+
+  test("Splits.assign: deterministic, weights respected, sample is a subset") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Splits.withSplit(ids, "id").groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(s1.keySet == Set("train", "val", "test"))
+    // hash buckets approximate the 80/10/10 weights
+    assert(s1("train") > 1500 && s1("val") > 120 && s1("test") > 120)
+    assert(s1.values.sum == 2000)
+    // same ids, same assignment (pure function)
+    val s2 = Splits.withSplit(ids, "id").groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(s1 == s2)
+    // deterministic sample: stable subset, disjoint salts decorrelate
+    val kept = Splits.deterministicSample(ids, "id", keep = 10)
+      .as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.size < 400)
+    val kept2 = Splits.deterministicSample(ids, "id", keep = 10).as[Long].collect().toSet
+    assert(kept == kept2)
+  }
+
+  // --------------------------------------------------------------- tf-idf
+
+  test("TfIdf.topTerms: hand-computed scores and ranks") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry date shared")).toDF("id", "text")
+    val got = TfIdf.topTerms(docs, "id", "text", topK = 2)
+      .select($"doc_id", $"rank", $"term", $"score")
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // Spark's ln is StrictMath.log (fdlibm), not Math.log — they can
+    // differ by an ulp on some inputs (and do on ln(3))
+    val ln3 = StrictMath.log(3.0)        // df=1 terms
+    val ln15 = StrictMath.log(3.0 / 2.0) // df=2 terms
+    // doc1: apple tf=2 df=1 -> 2ln3; banana tf=1 df=2 -> ln1.5; shared -> 0
+    assert(got(1L) == Seq(("apple", 2 * ln3), ("banana", ln15)))
+    // doc2: banana/cherry both ln1.5 -> tie broken by term asc
+    assert(got(2L) == Seq(("banana", ln15), ("cherry", ln15)))
+    assert(got(3L) == Seq(("date", ln3), ("cherry", ln15)))
+  }
+
+  // ------------------------------------------------------------ quantiles
+
+  test("Quantiles: exact interpolates; approx within rank tolerance of exact") {
+    val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val ex = Quantiles.exact(df, "g", "v", Seq(0.5, 0.9)).as[(String, Double, Double)].head()
+    assert(ex == (("g", 51.0, 91.0))) // rank p*(n-1) lands on integers here
+    val frac = Quantiles.exact(df.limit(100), "g", "v", Seq(0.5))
+      .as[(String, Double)].head()._2
+    assert(frac == 50.5) // interpolated between 50 and 51
+    val ap = Quantiles.approx(df, "g", "v", Seq(0.5, 0.9), accuracy = 10000)
+      .as[(String, Double, Double)].head()
+    assert(math.abs(ap._2 - 51.0) <= 1.0 && math.abs(ap._3 - 91.0) <= 1.0)
+  }
+}
