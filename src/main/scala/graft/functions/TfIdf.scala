@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape and why it scales: tokenize+explode is narrow; term
   * frequencies aggregate on (doc, term) with map-side combine; document
-  * frequencies REUSE the tf frame (already one row per (doc, term), so
-  * `df` is a plain count per term — no second pass over raw text); the
-  * corpus size N is a one-row aggregate broadcast into the score join,
-  * and the per-document top-k is a ranked window on the (doc, term)
-  * frame. Total movement: two aggregation shuffles + one window shuffle
-  * on doc — nothing quadratic, nothing driver-side.
+  * frequencies come from a `count() OVER (PARTITION BY term)` window on
+  * the SAME tf frame — NOT a separate `groupBy(term)` branch, which
+  * Catalyst plans as a second full tokenize+explode+aggregate of the raw
+  * text (column pruning diverges the two subtrees, so the exchange is
+  * not reused — verified on the physical plan): the window costs one
+  * shuffle on term and the corpus is tokenized exactly once. The corpus
+  * size N is a one-row count(*) over the parquet footers (zero data
+  * pages read) broadcast in, and the per-document top-k is a ranked
+  * window that Spark runs through WindowGroupLimit — per-partition
+  * top-k before the shuffle. Nothing quadratic, nothing driver-side.
   *
   * Scores use the raw idf `ln(N/df)` (no +1 smoothing): terms appearing
   * in every document score exactly 0, and the formula is restatable
@@ -34,10 +38,9 @@ object TfIdf {
       col(idCol).as("doc_id"),
       explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))

@@ -80,9 +80,15 @@ object ExtendedQueries {
   /** Q39 — session concurrency: per user session (1 h inactivity gap),
     * how many OTHER users' sessions overlap it in time. The overlap join
     * runs through [[RangeJoin.intervalJoin]]'s bin bucketing (time bins
-    * are the shuffle key — no nested loop), and the session frame is
-    * pinned behind one exchange so its three consumers (both join sides
-    * + the zero-fill join) materialize it once.
+    * are the shuffle key — no nested loop).
+    *
+    * Self-matches do the zero-handling: every session overlaps itself
+    * exactly once, and one user's sessions are time-DISJOINT by
+    * construction (a session ends > gap before the next starts), so
+    * keeping all matches and emitting count−1 equals the cross-user
+    * overlap count while guaranteeing every session a row — no third
+    * consumer of the session frame for zero-fill, and no filter in the
+    * join.
     */
   private def q39(spark: SparkSession, dir: String): DataFrame = {
     val iv = Sessionize.assign(Tables.events(spark, dir),
@@ -95,16 +101,12 @@ object ExtendedQueries {
       col("lo_us").as("a_lo"), col("hi_us").as("a_hi"))
     val b = iv.select(col("user_id").as("b_user"), col("session_id").as("b_sid"),
       col("lo_us").as("b_lo"), col("hi_us").as("b_hi"))
-    val counts = RangeJoin.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+    RangeJoin.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
         binWidth = OverlapBinUs)
-      .filter(col("a_user") =!= col("b_user"))
       .groupBy(col("a_user"), col("a_sid"))
-      .agg(count(lit(1)).as("n"))
-    iv.join(counts,
-        iv("user_id") === counts("a_user") && iv("session_id") === counts("a_sid"),
-        "left")
-      .select(iv("user_id"), iv("session_id"),
-        coalesce(col("n"), lit(0L)).as("n_overlaps"))
+      .agg((count(lit(1)) - 1).as("n_overlaps"))
+      .select(col("a_user").as("user_id"), col("a_sid").as("session_id"),
+        col("n_overlaps"))
       .orderBy("user_id", "session_id")
   }
 

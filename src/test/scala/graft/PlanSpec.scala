@@ -86,6 +86,39 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q38 as-of plan: no join operator, filters pushed to both scans") {
+    val nodes = finalNodes(SparkEntry.queries("q38_asof_join")(spark, sf))
+    val joins = names(nodes).filter(_.contains("Join"))
+    assert(joins.isEmpty,
+      s"as-of must run as union+window (sort-merge), never a join; got $joins")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.metadata("PushedFilters").contains("EqualTo")),
+      "event_type filters must reach the parquet scans")
+  }
+
+  test("q39 interval plan: no nested-loop/cartesian join, session frame reused") {
+    val nodes = names(finalNodes(SparkEntry.queries("q39_interval_overlap")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"overlap join must be the binned equi-join, got $nodes")
+    assert(nodes.exists(_.contains("ReusedExchange")),
+      s"both interval sides must share one materialized session frame; got $nodes")
+  }
+
+  test("q42 tf-idf plan: corpus tokenized once, top-k via WindowGroupLimit") {
+    val nodes = finalNodes(SparkEntry.queries("q42_tfidf_topterms")(spark, sf))
+    // one data scan of documents (the n_docs count scan reads zero columns)
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"expected a single tokenizing scan of documents, got ${dataScans.size}")
+    assert(names(nodes).exists(_.contains("WindowGroupLimit")),
+      "per-doc top-k must prune through WindowGroupLimit before the shuffle")
+  }
+
   test("q21 plan: shingle filter is pushed into the documents scan") {
     val q = SparkEntry.queries("q21_ngram_jaccard")(spark, sf)
     val scans = finalNodes(q).collect {
