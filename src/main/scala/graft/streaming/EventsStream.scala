@@ -253,6 +253,44 @@ object EventsStream {
       }
   }
 
+  /** §7.3/St — stream-stream interval join: each purchase attributed to
+    * the same user's clicks in the preceding `horizon` (the streaming
+    * twin of the batch as-of join, q38 — streaming can't express "latest
+    * prior" directly because later micro-batches could always deliver a
+    * later click, so the horizon-window set is the well-defined streaming
+    * analogue; pick the latest downstream if single-attribution is
+    * needed).
+    *
+    * Both sides carry watermarks and the join condition bounds click
+    * age, so the engine sizes and EXPIRES join state from watermark +
+    * horizon — bounded state on an unbounded stream. Left-outer: a
+    * purchase with no qualifying click still emits (null click columns)
+    * once the click watermark passes `ts`, guaranteeing no purchase is
+    * silently dropped from attribution.
+    */
+  def attributedPurchases(events: DataFrame,
+                          horizon: String = "1 hour",
+                          watermark: String = "10 minutes"): DataFrame = {
+    // ONE watermark on the source, branched after: each side's watermark
+    // is tracked by the operator that SEES the events, so watermarking
+    // after the event-type filters would let a click-only stretch stall
+    // the purchase side's watermark at its last purchase (global
+    // watermark = min of both) and indefinitely delay the outer-null
+    // emissions. The watermark tag rides the renamed column through the
+    // branch projections.
+    val wm = events.withWatermark("ts", watermark)
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = wm.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    purchases.join(clicks,
+        expr(s"user_id = click_user AND " +
+          s"click_ts >= ts - interval $horizon AND click_ts <= ts"),
+        "leftOuter")
+      .drop("click_user")
+  }
+
   /** St8 — per-batch observed metrics (replaces the reference's
     * driver-side `count()` prints, which re-execute the plan): metrics
     * ride the existing computation and surface in each

@@ -209,6 +209,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: attribution within horizon, outer after watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.attributedPurchases(in.toDF(),
+        horizon = "10 seconds", watermark = "5 seconds")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // user 1: click at 100s and 103s, purchase at 105s -> both attribute;
+      // click at 90s is outside the 10s horizon. user 2: purchase, no click.
+      in.addData(ev(1, 90), ev(2, 100), ev(3, 103),
+        ev(4, 105, typ = "purchase"), ev(5, 106, user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      val inner = spark.table("attr").filter(col("click_id").isNotNull)
+        .select(col("event_id"), col("click_id")).as[(Long, Long)].collect().sorted
+      assert(inner.toSeq == Seq((4L, 2L), (4L, 3L)))
+      // no outer row for user 2 yet: a matching click could still arrive
+      assert(spark.table("attr").filter(col("click_id").isNull).isEmpty)
+      // advance the click watermark past purchase time + horizon; the
+      // unmatched purchase must then emit its left-outer null row
+      in.addData(ev(6, 200))
+      q.processAllAvailable()
+      in.addData(ev(7, 300))
+      q.processAllAvailable()
+      val outer = spark.table("attr").filter(col("click_id").isNull)
+        .select(col("event_id")).as[Long].collect()
+      assert(outer.toSeq == Seq(5L))
+    } finally q.stop()
+  }
+
   test("throughput: a 10k-record batch clears in far under the 30s floor") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
