@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,28 +37,45 @@ object AsOf {
     * `rightTie` (any numeric, e.g. an event id) wins — fully
     * deterministic under retries and re-partitioning.
     *
+    * `forward = true` flips the direction: the EARLIEST following right
+    * row (`rightTs` >= `leftTs`), ties broken by the SMALLEST
+    * `rightTie`. Implemented by negating the sort axis — the plan is
+    * identical.
+    *
+    * `toleranceUs` bounds staleness: a match further than this many
+    * microseconds from the left timestamp is discarded (payload null) —
+    * the matched row is always the CLOSEST one, so this is a pure
+    * post-predicate on the window result, costing nothing extra.
+    *
     * Output: all of `left`'s columns, then `right`'s non-key columns.
     * Right non-key column names must not collide with left's — rename
     * before calling (this keeps provenance explicit instead of silently
     * prefixing).
     */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           leftTs: String, rightTs: String, rightTie: String): DataFrame = {
+           leftTs: String, rightTs: String, rightTie: String,
+           forward: Boolean = false,
+           toleranceUs: Option[Long] = None): DataFrame = {
     val payload = right.columns.filterNot(keyCols.contains).toSeq
     require(payload.contains(rightTs), s"right is missing ts column $rightTs")
     require(payload.contains(rightTie), s"right is missing tie column $rightTie")
+    require(toleranceUs.forall(_ >= 0), s"tolerance must be >= 0: $toleranceUs")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rename right columns that collide with left: ${collisions.mkString(", ")}")
 
+    // the sort axis: negated for forward joins, so "last preceding" on
+    // the axis is "first following" in event time
+    def axis(c: Column): Column = if (forward) -c else c
+
     val r = right.select(
       keyCols.map(col) ++ Seq(
-        unix_micros(col(rightTs)).as("__asof_us"),
+        axis(unix_micros(col(rightTs))).as("__asof_us"),
         lit(0).as("__asof_side"),
-        col(rightTie).cast("long").as("__asof_tie"),
+        axis(col(rightTie).cast("long")).as("__asof_tie"),
         struct(payload.map(col): _*).as("__asof_payload")): _*)
     val l = left
-      .withColumn("__asof_us", unix_micros(col(leftTs)))
+      .withColumn("__asof_us", axis(unix_micros(col(leftTs))))
       .withColumn("__asof_side", lit(1))
       .withColumn("__asof_tie", lit(0L))
     // allowMissingColumns: left rows get a null payload struct, right rows
@@ -66,13 +83,20 @@ object AsOf {
     val u = l.unionByName(r, allowMissingColumns = true)
 
     // side 0 (right) sorts before side 1 (left) at equal timestamps, which
-    // is exactly the <= match semantics.
+    // is exactly the <= (resp. >=) match semantics.
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__asof_us"), col("__asof_side"), col("__asof_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    u.withColumn("__asof_m", last(col("__asof_payload"), ignoreNulls = true).over(w))
-      .filter(col("__asof_side") === 1)
-      .select(left.columns.map(col) ++
-        payload.map(c => col(s"__asof_m.$c").as(c)): _*)
+    val matched =
+      u.withColumn("__asof_m", last(col("__asof_payload"), ignoreNulls = true).over(w))
+        .filter(col("__asof_side") === 1)
+    val gated = toleranceUs match {
+      case Some(tol) => matched.withColumn("__asof_m",
+        when(abs(unix_micros(col(leftTs)) -
+          unix_micros(col(s"__asof_m.$rightTs"))) <= tol, col("__asof_m")))
+      case None => matched
+    }
+    gated.select(left.columns.toSeq.map(col) ++
+      payload.map(c => col(s"__asof_m.$c").as(c)): _*)
   }
 }

@@ -39,6 +39,28 @@ class ExtendedOpSpec extends SparkSpec {
       20L -> Some(200L)))
   }
 
+  test("AsOf.join forward + tolerance variants") {
+    val left = Seq(
+      (1L, 10L, ts(20000000)),  // right rows at 20s (tied) and 31s follow
+      (1L, 11L, ts(32000000)),  // nothing follows
+      (1L, 12L, ts(5000000))    // 20s follows but is 15s away
+    ).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 100L, ts(20000000)),
+      (1L, 101L, ts(20000000)),
+      (1L, 102L, ts(31000000))
+    ).toDF("k", "rid", "rts")
+    val fwd = AsOf.join(left, right, Seq("k"), "lts", "rts", "rid", forward = true)
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    // earliest following; equal-ts ties -> SMALLEST tie
+    assert(fwd == Map(10L -> Some(100L), 11L -> None, 12L -> Some(100L)))
+    val tol = AsOf.join(left, right, Seq("k"), "lts", "rts", "rid",
+        forward = true, toleranceUs = Some(11000000L))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    // 15s-away match for lid=12 is beyond the 11s tolerance
+    assert(tol == Map(10L -> Some(100L), 11L -> None, 12L -> None))
+  }
+
   test("AsOf.join equals brute-force on events sf0.001") {
     val ev = graft.sources.Tables.events(spark, sf)
     val purchases = ev.filter($"event_type" === "purchase")
