@@ -47,4 +47,25 @@ object Quantiles {
       approx_percentile(col(valCol), lit(p), lit(accuracy)).as(label(p)))
     df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Winsorize: clip `valCol` into its per-group [loP, hiP] quantile
+    * range (the standard outlier treatment before computing means over
+    * heavy-tailed pipeline metrics). Adds `<valCol>_w` next to the input
+    * columns. Two passes — the quantile aggregate (a few rows per group)
+    * broadcast-joined back onto the rows — which is the minimal movement
+    * for a per-group data-dependent bound; the clip itself is narrow.
+    * Bounds come from [[exact]] (rounded to 6), so the clipped values
+    * are engine-reproducible.
+    */
+  def winsorized(df: DataFrame, keyCol: String, valCol: String,
+                 loP: Double, hiP: Double): DataFrame = {
+    require(loP < hiP, s"need loP < hiP, got $loP >= $hiP")
+    val bounds = exact(df, keyCol, valCol, Seq(loP, hiP))
+      .withColumnRenamed(label(loP), "__w_lo")
+      .withColumnRenamed(label(hiP), "__w_hi")
+    df.join(broadcast(bounds), keyCol)
+      .withColumn(s"${valCol}_w",
+        greatest(col("__w_lo"), least(col("__w_hi"), col(valCol))))
+      .drop("__w_lo", "__w_hi")
+  }
 }

@@ -233,11 +233,92 @@ object ExtendedQueries {
       |       round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- rollup / pivot / clip
+
+  /** Q44 — hierarchical rollup (day × event_type → day → grand total):
+    * Spark's `rollup` plans ONE Expand + one aggregate for all three
+    * grouping levels — one shuffle, not three union'd aggregations.
+    * Subtotal rows are labeled 'ALL' so every graded column stays
+    * non-null string/long/double.
+    */
+  private def q44(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(dayStr(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+      .select(
+        coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("avg_value"))
+      .orderBy("day", "event_type")
+
+  private val q44Sql =
+    """SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+      |       coalesce(event_type, 'ALL') AS event_type,
+      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events
+      |GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
+      |ORDER BY day, event_type""".stripMargin
+
+  /** The event-type domain for the pivot — explicit, so the plan needs
+    * no driver-side distinct scan to discover columns (the at-scale
+    * rule: pivot with an enumerated domain is one aggregate; pivot
+    * without one is a full extra pass + a collect).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Q45 — pivot: per-day event counts, one column per event type. */
+  private def q45(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("day")
+
+  private val q45Sql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q46 — winsorized per-type value stats: clip into the per-group
+    * [p1, p99] quantile range, then aggregate — mean, and how many rows
+    * each tail clipped.
+    */
+  private def q46(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.winsorized(Tables.events(spark, dir), "event_type", "value",
+        loP = 0.01, hiP = 0.99)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(avg(col("value_w"))).as("wins_mean"),
+        count(when(col("value_w") > col("value"), 1)).as("clipped_low"),
+        count(when(col("value_w") < col("value"), 1)).as("clipped_high"))
+      .orderBy("event_type")
+
+  private val q46Sql =
+    """WITH b AS (SELECT event_type,
+      |             round(quantile_cont(value, 0.01), 6) AS lo,
+      |             round(quantile_cont(value, 0.99), 6) AS hi
+      |           FROM events GROUP BY 1),
+      |w AS (SELECT e.event_type, e.value,
+      |        greatest(b.lo, least(b.hi, e.value)) AS value_w
+      |      FROM events e JOIN b USING (event_type))
+      |SELECT event_type, round(avg(value_w), 6) AS wins_mean,
+      |       count(CASE WHEN value_w > value THEN 1 END) AS clipped_low,
+      |       count(CASE WHEN value_w < value THEN 1 END) AS clipped_high
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q38_asof_join", q38, Some(q38Sql)),
     QueryDef("q39_interval_overlap", q39, Some(q39Sql)),
     QueryDef("q40_kmv_distinct", q40, Some(q40Sql)),
     QueryDef("q41_dataset_split", q41, Some(q41Sql)),
     QueryDef("q42_tfidf_topterms", q42, Some(q42Sql)),
-    QueryDef("q43_quantiles", q43, Some(q43Sql)))
+    QueryDef("q43_quantiles", q43, Some(q43Sql)),
+    QueryDef("q44_rollup", q44, Some(q44Sql)),
+    QueryDef("q45_pivot", q45, Some(q45Sql)),
+    QueryDef("q46_winsorize", q46, Some(q46Sql)))
 }

@@ -194,6 +194,16 @@ class ExtendedOpSpec extends SparkSpec {
 
   // ------------------------------------------------------------ quantiles
 
+  test("Quantiles.winsorized clips exactly into the per-group [p1,p99] range") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val w = Quantiles.winsorized(df, "g", "v", 0.01, 0.99)
+      .select($"v", $"v_w").as[(Double, Double)].collect().toMap
+    // rank p*(n-1): p1 = 1 + 0.99*(2-1) = 1.99; p99 = 99 + 0.01*(100-99)
+    assert(w(1.0) == 1.99 && w(2.0) == 2.0)
+    assert(w(100.0) == 99.01 && w(99.0) == 99.0)
+    assert(w(50.0) == 50.0)
+  }
+
   test("Quantiles: exact interpolates; approx within rank tolerance of exact") {
     val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
     val ex = Quantiles.exact(df, "g", "v", Seq(0.5, 0.9)).as[(String, Double, Double)].head()
