@@ -311,6 +311,68 @@ object ExtendedQueries {
       |       count(CASE WHEN value_w < value THEN 1 END) AS clipped_high
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------- set ops / windows
+
+  /** Q47 — set operations over (user, day) activity sets: days a user
+    * clicked but never purchased (EXCEPT → anti-join), did both
+    * (INTERSECT → semi-join), did either (UNION DISTINCT → aggregate).
+    * All three run on the same two deduplicated frames; the three 1-row
+    * counts cross-join for a single graded row.
+    */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def days(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), dayStr(col("ts")).as("day")).distinct()
+    val c = days("click")
+    val p = days("purchase")
+    c.except(p).agg(count(lit(1)).as("click_only_days"))
+      .crossJoin(c.intersect(p).agg(count(lit(1)).as("both_days")))
+      .crossJoin(c.union(p).distinct().agg(count(lit(1)).as("any_days")))
+  }
+
+  private val q47Sql =
+    """WITH c AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS click_only_days,
+      |  (SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS both_days,
+      |  (SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS any_days""".stripMargin
+
+  /** Q48 — the analytic window family over per-type daily counts:
+    * day-over-day delta (`lag`), busiest-day rank (`rank`), month
+    * quartile (`ntile`), and `cume_dist` — one shuffle on event_type,
+    * all four functions sharing two window sorts.
+    */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val byCount = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("day"))
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("day"), col("event_type"), col("n"),
+        (col("n") - coalesce(lag(col("n"), 1).over(byDay), col("n"))).as("dod_delta"),
+        rank().over(byCount).as("busiest_rank"),
+        ntile(4).over(byDay).as("quartile"),
+        r6(cume_dist().over(byCount)).as("cume"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q48Sql =
+    """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |             count(*) AS n
+      |           FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |       n - coalesce(lag(n, 1) OVER (PARTITION BY event_type ORDER BY day), n) AS dod_delta,
+      |       rank() OVER (PARTITION BY event_type ORDER BY n DESC, day) AS busiest_rank,
+      |       ntile(4) OVER (PARTITION BY event_type ORDER BY day) AS quartile,
+      |       round(cume_dist() OVER (PARTITION BY event_type ORDER BY n DESC, day), 6) AS cume
+      |FROM d ORDER BY event_type, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q38_asof_join", q38, Some(q38Sql)),
     QueryDef("q39_interval_overlap", q39, Some(q39Sql)),
@@ -320,5 +382,7 @@ object ExtendedQueries {
     QueryDef("q43_quantiles", q43, Some(q43Sql)),
     QueryDef("q44_rollup", q44, Some(q44Sql)),
     QueryDef("q45_pivot", q45, Some(q45Sql)),
-    QueryDef("q46_winsorize", q46, Some(q46Sql)))
+    QueryDef("q46_winsorize", q46, Some(q46Sql)),
+    QueryDef("q47_set_ops", q47, Some(q47Sql)),
+    QueryDef("q48_window_family", q48, Some(q48Sql)))
 }
