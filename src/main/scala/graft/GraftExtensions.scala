@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.VecDot
+import graft.expressions.{KMinValues, VecDot}
 
 /** Session extension point for the engine's custom Catalyst expressions —
   * the standard injection path
@@ -14,7 +14,13 @@ import graft.expressions.VecDot
   *
   * {{{
   *   SELECT vec_dot(embedding, embedding) FROM embeddings  -- squared norm
+  *   SELECT kmv_distinct(xxhash64(user_id), 64) FROM events -- KMV sketch
   * }}}
+  *
+  * `kmv_distinct(hashedLong, k)` estimates hashes as uniform on
+  * [0, 2^60) (the engine's portable-hash domain); pass a third literal
+  * to override the domain (e.g. for full-range xxhash64 inputs, shift
+  * them down: `kmv_distinct(xxhash64(c) >> 4, 64)`).
   *
   * [[GraftExtensions.register]] installs the same functions into an
   * already-built session (useful when the session isn't ours to build).
@@ -34,6 +40,21 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, s"vec_dot expects 2 arguments, got ${children.size}")
         VecDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KMinValues].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          s"kmv_distinct expects (hashedLong, k[, domain]), got ${children.size} args")
+        def lit(e: Expression, what: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)  => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_distinct $what must be an integer literal, got $other")
+        }
+        val k = lit(children(1), "k").toInt
+        val domain = if (children.size == 3) lit(children(2), "domain") else 1L << 60
+        KMinValues(children.head, k, domain).toAggregateExpression()
       }))
 
   /** Register into an existing session's function registry. */

@@ -225,6 +225,21 @@ class PipelineOpSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("kmv_distinct is usable from SQL text and matches the Column API") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.events(spark, sf).createOrReplaceTempView("ev_kmv_v")
+    val sql = spark.sql(
+      """SELECT kmv_distinct(
+        |         cast(conv(substring(md5(concat('kmv:', cast(user_id AS string))), 1, 15), 16, 10) AS bigint),
+        |         64) AS d
+        |FROM ev_kmv_v""".stripMargin).collect().head.getDouble(0)
+    val api = graft.sources.Tables.events(spark, sf)
+      .agg(graft.expressions.KMinValues.kmvDistinct(
+        graft.operators.Splits.portableHash(col("user_id"), "kmv"), 64))
+      .collect().head.getDouble(0)
+    assert(sql == api && sql > 0.0)
+  }
+
   test("SortedIntersectCount: two-pointer merge semantics vs reference intersect") {
     val cases = Seq(
       (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), 2),  // plain overlap
