@@ -416,4 +416,57 @@ object Dedup {
         (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * PAIRS (q21/q22/q34-style output) into DEDUP DECISIONS: every doc in
+    * a component keeps `component` = the minimum id it is (transitively)
+    * connected to, i.e. the canonical keeper; dropping every row with
+    * `id != component` deduplicates the corpus.
+    *
+    * Algorithm: iterative min-label propagation. Each round, every node
+    * takes the min of its own label and its neighbors' labels (one
+    * shuffle join + one aggregate per round); convergence when no label
+    * changed. Rounds needed = the component graph's diameter — near-dup
+    * components are dense (near-cliques around a template), so this is
+    * 2–3 rounds in practice; for adversarial long-chain graphs use the
+    * large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), which converges in
+    * O(log n) rounds.
+    *
+    * Scale hygiene: the edge list is cached (it drives every round),
+    * each round's labels are `localCheckpoint`ed so the plan does not
+    * grow with iterations (an un-truncated 10-round lineage recomputes
+    * round 1 ten times), and the per-round driver action is a single
+    * count. Throws if `maxIter` rounds don't converge rather than
+    * returning silently-wrong labels.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .cache()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint()
+      var converged = false
+      var round = 0
+      while (!converged && round < maxIter) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        converged = next.filter(col("comp") < col("prev")).isEmpty
+        labels = next.select(col("id"), col("comp"))
+        round += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pathological chain graph; use a star-contraction variant")
+      labels
+    } finally edges.unpersist()
+  }
 }

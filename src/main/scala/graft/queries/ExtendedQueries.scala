@@ -373,6 +373,38 @@ object ExtendedQueries {
       |       round(cume_dist() OVER (PARTITION BY event_type ORDER BY n DESC, day), 6) AS cume
       |FROM d ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------- dedup clusters
+
+  /** Q49 — pairs → dedup decisions: connected components over the exact
+    * n-gram-Jaccard near-dup pairs (q21's output); each doc's `cluster`
+    * is the minimum transitively-connected id, i.e. the canonical keeper
+    * — `doc_id != cluster` rows are the drop set. Iterative min-label
+    * propagation, 2–3 rounds on near-dup graphs (see
+    * [[graft.operators.Dedup.connectedComponents]]).
+    */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, threshold = 0.6)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure via a recursive CTE over the same pair
+    * CTE as q21, component = min reachable id.
+    */
+  private val q49Sql =
+    s"""WITH RECURSIVE ${PipelineQueries.ngramPairsCte},
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE inter / (sz_a + sz_b - inter) >= 0.6),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM e
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q38_asof_join", q38, Some(q38Sql)),
     QueryDef("q39_interval_overlap", q39, Some(q39Sql)),
@@ -384,5 +416,6 @@ object ExtendedQueries {
     QueryDef("q45_pivot", q45, Some(q45Sql)),
     QueryDef("q46_winsorize", q46, Some(q46Sql)),
     QueryDef("q47_set_ops", q47, Some(q47Sql)),
-    QueryDef("q48_window_family", q48, Some(q48Sql)))
+    QueryDef("q48_window_family", q48, Some(q48Sql)),
+    QueryDef("q49_dedup_clusters", q49, Some(q49Sql)))
 }

@@ -70,11 +70,12 @@ object PipelineQueries {
       |       min(doc_id) AS keeper_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
-  /** Shared exact 3-gram-Jaccard oracle for Q21 (exact) and Q22 (MinHash
-    * LSH — verified candidates must reproduce the exact answer).
+  /** Shared exact 3-gram-Jaccard CTE prelude (shingle sets → inverted
+    * index → intersection counts) — composed into the Q21/Q22 pair
+    * oracle here and the Q49 cluster oracle (ExtendedQueries).
     */
-  private val ngramJaccardSql =
-    """WITH sh AS (
+  private[queries] val ngramPairsCte =
+    """sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |           i -> concat_ws(' ', string_split(text, ' ')[i],
@@ -84,10 +85,16 @@ object PipelineQueries {
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
       |             count(*) AS inter
       |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2, 3, 4)
-      |SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 6) AS jaccard
-      |FROM p WHERE inter / (sz_a + sz_b - inter) >= 0.6
-      |ORDER BY id_a, id_b""".stripMargin
+      |      GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Shared exact 3-gram-Jaccard oracle for Q21 (exact) and Q22 (MinHash
+    * LSH — verified candidates must reproduce the exact answer).
+    */
+  private val ngramJaccardSql =
+    s"""WITH $ngramPairsCte
+       |SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+       |FROM p WHERE inter / (sz_a + sz_b - inter) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Q21 — exact n-gram Jaccard near-dup pairs (inverted-index join). */
   private def q21(spark: SparkSession, dir: String): DataFrame =

@@ -127,6 +127,36 @@ class ExtendedOpSpec extends SparkSpec {
     assert(got == brute.sorted)
   }
 
+  // -------------------------------------------------- connected components
+
+  test("connectedComponents equals union-find on a random graph; chains converge") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 60).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // a 13-node path needs 12 propagation rounds — exercises convergence
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(gotChain.length == 13 && gotChain.forall(_._2 == 0L))
+  }
+
   // ----------------------------------------------------------------- kmv
 
   test("KMinValues: exact below k, estimator formula at k, partition-invariant") {
