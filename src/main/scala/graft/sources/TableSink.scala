@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Batch table sinks (SURVEY S5/S6) — the reference writes five analytics
   * tables per run with `mode("overwrite")` into hand-built `…/date=<d>`
@@ -36,4 +36,46 @@ object TableSink {
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Small-files hygiene: repartition to ~`targetBytes` output files
+    * using Catalyst's own plan-statistics size estimate (the same number
+    * AQE plans with), so a filtered/aggregated frame that shrank to a
+    * few MB does not land as `spark.sql.shuffle.partitions` splinter
+    * files — the classic scan-time killer of incrementally-written
+    * tables (every file is an open/seek/footer-parse at the next read).
+    *
+    * The estimate is pre-compression and pre-encoding, so actual parquet
+    * files land smaller than `targetBytes` (often 3–5×) — tune the
+    * target to taste; the point is ORDER-OF-MAGNITUDE file-count
+    * control, not byte-exact sizing. Uses `coalesce` when shrinking
+    * (no shuffle) and `repartition` only when growing the partition
+    * count.
+    */
+  def compacted(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / targetBytes).toLong.toInt.max(1)
+    if (parts <= df.rdd.getNumPartitions) df.coalesce(parts)
+    else df.repartition(parts)
+  }
+
+  /** Sorted-layout write: globally range-sort by `layoutCols` before
+    * writing, so parquet row-group min/max statistics become selective
+    * for predicates on those columns (each file covers a narrow value
+    * range → scans of `WHERE day = … AND user_id = …` skip most files).
+    * The linear-order analogue of Z-ordering for the common
+    * leading-column query pattern.
+    */
+  def overwriteSorted(df: DataFrame, path: String, layoutCols: Seq[Column],
+                      numFiles: Option[Int] = None): Unit = {
+    // an explicit file count pins the range split (AQE coalesces an
+    // unpinned range repartition of a small frame down to one file);
+    // default lets AQE size the partitions from the data
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, layoutCols: _*)
+      case None    => df.repartitionByRange(layoutCols: _*)
+    }
+    ranged.sortWithinPartitions(layoutCols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

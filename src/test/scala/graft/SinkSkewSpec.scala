@@ -28,6 +28,37 @@ class SinkSkewSpec extends SparkSpec {
     assert(d2.toSeq == Seq(4L)) // replaced
   }
 
+  test("compacted: splintered partitions land as few files; rows intact") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val splintered = (1L to 2000L).toDF("id").repartition(32)
+    TableSink.compacted(splintered).write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files == 1, s"2000 small rows must compact to 1 file, got $files")
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
+  test("overwriteSorted: files cover disjoint key ranges (min/max skipping)") {
+    val dir = Files.createTempDirectory("graft_sorted").toString
+    val df = (1L to 10000L).map(i => (i % 97, i)).toDF("k", "id")
+      .repartition(8) // scrambled input layout
+    TableSink.overwriteSorted(df, dir, Seq(col("k")), numFiles = Some(5))
+    val parts = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length > 1, "need multiple files to prove disjoint layout")
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"k"), max($"k")).as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: hi=$hi lo=$lo")
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val wh = Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
