@@ -253,6 +253,20 @@ object EventsStream {
       }
   }
 
+  /** §7.3/St — streaming ingest dedup: drop re-deliveries of the same
+    * `event_id` arriving within the watermark delay of each other (an
+    * at-least-once source — a Kafka producer retry, a replayed partition
+    * — re-delivers records; this makes the downstream pipeline
+    * effectively exactly-once per event id). `dropDuplicatesWithinWatermark`
+    * keys the dedup state by id and EXPIRES each key once the watermark
+    * passes its event time + delay, so state is bounded by the
+    * re-delivery window instead of growing with the stream (a plain
+    * streaming `dropDuplicates` keeps every id forever).
+    */
+  def dedupedEvents(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** §7.3/St — stream-stream interval join: each purchase attributed to
     * the same user's clicks in the preceding `horizon` (the streaming
     * twin of the batch as-of join, q38 — streaming can't express "latest

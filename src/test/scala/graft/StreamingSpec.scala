@@ -209,6 +209,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedEvents drops re-deliveries of an event id across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStream.dedupedEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup_st").outputMode("append").start()
+    try {
+      in.addData(ev(1, 100), ev(2, 101), ev(1, 100)) // in-batch duplicate
+      q.processAllAvailable()
+      in.addData(ev(2, 101), ev(3, 102)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_st").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: attribution within horizon, outer after watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
