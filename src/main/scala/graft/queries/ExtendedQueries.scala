@@ -405,6 +405,47 @@ object ExtendedQueries {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- k-means step
+
+  private val KmSeeds = 8
+
+  /** Q50 — one graded spherical k-means step (quantizer training): the
+    * 8 lowest-id embeddings seed the centroids, every vector is assigned
+    * to its max-cosine centroid in-row, and each cell emits its size and
+    * elementwise-mean centroid — rounded to 6, so the trained model is
+    * engine-reproducible and the ARRAY column itself is hash-graded.
+    */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.orderBy(col("vec_id")).limit(KmSeeds)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
+      .toIndexedSeq
+    Similarity.kMeansStep(emb, "vec_id", "embedding", seeds)
+  }
+
+  private val q50Sql =
+    s"""WITH c AS (SELECT vec_id AS cent, embedding AS ce FROM embeddings
+       |           ORDER BY vec_id LIMIT $KmSeeds),
+       |aff AS (SELECT e.vec_id, c.cent,
+       |          ${PipelineQueries.cosSql("e.embedding", "c.ce")} AS cs
+       |        FROM embeddings e, c),
+       |cell AS (SELECT vec_id, cent FROM (
+       |           SELECT vec_id, cent,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |x AS (SELECT cell.cent AS cell, e.embedding AS emb
+       |      FROM embeddings e JOIN cell USING (vec_id)),
+       |n AS (SELECT cell, count(*) AS n FROM x GROUP BY 1),
+       |p AS (SELECT cell, i AS pos, avg(emb[i + 1]) AS m
+       |      FROM x CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2)
+       |SELECT p.cell, n.n, list(round(p.m, 6) ORDER BY p.pos) AS centroid
+       |FROM p JOIN n USING (cell)
+       |GROUP BY p.cell, n.n ORDER BY p.cell""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q38_asof_join", q38, Some(q38Sql)),
     QueryDef("q39_interval_overlap", q39, Some(q39Sql)),
@@ -417,5 +458,6 @@ object ExtendedQueries {
     QueryDef("q46_winsorize", q46, Some(q46Sql)),
     QueryDef("q47_set_ops", q47, Some(q47Sql)),
     QueryDef("q48_window_family", q48, Some(q48Sql)),
-    QueryDef("q49_dedup_clusters", q49, Some(q49Sql)))
+    QueryDef("q49_dedup_clusters", q49, Some(q49Sql)),
+    QueryDef("q50_kmeans_step", q50, Some(q50Sql)))
 }

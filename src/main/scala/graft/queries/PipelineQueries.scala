@@ -279,7 +279,7 @@ object PipelineQueries {
     * left-to-right double folds (`list_reduce`) — bit-identical to
     * [[graft.functions.VectorFns.cosine]].
     */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |      p -> struct_extract(p,1) * struct_extract(p,2)), (x,y) -> x + y)
        |  / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x + y))

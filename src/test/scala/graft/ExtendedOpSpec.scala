@@ -222,6 +222,31 @@ class ExtendedOpSpec extends SparkSpec {
     assert(got(3L) == Seq(("date", ln3), ("cherry", ln15)))
   }
 
+  // -------------------------------------------------------------- k-means
+
+  test("kMeansCentroids separates planted direction clusters") {
+    import graft.operators.Similarity
+    // even ids point along axis 0, odd ids along axis 1 (deterministic
+    // per-id jitter); seeds = ids 0 and 1 — one per planted cluster
+    val vecs = (0 until 40).map { i =>
+      val j = 0.01f * (i % 5)
+      if (i % 2 == 0) (i.toLong, Seq(1f + j, j, 0.1f * (i % 3), 0f))
+      else (i.toLong, Seq(j, 1f + j, 0f, 0.1f * (i % 3)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.kMeansCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 3)
+    assert(trained.map(_._1) == IndexedSeq(0L, 1L))
+    val Seq(c0, c1) = trained.map(_._2).toSeq
+    // each trained centroid points along its cluster's axis
+    assert(c0(0) > 0.9f && c0(1) < 0.1f)
+    assert(c1(1) > 0.9f && c1(0) < 0.1f)
+    // one more step reproduces balanced, stable cells
+    val cells = Similarity.kMeansStep(df, "vec_id", "embedding", trained)
+      .select($"cell", $"n").as[(Long, Long)].collect().toMap
+    assert(cells == Map(0L -> 20L, 1L -> 20L))
+  }
+
   // ------------------------------------------------------------ quantiles
 
   test("Quantiles.winsorized clips exactly into the per-group [p1,p99] range") {
