@@ -423,15 +423,17 @@ object Dedup {
     * connected to, i.e. the canonical keeper; dropping every row with
     * `id != component` deduplicates the corpus.
     *
-    * Algorithm: iterative min-label propagation. Each round, every node
-    * takes the min of its own label and its neighbors' labels (one
-    * shuffle join + one aggregate per round); convergence when no label
-    * changed. Rounds needed = the component graph's diameter — near-dup
-    * components are dense (near-cliques around a template), so this is
-    * 2–3 rounds in practice; for adversarial long-chain graphs use the
-    * large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14), which converges in
-    * O(log n) rounds.
+    * Algorithm: iterative min-label propagation with pointer doubling.
+    * Each round, every node takes the min of its own label and its
+    * neighbors' labels (one shuffle join + one aggregate), then
+    * compresses one pointer-chasing step — `comp ← comp(comp)` — via a
+    * label self-join, so label information travels exponentially rather
+    * than one hop per round: O(log n) rounds on chains instead of
+    * O(diameter) (the same doubling idea as the star-contraction
+    * algorithms of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14, without their re-materialized edge set).
+    * Near-dup components are dense near-cliques and converge in 2–3
+    * rounds regardless.
     *
     * Scale hygiene: the edge list is cached (it drives every round),
     * each round's labels are `localCheckpoint`ed so the plan does not
@@ -455,9 +457,17 @@ object Dedup {
       while (!converged && round < maxIter) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"), col("comp").as("prev"),
             least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        // pointer doubling: follow the new label one more hop (labels
+        // are always node ids, so the lookup side is `stepped` itself);
+        // comp is monotonically non-increasing, so the fixpoint is
+        // unchanged — only reached exponentially faster
+        val lookup = stepped.select(col("id").as("l_id"), col("comp").as("l_comp"))
+        val next = stepped.join(lookup, stepped("comp") === lookup("l_id"), "left")
+          .select(col("id"), col("prev"),
+            least(col("comp"), coalesce(col("l_comp"), col("comp"))).as("comp"))
           .localCheckpoint()
         converged = next.filter(col("comp") < col("prev")).isEmpty
         labels = next.select(col("id"), col("comp"))

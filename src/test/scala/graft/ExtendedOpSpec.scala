@@ -151,10 +151,12 @@ class ExtendedOpSpec extends SparkSpec {
     val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
     assert(got == expect)
-    // a 13-node path needs 12 propagation rounds — exercises convergence
-    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 41-node path has diameter 40 > maxIter=25: plain one-hop
+    // propagation could NOT converge — only the pointer-doubling
+    // (O(log n) rounds) path passes this
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val gotChain = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
-    assert(gotChain.length == 13 && gotChain.forall(_._2 == 0L))
+    assert(gotChain.length == 41 && gotChain.forall(_._2 == 0L))
   }
 
   // ----------------------------------------------------------------- kmv
