@@ -18,9 +18,13 @@ import graft.expressions.{KMinValues, VecDot}
   * }}}
   *
   * `kmv_distinct(hashedLong, k)` estimates hashes as uniform on
-  * [0, 2^60) (the engine's portable-hash domain); pass a third literal
-  * to override the domain (e.g. for full-range xxhash64 inputs, shift
-  * them down: `kmv_distinct(xxhash64(c) >> 4, 64)`).
+  * [0, 2^60) (the engine's portable-hash domain — see
+  * `graft.functions.TextFns.md5Hash60`); pass a third literal to
+  * override the domain. Full-range signed hashes like raw `xxhash64`
+  * must be mapped into a NON-NEGATIVE domain first with an UNSIGNED
+  * shift — `kmv_distinct(shiftrightunsigned(xxhash64(c), 4), 64)` —
+  * an arithmetic `>> 4` keeps the sign and yields negative garbage
+  * estimates.
   *
   * [[GraftExtensions.register]] installs the same functions into an
   * already-built session (useful when the session isn't ours to build).

@@ -4,11 +4,11 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
   * aggregate — a DETERMINISTIC approximate COUNT(DISTINCT) whose estimate
@@ -43,7 +43,7 @@ case class KMinValues(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with UnaryLike[Expression] {
+  with ExpectsInputTypes with UnaryLike[Expression] {
 
   require(k >= 2, s"KMV needs k >= 2, got $k")
   require(domain > 0, s"hash domain must be positive, got $domain")
@@ -51,6 +51,10 @@ case class KMinValues(
   override def prettyName: String = "kmv_distinct"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
+  // analysis-time check: a non-bigint child would otherwise pass
+  // resolution and throw ClassCastException mid-job in update().
+  // (Covariant Seq[DataType] — AbstractDataType is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

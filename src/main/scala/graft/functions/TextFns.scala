@@ -87,6 +87,17 @@ object TextFns {
       .otherwise("fr")
   }
 
+  /** The engine's PORTABLE 60-bit hash: the first 15 hex digits of md5
+    * as a long in [0, 2^60) — computable identically in any engine
+    * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), which is what
+    * lets portable SimHash signatures, KMV estimates, and split
+    * assignments be oracle-graded bit-for-bit. This exact shape is a
+    * cross-cutting contract (the oracle SQL restates it verbatim) —
+    * every portable-hash call site must go through this one definition.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Normalized-content fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text. Identical content → identical
     * fingerprint regardless of spacing/case — the exact-dedup key.

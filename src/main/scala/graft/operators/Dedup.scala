@@ -319,7 +319,7 @@ object Dedup {
     val toks = df
       .select(col(idCol).as("id"),
         explode(TextFns.tokens(col(textCol))).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", TextFns.md5Hash60(col("t")))
     val sums = (0 until 60).map(i =>
       sum(when(call_function("shiftright", col("h"), lit(i))
           .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i"))
@@ -375,8 +375,7 @@ object Dedup {
     * digest 60× per token (the captured-expression trap).
     */
   def simHashPortable(textCol: Column): Column = {
-    val hashes = transform(TextFns.tokens(textCol),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val hashes = transform(TextFns.tokens(textCol), t => TextFns.md5Hash60(t))
     val bitSums = aggregate(
       hashes,
       expr("transform(sequence(0, 59), i -> 0)"),

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Column label for a percentile: p50, p99, p99_9. Percentages are
+    * snapped to 2 decimals first — p*100 alone is not exact in IEEE
+    * doubles (0.29*100 = 28.999…996 would otherwise leak into the name).
+    */
   private def label(p: Double): String = {
-    val pct = p * 100
-    if (pct == pct.floor) f"p${pct.toInt}%d" else s"p${pct}".replace('.', '_')
+    val pct = math.rint(p * 10000) / 100.0
+    if (pct == pct.floor) s"p${pct.toInt}" else s"p$pct".replace('.', '_')
   }
 
   /** Exact linear-interpolation quantiles per group, rounded to 6 places
@@ -55,7 +59,9 @@ object Quantiles {
     * broadcast-joined back onto the rows — which is the minimal movement
     * for a per-group data-dependent bound; the clip itself is narrow.
     * Bounds come from [[exact]] (rounded to 6), so the clipped values
-    * are engine-reproducible.
+    * are engine-reproducible. Null values stay null — Spark's
+    * `greatest`/`least` SKIP nulls, so an unguarded clip would
+    * fabricate the upper bound for every null metric.
     */
   def winsorized(df: DataFrame, keyCol: String, valCol: String,
                  loP: Double, hiP: Double): DataFrame = {
@@ -65,7 +71,8 @@ object Quantiles {
       .withColumnRenamed(label(hiP), "__w_hi")
     df.join(broadcast(bounds), keyCol)
       .withColumn(s"${valCol}_w",
-        greatest(col("__w_lo"), least(col("__w_hi"), col(valCol))))
+        when(col(valCol).isNotNull,
+          greatest(col("__w_lo"), least(col("__w_hi"), col(valCol)))))
       .drop("__w_lo", "__w_hi")
   }
 }

@@ -220,7 +220,9 @@ object Similarity {
     * steps. Each step collects k×dim doubles — a model fetch, like the
     * centroid literal it produces; empty cells keep their previous
     * centroid. Feed the result to [[ivfTopK]]-style assignment (cast to
-    * float, as stored quantizers are).
+    * float, as stored quantizers are). `iters = 0` returns the seeds
+    * themselves — the single definition of seeding (q50 grades one step
+    * from exactly these).
     */
   def kMeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
                       k: Int, iters: Int): IndexedSeq[(Long, IndexedSeq[Float])] = {

@@ -22,12 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** The shared portable 60-bit hash: `md5(salt || ':' || id)`'s first 15
-    * hex digits as a long in [0, 2^60).
+  /** Salted portable 60-bit hash of a row id:
+    * [[graft.functions.TextFns.md5Hash60]] over `salt || ':' || id`.
     */
   def portableHash(idCol: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.TextFns.md5Hash60(concat(lit(s"$salt:"), idCol.cast("string")))
 
   /** Split label for each row: `weights` are (label, weight) pairs; a row
     * lands in label i with probability weight_i / Σweights, decided by

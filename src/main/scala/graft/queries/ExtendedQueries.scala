@@ -418,11 +418,10 @@ object ExtendedQueries {
   private def q50(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)
-    val seeds = emb.orderBy(col("vec_id")).limit(KmSeeds)
-      .select(col("vec_id").cast("long"), col("embedding")).collect()
-      .map(r => (r.getLong(0),
-        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
-      .toIndexedSeq
+    // iters = 0 returns exactly the deterministic lowest-id seeds — the
+    // ONE definition of seeding, shared with the trainer loop
+    val seeds = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+      k = KmSeeds, iters = 0)
     Similarity.kMeansStep(emb, "vec_id", "embedding", seeds)
   }
 

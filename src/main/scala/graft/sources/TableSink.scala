@@ -47,16 +47,25 @@ object TableSink {
     * The estimate is pre-compression and pre-encoding, so actual parquet
     * files land smaller than `targetBytes` (often 3–5×) — tune the
     * target to taste; the point is ORDER-OF-MAGNITUDE file-count
-    * control, not byte-exact sizing. Uses `coalesce` when shrinking
-    * (no shuffle) and `repartition` only when growing the partition
-    * count.
+    * control, not byte-exact sizing.
+    *
+    * The target count is clamped into [1, Int.MaxValue] BEFORE narrowing
+    * (plan statistics are BigInt, and unknown-size plans report
+    * Long.MaxValue-scale sentinels — an unclamped narrowing wraps
+    * negative and would funnel a huge frame through one task).
+    * Partition-count choice deliberately avoids probing `df.rdd`: under
+    * AQE that materializes every upstream stage just to read a number,
+    * running the query twice. Below the session's shuffle-partition
+    * count it uses `coalesce` (no shuffle; a no-op if the frame already
+    * has fewer partitions), above it a full `repartition`.
     */
   def compacted(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = (bytes / targetBytes).toLong.toInt.max(1)
-    if (parts <= df.rdd.getNumPartitions) df.coalesce(parts)
-    else df.repartition(parts)
+    val parts = (bytes / targetBytes).min(Int.MaxValue).max(1).toInt
+    val shuffleParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (parts <= shuffleParts) df.coalesce(parts) else df.repartition(parts)
   }
 
   /** Sorted-layout write: globally range-sort by `layoutCols` before

@@ -259,6 +259,12 @@ class ExtendedOpSpec extends SparkSpec {
     assert(w(1.0) == 1.99 && w(2.0) == 2.0)
     assert(w(100.0) == 99.01 && w(99.0) == 99.0)
     assert(w(50.0) == 50.0)
+    // nulls stay null (greatest/least skip nulls — an unguarded clip
+    // would fabricate the upper bound)
+    val withNull = df.union(Seq(("g", Option.empty[Double])).toDF("g", "v"))
+    val nullRow = Quantiles.winsorized(withNull, "g", "v", 0.01, 0.99)
+      .filter($"v".isNull).select($"v_w").as[Option[Double]].collect()
+    assert(nullRow.toSeq == Seq(None))
   }
 
   test("Quantiles: exact interpolates; approx within rank tolerance of exact") {
