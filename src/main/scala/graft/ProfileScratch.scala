@@ -1,7 +1,15 @@
 package graft
 
-// Scratch plan inspector for the round-5 queries — NOT part of the
-// library; deleted after use.
+/** Plan-inspection utility: run one or more registry queries at a small
+  * SF through the noop sink (so AQE settles) and print their physical
+  * plans — the manual companion to PlanSpec's automated guards.
+  *
+  * Usage: `sbt 'runMain graft.ProfileScratch q38_asof_join,q42_tfidf_topterms'`
+  * (defaults to the round-5 join/tf-idf trio). Note the printed tree is
+  * the STATIC plan — runtime stage reuse (ReusedExchange under AQE) only
+  * shows in the final adaptive plan; use PlanSpec's `finalNodes` helper
+  * to assert on that.
+  */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.SparkSession
@@ -13,7 +21,7 @@ object ProfileScratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = args.headOption.map(_.split(",").toSet)
       .getOrElse(Set("q38_asof_join", "q39_interval_overlap", "q42_tfidf_topterms"))
     SparkEntry.registry.filter(q => names.contains(q.name)).foreach { q =>
