@@ -131,6 +131,40 @@ object OperatorProps extends Properties("graft.operators") {
       got == want
     }
 
+  /** Tie-heavy as-of property: tiny key/timestamp domains force equal-ts
+    * collisions on both sides, exercising the side ordering (right row
+    * at the left timestamp matches) and the max-tie-id rule — checked
+    * against a direct reference implementation, both directions.
+    */
+  property("as-of join == reference impl on tie-heavy random data") =
+    forAll(
+      Gen.listOfN(30, for {
+        k <- Gen.choose(0L, 2L); ts <- Gen.choose(0L, 5L)
+      } yield (k, ts)),
+      Gen.listOfN(30, for {
+        k <- Gen.choose(0L, 2L); ts <- Gen.choose(0L, 5L)
+      } yield (k, ts)),
+      Gen.oneOf(true, false)) { (ls, rs, forward) =>
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, i.toLong, t(ts)) }
+        .toDF("k", "lid", "lts")
+      val right = rs.zipWithIndex.map { case ((k, ts), i) => (k, i.toLong, t(ts)) }
+        .toDF("k", "rid", "rts")
+      val got = graft.operators.AsOf
+        .join(left, right, Seq("k"), "lts", "rts", "rid", forward = forward)
+        .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+      val want = ls.zipWithIndex.map { case ((k, lts), i) =>
+        val cand = rs.zipWithIndex.filter { case ((rk, rts), _) =>
+          rk == k && (if (forward) rts >= lts else rts <= lts) }
+        val best =
+          if (cand.isEmpty) None
+          else if (forward) Some(cand.minBy { case ((_, rts), ri) => (rts, ri) })
+          else Some(cand.maxBy { case ((_, rts), ri) => (rts, ri) })
+        i.toLong -> best.map(_._2.toLong)
+      }.toMap
+      got == want
+    }
+
   property("rolling-hash fingerprint stays in [0, 1e9+7)") = Prop.secure {
     val texts = List("spark agg row", "", "x", "a b c d e f g h i j")
     val got = texts.toDF("text")
