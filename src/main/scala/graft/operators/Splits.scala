@@ -60,4 +60,22 @@ object Splits {
     require(keep >= 0 && keep <= outOf, s"keep=$keep must be in [0, $outOf]")
     df.filter(pmod(portableHash(col(idCol), salt), lit(outOf)) < keep)
   }
+
+  /** Deterministic STRATIFIED sample: per-stratum keep fractions (class
+    * balancing — downsample the dominant language/source/label, keep the
+    * rare ones whole). Same permanence guarantee as [[assign]]: a row's
+    * membership is a pure function of its id, so re-runs and appends
+    * never reshuffle the sample. Strata not listed keep `defaultKeep`.
+    * Purely narrow — the per-stratum fraction folds to a CASE, no join.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Int], defaultKeep: Int = 0,
+                       outOf: Int = 100, salt: String = "strata"): DataFrame = {
+    require((fractions.values ++ Seq(defaultKeep)).forall(k => k >= 0 && k <= outOf),
+      s"all keep counts must be in [0, $outOf]: $fractions default=$defaultKeep")
+    val keep = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
+      case (acc, (s, k)) => when(col(strataCol) === s, k).otherwise(acc)
+    }
+    df.filter(pmod(portableHash(col(idCol), salt), lit(outOf)) < keep)
+  }
 }

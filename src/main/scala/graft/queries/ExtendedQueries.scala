@@ -405,6 +405,26 @@ object ExtendedQueries {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- stratified sample
+
+  /** Q51 — deterministic stratified sample of the corpus: keep 50% of
+    * English, 25% of German, 10% of everything else, membership a pure
+    * function of doc_id — graded row-for-row (the exact sampled set,
+    * not just counts).
+    */
+  private def q51(spark: SparkSession, dir: String): DataFrame =
+    Splits.stratifiedSample(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", fractions = Map("en" -> 50, "de" -> 25),
+        defaultKeep = 10)
+      .orderBy("doc_id")
+
+  private val q51Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5('strata:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+      |      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- k-means step
 
   private val KmSeeds = 8
@@ -458,5 +478,6 @@ object ExtendedQueries {
     QueryDef("q47_set_ops", q47, Some(q47Sql)),
     QueryDef("q48_window_family", q48, Some(q48Sql)),
     QueryDef("q49_dedup_clusters", q49, Some(q49Sql)),
-    QueryDef("q50_kmeans_step", q50, Some(q50Sql)))
+    QueryDef("q50_kmeans_step", q50, Some(q50Sql)),
+    QueryDef("q51_stratified_sample", q51, Some(q51Sql)))
 }

@@ -202,6 +202,23 @@ class ExtendedOpSpec extends SparkSpec {
     assert(kept == kept2)
   }
 
+  test("stratifiedSample: per-stratum rates, stable membership, default 0 drops") {
+    val rows = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    val df = rows.toDF("id", "s")
+    val got = Splits.stratifiedSample(df, "id", "s", Map("a" -> 60, "b" -> 10))
+      .as[(Long, String)].collect()
+    val byStrata = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStrata.getOrElse("c", 0) == 0)              // default keep = 0
+    assert(byStrata("a") > 500 && byStrata("a") < 700)   // ~60% of 1000
+    assert(byStrata("b") > 50 && byStrata("b") < 170)    // ~10% of 1000
+    // permanence: same rows selected on a re-run over a superset
+    val bigger = (1L to 4000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    val again = Splits.stratifiedSample(bigger.toDF("id", "s"), "id", "s",
+        Map("a" -> 60, "b" -> 10))
+      .filter($"id" <= 3000).as[(Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   // --------------------------------------------------------------- tf-idf
 
   test("TfIdf.topTerms: hand-computed scores and ranks") {
