@@ -425,6 +425,32 @@ object ExtendedQueries {
       |      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- bloom
+
+  private val BloomWords = 16
+  private val BloomK = 3
+
+  /** Q52 — the portable Bloom filter built over click users, graded
+    * word-for-word: the filter is pure bit algebra over portable hashes,
+    * so the oracle reconstructs the identical (word, bits) rows.
+    */
+  private def q52(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bloom.build(
+        Tables.events(spark, dir).filter(col("event_type") === "click"),
+        col("user_id"), words = BloomWords, k = BloomK)
+      .orderBy("word")
+
+  private val q52Sql =
+    s"""WITH p AS (
+       |  SELECT h % $BloomWords AS word, (h // $BloomWords) % 64 AS bit
+       |  FROM (SELECT ('0x' || substr(md5('bloom' || i || ':' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+       |        FROM events CROSS JOIN range(0, $BloomK) t(i)
+       |        WHERE event_type = 'click'))
+       |SELECT word,
+       |       bit_or(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+       |                   ELSE 1::BIGINT << bit::INTEGER END) AS bits
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- k-means step
 
   private val KmSeeds = 8
@@ -479,5 +505,6 @@ object ExtendedQueries {
     QueryDef("q48_window_family", q48, Some(q48Sql)),
     QueryDef("q49_dedup_clusters", q49, Some(q49Sql)),
     QueryDef("q50_kmeans_step", q50, Some(q50Sql)),
-    QueryDef("q51_stratified_sample", q51, Some(q51Sql)))
+    QueryDef("q51_stratified_sample", q51, Some(q51Sql)),
+    QueryDef("q52_bloom_filter", q52, Some(q52Sql)))
 }

@@ -219,6 +219,21 @@ class ExtendedOpSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("Bloom: no false negatives, disjoint values mostly pruned") {
+    import graft.operators.Bloom
+    val members = (1L to 100L).map(i => s"in_$i")
+    val outsiders = (1L to 400L).map(i => s"out_$i")
+    val bloom = Bloom.build(members.toDF("v"), col("v"), words = 256, k = 3)
+    val cand = (members ++ outsiders).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val kept = Bloom.mightContain(cand, "id", col("v"), bloom, words = 256, k = 3)
+      .select($"v").as[String].collect().toSet
+    assert(members.forall(kept.contains), "a true member was dropped")
+    // 256 words * 64 bits for 100 values at k=3 -> fpr well under 1%
+    assert((kept -- members.toSet).size < 20,
+      s"pruning too weak: ${(kept -- members.toSet).size} of 400 outsiders kept")
+  }
+
   // --------------------------------------------------------------- tf-idf
 
   test("TfIdf.topTerms: hand-computed scores and ranks") {
