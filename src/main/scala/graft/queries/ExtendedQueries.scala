@@ -425,6 +425,32 @@ object ExtendedQueries {
       |      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- histogram
+
+  /** Q53 — fixed-bin value histogram per event type, `width_bucket`
+    * semantics (bins 1..32 over [0, 256), underflow 0 / overflow 33)
+    * spelled as explicit floor arithmetic — DuckDB 1.0 has no
+    * width_bucket, and identical `floor(v/8.0)` doubles on both sides
+    * grade exactly. One aggregation — the workhorse of distribution
+    * dashboards at any scale.
+    */
+  private def q53(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        when(col("value") < 0.0, 0)
+          .when(col("value") >= 256.0, 33)
+          .otherwise(floor(col("value") / lit(8.0)).cast("int") + 1)
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+      .orderBy("event_type", "bucket")
+
+  private val q53Sql =
+    """SELECT event_type,
+      |       CASE WHEN value < 0.0 THEN 0 WHEN value >= 256.0 THEN 33
+      |            ELSE floor(value / 8.0)::INT + 1 END AS bucket,
+      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- bloom
 
   private val BloomWords = 16
@@ -506,5 +532,6 @@ object ExtendedQueries {
     QueryDef("q49_dedup_clusters", q49, Some(q49Sql)),
     QueryDef("q50_kmeans_step", q50, Some(q50Sql)),
     QueryDef("q51_stratified_sample", q51, Some(q51Sql)),
-    QueryDef("q52_bloom_filter", q52, Some(q52Sql)))
+    QueryDef("q52_bloom_filter", q52, Some(q52Sql)),
+    QueryDef("q53_histogram", q53, Some(q53Sql)))
 }
