@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Streaming near-duplicate detection — the real-time twin of the batch
+  * MinHash+LSH path (q22): each arriving document's banded MinHash
+  * signature keys it into band buckets, per-bucket streaming state
+  * remembers recent members, and a new arrival emits a candidate pair
+  * against every current member of any bucket it lands in. The
+  * ingest-time building block of "have we already crawled this page"
+  * dedup, with the SAME banding math as the batch operator (a candidate
+  * emitted here is exactly a candidate the batch job would generate).
+  *
+  * Candidates, not verdicts: exact Jaccard verification needs both
+  * documents' full shingle sets, which per-bucket state deliberately
+  * does not carry (it would multiply state size by document length) —
+  * verify candidates downstream against the store, as the batch path
+  * does. A pair sharing multiple bands is emitted once per shared
+  * bucket; de-duplicate downstream (e.g.
+  * `dropDuplicatesWithinWatermark`).
+  *
+  * State is bounded two ways: each bucket keeps at most `maxBucket`
+  * members (oldest evicted first — a hot bucket is boilerplate, same
+  * pathology as the batch hot-bucket cap), and a whole bucket expires
+  * by EVENT-TIME timeout once the watermark passes its last activity +
+  * `retention`, so an unbounded stream holds state only for the recency
+  * window that matters.
+  */
+/** A near-dup candidate: `doc_id` arrived and collided with the earlier
+  * `prior_id` in some band bucket. (Top-level, as are the state classes
+  * below: a case class nested in an object breaks the state encoder's
+  * generated code — "No applicable constructor/method found".)
+  */
+case class NearDupCandidate(doc_id: Long, prior_id: Long)
+
+private[streaming] case class BucketMember(id: Long, tsUs: Long)
+private[streaming] case class NearDupBucketState(members: List[BucketMember])
+
+object NearDupStream {
+
+  /** Candidate stream over documents (`doc_id: long, ts: timestamp,
+    * text: string`). `bands` divides 64; collision probability per band
+    * is J^(64/bands) — (32 bands, 2 rows) catches J ≥ 0.6 with
+    * near-certainty across 32 chances.
+    */
+  def candidates(docs: DataFrame, n: Int = 3, bands: Int = 32,
+                 watermark: String = "10 minutes",
+                 retentionUs: Long = 3600000000L,
+                 maxBucket: Int = 64): Dataset[NearDupCandidate] = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val rows = 64 / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val bucketKey = concat_ws(":",
+      (col("band") +: (0 until rows).map(r =>
+        element_at(col("sig"), col("band") * rows + r + 1))): _*)
+    docs.withWatermark("ts", watermark)
+      .withColumn("sig", Dedup.minHashSignature(TextFns.shingles(col("text"), n)))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(col("doc_id"), col("ts"), bucketKey.as("bucket"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[NearDupBucketState, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[NearDupBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = Seq.newBuilder[NearDupCandidate]
+            rows.toSeq.sortBy(r => (micros(r._2), r._1)).foreach { case (id, ts, _) =>
+              members.foreach(m => if (m.id != id) out += NearDupCandidate(id, m.id))
+              members = (BucketMember(id, micros(ts)) :: members).take(maxBucket)
+            }
+            state.update(NearDupBucketState(members))
+            val lastUs = members.headOption.map(_.tsUs).getOrElse(0L)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1,
+                lastUs / 1000 + retentionUs / 1000))
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -253,6 +253,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: banded candidates across batches, no cross-talk") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.NearDupStream.candidates(df)
+      .writeStream.format("memory").queryName("neardup_st").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      val near = "the quick brown fox jumps over the lazy cat again and again today"
+      val far = "completely unrelated text about spark structured streaming state"
+      in.addData((1L, new Timestamp(100000L), base))
+      q.processAllAvailable()
+      // near-dup arrives in a LATER batch -> collides with bucket state;
+      // unrelated doc shares no band
+      in.addData((2L, new Timestamp(200000L), near), (3L, new Timestamp(201000L), far))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_st")
+        .select($"doc_id", $"prior_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((2L, 1L)), s"near-dup pair missing from $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc produced candidates: $pairs")
+      // a third copy pairs with BOTH earlier members of the bucket
+      in.addData((4L, new Timestamp(300000L), base))
+      q.processAllAvailable()
+      val later = spark.table("neardup_st")
+        .select($"doc_id", $"prior_id").as[(Long, Long)].collect().toSet
+      assert(later.contains((4L, 1L)) && later.contains((4L, 2L)))
+    } finally q.stop()
+  }
+
   test("throughput: a 10k-record batch clears in far under the 30s floor") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
