@@ -253,6 +253,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: broadcast dimension, stateless") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = in.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", coalesce($"tier", lit("none")).as("tier"))
+      .writeStream.format("memory").queryName("enrich_st").outputMode("append").start()
+    try {
+      in.addData(ev(10, 100, user = 1), ev(11, 101, user = 2), ev(12, 102, user = 9))
+      q.processAllAvailable()
+      val got = spark.table("enrich_st").as[(Long, String)].collect().toMap
+      assert(got == Map(10L -> "gold", 11L -> "silver", 12L -> "none"))
+    } finally q.stop()
+  }
+
   test("streaming near-dup: banded candidates across batches, no cross-talk") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
