@@ -416,6 +416,21 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** The one-call near-dup corpus dedup: MinHash+LSH pairs (the scale
+    * path) → connected components → keep each component's canonical
+    * keeper (minimum id) plus every unpaired row. The end-to-end
+    * pipeline a corpus-curation job actually runs; the pieces are
+    * exposed separately because production runs materialize the pair
+    * list between stages (audit + re-threshold without re-pairing).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val comps = connectedComponents(minHashPairs(df, idCol, textCol, n, threshold))
+    val drop = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * PAIRS (q21/q22/q34-style output) into DEDUP DECISIONS: every doc in
     * a component keeps `component` = the minimum id it is (transitively)

@@ -127,6 +127,21 @@ class ExtendedOpSpec extends SparkSpec {
     assert(got == brute.sorted)
   }
 
+  test("dropNearDuplicates keeps one representative per cluster + all unpaired") {
+    import graft.operators.Dedup
+    // 1,2,3 near-identical (one token varies); 4 unrelated; 5 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "totally different words that share nothing with the others here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   // -------------------------------------------------- connected components
 
   test("connectedComponents equals union-find on a random graph; chains converge") {
