@@ -151,11 +151,16 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
               query: DataFrame, k: Int,
-              nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long"), col(embCol)).collect()
-      .map(r => (r.getLong(0),
-        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
+              nCentroids: Int = 32, nProbe: Int = 4,
+              centroids: Option[Seq[(Long, IndexedSeq[Float])]] = None): DataFrame = {
+    // default quantizer = untrained lowest-id seeds; pass a
+    // [[kMeansCentroids]]-trained model to tighten the cells (the
+    // assignment plumbing is identical either way)
+    val cents = centroids.map(_.toArray).getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
     val centArr = typedlit(cents.toIndexedSeq) // array<struct<_1:long,_2:array<float>>>
     // per-row centroid ranking: sort struct(-cos, cent_id) ascending ==
     // cos descending with centroid-id tie-break (same order the windowed

@@ -294,6 +294,14 @@ class ExtendedOpSpec extends SparkSpec {
     val cells = Similarity.kMeansStep(df, "vec_id", "embedding", trained)
       .select($"cell", $"n").as[(Long, Long)].collect().toMap
     assert(cells == Map(0L -> 20L, 1L -> 20L))
+    // the trained model plugs into the index: querying with vector 6's
+    // own embedding through 1-probe IVF must return it first (its cell
+    // is probed, exact re-rank puts the identical vector on top)
+    val query = df.filter($"vec_id" === 6L).select($"embedding")
+    val top = Similarity.ivfTopK(df, "vec_id", "embedding", query, k = 3,
+        nProbe = 1, centroids = Some(trained))
+      .select($"vec_id").as[Long].head()
+    assert(top == 6L)
   }
 
   // ------------------------------------------------------------ quantiles
