@@ -174,4 +174,16 @@ object OperatorProps extends Properties("graft.operators") {
       .as[Long].collect()
     got.forall(h => h >= 0L && h < 1000000007L)
   }
+
+  property("RollingHash kernel == HOF formula on random ASCII text") =
+    forAll(Gen.listOfN(25,
+      Gen.listOf(Gen.choose(' ', '~')).map(_.mkString))) { texts =>
+      val df = texts.toDF("text")
+      val rows = df.select(
+        graft.expressions.RollingHash(col("text")),
+        expr("""aggregate(transform(regexp_extract_all(text, '.', 0), c -> bigint(ascii(c))),
+               | 7L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin))
+        .as[(Long, Long)].collect()
+      rows.forall(r => r._1 == r._2)
+    }
 }
