@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{KMinValues, VecDot}
+import graft.expressions.{KMinValues, RollingHash, VecDot}
 
 /** Session extension point for the engine's custom Catalyst expressions —
   * the standard injection path
@@ -44,6 +44,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, s"vec_dot expects 2 arguments, got ${children.size}")
         VecDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"rolling_hash expects 1 argument, got ${children.size}")
+        RollingHash(children.head, 7L, 31L, 1000000007L)
       }),
     (FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMinValues].getName, "kmv_distinct"),
