@@ -82,6 +82,27 @@ class ExtendedOpSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("operator contracts fail fast on misuse") {
+    val l = Seq((1L, 2L, ts(1000))).toDF("k", "x", "lts")
+    val r = Seq((1L, 3L, ts(1000))).toDF("k", "x", "rts") // x collides
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOf.join(l, r, Seq("k"), "lts", "rts", "x")
+    }
+    val a = Seq((1L, 2L)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] { // same names both sides
+      RangeJoin.intervalJoin(a, a, "lo", "hi", "lo", "hi", 10)
+    }
+    intercept[IllegalArgumentException] { // non-positive bin width
+      RangeJoin.intervalJoin(a, a.toDF("l2", "h2"), "lo", "hi", "l2", "h2", 0)
+    }
+    intercept[IllegalArgumentException] { // bloom words not a power of two
+      graft.operators.Bloom.build(a, col("lo"), words = 48)
+    }
+    intercept[IllegalArgumentException] { // invalid split weights
+      Splits.assign(col("lo"), Seq("train" -> 0))
+    }
+  }
+
   // -------------------------------------------------------------- ranges
 
   test("intervalJoin: exact pair set, each pair exactly once") {
