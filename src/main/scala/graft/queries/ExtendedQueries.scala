@@ -425,6 +425,41 @@ object ExtendedQueries {
       |      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- snapshot diff
+
+  /** Q54 — snapshot diff: two deterministic "crawls" derived from the
+    * corpus (old = ids < 400; new = ids >= 100 with every 7th document
+    * edited) classified added/removed/changed/unchanged by content
+    * fingerprint — graded row-for-row.
+    */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshot
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+    val neu = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Snapshot.diff(old, neu, "doc_id", "text").orderBy("doc_id")
+  }
+
+  private val q54Sql =
+    """WITH o AS (SELECT doc_id,
+      |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |           FROM documents WHERE doc_id < 400),
+      |n AS (SELECT doc_id,
+      |        md5(trim(regexp_replace(lower(
+      |          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END),
+      |          '\s+', ' ', 'g'))) AS fp
+      |      FROM documents WHERE doc_id >= 100)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN o.fp = n.fp THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- histogram
 
   /** Q53 — fixed-bin value histogram per event type, `width_bucket`
@@ -533,5 +568,6 @@ object ExtendedQueries {
     QueryDef("q50_kmeans_step", q50, Some(q50Sql)),
     QueryDef("q51_stratified_sample", q51, Some(q51Sql)),
     QueryDef("q52_bloom_filter", q52, Some(q52Sql)),
-    QueryDef("q53_histogram", q53, Some(q53Sql)))
+    QueryDef("q53_histogram", q53, Some(q53Sql)),
+    QueryDef("q54_snapshot_diff", q54, Some(q54Sql)))
 }

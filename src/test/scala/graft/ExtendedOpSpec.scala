@@ -163,6 +163,18 @@ class ExtendedOpSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("Snapshot.diff classifies add/remove/change/unchange; normalization-aware") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
+      (4L, "Spaced   Out")).toDF("id", "t")
+    val neu = Seq((1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "spaced out")).toDF("id", "t") // normalizes equal to old 4
+    val got = Snapshot.diff(old, neu, "id", "t")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   // -------------------------------------------------- connected components
 
   test("connectedComponents equals union-find on a random graph; chains converge") {
