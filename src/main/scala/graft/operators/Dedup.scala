@@ -341,10 +341,17 @@ object Dedup {
     * verified with the true Hamming distance (`bit_count(xor)`), so the
     * output is exact with respect to the signatures.
     */
-  private def hammingPairs(sigs: DataFrame, bits: Int,
+  private def hammingPairs(rawSigs: DataFrame, bits: Int,
                            maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     val width = bits / blocks
+    // pin the signature frame behind one exchange on id: it feeds the
+    // blocked index AND both verify joins, and without the pin each
+    // consumer re-runs the full token-explode + 60-sum aggregate (the
+    // shingleFrame lesson — renames sit above the exchange, so all
+    // three consumers' exchange subtrees canonicalize identically and
+    // ReusedExchange materializes the signatures once)
+    val sigs = rawSigs.repartition(col("id"))
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
         // block b = bits [b*width, b*width+width) (the final block keeps

@@ -86,6 +86,12 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q34 plan: signature frame materialized once (ReusedExchange)") {
+    val nodes = names(finalNodes(SparkEntry.queries("q34_simhash_neardup")(spark, sf)))
+    assert(nodes.exists(_.contains("ReusedExchange")),
+      s"signature exchange not reused — the 60-sum aggregate runs per consumer; got $nodes")
+  }
+
   test("q38 as-of plan: no join operator, filters pushed to both scans") {
     val nodes = finalNodes(SparkEntry.queries("q38_asof_join")(spark, sf))
     val joins = names(nodes).filter(_.contains("Join"))
