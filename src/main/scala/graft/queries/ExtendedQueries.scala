@@ -425,6 +425,23 @@ object ExtendedQueries {
       |      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Q55 — unpivot/melt (the inverse of q45): the wide day×type frame
+    * melts back to long form via `Dataset.unpivot`, and must round-trip
+    * to exactly the plain grouped counts — the oracle IS that plain
+    * aggregate (fill-zeros from the pivot are dropped, since a GROUP BY
+    * never emits absent combinations).
+    */
+  private def q55(spark: SparkSession, dir: String): DataFrame =
+    q45(spark, dir)
+      .unpivot(Array(col("day")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy("day", "event_type")
+
+  private val q55Sql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- snapshot diff
 
   /** Q54 — snapshot diff: two deterministic "crawls" derived from the
@@ -569,5 +586,6 @@ object ExtendedQueries {
     QueryDef("q51_stratified_sample", q51, Some(q51Sql)),
     QueryDef("q52_bloom_filter", q52, Some(q52Sql)),
     QueryDef("q53_histogram", q53, Some(q53Sql)),
-    QueryDef("q54_snapshot_diff", q54, Some(q54Sql)))
+    QueryDef("q54_snapshot_diff", q54, Some(q54Sql)),
+    QueryDef("q55_unpivot", q55, Some(q55Sql)))
 }
