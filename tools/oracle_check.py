@@ -85,6 +85,17 @@ def main(sf_dir, out_dir):
             continue
         scols = sorted(tbl.column_names)
         sdf = tbl.select(scols)
+        # The driver sorts result rows via pandas sort_values, which raises
+        # "unhashable type: numpy.ndarray" on LIST columns (seen: q50 r5).
+        # Flag them here so the failure is caught before the driver runs.
+        import pyarrow as pa
+        listy = [c for c in scols
+                 if pa.types.is_list(tbl.schema.field(c).type)
+                 or pa.types.is_large_list(tbl.schema.field(c).type)]
+        if listy:
+            print(f"{name}: LIST COLUMNS {listy} — driver pandas sort will fail")
+            n_fail += 1
+            continue
         spark_rows = [tuple(r[c] for c in scols) for r in sdf.to_pylist()]
         if name not in oracle:
             status = "nonempty" if spark_rows else "EMPTY (driver may flag)"
