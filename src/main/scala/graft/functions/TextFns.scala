@@ -59,14 +59,21 @@ object TextFns {
     * at sf0.1). Here every lambda references only its own arguments, so
     * the token array is evaluated O(n) times per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    require(n >= 2, s"shingle width must be >= 2, got $n")
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngrams(text, n))
+
+  /** Word n-grams in document order, NOT deduplicated — the repetition
+    * signals (top-bigram fraction, duplicate-gram fraction) need the
+    * multiset. Same shifted-slice zip construction as [[shingles]] (and
+    * the same O(tokens) cost bound — see the lambda-capture note there).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram width must be >= 2, got $n")
     val w = tokens(text)
     val m = greatest(size(w) - (n - 1), lit(0))
-    val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+    (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
       zip_with(acc, slice(w, lit(j), m), (a, b) => concat_ws(" ", a, b))
     }
-    array_distinct(grams)
   }
 
   /** Per-language stopword-count heuristic + CJK script detection.

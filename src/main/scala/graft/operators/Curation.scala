@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-curation operators for LLM training-data pipelines — the steps
+  * between "raw crawl" and "tokenized shards" that the reference's
+  * quality surface (src/spark/streaming/SensorDataProcessor.scala's
+  * quality-score stage) stops short of: repetition quality signals, benchmark
+  * decontamination, chunking, domain mixture weighting, weighted
+  * sampling, vocabulary building/encoding, and sequence packing.
+  *
+  * Scale posture, per operator:
+  *   - [[repetitionStats]]: explode + two-level aggregate (map-side
+  *     combine), no corpus-wide state.
+  *   - [[decontaminate]]: the benchmark side is an eval set — small by
+  *     definition — so its gram set is broadcast and the corpus is
+  *     scanned once with no shuffle.
+  *   - [[chunk]]: purely narrow (per-row explode), no shuffle.
+  *   - [[mixtureWeights]]: one tiny aggregate.
+  *   - [[weightedSample]]: one global top-k (TakeOrderedAndProject —
+  *     per-partition heaps, no full sort).
+  *   - [[vocabulary]]: one aggregate + ONE single-partition window over
+  *     the distinct-term frame (vocab-sized, ~1M rows at 100 TB — the
+  *     standard, acceptable bottleneck of frequency-ranked vocab
+  *     assignment); [[encode]] then broadcast-joins ids to tokens.
+  *   - [[packSequences]]: running-sum window PARTITIONED by the shard
+  *     column — packing is per-shard by design, so no global sort.
+  */
+object Curation {
+
+  // ------------------------------------------------------ quality signals
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 — repetitious documents are
+    * low-quality): token count, distinct-token ratio, most-frequent-word
+    * fraction, most-frequent-bigram fraction, and duplicate-bigram
+    * fraction. High top-fraction / low distinct-ratio docs are the
+    * boilerplate + keyword-stuffing tail a quality filter drops.
+    *
+    * One exploded aggregate per gram width: `(id, gram) → count` then
+    * `(id) → (n, distinct, max)` — both with map-side partial
+    * aggregation, so cost is linear in corpus tokens and the only
+    * shuffles are the two keyed aggregates. Ratios are `round(_, 6)`
+    * doubles (oracle-portable).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def gramStats(gram: Column, n: String, d: String, top: String): DataFrame =
+      df.select(col(idCol), explode(gram).as("g"))
+        .groupBy(col(idCol), col("g")).count()
+        .groupBy(col(idCol)).agg(
+          sum("count").as(n), count(lit(1)).as(d), max("count").as(top))
+    val words = gramStats(TextFns.tokens(col(textCol)), "n_tokens", "d_w", "top_w")
+    val bigrams = gramStats(TextFns.ngrams(col(textCol), 2), "n_bi", "d_bi", "top_bi")
+    words.join(bigrams, idCol)
+      .select(col(idCol),
+        col("n_tokens"),
+        round(col("d_w") / col("n_tokens"), 6).as("distinct_ratio"),
+        round(col("top_w") / col("n_tokens"), 6).as("top_word_frac"),
+        round(col("top_bi") / col("n_bi"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("d_bi") / col("n_bi"), 6).as("dup_bigram_frac"))
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `n`-gram with a held-out evaluation set (the standard n-gram-overlap
+    * decontamination of GPT-3 appendix C / PaLM §6.5). Returns
+    * `(idCol, n_overlap)` — contaminated docs only, with the count of
+    * distinct benchmark grams they contain.
+    *
+    * The benchmark gram set is DISTINCT'd and broadcast: eval suites are
+    * a few thousand documents regardless of corpus scale, so the corpus
+    * side is one narrow scan + broadcast semi-style join — no shuffle of
+    * the 100 TB side (the final per-doc count aggregate moves only the
+    * matched rows, a vanishing fraction).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val gram = (d: DataFrame) =>
+      d.select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("g"))
+    val benchGrams = gram(benchmark).select("g").distinct()
+    gram(corpus)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  /** Overlapping token-window chunking (RAG / context-window prep): each
+    * document becomes ⌈tokens/stride⌉ chunks of up to `width` tokens,
+    * consecutive chunks overlapping by `width - stride`. Emits
+    * `(idCol, start, n_chunk_tokens, chunk)` — `start` is the 0-based
+    * token offset, so chunk identity is stable under re-partitioning.
+    *
+    * Purely narrow: token array built once per row, starts enumerated
+    * with `sequence`, each chunk a `slice` — no lambda captures the
+    * token array (the HOF-capture O(n²) trap), no shuffle.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            width: Int = 32, stride: Int = 24): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val toks = TextFns.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col(idCol), col("start").cast("long").as("start"),
+        least(size(col("toks")) - col("start"), lit(width)).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(width)))
+          .as("chunk"))
+  }
+
+  // ------------------------------------------------------ mixture weights
+
+  /** Domain-mixture reweighting: given target corpus proportions per
+    * stratum (language, source, …), emit each stratum's document/token
+    * counts and the sampling weight `target_frac × total_tokens /
+    * stratum_tokens` — the factor that, applied as an
+    * acceptance/repetition rate, makes the sampled token stream match
+    * the target mixture (the mixture-balancing step of every LLM data
+    * recipe; weights > 1 mean the stratum must be up-sampled/repeated).
+    *
+    * One keyed aggregate over the corpus; strata counts are tiny.
+    * Strata absent from `targets` get weight 0 (dropped domains).
+    */
+  def mixtureWeights(df: DataFrame, strataCol: String, tokensCol: Column,
+                     targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "need at least one target stratum")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF(strataCol, "target_frac")
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+    val total = stats.agg(sum("n_tokens").as("total_tokens"))
+    stats.join(broadcast(t), Seq(strataCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(coalesce(col("target_frac"), lit(0.0)) * col("total_tokens")
+          / col("n_tokens"), 6).as("weight"))
+  }
+
+  // ------------------------------------------------------ weighted sample
+
+  /** Deterministic weighted sample of k rows without replacement —
+    * Efraimidis–Spirakis A-ES: each row gets key `u^(1/w)` for
+    * deterministic pseudo-uniform `u` derived from the row id's portable
+    * 60-bit hash, and the k largest keys win. Inclusion probability is
+    * proportional to `w` (exactly the A-ES reservoir scheme, with the
+    * hash replacing the RNG so the sample is a pure function of row ids
+    * — stable across runs, partitionings, and retries, like everything
+    * in [[Splits]]).
+    *
+    * The key is rounded to 6 places and ties broken by id BEFORE the
+    * top-k, so selection is reproducible cross-engine (`pow` may differ
+    * by ulps between libm implementations — the round absorbs it; see
+    * the oracle-portability notes). One narrow projection + one
+    * `TakeOrderedAndProject` top-k: per-partition heaps, no global sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Splits.portableHash(col(idCol), salt).cast("double") + 0.5) /
+      lit(1.152921504606846976e18) // 2^60 — u in (0, 1)
+    df.withColumn("sample_key",
+        round(pow(u, lit(1.0) / weightCol.cast("double")), 6))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------- vocabulary + encode
+
+  /** Frequency-ranked vocabulary over the corpus: `(term, token_id)`
+    * with ids 1..V assigned by (count DESC, term ASC) — the id
+    * assignment step of tokenizer training. The ranking window runs on
+    * the DISTINCT-TERM frame (vocab-sized — ~1M rows even at 100 TB
+    * corpus scale), so the single-partition window is bounded by
+    * vocabulary size, not corpus size; the corpus itself is touched only
+    * by the map-side-combined term count.
+    */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("term").count()
+      .select(col("term"), row_number().over(
+        Window.orderBy(col("count").desc, col("term"))).cast("long")
+        .as("token_id"))
+
+  /** Encode documents against a vocabulary: `(idCol, pos, token_id)`
+    * triples in document order — the corpus as id sequences. The vocab
+    * is broadcast (it is vocab-sized); the corpus side stays narrow.
+    * Unknown terms (absent from `vocab`) encode as id 0.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("p", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col(idCol), col("p").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Greedy in-order sequence packing: within each shard (`shardCol` —
+    * packing is per-shard so no global order is imposed), documents are
+    * laid out in id order and cut into bins of `budget` tokens by the
+    * running token count: `bin = (cumsum - n) div budget`. Documents
+    * never split across bins; a bin may overflow by at most one
+    * document (the standard greedy packing used to build fixed-length
+    * training sequences).
+    *
+    * One partitioned running-sum window — shuffle on `shardCol` only.
+    * The within-shard window is sequential by nature (packing is an
+    * ordered scan); sharding is what makes it parallel, exactly as a
+    * production tokenizer packs per input shard.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+                    shardCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(shardCol), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div ${budget}L"))
+      .drop("cum")
+  }
+}

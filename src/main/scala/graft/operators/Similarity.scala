@@ -220,6 +220,35 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step of a disk-resident ANN index (IVF-SQ8 style: 4× smaller than
+    * float32, distance error bounded by per-dimension resolution). Each
+    * dimension is affinely mapped to codes 0..255 using its corpus-wide
+    * [min, max]: `code = floor((v - min) · 255 / (max - min) + 0.5)`
+    * (a constant dimension maps to 0). Emits `(id, pos, code)` rows.
+    *
+    * The per-dimension stats frame is dim-sized (64 rows) regardless of
+    * corpus scale: one map-side-combined aggregate, then a broadcast
+    * join back — the corpus is scanned once, nothing corpus-sized
+    * shuffles. All arithmetic is double with one fixed association
+    * order, so codes are bit-reproducible cross-engine (scalar double
+    * ops are exact-identical; no rounding tolerance needed).
+    */
+  def scalarQuantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val flat = df.select(col(idCol),
+        posexplode(col(embCol)).as(Seq("p", "vf")))
+      .select(col(idCol), col("p").cast("long").as("pos"),
+        col("vf").cast("double").as("v"))
+    val stats = flat.groupBy("pos")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    flat.join(broadcast(stats), "pos")
+      .select(col(idCol), col("pos"),
+        when(col("mx") > col("mn"),
+          floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))
+            + lit(0.5)))
+          .otherwise(lit(0L)).as("code"))
+  }
+
   /** Train the IVF coarse quantizer in-engine: lowest-id seeds (the same
     * deterministic init [[ivfTopK]] defaults to), then `iters` k-means
     * steps. Each step collects k×dim doubles — a model fetch, like the

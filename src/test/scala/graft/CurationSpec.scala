@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Similarity}
+
+/** Unit tests for the round-6 curation operators: repetition signals,
+  * decontamination, chunking, mixture weights, weighted sampling,
+  * vocabulary/encoding, int8 quantization, and sequence packing — each
+  * against hand-computed answers on small fixtures.
+  */
+class CurationSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  // ------------------------------------------------------ repetitionStats
+
+  test("repetitionStats computes hand-checked ratios") {
+    val df = Seq((1L, "a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: tokens [a,a,b] n=3 d=2 top=2; bigrams [a a, a b] n=2 d=2 top=1
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3L)
+    assert(r1.getDouble(2) == 0.666667) // distinct_ratio 2/3
+    assert(r1.getDouble(3) == 0.666667) // top_word_frac 2/3
+    assert(r1.getDouble(4) == 0.5)      // top_bigram_frac 1/2
+    assert(r1.getDouble(5) == 0.0)      // dup_bigram_frac
+    // doc 2: all distinct
+    val r2 = got(1)
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(5) == 0.0)
+  }
+
+  // -------------------------------------------------------- decontaminate
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xx quick brown fox jumps over yy"), // contains a bench 5-gram
+      (11L, "totally different words here now ok") // clean
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(10L))
+    assert(got(10L) == 2L) // "quick brown fox jumps over" in both alignments
+  }
+
+  // ---------------------------------------------------------------- chunk
+
+  test("chunk covers every token; overlap and tail lengths are right") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Curation.chunk(df, "doc_id", "text", width = 4, stride = 3)
+      .orderBy("start")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.map(_._2).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(got.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(got(0)._4 == "t1 t2 t3 t4")
+    assert(got(3)._4 == "t10")
+    // stride-aligned prefixes reassemble the document exactly
+    val reassembled = got.map(c => c._4.split(" ").take(3).mkString(" "))
+      .mkString(" ").split(" ").take(10).mkString(" ")
+    assert(reassembled == text)
+  }
+
+  // ------------------------------------------------------- mixtureWeights
+
+  test("mixtureWeights hits target fractions; unlisted strata get 0") {
+    val df = Seq.tabulate(6)(i =>
+      (i.toLong, if (i < 4) "en" else if (i < 5) "de" else "xx", 100))
+      .toDF("id", "lang", "n_tok")
+    val got = Curation.mixtureWeights(df, "lang", col("n_tok"),
+        Seq("en" -> 0.5, "de" -> 0.5))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // totals: en 400, de 100, xx 100, total 600
+    assert(got("en") == 0.75)  // 0.5 * 600 / 400
+    assert(got("de") == 3.0)   // 0.5 * 600 / 100 — upsample 3x
+    assert(got("xx") == 0.0)   // dropped domain
+  }
+
+  // ------------------------------------------------------- weightedSample
+
+  test("weightedSample is deterministic and weight-biased") {
+    // ids 0..199: even ids weight 1000, odd ids weight 1
+    val df = Seq.tabulate(200)(i => (i.toLong, if (i % 2 == 0) 1000 else 1))
+      .toDF("id", "w")
+    val pick = Curation.weightedSample(df, "id", col("w"), k = 50)
+    val ids = pick.select("id").as[Long].collect().toSet
+    assert(ids.size == 50)
+    // deterministic: a second run selects the identical set
+    val again = Curation.weightedSample(df, "id", col("w"), k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // heavy (even) ids dominate: expected ~50 of 50; require a wide margin
+    assert(ids.count(_ % 2 == 0) >= 45, s"heavy-id share too low in $ids")
+  }
+
+  // --------------------------------------------------- vocabulary + encode
+
+  test("vocabulary ranks by frequency then term; encode round-trips") {
+    val df = Seq((1L, "b a b c b a"), (2L, "a c")).toDF("doc_id", "text")
+    val vocab = Curation.vocabulary(df, "text")
+      .as[(String, Long)].collect().toMap
+    // counts: b=4? no — b appears 3x, a 3x, c 2x → tie a/b broken by term
+    assert(vocab == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    val enc = Curation.encode(df, "doc_id", "text",
+        Curation.vocabulary(df, "text"))
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect()
+    assert(enc.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq(2L, 1L, 2L, 3L, 2L, 1L))
+    assert(enc.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L, 3L))
+  }
+
+  // ------------------------------------------------------- scalarQuantize
+
+  test("scalarQuantize maps min→0 max→255, constant dims→0, codes in range") {
+    val df = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f)),
+      (2L, Array(10.0f, 5.0f, 3.0f)),
+      (3L, Array(5.0f, 5.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(df, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 0L)) == 0L && got((2L, 0L)) == 255L)
+    assert(got((3L, 0L)) == 128L)                    // round(127.5 + 0.5)
+    assert(Seq(1L, 2L, 3L).forall(i => got((i, 1L)) == 0L)) // constant dim
+    assert(got((1L, 2L)) == 0L && got((2L, 2L)) == 255L && got((3L, 2L)) == 128L)
+    assert(got.values.forall(c => c >= 0L && c <= 255L))
+  }
+
+  // -------------------------------------------------------- packSequences
+
+  test("packSequences bins are in-order, budget-bounded, per-shard") {
+    val df = Seq(
+      (1L, "s1", 300), (2L, "s1", 300), (3L, "s1", 300), (4L, "s1", 50),
+      (5L, "s2", 600)
+    ).toDF("id", "shard", "n")
+    val got = Curation.packSequences(df, "id", col("n"), "shard", budget = 512)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    // s1 cums: 300,600,900,950 → bins (cum-n)/512 = 0,0,1,1
+    assert(got.map(_._4).toSeq == Seq(0L, 0L, 1L, 1L, 0L))
+    // no bin's token sum exceeds budget + one overflowing doc
+    val sums = got.groupBy(r => (r._2, r._4)).values.map(_.map(_._3).sum)
+    assert(sums.forall(_ <= 512 + 600))
+  }
+}
