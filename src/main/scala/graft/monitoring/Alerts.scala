@@ -3,9 +3,13 @@ package graft.monitoring
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** S9 — alert emission: evaluate monitoring probe metrics against the
-  * reference's alerting thresholds and materialize breaches as alert
-  * rows (the serving-store `alerts` row shape).
+/** S9 — alert emission AND delivery: evaluate monitoring probe metrics
+  * against the reference's alerting thresholds, materialize breaches as
+  * alert rows (the serving-store `alerts` row shape), and — via
+  * [[streamingSink]], wired into the serving deployment by
+  * [[graft.pipelines.StreamingJob.startServing]] — land them in the
+  * store's `alerts` table with batch-keyed exactly-once upserts
+  * (JdbcSinkSpec's serving-deployment test reads them back per batch).
   *
   * Mirrors `src/monitoring/alerting.py`: thresholds (56–64), the probe
   * queries each monitoring cycle runs — hourly data-quality and anomaly

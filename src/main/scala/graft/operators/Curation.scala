@@ -23,10 +23,10 @@ import graft.functions.TextFns
   *   - [[mixtureWeights]]: one tiny aggregate.
   *   - [[weightedSample]]: one global top-k (TakeOrderedAndProject —
   *     per-partition heaps, no full sort).
-  *   - [[vocabulary]]: one aggregate + ONE single-partition window over
-  *     the distinct-term frame (vocab-sized, ~1M rows at 100 TB — the
-  *     standard, acceptable bottleneck of frequency-ranked vocab
-  *     assignment); [[encode]] then broadcast-joins ids to tokens.
+  *   - [[vocabulary]]: one aggregate, a `minCount` filter + top-V
+  *     `limit` (per-partition heaps) to bound the frame, then ONE
+  *     single-partition window over at most V surviving terms;
+  *     [[encode]] then broadcast-joins ids to tokens (bounded vocab).
   *   - [[packSequences]]: running-sum window PARTITIONED by the shard
   *     column — packing is per-shard by design, so no global sort.
   */
@@ -148,19 +148,30 @@ object Curation {
   // ------------------------------------------------------ weighted sample
 
   /** Deterministic weighted sample of k rows without replacement —
-    * Efraimidis–Spirakis A-ES: each row gets key `u^(1/w)` for
-    * deterministic pseudo-uniform `u` derived from the row id's portable
-    * 60-bit hash, and the k largest keys win. Inclusion probability is
-    * proportional to `w` (exactly the A-ES reservoir scheme, with the
-    * hash replacing the RNG so the sample is a pure function of row ids
-    * — stable across runs, partitionings, and retries, like everything
-    * in [[Splits]]).
+    * Efraimidis–Spirakis A-ES in the LOG domain: each row gets key
+    * `ln(-ln(u)) - ln(w)` (= `ln(-ln(u)/w)`) for deterministic
+    * pseudo-uniform `u` derived from the row id's portable 60-bit hash,
+    * and the k SMALLEST keys win. This is a monotone transform of the
+    * textbook `u^(1/w)` key (largest-first), so inclusion probability
+    * is proportional to `w` exactly as in the A-ES reservoir scheme,
+    * with the hash replacing the RNG so the sample is a pure function
+    * of row ids — stable across runs, partitionings, and retries, like
+    * everything in [[Splits]].
     *
-    * The key is rounded to 6 places and ties broken by id BEFORE the
-    * top-k, so selection is reproducible cross-engine (`pow` may differ
-    * by ulps between libm implementations — the round absorbs it; see
-    * the oracle-portability notes). One narrow projection + one
-    * `TakeOrderedAndProject` top-k: per-partition heaps, no global sort.
+    * The log domain matters under rounding: the key must be rounded to
+    * 6 places before the top-k so selection is reproducible
+    * cross-engine (`ln` may differ by ulps between libm
+    * implementations), but a fixed-decimal round of `u^(1/w)` SATURATES
+    * for heavy weights — `u^(1/w) → 1.0` as `w` grows, every heavy row
+    * collapses onto key 1.0, and selection degenerates to the id
+    * tie-break (biased). The linear-domain `-ln(u)/w` saturates the
+    * same way, at 0.0. Rounding `ln(-ln(u)) - ln(w)` instead is
+    * scale-invariant: 6 decimal places in log space are ~6 SIGNIFICANT
+    * digits on the key at ANY weight scale, so heavy rows stay
+    * distinguishable no matter how large `w` gets. Ties (now only
+    * genuine ~1e-6-relative coincidences) break by id. One narrow
+    * projection + one `TakeOrderedAndProject` top-k: per-partition
+    * heaps, no global sort.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, salt: String = "wsample"): DataFrame = {
@@ -168,8 +179,8 @@ object Curation {
     val u = (Splits.portableHash(col(idCol), salt).cast("double") + 0.5) /
       lit(1.152921504606846976e18) // 2^60 — u in (0, 1)
     df.withColumn("sample_key",
-        round(pow(u, lit(1.0) / weightCol.cast("double")), 6))
-      .orderBy(col("sample_key").desc, col(idCol))
+        round(log(-log(u)) - log(weightCol.cast("double")), 6))
+      .orderBy(col("sample_key").asc, col(idCol))
       .limit(k)
   }
 
@@ -177,22 +188,43 @@ object Curation {
 
   /** Frequency-ranked vocabulary over the corpus: `(term, token_id)`
     * with ids 1..V assigned by (count DESC, term ASC) — the id
-    * assignment step of tokenizer training. The ranking window runs on
-    * the DISTINCT-TERM frame (vocab-sized — ~1M rows even at 100 TB
-    * corpus scale), so the single-partition window is bounded by
-    * vocabulary size, not corpus size; the corpus itself is touched only
-    * by the map-side-combined term count.
+    * assignment step of tokenizer training.
+    *
+    * The distinct-term frame of a raw web crawl is NOT vocab-sized — it
+    * is billions of rows (typos, URLs, numerals), so ranking it through
+    * one global window would serialize the whole tail onto a single
+    * partition. Two standard bounds keep the ranked frame small:
+    *   - `minCount` drops hapax/rare terms before ranking (every real
+    *     tokenizer's first step; under a Zipf tail even `minCount = 2`
+    *     removes the majority of distinct terms);
+    *   - `maxSize` truncates to the top-V by (count DESC, term ASC) via
+    *     a `limit` — TakeOrderedAndProject, per-partition heaps, no
+    *     global sort — before ids are assigned.
+    * Only the surviving frame (≤ max(V, terms-with-count≥minCount))
+    * passes through the single-partition `row_number` window, so the
+    * serialized step is bounded by the *requested* vocabulary size, not
+    * by corpus cardinality. The corpus itself is touched only by the
+    * map-side-combined term count.
     */
-  def vocabulary(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextFns.tokens(col(textCol))).as("term"))
+  def vocabulary(df: DataFrame, textCol: String,
+                 minCount: Long = 1L, maxSize: Option[Int] = None): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxSize.forall(_ > 0), s"maxSize must be positive, got $maxSize")
+    val counts = df.select(explode(TextFns.tokens(col(textCol))).as("term"))
       .groupBy("term").count()
-      .select(col("term"), row_number().over(
-        Window.orderBy(col("count").desc, col("term"))).cast("long")
-        .as("token_id"))
+      .filter(col("count") >= minCount)
+    val bounded = maxSize.fold(counts)(v =>
+      counts.orderBy(col("count").desc, col("term")).limit(v))
+    bounded.select(col("term"), row_number().over(
+      Window.orderBy(col("count").desc, col("term"))).cast("long")
+      .as("token_id"))
+  }
 
   /** Encode documents against a vocabulary: `(idCol, pos, token_id)`
     * triples in document order — the corpus as id sequences. The vocab
-    * is broadcast (it is vocab-sized); the corpus side stays narrow.
+    * is broadcast — callers must pass a BOUNDED vocab (built with
+    * [[vocabulary]]'s `minCount`/`maxSize`, so it is V rows, not raw
+    * distinct-term cardinality); the corpus side stays narrow.
     * Unknown terms (absent from `vocab`) encode as id 0.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,

@@ -456,17 +456,23 @@ object Dedup {
     * Near-dup components are dense near-cliques and converge in 2–3
     * rounds regardless.
     *
-    * Scale hygiene: the edge list is cached (it drives every round),
-    * each round's labels are `localCheckpoint`ed so the plan does not
-    * grow with iterations (an un-truncated 10-round lineage recomputes
-    * round 1 ten times), and the per-round driver action is a single
-    * count. Throws if `maxIter` rounds don't converge rather than
-    * returning silently-wrong labels.
+    * Scale hygiene: the INPUT pair list is materialized once
+    * (`localCheckpoint`) before being mirrored into edges — Spark does
+    * not dedupe common plan subtrees, so `pairs UNION pairs-swapped`
+    * would otherwise evaluate the (typically expensive — a whole
+    * near-dup candidate generation) pair plan twice; the edge list is
+    * then cached (it drives every round), each round's labels are
+    * `localCheckpoint`ed so the plan does not grow with iterations (an
+    * un-truncated 10-round lineage recomputes round 1 ten times), and
+    * the per-round driver action is a single count. Throws if `maxIter`
+    * rounds don't converge rather than returning silently-wrong labels.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
     try {

@@ -133,8 +133,11 @@ object CurationQueries {
 
   private val SampleK = 100
 
-  /** Q60 — deterministic A-ES weighted sample: 100 docs drawn with
-    * probability ∝ n_chars, selection a pure function of doc ids (see
+  /** Q60 — deterministic A-ES weighted sample (log-domain key
+    * `ln(-ln(u)) - ln(w)`, smallest-first — scale-invariant under
+    * rounding, so it spreads rather than saturates for heavy weights):
+    * 100 docs drawn with probability ∝ n_chars, selection a pure
+    * function of doc ids (see
     * [[graft.operators.Curation.weightedSample]]). Graded as the exact
     * selected set with its (rounded) keys.
     */
@@ -148,37 +151,50 @@ object CurationQueries {
   private val q60Sql =
     s"""SELECT doc_id, sample_key FROM (
        |  SELECT doc_id,
-       |         round(pow((('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
-       |                     1, 15))::BIGINT::DOUBLE + 0.5)
-       |                   / 1.152921504606846976e18,
-       |                   1.0 / n_chars::DOUBLE), 6) AS sample_key
+       |         round(ln(-ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
+       |                        1, 15))::BIGINT::DOUBLE + 0.5)
+       |                      / 1.152921504606846976e18))
+       |               - ln(n_chars::DOUBLE), 6) AS sample_key
        |  FROM documents
-       |  ORDER BY sample_key DESC, doc_id LIMIT $SampleK)
+       |  ORDER BY sample_key ASC, doc_id LIMIT $SampleK)
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- vocabulary + encode
 
-  /** Q61 — tokenizer-style vocabulary (ids by count DESC, term ASC) and
-    * the corpus encoded against it as `(doc_id, pos, token_id)` triples
+  /** Rare-term floor and hard cap for the q61 vocabulary — the two
+    * bounds that keep [[graft.operators.Curation.vocabulary]]'s ranked
+    * frame vocab-sized at web-corpus cardinality. VocabMax is set below
+    * the corpus's distinct-term count so the truncation (and encode's
+    * OOV → 0 path) is actually exercised by the graded output.
+    */
+  private val VocabMin = 2L
+  private val VocabMax = 20
+
+  /** Q61 — tokenizer-style vocabulary (ids by count DESC, term ASC,
+    * bounded by `minCount`/`maxSize`) and the corpus encoded against it
+    * as `(doc_id, pos, token_id)` triples, out-of-vocabulary terms as 0
     * (see [[graft.operators.Curation.vocabulary]] / `encode`).
     */
   private def q61(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Curation.encode(docs, "doc_id", "text",
-        Curation.vocabulary(docs, "text"))
+        Curation.vocabulary(docs, "text",
+          minCount = VocabMin, maxSize = Some(VocabMax)))
       .orderBy("doc_id", "pos")
   }
 
   private val q61Sql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-      |           FROM documents),
-      |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
-      |             unnest(toks) AS term FROM d),
-      |v AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term)
-      |               AS token_id
-      |      FROM t GROUP BY term)
-      |SELECT t.doc_id, t.pos::BIGINT AS pos, v.token_id::BIGINT AS token_id
-      |FROM t JOIN v USING (term) ORDER BY doc_id, pos""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+       |             unnest(toks) AS term FROM d),
+       |v AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term)
+       |               AS token_id
+       |      FROM t GROUP BY term HAVING count(*) >= $VocabMin
+       |      ORDER BY count(*) DESC, term LIMIT $VocabMax)
+       |SELECT t.doc_id, t.pos::BIGINT AS pos,
+       |       coalesce(v.token_id, 0)::BIGINT AS token_id
+       |FROM t LEFT JOIN v USING (term) ORDER BY doc_id, pos""".stripMargin
 
   // ------------------------------------------------- int8 quantization
 

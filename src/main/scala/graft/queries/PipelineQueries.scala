@@ -280,6 +280,15 @@ object PipelineQueries {
   /** The q26/q27 oracle cosine: exact float→double widening, strict
     * left-to-right double folds (`list_reduce`) — bit-identical to
     * [[graft.functions.VectorFns.cosine]].
+    *
+    * Accepted portability risk (q26/q27/q28/q33 alike): the graded
+    * column and ORDER BY tie-break go through `round(cs, 6)` on both
+    * engines; the folds are bit-identical, but `sqrt`-rounding means a
+    * value within ~1 ULP of a 5e-7 rounding boundary could in principle
+    * round differently in DuckDB and flip a hash or row order. Green
+    * since round 4; if one of these four ever flakes with matching rows
+    * and a one-value hash diff, suspect this boundary before the
+    * operators.
     */
   private[queries] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),

@@ -36,13 +36,15 @@ class CurationSpec extends SparkSpec {
   test("decontaminate flags only docs sharing an n-gram with the benchmark") {
     val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
     val corpus = Seq(
-      (10L, "xx quick brown fox jumps over yy"), // contains a bench 5-gram
+      (10L, "xx the quick brown fox jumps over yy"), // contains both bench 5-grams
       (11L, "totally different words here now ok") // clean
     ).toDF("doc_id", "text")
     val got = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
       .as[(Long, Long)].collect().toMap
     assert(got.keySet == Set(10L))
-    assert(got(10L) == 2L) // "quick brown fox jumps over" in both alignments
+    // bench has two 5-grams: "the quick brown fox jumps" and
+    // "quick brown fox jumps over" — doc 10 contains both.
+    assert(got(10L) == 2L)
   }
 
   // ---------------------------------------------------------------- chunk
@@ -96,6 +98,17 @@ class CurationSpec extends SparkSpec {
     assert(ids.count(_ % 2 == 0) >= 45, s"heavy-id share too low in $ids")
   }
 
+  test("weightedSample keys spread (no saturation) under huge weights") {
+    // u^(1/w) would round to 1.0 for every row at w = 1e9 (and -ln(u)/w
+    // to 0.0), collapsing selection to the id tie-break; the log-space
+    // key ln(-ln(u)) - ln(w) keeps ~6 significant digits at any weight
+    // scale, so heavy rows stay distinguishable after round(_, 6).
+    val df = Seq.tabulate(100)(i => (i.toLong, 1.0e9)).toDF("id", "w")
+    val keys = Curation.weightedSample(df, "id", col("w"), k = 100)
+      .select("sample_key").as[Double].collect()
+    assert(keys.distinct.length > 50, s"keys saturated: ${keys.distinct.length} distinct")
+  }
+
   // --------------------------------------------------- vocabulary + encode
 
   test("vocabulary ranks by frequency then term; encode round-trips") {
@@ -110,6 +123,20 @@ class CurationSpec extends SparkSpec {
     assert(enc.filter(_._1 == 1L).map(_._3).toSeq ==
       Seq(2L, 1L, 2L, 3L, 2L, 1L))
     assert(enc.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L, 3L))
+  }
+
+  test("vocabulary minCount/maxSize bound the vocab; encode maps OOV to 0") {
+    // counts: b=3, a=3, c=2, d=1 → minCount=2 drops d; maxSize=2 keeps
+    // the top-2 by (count DESC, term ASC) = a, b
+    val df = Seq((1L, "b a b c b a d"), (2L, "a c")).toDF("doc_id", "text")
+    val vocab = Curation.vocabulary(df, "text", minCount = 2L, maxSize = Some(2))
+    assert(vocab.as[(String, Long)].collect().toMap == Map("a" -> 1L, "b" -> 2L))
+    val enc = Curation.encode(df, "doc_id", "text", vocab)
+      .orderBy("doc_id", "pos").as[(Long, Long, Long)].collect()
+    // c and d are out-of-vocabulary → 0
+    assert(enc.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq(2L, 1L, 2L, 0L, 2L, 1L, 0L))
+    assert(enc.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L, 0L))
   }
 
   // ------------------------------------------------------- scalarQuantize
