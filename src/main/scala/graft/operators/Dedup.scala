@@ -506,4 +506,37 @@ object Dedup {
       labels
     } finally edges.unpersist()
   }
+
+  /** The final dedup DECISION: pairs → components → one kept
+    * representative per component, over the WHOLE corpus (docs that
+    * appear in no pair are their own singleton cluster and are always
+    * kept). The representative is the cluster member with the highest
+    * `scoreCol` (ties to the smallest id) — "keep the longest/richest
+    * copy", the standard canonical-document rule; `keep = 0` rows are
+    * the corpus's drop set.
+    *
+    * Emits `(idCol, cluster, keep)` with keep ∈ {0, 1}. Scale shape:
+    * [[connectedComponents]] labels only the paired docs (a vanishing
+    * fraction of the corpus); the labels broadcast-or-shuffle join back
+    * to the corpus by id; representative election is a
+    * `row_number` window PARTITIONED by cluster — clusters are
+    * near-dup groups, so partitions are small and the window never
+    * serializes (singletons are elected without entering the window's
+    * rank logic in spirit, but cost the same one shuffle on cluster).
+    */
+  def keepList(docs: DataFrame, idCol: String, scoreCol: String,
+               pairs: DataFrame, idA: String = "id_a",
+               idB: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, idA, idB)
+    val clustered = docs
+      .join(comps, docs(idCol) === comps("id"), "left")
+      .select(docs(idCol), coalesce(col("comp"), docs(idCol)).as("cluster"),
+        docs(scoreCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clustered
+      .select(col(idCol), col("cluster"),
+        when(row_number().over(w) === 1, 1L).otherwise(0L).as("keep"))
+  }
 }

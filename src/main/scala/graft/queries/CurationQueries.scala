@@ -167,8 +167,8 @@ object CurationQueries {
     * the corpus's distinct-term count so the truncation (and encode's
     * OOV → 0 path) is actually exercised by the graded output.
     */
-  private val VocabMin = 2L
-  private val VocabMax = 20
+  private[queries] val VocabMin = 2L
+  private[queries] val VocabMax = 20
 
   /** Q61 — tokenizer-style vocabulary (ids by count DESC, term ASC,
     * bounded by `minCount`/`maxSize`) and the corpus encoded against it

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.{Curation, Dedup, Redact, Similarity}
+import graft.sources.Tables
+
+/** Q64–Q69 — round-7 corpus-hygiene surface: the scoring and decision
+  * steps between the round-6 curation signals and an actual training
+  * set — LM-based quality scoring (unigram cross-entropy), tokenizer
+  * coverage (OOV rate), PII-style pattern scrubbing, per-source corpus
+  * profiling, and the end-to-end dedup KEEP LISTS (pairs → components →
+  * one kept representative per cluster), both lexical (n-gram Jaccard,
+  * q68) and semantic (embedding LSH, q69).
+  *
+  * Oracle discipline unchanged: full-algorithm DuckDB restatements.
+  * Cross-engine float policy: per-doc float folds are ORDER-PINNED
+  * (sorted list + left fold — a cross-row `sum(double)` is
+  * partition-order-dependent and can never be graded), integer counts
+  * divide once at the end, every float output carries the
+  * registry-wide `round(_, 6)`.
+  */
+object HygieneQueries {
+
+  // ------------------------------------------------------- cross entropy
+
+  /** Q64 — unigram LM cross-entropy per document (see
+    * [[graft.operators.Curation.crossEntropy]]): the corpus-fit quality
+    * score whose two tails (boilerplate, noise) a filter drops.
+    */
+  private def q64(spark: SparkSession, dir: String): DataFrame =
+    Curation.crossEntropy(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q64Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+      |ct AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY 1),
+      |tot AS (SELECT sum(len(string_split(text, ' ')))::DOUBLE AS tt
+      |        FROM documents),
+      |contrib AS (SELECT tf.doc_id, tf.term, tf.c,
+      |                   tf.c * ln(ct.ct / tot.tt) AS ctr
+      |            FROM tf JOIN ct USING (term), tot),
+      |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |               list(ctr ORDER BY term) AS arr
+      |        FROM contrib GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |       round(-list_reduce(arr, (a, b) -> a + b) / n_tokens, 6)
+      |         AS cross_entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ OOV rate
+
+  /** Q65 — per-document out-of-vocabulary rate against the same bounded
+    * vocabulary q61 trains (minCount/top-V — see
+    * [[graft.operators.Curation.oovRate]]).
+    */
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.oovRate(docs, "doc_id", "text",
+        Curation.vocabulary(docs, "text",
+          minCount = CurationQueries.VocabMin,
+          maxSize = Some(CurationQueries.VocabMax)))
+      .orderBy("doc_id")
+  }
+
+  private val q65Sql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |           FROM documents),
+       |v AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term)
+       |               AS token_id
+       |      FROM t GROUP BY term HAVING count(*) >= ${CurationQueries.VocabMin}
+       |      ORDER BY count(*) DESC, term LIMIT ${CurationQueries.VocabMax}),
+       |e AS (SELECT t.doc_id, coalesce(v.token_id, 0) AS tid
+       |      FROM t LEFT JOIN v USING (term))
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |       sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |       round(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT
+       |             / count(*), 6) AS oov_rate
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ payload scrub
+
+  /** Q66 — PII-style pattern scrubbing of the event payloads (see
+    * [[graft.operators.Redact.scrub]]): emails masked first, then
+    * digit runs, with the exact replacement count per row.
+    */
+  private def q66(spark: SparkSession, dir: String): DataFrame =
+    Redact.scrub(Tables.events(spark, dir), "props")
+      .select(col("event_id"), col("scrubbed"), col("n_redactions"))
+      .orderBy("event_id")
+
+  private val q66Sql =
+    """WITH s1 AS (SELECT event_id,
+      |              len(regexp_extract_all(props,
+      |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+      |              regexp_replace(props,
+      |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |                '<EMAIL>', 'g') AS t1
+      |            FROM events),
+      |s2 AS (SELECT event_id,
+      |              n1 + len(regexp_extract_all(t1, '[0-9]+')) AS n,
+      |              regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS scrubbed
+      |       FROM s1)
+      |SELECT event_id, scrubbed, n::BIGINT AS n_redactions
+      |FROM s2 ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------- source profile
+
+  /** Q67 — per-source corpus profile: doc/token counts, micro-averaged
+    * type-token ratio and top-term share (see
+    * [[graft.operators.Curation.sourceProfile]]) — the keep/drop
+    * dashboard over crawl sources.
+    */
+  private def q67(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceProfile(Tables.documents(spark, dir), "source", "text")
+      .orderBy("source")
+
+  private val q67Sql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tc AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+      |ts AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+      |              count(*) AS n_distinct_terms, max(c) AS top_term_count
+      |       FROM tc GROUP BY 1),
+      |dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT dc.source, dc.n_docs, ts.n_tokens, ts.n_distinct_terms,
+      |       ts.top_term_count,
+      |       round(ts.n_distinct_terms / ts.n_tokens, 6) AS type_token_ratio,
+      |       round(ts.top_term_count / ts.n_tokens, 6) AS top_term_share
+      |FROM dc JOIN ts USING (source) ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------- keep list
+
+  /** Q68 — the end-to-end dedup decision: exact 3-gram-Jaccard pairs
+    * (q21's generation) → connected components → one kept
+    * representative per cluster by (n_chars DESC, doc_id ASC), over the
+    * WHOLE corpus — singleton docs keep themselves (see
+    * [[graft.operators.Dedup.keepList]]). `keep = 0` rows are the drop
+    * set a dedup pass would delete.
+    */
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.keepList(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.6))
+      .orderBy("doc_id")
+  }
+
+  private val q68Sql =
+    s"""WITH RECURSIVE ${PipelineQueries.ngramPairsCte},
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE inter / (sz_a + sz_b - inter) >= 0.6),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM e
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+       |         FROM reach GROUP BY a),
+       |d AS (SELECT doc_id, coalesce(c.comp, doc_id) AS cluster, n_chars
+       |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
+       |SELECT doc_id, cluster,
+       |       (CASE WHEN row_number() OVER (PARTITION BY cluster
+       |                ORDER BY n_chars DESC, doc_id) = 1
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- semantic keep list
+
+  /** Q69 — SemDeDup-style SEMANTIC dedup decision: LSH-banded cosine
+    * near-dup pairs over the embedding corpus (q37's generation — the
+    * 100 TB pair path, never an all-pairs cartesian) → connected
+    * components → one kept representative per cluster by (vector norm
+    * DESC, vec_id ASC) — "keep the highest-signal copy". Singleton
+    * vectors keep themselves. The norm is only the election key, not a
+    * graded column (integer output: vec_id, cluster, keep).
+    */
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val scored = emb.select(col("vec_id"),
+      round(VectorFns.norm(VectorFns.toDouble(col("embedding"))), 6)
+        .as("norm"))
+    Dedup.keepList(scored, "vec_id", "norm",
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          threshold = PipelineQueries.LshPairThreshold))
+      .orderBy("vec_id")
+  }
+
+  private val q69Sql =
+    s"""WITH RECURSIVE ${PipelineQueries.lshBandsSql},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band
+       |                                  AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_reduce(list_transform(e, x -> x*x), (x,y) -> x + y))
+       |          AS nm
+       |      FROM e),
+       |p AS (SELECT id_a, id_b,
+       |        list_reduce(list_transform(list_zip(a.e, b.e),
+       |            s -> struct_extract(s,1) * struct_extract(s,2)), (x,y) -> x + y)
+       |          / (a.nm * b.nm) AS cs
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |                JOIN n b ON b.vec_id = cand.id_b),
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE cs >= ${PipelineQueries.LshPairThreshold}),
+       |ee AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM ee
+       |          UNION
+       |          SELECT r.a, ee.b FROM reach r JOIN ee ON r.b = ee.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+       |         FROM reach GROUP BY a),
+       |d AS (SELECT n.vec_id, coalesce(c.comp, n.vec_id) AS cluster,
+       |             round(nm, 6) AS norm
+       |      FROM n LEFT JOIN comp c ON n.vec_id = c.id)
+       |SELECT vec_id, cluster,
+       |       (CASE WHEN row_number() OVER (PARTITION BY cluster
+       |                ORDER BY norm DESC, vec_id) = 1
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM d ORDER BY vec_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q64_cross_entropy", q64, Some(q64Sql)),
+    QueryDef("q65_oov_rate", q65, Some(q65Sql)),
+    QueryDef("q66_payload_scrub", q66, Some(q66Sql)),
+    QueryDef("q67_source_profile", q67, Some(q67Sql)),
+    QueryDef("q68_dedup_keeplist", q68, Some(q68Sql)),
+    QueryDef("q69_semantic_keeplist", q69, Some(q69Sql)))
+}

@@ -314,7 +314,7 @@ object PipelineQueries {
     * per-vector signatures, and the banded buckets — the full LSH model
     * restated in SQL.
     */
-  private lazy val lshBandsSql: String = {
+  private[queries] lazy val lshBandsSql: String = {
     val bands = Similarity.Bands
     val rows = Similarity.planeInts.length / bands
     val planeLit = Similarity.planeInts
@@ -341,7 +341,7 @@ object PipelineQueries {
        |SELECT vec_id, round(cs, 6) AS cos_sim FROM s
        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
-  private val LshPairThreshold = 0.4
+  private[queries] val LshPairThreshold = 0.4
 
   /** Q37 — LSH-banded embedding near-dup pairs: the 100 TB replacement
     * for q27's quadratic all-pairs. Fully oracle-graded the q28 way: the

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Redact}
+
+/** Round-7 hygiene operators against hand-computed fixtures: unigram
+  * cross-entropy, OOV rate, pattern scrubbing, source profiling, and
+  * the dedup keep list.
+  */
+class HygieneSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  // --------------------------------------------------------- crossEntropy
+
+  test("crossEntropy matches the hand-computed unigram formula") {
+    // corpus: doc 1 = "a a b", doc 2 = "a c" → T = 5, C(a)=3, C(b)=1, C(c)=1
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Curation.crossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // H(1) = -(2*ln(3/5) + 1*ln(1/5)) / 3
+    val h1 = r6(-(2 * math.log(3.0 / 5) + math.log(1.0 / 5)) / 3)
+    // H(2) = -(ln(3/5) + ln(1/5)) / 2
+    val h2 = r6(-(math.log(3.0 / 5) + math.log(1.0 / 5)) / 2)
+    assert(got.toSeq == Seq((1L, 3L, h1), (2L, 2L, h2)))
+  }
+
+  // -------------------------------------------------------------- oovRate
+
+  test("oovRate counts exactly the tokens the vocab misses") {
+    val df = Seq((1L, "a a b z"), (2L, "z z")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L), ("b", 2L)).toDF("term", "token_id")
+    val got = Curation.oovRate(df, "doc_id", "text", vocab)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 2L, 1.0)))
+  }
+
+  // ---------------------------------------------------------------- scrub
+
+  test("scrub masks emails before digit runs and counts each replacement") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or call 555 0199"),
+      (2L, "no pii here"),
+      (3L, "{\"k\": 69}")
+    ).toDF("id", "payload")
+    val got = Redact.scrub(df, "payload")
+      .select("id", "scrubbed", "n_redactions")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    // email masked FIRST: its digits never hit the digit-run rule
+    assert(got(0) == ((1L, "contact <EMAIL> or call <NUM> <NUM>", 3L)))
+    assert(got(1) == ((2L, "no pii here", 0L)))
+    assert(got(2) == ((3L, "{\"k\": <NUM>}", 1L)))
+  }
+
+  test("scrub applies custom rules in order (later rules see earlier output)") {
+    val df = Seq((1L, "xx yy")).toDF("id", "t")
+    val got = Redact.scrub(df, "t", Seq("xx" -> "yy", "yy yy" -> "Z"))
+      .select("scrubbed", "n_redactions").as[(String, Long)].collect().head
+    // rule 1 rewrites "xx yy" → "yy yy"; rule 2 then matches the RESULT
+    assert(got == (("Z", 2L)))
+  }
+
+  // -------------------------------------------------------- sourceProfile
+
+  test("sourceProfile micro-averages per stratum") {
+    val df = Seq(
+      (1L, "s1", "a a a b"), // s1: 6 tokens, 3 distinct, top a=4
+      (2L, "s1", "a c"),
+      (3L, "s2", "x y")      // s2: 2 tokens, 2 distinct, top 1
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceProfile(df, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == (("s1", 2L, 6L, 3L, 4L, 0.5, 0.666667)))
+    assert(got(1) == (("s2", 1L, 2L, 2L, 1L, 1.0, 0.5)))
+  }
+
+  // ------------------------------------------------------------- keepList
+
+  test("keepList keeps the highest-score member per cluster and all singletons") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    // pairs chain 1-2 and 2-3 into one component {1,2,3}; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.keepList(docs, "doc_id", "n_chars", pairs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L), // cluster min-id is 1; doc 2 has the highest n_chars
+      (2L, 1L, 1L),
+      (3L, 1L, 0L),
+      (4L, 4L, 1L))) // singleton keeps itself
+  }
+}

@@ -138,4 +138,30 @@ class PlanSpec extends SparkSpec {
         s"scan reads more than it needs: $cols")
     }
   }
+
+  test("q64 cross-entropy plan: one tokenizing scan, pinned tf exchange reused") {
+    val nodes = finalNodes(SparkEntry.queries("q64_cross_entropy")(spark, sf))
+    // the grand-total branch must aggregate the same pinned (doc, term)
+    // exchange the corpus-count window consumes — not re-scan the text
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"expected a single tokenizing scan of documents, got ${dataScans.size}")
+    assert(names(nodes).exists(_.contains("ReusedExchange")),
+      s"total-tokens aggregate must reuse the tf exchange; got ${names(nodes)}")
+  }
+
+  test("q66 scrub plan: narrow — no join, no aggregate, one events scan") {
+    val nodes = names(finalNodes(SparkEntry.queries("q66_payload_scrub")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("Join") || n.contains("Aggregate")),
+      s"scrub must stay a per-row projection; got $nodes")
+  }
+
+  test("q68 keep-list plan: no cartesian/nested-loop anywhere") {
+    val nodes = names(finalNodes(SparkEntry.queries("q68_dedup_keeplist")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"pairs + components + election must all be equi-joins/windows; got $nodes")
+  }
 }
