@@ -26,7 +26,9 @@ import graft.functions.TextFns
   *     definition — so its gram set is broadcast and the corpus is
   *     scanned once with no shuffle.
   *   - [[chunk]]: purely narrow (per-row explode), no shuffle.
-  *   - [[mixtureWeights]]: one tiny aggregate.
+  *   - [[mixtureWeights]]: one tiny aggregate; [[applyMixture]] then
+  *     broadcast-joins the weights back and explodes copies — narrow,
+  *     no corpus shuffle.
   *   - [[weightedSample]]: one global top-k (TakeOrderedAndProject —
   *     per-partition heaps, no full sort).
   *   - [[vocabulary]]: one aggregate, a `minCount` filter + top-V
@@ -251,6 +253,34 @@ object Curation {
       .select(col(strataCol), col("n_docs"), col("n_tokens"),
         round(coalesce(col("target_frac"), lit(0.0)) * col("total_tokens")
           / col("n_tokens"), 6).as("weight"))
+  }
+
+  /** EXECUTE a domain mixture: expand each document into
+    * `floor(w) + Bernoulli(frac(w))` copies, where `w` is its stratum's
+    * [[mixtureWeights]] weight and the Bernoulli draw is a
+    * deterministic pseudo-uniform from the doc id's portable hash —
+    * the "epochs per domain" resampling step that turns mixture weights
+    * into an actual training corpus (up-sampled strata repeat, weights
+    * < 1 down-sample; expected stratum token share converges to the
+    * target mixture). Emits the joined rows plus `copy` ∈ [0, reps).
+    *
+    * Deterministic like [[Splits]]: membership and copy counts are pure
+    * functions of (id, salt), stable across runs, partitionings, and
+    * retries. One broadcast join (strata table is tiny by definition) +
+    * a narrow explode — no shuffle of the corpus.
+    */
+  def applyMixture(df: DataFrame, idCol: String, strataCol: String,
+                   weights: DataFrame, weightCol: String = "weight",
+                   salt: String = "mix"): DataFrame = {
+    val u = (Splits.portableHash(col(idCol), salt).cast("double") + 0.5) /
+      lit(1.152921504606846976e18) // 2^60 — u in (0, 1)
+    val w = col(weightCol)
+    df.join(broadcast(weights.select(col(strataCol), w)), strataCol)
+      .withColumn("reps",
+        (floor(w) + when(u < w - floor(w), 1).otherwise(0)).cast("long"))
+      .filter(col("reps") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("reps") - 1)))
+      .drop(weightCol, "reps")
   }
 
   // ------------------------------------------------------ weighted sample

@@ -107,7 +107,7 @@ object CurationQueries {
 
   // ------------------------------------------------------ mixture weights
 
-  private val MixTargets = Seq(
+  private[queries] val MixTargets = Seq(
     "en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)
 
   /** Q59 — domain-mixture reweighting per language (see

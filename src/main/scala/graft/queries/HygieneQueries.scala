@@ -7,13 +7,14 @@ import graft.functions.VectorFns
 import graft.operators.{Curation, Dedup, Redact, Similarity}
 import graft.sources.Tables
 
-/** Q64–Q69 — round-7 corpus-hygiene surface: the scoring and decision
+/** Q64–Q70 — round-7 corpus-hygiene surface: the scoring and decision
   * steps between the round-6 curation signals and an actual training
   * set — LM-based quality scoring (unigram cross-entropy), tokenizer
   * coverage (OOV rate), PII-style pattern scrubbing, per-source corpus
-  * profiling, and the end-to-end dedup KEEP LISTS (pairs → components →
+  * profiling, the end-to-end dedup KEEP LISTS (pairs → components →
   * one kept representative per cluster), both lexical (n-gram Jaccard,
-  * q68) and semantic (embedding LSH, q69).
+  * q68) and semantic (embedding LSH, q69), and mixture EXECUTION
+  * (weights → deterministically resampled corpus, q70).
   *
   * Oracle discipline unchanged: full-algorithm DuckDB restatements.
   * Cross-engine float policy: per-doc float folds are ORDER-PINNED
@@ -222,11 +223,52 @@ object HygieneQueries {
        |             THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM d ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ apply mixture
+
+  /** Q70 — mixture EXECUTION: q59's language mixture weights applied to
+    * the corpus (see [[graft.operators.Curation.applyMixture]]) — each
+    * doc becomes `floor(w) + Bernoulli(frac(w))` copies with the draw a
+    * pure function of doc_id, so the resampled corpus is graded
+    * row-for-row (doc_id, lang, copy).
+    */
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, dir)
+    Curation.applyMixture(
+        docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        Curation.mixtureWeights(docs, "lang",
+          TextFns.tokenCount(col("text")), CurationQueries.MixTargets))
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  private val q70Sql =
+    s"""WITH t(lang, f) AS (VALUES ${CurationQueries.MixTargets.map {
+          case (l, f) => s"('$l', $f::DOUBLE)" }.mkString(", ")}),
+       |s AS (SELECT lang, sum(len(string_split(text, ' ')))::BIGINT
+       |               AS n_tokens
+       |      FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
+       |w AS (SELECT s.lang,
+       |             round(coalesce(t.f, 0.0) * tot.tt / s.n_tokens, 6) AS w
+       |      FROM s LEFT JOIN t USING (lang), tot),
+       |d AS (SELECT doc_id, documents.lang,
+       |             (floor(w.w)
+       |              + CASE WHEN (('0x' || substr(md5('mix:' ||
+       |                            doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+       |                           + 0.5) / 1.152921504606846976e18
+       |                          < w.w - floor(w.w)
+       |                     THEN 1 ELSE 0 END)::BIGINT AS reps
+       |      FROM documents JOIN w USING (lang))
+       |SELECT doc_id, lang, unnest(range(reps)) AS copy
+       |FROM d WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q64_cross_entropy", q64, Some(q64Sql)),
     QueryDef("q65_oov_rate", q65, Some(q65Sql)),
     QueryDef("q66_payload_scrub", q66, Some(q66Sql)),
     QueryDef("q67_source_profile", q67, Some(q67Sql)),
     QueryDef("q68_dedup_keeplist", q68, Some(q68Sql)),
-    QueryDef("q69_semantic_keeplist", q69, Some(q69Sql)))
+    QueryDef("q69_semantic_keeplist", q69, Some(q69Sql)),
+    QueryDef("q70_apply_mixture", q70, Some(q70Sql)))
 }

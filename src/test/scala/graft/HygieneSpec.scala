@@ -78,6 +78,33 @@ class HygieneSpec extends SparkSpec {
     assert(got(1) == (("s2", 1L, 2L, 2L, 1L, 1.0, 0.5)))
   }
 
+  // --------------------------------------------------------- applyMixture
+
+  test("applyMixture repeats floor(w) times plus a deterministic fraction") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, if (i < 100) "up" else "down")).toDF("doc_id", "lang")
+    val weights = Seq(("up", 2.5), ("down", 0.5)).toDF("lang", "weight")
+    val got = Curation.applyMixture(docs, "doc_id", "lang", weights)
+    val counts = got.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // every 'up' doc appears 2 or 3 times; 'down' docs 0 or 1
+    assert((0L until 100L).forall(i => counts.get(i).exists(c => c == 2 || c == 3)))
+    assert((100L until 200L).forall(i => counts.get(i).forall(_ == 1)))
+    // the Bernoulli tail hits ~frac(w): wide margins for 100 draws
+    val up3 = (0L until 100L).count(i => counts(i) == 3L)
+    val downKept = (100L until 200L).count(counts.contains)
+    assert(up3 > 25 && up3 < 75, s"frac(2.5) draws way off: $up3/100")
+    assert(downKept > 25 && downKept < 75, s"frac(0.5) draws way off: $downKept/100")
+    // copy indices are dense from 0
+    val copies = got.filter(col("doc_id") === 0L)
+      .select("copy").as[Long].collect().sorted.toSeq
+    assert(copies == (0L until copies.length.toLong))
+    // deterministic: identical on rerun
+    val again = Curation.applyMixture(docs, "doc_id", "lang", weights)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   // ------------------------------------------------------------- keepList
 
   test("keepList keeps the highest-score member per cluster and all singletons") {
