@@ -165,6 +165,37 @@ object OperatorProps extends Properties("graft.operators") {
       got == want
     }
 
+  /** keepList vs a plain-Scala union-find on random pair graphs: every
+    * doc labeled with its true component's min id, exactly one keeper
+    * per cluster, and the keeper is the (score DESC, id ASC) argmax.
+    */
+  property("keepList == union-find reference on random pair graphs") =
+    forAll(
+      Gen.listOfN(15, for {
+        a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+      } yield (math.min(a, b), math.max(a, b))),
+      Gen.listOfN(12, Gen.choose(0L, 50L))) { (pairEdges, scores) =>
+      val docs = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val parent = Array.tabulate(12)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val cluster = (0 until 12).map(i => i.toLong -> find(i).toLong).toMap
+      val wantKeep = docs.groupBy { case (id, _) => cluster(id) }.map {
+        case (c, members) => c -> members.maxBy { case (id, s) => (s, -id) }._1
+      }
+      val got = graft.operators.Dedup.keepList(
+          docs.toDF("id", "score"), "id", "score",
+          pairEdges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.forall { case (id, c, keep) =>
+        c == cluster(id) && keep == (if (wantKeep(c) == id) 1L else 0L)
+      } && got.count(_._3 == 1L) == cluster.values.toSet.size
+    }
+
   property("rolling-hash fingerprint stays in [0, 1e9+7)") = Prop.secure {
     val texts = List("spark agg row", "", "x", "a b c d e f g h i j")
     val got = texts.toDF("text")
