@@ -72,6 +72,30 @@ object Curation {
         round(lit(1.0) - col("d_bi") / col("n_bi"), 6).as("dup_bigram_frac"))
   }
 
+  /** The quality-filter DECISION over a signal frame — the C4/Gopher
+    * rule-table step that turns per-doc signals ([[repetitionStats]],
+    * TextFns stats, [[crossEntropy]], …) into keep/drop verdicts with
+    * auditable reasons. Rules are data: ordered `(name, breach
+    * predicate)` pairs over the signal columns, folded into ONE
+    * conditional projection (no per-rule subplans, no driver loop —
+    * the [[graft.monitoring.Alerts]] shape applied to corpus
+    * curation). Emits `(idCol, keep, reasons)`: `keep = 1` iff no rule
+    * fires; `reasons` is the comma-joined names of fired rules in rule
+    * order ('' when kept) — deterministic, so the verdict frame itself
+    * is gradable row-for-row.
+    *
+    * Purely narrow over the signal frame: whatever the signals cost,
+    * the verdict adds no shuffle and stays inside whole-stage codegen.
+    */
+  def qualityVerdict(signals: DataFrame, idCol: String,
+                     rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one quality rule")
+    signals.select(col(idCol),
+      when(rules.map(_._2).reduce(_ || _), 0L).otherwise(1L).as("keep"),
+      concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*)
+        .as("reasons"))
+  }
+
   /** Unigram language-model cross-entropy per document — the CCNet-style
     * "how surprising is this document under the corpus distribution"
     * quality score (Wenzek et al. 2020 score against an LM; the unigram

@@ -7,14 +7,15 @@ import graft.functions.VectorFns
 import graft.operators.{Curation, Dedup, Redact, Similarity}
 import graft.sources.Tables
 
-/** Q64–Q70 — round-7 corpus-hygiene surface: the scoring and decision
+/** Q64–Q71 — round-7 corpus-hygiene surface: the scoring and decision
   * steps between the round-6 curation signals and an actual training
   * set — LM-based quality scoring (unigram cross-entropy), tokenizer
   * coverage (OOV rate), PII-style pattern scrubbing, per-source corpus
   * profiling, the end-to-end dedup KEEP LISTS (pairs → components →
   * one kept representative per cluster), both lexical (n-gram Jaccard,
-  * q68) and semantic (embedding LSH, q69), and mixture EXECUTION
-  * (weights → deterministically resampled corpus, q70).
+  * q68) and semantic (embedding LSH, q69), mixture EXECUTION (weights
+  * → deterministically resampled corpus, q70), and the quality-filter
+  * VERDICT (threshold rules → keep/drop with reasons, q71).
   *
   * Oracle discipline unchanged: full-algorithm DuckDB restatements.
   * Cross-engine float policy: per-doc float folds are ORDER-PINNED
@@ -263,6 +264,58 @@ object HygieneQueries {
        |SELECT doc_id, lang, unnest(range(reps)) AS copy
        |FROM d WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
 
+  // ----------------------------------------------------- quality verdict
+
+  /** The q71 rule table over q56's repetition signals — thresholds set
+    * at the tails of the corpus distributions so each rule genuinely
+    * fires (names become the auditable `reasons` string).
+    */
+  private val QualityRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "too_short" -> (col("n_tokens") < 20),
+    "low_diversity" -> (col("distinct_ratio") < 0.35),
+    "top_heavy" -> (col("top_word_frac") > 0.15),
+    "dup_bigrams" -> (col("dup_bigram_frac") > 0.09))
+
+  /** Q71 — the quality-filter decision: C4/Gopher-style threshold rules
+    * over the q56 repetition signals, folded to one keep/drop verdict
+    * with reasons (see [[graft.operators.Curation.qualityVerdict]]).
+    */
+  private def q71(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityVerdict(
+        Curation.repetitionStats(Tables.documents(spark, dir),
+          "doc_id", "text"),
+        "doc_id", QualityRules)
+      .orderBy("doc_id")
+
+  private val q71Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+      |           FROM documents),
+      |wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+      |ws AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS tp
+      |       FROM wc GROUP BY 1),
+      |dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |          i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM dd),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d
+      |       FROM bc GROUP BY 1),
+      |sig AS (SELECT ws.doc_id, ws.n AS n_tokens,
+      |               round(ws.d / ws.n, 6) AS distinct_ratio,
+      |               round(ws.tp / ws.n, 6) AS top_word_frac,
+      |               round(1.0 - bs.d / bs.n, 6) AS dup_bigram_frac
+      |        FROM ws JOIN bs USING (doc_id))
+      |SELECT doc_id,
+      |       (CASE WHEN n_tokens < 20 OR distinct_ratio < 0.35
+      |                  OR top_word_frac > 0.15 OR dup_bigram_frac > 0.09
+      |             THEN 0 ELSE 1 END)::BIGINT AS keep,
+      |       concat_ws(',',
+      |         CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |         CASE WHEN distinct_ratio < 0.35 THEN 'low_diversity' END,
+      |         CASE WHEN top_word_frac > 0.15 THEN 'top_heavy' END,
+      |         CASE WHEN dup_bigram_frac > 0.09 THEN 'dup_bigrams' END)
+      |         AS reasons
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q64_cross_entropy", q64, Some(q64Sql)),
     QueryDef("q65_oov_rate", q65, Some(q65Sql)),
@@ -270,5 +323,6 @@ object HygieneQueries {
     QueryDef("q67_source_profile", q67, Some(q67Sql)),
     QueryDef("q68_dedup_keeplist", q68, Some(q68Sql)),
     QueryDef("q69_semantic_keeplist", q69, Some(q69Sql)),
-    QueryDef("q70_apply_mixture", q70, Some(q70Sql)))
+    QueryDef("q70_apply_mixture", q70, Some(q70Sql)),
+    QueryDef("q71_quality_verdict", q71, Some(q71Sql)))
 }

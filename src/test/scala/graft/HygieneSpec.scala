@@ -78,6 +78,23 @@ class HygieneSpec extends SparkSpec {
     assert(got(1) == (("s2", 1L, 2L, 2L, 1L, 1.0, 0.5)))
   }
 
+  // ------------------------------------------------------- qualityVerdict
+
+  test("qualityVerdict folds rules to keep/drop with ordered reasons") {
+    val signals = Seq(
+      (1L, 10L, 0.9), (2L, 100L, 0.9), (3L, 10L, 0.1), (4L, 100L, 0.1)
+    ).toDF("doc_id", "n_tokens", "ratio")
+    val got = Curation.qualityVerdict(signals, "doc_id", Seq(
+        "short" -> (col("n_tokens") < 50),
+        "skewed" -> (col("ratio") < 0.5)))
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, "short"),
+      (2L, 1L, ""),
+      (3L, 0L, "short,skewed"),
+      (4L, 0L, "skewed")))
+  }
+
   // --------------------------------------------------------- applyMixture
 
   test("applyMixture repeats floor(w) times plus a deterministic fraction") {
