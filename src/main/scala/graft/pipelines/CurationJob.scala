@@ -1,0 +1,122 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Redact, Splits}
+import graft.sources.Tables
+
+/** The composed training-data builder: every curation operator chained
+  * into the pipeline a user actually runs over a raw document corpus —
+  *
+  *   quality verdict (repetition signals → rule table) → PII scrub →
+  *   near-dup KEEP LIST (n-gram Jaccard pairs → components → elected
+  *   representative) → benchmark decontamination → mixture execution
+  *   (weights → deterministic up/down-sampled copies) → permanent
+  *   train/val/test split
+  *
+  * writing four tables: `corpus_clean` (the surviving, scrubbed,
+  * resampled, split corpus), `quality_report` (every doc's verdict with
+  * reasons), `dedup_decisions` (the full keep list), and
+  * `mixture_report` (per-stratum weights).
+  *
+  * Composition discipline (the lesson of the reference's batch job,
+  * which re-read its input per pipeline): each expensive frame is
+  * computed ONCE — the scored corpus is cached and feeds the verdict
+  * report, the dedup stage, and the final output; the keep list is
+  * cached and feeds both `dedup_decisions` and the survivor filter.
+  * Every stage is a narrow projection or an already-scale-shaped
+  * operator (broadcast benchmark grams, banded pair generation,
+  * hash-deterministic sampling), so the job inherits the per-operator
+  * 100 TB posture; row counts ride the writes via `observe()` — no
+  * second scan per output.
+  */
+object CurationJob {
+
+  /** The default verdict rule table (q71's thresholds over
+    * [[graft.operators.Curation.repetitionStats]] columns).
+    */
+  val DefaultRules: Seq[(String, Column)] = Seq(
+    "too_short" -> (col("n_tokens") < 20),
+    "low_diversity" -> (col("distinct_ratio") < 0.35),
+    "top_heavy" -> (col("top_word_frac") > 0.15),
+    "dup_bigrams" -> (col("dup_bigram_frac") > 0.09))
+
+  /** Execute the full build over `documents`: `benchCut` ids below this
+    * bound play the held-out eval set (decontamination benchmark), the
+    * rest are the trainable corpus. Returns (table → rows written).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          rules: Seq[(String, Column)] = DefaultRules,
+          targets: Seq[(String, Double)] = Seq("en" -> 0.6, "de" -> 0.2,
+            "es" -> 0.1, "fr" -> 0.06, "zh" -> 0.04),
+          benchCut: Long = 25L): Map[String, Long] = {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") < benchCut)
+    val corpus = docs.filter(col("doc_id") >= benchCut)
+
+    // 1. verdict over repetition signals; scrub rides the same frame
+    val verdicts = Curation.qualityVerdict(
+      Curation.repetitionStats(corpus, "doc_id", "text"), "doc_id", rules)
+    val scored = corpus
+      .join(verdicts, "doc_id")
+      .withColumn("n_tokens", graft.functions.TextFns.tokenCount(col("text")))
+      .cache()
+    try {
+      val kept = scored.filter(col("keep") === 1L)
+
+      // 2. near-dup keep list over the quality survivors
+      val keepList = Dedup.keepList(
+        kept.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+        Dedup.ngramJaccardPairs(kept, "doc_id", "text",
+          n = 3, threshold = 0.6)).cache()
+      try {
+        val deduped = kept.join(
+          keepList.filter(col("keep") === 1L).select("doc_id"), "doc_id")
+
+        // 3. decontamination: drop anything sharing a 5-gram with bench
+        val contaminated = Curation.decontaminate(deduped, bench,
+          "doc_id", "text", n = 5).select("doc_id")
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+        // 4. mixture weights from the CLEAN corpus, then execution + split
+        val weights = Curation.mixtureWeights(clean, "lang",
+          col("n_tokens"), targets)
+        val corpusClean = Splits.withSplit(
+          Curation.applyMixture(
+            Redact.scrub(clean, "text")
+              .select(col("doc_id"), col("lang"),
+                col("scrubbed").as("text"), col("n_tokens")),
+            "doc_id", "lang", weights),
+          "doc_id")
+
+        Map(
+          "corpus_clean" -> corpusClean,
+          "quality_report" -> verdicts,
+          "dedup_decisions" -> keepList,
+          "mixture_report" -> weights
+        ).map { case (name, df) =>
+          val obs = org.apache.spark.sql.Observation(s"graft_curation_$name")
+          df.observe(obs, count(lit(1)).as("n_rows"))
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+          name -> obs.get("n_rows").asInstanceOf[Long]
+        }
+      } finally keepList.unpersist()
+    } finally scored.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = run(spark, sfDir, outDir)
+    counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"[curationjob] $t: $n rows") }
+    spark.stop()
+  }
+}

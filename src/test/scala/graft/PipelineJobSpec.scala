@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.pipelines.{BatchJob, StreamingJob}
+import graft.pipelines.{BatchJob, CurationJob, StreamingJob}
 
 /** End-to-end tests for the composed jobs (the reference's two mains). */
 class PipelineJobSpec extends SparkSpec {
@@ -26,6 +26,45 @@ class PipelineJobSpec extends SparkSpec {
     val part = new java.io.File(s"$out/daily_analytics").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(part.nonEmpty && part.forall(_.startsWith("event_day=")))
+  }
+
+  test("CurationJob builds a clean, deduped, decontaminated, split corpus") {
+    val out = Files.createTempDirectory("graft_curationjob").toString
+    val counts = CurationJob.run(spark, sf, out)
+    assert(counts.keySet == Set("corpus_clean", "quality_report",
+      "dedup_decisions", "mixture_report"))
+    assert(counts.values.forall(_ > 0))
+
+    val report = spark.read.parquet(s"$out/quality_report")
+    val decisions = spark.read.parquet(s"$out/dedup_decisions")
+    val clean = spark.read.parquet(s"$out/corpus_clean")
+
+    // every quality survivor got a dedup decision; report covers the corpus
+    assert(counts("quality_report") ==
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") >= 25L).count())
+    assert(counts("dedup_decisions") ==
+      report.filter(col("keep") === 1L).count())
+
+    // the clean corpus contains only kept, dedup-elected, benchmark-free
+    // docs; copies are dense per doc and every row carries a valid split
+    val cleanIds = clean.select("doc_id").distinct().as[Long].collect().toSet
+    val keptIds = report.filter(col("keep") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val electedIds = decisions.filter(col("keep") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanIds.subsetOf(keptIds intersect electedIds))
+    assert(cleanIds.forall(_ >= 25L))
+    assert(clean.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // scrubbing really ran: no digit runs survive in the text
+    assert(clean.filter(col("text").rlike("[0-9]")).isEmpty)
+
+    // deterministic: a second run writes identical corpus rows
+    val out2 = Files.createTempDirectory("graft_curationjob2").toString
+    CurationJob.run(spark, sf, out2)
+    val again = spark.read.parquet(s"$out2/corpus_clean")
+    assert(clean.exceptAll(again).isEmpty && again.exceptAll(clean).isEmpty)
   }
 
   test("StreamingJob forks analytics + anomalies off one stream") {
