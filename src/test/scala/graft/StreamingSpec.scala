@@ -298,6 +298,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrub is stream-safe: stateless narrow pass over micro-batches") {
+    // the curation scrub is a pure projection, so it composes onto a
+    // stream with no state, watermark, or output-mode constraints —
+    // locked in here so a future stateful rewrite can't silently break
+    // the streaming ingest-scrubbing path
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = graft.operators.Redact.scrub(in.toDF(), "props")
+      .select($"event_id", $"scrubbed", $"n_redactions")
+      .writeStream.format("memory").queryName("scrub_st").start()
+    try {
+      in.addData(Ev(1, new Timestamp(1000L), 1, "click", 1.0, "{\"k\": 42}"))
+      q.processAllAvailable()
+      in.addData(Ev(2, new Timestamp(2000L), 1, "click", 1.0, "reach me at a@b.co"))
+      q.processAllAvailable()
+      val got = spark.table("scrub_st")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, "{\"k\": <NUM>}", 1L),
+        (2L, "reach me at <EMAIL>", 1L)))
+    } finally q.stop()
+  }
+
   test("throughput: a 10k-record batch clears in far under the 30s floor") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
