@@ -292,6 +292,10 @@ object Curation {
     * functions of (id, salt), stable across runs, partitionings, and
     * retries. One broadcast join (strata table is tiny by definition) +
     * a narrow explode — no shuffle of the corpus.
+    *
+    * Strata ABSENT from `weights` are dropped (the inner join), exactly
+    * like strata with weight 0 — consistent with [[mixtureWeights]],
+    * which emits weight 0 for domains missing from the target mixture.
     */
   def applyMixture(df: DataFrame, idCol: String, strataCol: String,
                    weights: DataFrame, weightCol: String = "weight",

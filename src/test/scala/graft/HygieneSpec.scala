@@ -137,4 +137,12 @@ class HygieneSpec extends SparkSpec {
       (3L, 1L, 0L),
       (4L, 4L, 1L))) // singleton keeps itself
   }
+
+  test("keepList with no pairs keeps every doc as its own singleton") {
+    val docs = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.keepList(docs, "doc_id", "n_chars", noPairs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
 }
