@@ -7,15 +7,16 @@ import graft.functions.VectorFns
 import graft.operators.{Curation, Dedup, Redact, Similarity}
 import graft.sources.Tables
 
-/** Q64–Q71 — round-7 corpus-hygiene surface: the scoring and decision
+/** Q64–Q72 — round-7 corpus-hygiene surface: the scoring and decision
   * steps between the round-6 curation signals and an actual training
   * set — LM-based quality scoring (unigram cross-entropy), tokenizer
   * coverage (OOV rate), PII-style pattern scrubbing, per-source corpus
   * profiling, the end-to-end dedup KEEP LISTS (pairs → components →
   * one kept representative per cluster), both lexical (n-gram Jaccard,
   * q68) and semantic (embedding LSH, q69), mixture EXECUTION (weights
-  * → deterministically resampled corpus, q70), and the quality-filter
-  * VERDICT (threshold rules → keep/drop with reasons, q71).
+  * → deterministically resampled corpus, q70), the quality-filter
+  * VERDICT (threshold rules → keep/drop with reasons, q71), and
+  * single-pass table profiling (q72).
   *
   * Oracle discipline unchanged: full-algorithm DuckDB restatements.
   * Cross-engine float policy: per-doc float folds are ORDER-PINNED
@@ -316,6 +317,26 @@ object HygieneQueries {
       |         AS reasons
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ table profile
+
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Q72 — single-pass table profile of `orders`: per column, row/null/
+    * exact-distinct counts (see [[graft.operators.Profile.table]]) —
+    * one scan, one Expand-planned multi-distinct aggregate, melted to
+    * long form.
+    */
+  private def q72(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.table(Tables.orders(spark, dir), ProfileCols)
+      .orderBy("col_name")
+
+  private val q72Sql = ProfileCols.map(c =>
+    s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+       |       (count(*) - count($c))::BIGINT AS n_nulls,
+       |       count(DISTINCT $c)::BIGINT AS n_distinct FROM orders""".stripMargin)
+    .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q64_cross_entropy", q64, Some(q64Sql)),
     QueryDef("q65_oov_rate", q65, Some(q65Sql)),
@@ -324,5 +345,6 @@ object HygieneQueries {
     QueryDef("q68_dedup_keeplist", q68, Some(q68Sql)),
     QueryDef("q69_semantic_keeplist", q69, Some(q69Sql)),
     QueryDef("q70_apply_mixture", q70, Some(q70Sql)),
-    QueryDef("q71_quality_verdict", q71, Some(q71Sql)))
+    QueryDef("q71_quality_verdict", q71, Some(q71Sql)),
+    QueryDef("q72_table_profile", q72, Some(q72Sql)))
 }

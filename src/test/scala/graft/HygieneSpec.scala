@@ -138,6 +138,15 @@ class HygieneSpec extends SparkSpec {
       (4L, 4L, 1L))) // singleton keeps itself
   }
 
+  test("Profile.table counts rows/nulls/distincts per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")), (None, Some("a"))
+    ).toDF("k", "v")
+    val got = graft.operators.Profile.table(df)
+      .orderBy("col_name").as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+  }
+
   test("keepList with no pairs keeps every doc as its own singleton") {
     val docs = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
