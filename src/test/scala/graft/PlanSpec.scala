@@ -159,6 +159,17 @@ class PlanSpec extends SparkSpec {
       s"scrub must stay a per-row projection; got $nodes")
   }
 
+  test("q72 profile plan: one scan feeds every per-column distinct (Expand)") {
+    val nodes = finalNodes(SparkEntry.queries("q72_table_profile")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(dataScans.size == 1,
+      s"profiling must not scan once per column; got ${dataScans.size} scans")
+    assert(names(nodes).exists(_.contains("Expand")),
+      s"multi-distinct must plan through Expand; got ${names(nodes)}")
+  }
+
   test("q68 keep-list plan: no cartesian/nested-loop anywhere") {
     val nodes = names(finalNodes(SparkEntry.queries("q68_dedup_keeplist")(spark, sf)))
     assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
