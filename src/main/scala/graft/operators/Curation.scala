@@ -222,6 +222,47 @@ object Curation {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Graded contamination SCORE per corpus document — [[decontaminate]]'s
+    * flag generalized to the fraction view used when deciding what to do
+    * with a hit (drop the doc vs excise the span): for every corpus doc,
+    * its distinct-`n`-gram count, the number of those grams appearing in
+    * the benchmark, and `containment = n_overlap / n_grams` (Broder's
+    * containment coefficient of the doc's gram set in the benchmark's).
+    * Unlike [[decontaminate]], CLEAN documents are emitted too (score 0)
+    * — this is the scoring pass a threshold policy runs over, so the
+    * clean rows are the point, not noise.
+    *
+    * Same scale shape as [[decontaminate]]: benchmark grams distinct'd
+    * and broadcast, corpus scanned once — the per-doc gram count rides
+    * the same narrow pass (size of the distinct shingle array), and the
+    * aggregate moves one row per (doc, matched gram) plus one row per
+    * doc for the count — no shuffle of document text. Docs shorter than
+    * `n` tokens have zero grams and are emitted with `n_grams = 0`,
+    * `containment = 0` (nothing to match ⇒ clean).
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val gram = (d: DataFrame) =>
+      d.select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("g"))
+    val benchGrams = gram(benchmark).select("g").distinct()
+      .withColumn("__graft_hit", lit(1))
+    corpus
+      .select(col(idCol), TextFns.shingles(col(textCol), n).as("gs"))
+      // the appended null sentinel keeps zero-gram docs in the explode
+      // (a null key never joins, so it adds no overlap count)
+      .select(col(idCol), size(col("gs")).cast("long").as("n_grams"),
+        explode(concat(col("gs"), array(lit(null).cast("string")))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col(idCol)).agg(
+        max(col("n_grams")).as("n_grams"),
+        count(col("__graft_hit")).as("n_overlap"))
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(round(col("n_overlap") / col("n_grams"), 6))
+          .as("containment"))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Overlapping token-window chunking (RAG / context-window prep): each
@@ -401,6 +442,38 @@ object Curation {
       .select(col(idCol), col("p").cast("long").as("pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))
 
+  /** One BPE merge-candidate census — the counting step of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016), at
+    * the character-symbol base case: for every adjacent character pair
+    * inside every word, the corpus-wide occurrence count, returned as
+    * the top `k` candidates by (count DESC, pair ASC). The top row is
+    * the pair the first BPE merge would fuse; re-running after applying
+    * a merge yields the next, so this is the inner loop of the trainer.
+    *
+    * The corpus is collapsed to a (word, count) frame FIRST — the
+    * map-side-combined word census a tokenizer trainer keeps anyway —
+    * so pair enumeration runs once per DISTINCT word, weighted by its
+    * count, not once per corpus token: at web scale the distinct-word
+    * frame is orders of magnitude smaller than the token stream. Pair
+    * extraction is narrow (in-row substring enumeration); the only
+    * shuffles are the two keyed aggregates, and the top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = df
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Greedy in-order sequence packing: within each shard (`shardCol` —
@@ -416,6 +489,68 @@ object Curation {
     * ordered scan); sharding is what makes it parallel, exactly as a
     * production tokenizer packs per input shard.
     */
+  /** Deterministic global training-data shuffle: assign every document a
+    * shard in [0, numShards) and a position within its shard — the
+    * "shuffle the corpus, write N shard files" step before training,
+    * with the shuffle a PURE FUNCTION of ids (like everything in
+    * [[Splits]]): shard = portable-hash(id) mod numShards, in-shard
+    * order by a second independent hash (tie-break: id). Re-runs,
+    * retries, and appends of disjoint ids reproduce the same layout —
+    * an RDD `repartition` + `mapPartitions` shuffle would not.
+    *
+    * Scale: one hash-shuffle on the shard key; each shard's
+    * `row_number` window serializes ONLY that shard (corpus/numShards
+    * rows), and shard count is chosen for file-size targets at 100 TB
+    * (thousands), so per-window state stays bounded. No global sort,
+    * nothing collected.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+                  salt: String = "shard"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__graft_ord"), col(idCol))
+    df.withColumn("shard",
+        pmod(Splits.portableHash(col(idCol), salt), lit(numShards))
+          .cast("int"))
+      .withColumn("__graft_ord",
+        Splits.portableHash(col(idCol), s"$salt-ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__graft_ord")
+  }
+
+  /** Per-stratum quality-budgeted selection — "keep the best documents
+    * of each domain until its token budget is spent", the selection
+    * step of a curated-corpus recipe (quality-ranked greedy fill, the
+    * shape used to build curated subsets under a fixed token count):
+    * within each stratum, documents are ranked by (quality DESC, id)
+    * and kept while the RUNNING token total of better-ranked docs stays
+    * under `budget` — a doc is kept iff the budget was not already
+    * exhausted when its turn came, so the kept set may overflow the
+    * budget by at most its last document (same overflow law as
+    * [[packSequences]] bins). Emits every row with its rank, the
+    * running total INCLUDING the row, and the keep flag — the audit
+    * frame, not just the survivors.
+    *
+    * One window shuffle on the stratum key; the per-stratum running sum
+    * is the same bounded sequential scan as [[packSequences]] —
+    * parallelism comes from stratum count, exactly as packing's comes
+    * from shards.
+    */
+  def budgetedSelection(df: DataFrame, idCol: String, strataCol: String,
+                        qualityCol: Column, tokensCol: Column,
+                        budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("quality").desc, col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(strataCol), qualityCol.as("quality"),
+        tokensCol.cast("long").as("n_tokens"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("keep",
+        (col("cum_tokens") - col("n_tokens") < budget).cast("long"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
                     shardCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -45,6 +45,46 @@ object Dedup {
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exact(df, idCol, Seq(TextFns.fingerprint(col(textCol)).as("fp")))
 
+  /** INCREMENTAL exact dedup — the "new crawl batch vs standing corpus"
+    * decision a continuously-ingesting pipeline makes, so the corpus
+    * never has to be re-deduped whole: classify every `incoming` row by
+    * its dedup key (`keyExpr` — e.g. [[graft.functions.TextFns.fingerprint]]
+    * or [[graft.functions.TextFns.tokenSetKey]]) as
+    *   - `dup_of_corpus` — key already present in `existing`
+    *     (`dup_of` = the corpus keeper, min existing id for the key);
+    *   - `dup_in_batch` — key unseen in the corpus but an earlier
+    *     (smaller-id) incoming row has it (`dup_of` = that row's id);
+    *   - `new` — first occurrence anywhere (`dup_of` null). These are
+    *     the rows an append pass admits.
+    *
+    * Scale shape: the existing side is COLLAPSED to (key, keeper) by a
+    * map-side-combined aggregate before the join — the join moves one
+    * row per distinct corpus key, never corpus text — and at steady
+    * state that frame is the dedup index a pipeline keeps materialized,
+    * so the cost is one shuffle of the (small) incoming batch keyed by
+    * fingerprint. The within-batch keeper is a min() window on the same
+    * key partitioning the join just produced — no extra exchange.
+    */
+  def deltaDedup(existing: DataFrame, incoming: DataFrame, idCol: String,
+                 keyExpr: Column): DataFrame = {
+    val corpusKeys = existing
+      .select(keyExpr.as("__graft_fp"), col(idCol).as("__graft_ck"))
+      .groupBy("__graft_fp").agg(min(col("__graft_ck")).as("__graft_ck"))
+    val batchKeeper = min(col(idCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__graft_fp")))
+    incoming
+      .select(col(idCol), keyExpr.as("__graft_fp"))
+      .join(corpusKeys, Seq("__graft_fp"), "left")
+      .withColumn("__graft_bk", batchKeeper)
+      .select(col(idCol),
+        when(col("__graft_ck").isNotNull, lit("dup_of_corpus"))
+          .when(col(idCol) === col("__graft_bk"), lit("new"))
+          .otherwise(lit("dup_in_batch")).as("status"),
+        when(col("__graft_ck").isNotNull, col("__graft_ck"))
+          .when(col(idCol) =!= col("__graft_bk"), col("__graft_bk"))
+          .as("dup_of"))
+  }
+
   /** Bag-of-words dedup: same sorted distinct token set. */
   def byTokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exact(df, idCol, Seq(TextFns.tokenSetKey(col(textCol)).as("fp")))
@@ -102,6 +142,10 @@ object Dedup {
     */
   private[graft] val HotBucketCap = 4096
 
+  /** Default id-range split factor for the salted hot-bucket self-join:
+    * one hot bucket's pair output is spread over this many tasks. */
+  private[graft] val HotSplitDefault = 8
+
   /** Candidate pairs from an inverted index: group by bucket key, collect
     * the (sorted, distinct) doc ids per bucket, enumerate each bucket's
     * pairs inline. Prefix filtering / LSH banding bounds the AVERAGE
@@ -130,15 +174,24 @@ object Dedup {
     * duplicate (key, id) rows stays exact (final `distinct()`) but may
     * route a small-distinct bucket through the hot path early — harmless.
     *
-    * Known bound: one pathological hot bucket still emits its O(bucket²)
-    * pair output through a single sort-merge-join task — spill-safe on
-    * memory, but a straggler if a boilerplate shingle covers a large
-    * corpus share. At that scale, pre-filter boilerplate shingles by
-    * document frequency (or use [[minHashPairs]], whose banding caps
-    * collision probability) rather than salting an exact self-join.
+    * The hot-path self-join is SALTED by an id-range split of the left
+    * side ([[saltedHotPairs]]): without it, one pathological bucket's
+    * O(bucket²) pair output funnels through the single task owning that
+    * bucket key — spill-safe on memory but a straggler/shuffle-write
+    * bottleneck if a boilerplate shingle covers a large corpus share.
+    * Splitting the left side into `hotSplit` deterministic id groups and
+    * replicating the right side per group keeps the join exact (each
+    * (a, b) pair meets in exactly one group) while spreading the bucket's
+    * output over `hotSplit` tasks, at the price of writing the hot rows
+    * `hotSplit` times into the right side's shuffle — rows that are by
+    * definition the small surviving hot fraction of the index. Truly
+    * corpus-scale boilerplate should still be document-frequency
+    * pre-filtered (or routed via [[minHashPairs]], whose banding caps
+    * collision probability); the salt bounds the damage when it is not.
     */
   private[graft] def candidatePairs(index: DataFrame, keyCols: Seq[String],
-                                    cap: Int = HotBucketCap): DataFrame = {
+                                    cap: Int = HotBucketCap,
+                                    hotSplit: Int = HotSplitDefault): DataFrame = {
     val keys = keyCols.map(col)
     val hotKeys = index.groupBy(keys: _*)
       .agg(count(lit(1)).as("__graft_bn"))
@@ -157,11 +210,30 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
     val hot = index.join(broadcast(hotKeys), keyCols, "left_semi")
       .select((keys :+ col("id")): _*)
-    val hotPairs = hot.withColumnRenamed("id", "id_a")
-      .join(hot.withColumnRenamed("id", "id_b"), keyCols)
+    smallPairs.unionByName(saltedHotPairs(hot, keyCols, hotSplit)).distinct()
+  }
+
+  /** The hot-bucket pair enumeration: a sort-merge self-join on the
+    * bucket key, salted by a deterministic id-range split so one bucket's
+    * quadratic pair output is written by `hotSplit` tasks instead of one.
+    * Left side rows get salt `xxhash64(id) mod hotSplit`; the right side
+    * is replicated once per salt value and the join keys on
+    * (bucket, salt) — every (id_a, id_b) pair of a bucket meets in
+    * exactly the one group owning id_a, so output is identical to the
+    * unsalted join. Exposed package-private so tests can observe the
+    * spread before the final `distinct()` re-shuffles it.
+    */
+  private[graft] def saltedHotPairs(hot: DataFrame, keyCols: Seq[String],
+                                    hotSplit: Int): DataFrame = {
+    require(hotSplit >= 1, s"hotSplit must be >= 1, got $hotSplit")
+    val salt = "__graft_hsplit"
+    val left = hot.withColumnRenamed("id", "id_a")
+      .withColumn(salt, pmod(xxhash64(col("id_a")), lit(hotSplit)).cast("int"))
+    val right = hot.withColumnRenamed("id", "id_b")
+      .withColumn(salt, explode(sequence(lit(0), lit(hotSplit - 1))))
+    left.join(right, keyCols :+ salt)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    smallPairs.unionByName(hotPairs).distinct()
   }
 
   /** The (id, shingle-set) frame every near-dup path fans out from,

@@ -312,6 +312,104 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Brute-force cosine top-k for a BATCH of query vectors — the
+    * ground-truth side of an ANN recall evaluation (and the exact
+    * retrieval path when the query set is small enough to broadcast):
+    * every (query, corpus) cosine is computed and each query keeps its
+    * `k` best by (cos DESC, id). Emits (qidCol, idCol, cos_sim).
+    *
+    * Scale shape: queries broadcast (an eval sample is thousands of
+    * rows, never corpus-scale), corpus scanned ONCE with a |Q|-way
+    * in-row fanout, and the per-query top-k is a rank-limited window —
+    * Spark plans the `row_number <= k` filter as WindowGroupLimit, so
+    * each task keeps a k-heap per query instead of sorting the fanout.
+    * Cost is the unavoidable |corpus| × |Q| kernel (one codegen'd
+    * [[graft.expressions.VecDot]] each); for corpus-scale query sets
+    * use [[lshNearDupPairs]] instead.
+    */
+  def topKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                queries: DataFrame, qidCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(qidCol).as("query_id"), col(embCol).as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    corpus.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
+  /** LSH-bucketed ANN top-k for a BATCH of query vectors — [[lshTopK]]
+    * generalized to a query frame, emitting (qidCol, idCol, cos_sim):
+    * corpus vectors sharing at least one signature band with a query are
+    * exactly re-ranked for that query. The corpus is banded ONCE
+    * (narrow signature pass + band fanout), the query bands broadcast,
+    * and the per-query top-k is the same rank-limited window as
+    * [[topKBatch]] — so corpus cost is independent of |Q| up to the
+    * band-collision joins, which is the point of the index.
+    */
+  def lshTopKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                   queries: DataFrame, qidCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val corpusBands = bandedCols(corpus, idCol, embCol)
+    val queryBands = bandedCols(queries, qidCol, embCol)
+      .select(col(qidCol).as("query_id"), col("band").as("q_band"),
+        col(embCol).as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    corpusBands
+      .join(broadcast(queryBands), col("band") === col("q_band"))
+      .select(col("query_id"), col(idCol),
+        round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
+      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
+  /** Per-band fanout of a vector frame: (idCol, embCol, band) with one
+    * row per signature band — shared by [[lshTopK]] and
+    * [[lshTopKBatch]]. Band format matches the banded index everywhere
+    * in this module: `bandIndex_bit…bit`.
+    */
+  private def bandedCols(df: DataFrame, idCol: String,
+                         embCol: String): DataFrame = {
+    val rows = Bits / Bands
+    df.withColumn("e_d", VectorFns.toDouble(col(embCol)))
+      .withColumn("sig", signature(col("e_d"), planeMatrix))
+      .select(col(idCol), col(embCol), posexplode(
+        transform(sequence(lit(0), lit(Bands - 1)), b =>
+          concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*))))
+      .withColumnRenamed("col", "band")
+      .drop("pos")
+  }
+
+  /** Recall@k of an approximate retrieval against exact ground truth:
+    * for each query, `|approx ∩ exact| / |exact|` over the (query,
+    * neighbor) id pairs — THE quality metric of an ANN index
+    * (recall-vs-cost is the curve every index tunes along). Both inputs
+    * are top-k frames keyed by (qidCol, idCol), e.g. [[topKBatch]]
+    * (truth) vs [[lshTopKBatch]] (index under test). Queries with no
+    * approx rows score 0. One semi-join + two per-query count
+    * aggregates — the frames are |Q| × k rows, tiny by construction.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                qidCol: String, idCol: String): DataFrame = {
+    val truth = exact.groupBy(col(qidCol)).agg(count(lit(1)).as("n_exact"))
+    val hits = approx.join(exact, Seq(qidCol, idCol), "left_semi")
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
+    truth.join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share at least one 8-bit signature
     * band with the query, then exact cosine re-rank.
     */

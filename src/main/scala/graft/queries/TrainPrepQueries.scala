@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Curation, Dedup, Similarity}
+import graft.sources.Tables
+
+/** Q73–Q79 — round-7 training-prep surface: the remaining steps between
+  * a curated corpus and training shards, plus the evaluation harness a
+  * pipeline runs over its own indexes —
+  *
+  *   - contamination SCORING (containment fraction per doc, q73 — the
+  *     threshold-policy view of q57's flags),
+  *   - INCREMENTAL dedup of a new batch against the standing corpus
+  *     (q74 — the continuous-ingest decision: new / dup-of-corpus /
+  *     dup-in-batch),
+  *   - deterministic global shuffle + shard/position assignment (q75),
+  *   - per-stratum quality-budgeted selection (q76 — greedy fill under
+  *     a token budget),
+  *   - the BPE merge-candidate census (q77 — tokenizer training's inner
+  *     loop over the distinct-word frame),
+  *   - batched brute-force top-k retrieval (q78 — the ground-truth side
+  *     of recall eval, WindowGroupLimit-planned), and
+  *   - ANN recall@k of the LSH index against that ground truth (q79 —
+  *     the quality metric every index tunes along).
+  *
+  * Oracle discipline unchanged from the earlier modules: full-algorithm
+  * DuckDB restatements, integer counts divided once at the end, every
+  * graded float carries `round(_, 6)` and is rounded BEFORE any
+  * ordering that depends on it.
+  */
+object TrainPrepQueries {
+
+  // ------------------------------------------------- contamination score
+
+  /** Benchmark cut shared with q57: docs below this id play the eval set. */
+  private val BenchCut = 25
+
+  /** Q73 — contamination scoring: every corpus doc's distinct-5-gram
+    * count, benchmark-overlap count, and containment fraction — clean
+    * docs included at 0 (see
+    * [[graft.operators.Curation.contaminationScore]]).
+    */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.contaminationScore(
+        docs.filter(col("doc_id") >= BenchCut),
+        docs.filter(col("doc_id") < BenchCut),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  private val q73Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, len(toks) - 3),
+       |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                         toks[i+3], toks[i+4])))) AS g
+       |      FROM d),
+       |b AS (SELECT DISTINCT g FROM g WHERE doc_id < $BenchCut),
+       |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g
+       |        WHERE doc_id >= $BenchCut GROUP BY 1),
+       |ov AS (SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+       |       FROM g JOIN b USING (g) WHERE g.doc_id >= $BenchCut
+       |       GROUP BY 1)
+       |SELECT d.doc_id, coalesce(cnt.n_grams, 0)::BIGINT AS n_grams,
+       |       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |       CASE WHEN coalesce(cnt.n_grams, 0) = 0 THEN 0.0
+       |            ELSE round(coalesce(ov.n_overlap, 0) / cnt.n_grams, 6)
+       |       END AS containment
+       |FROM d LEFT JOIN cnt USING (doc_id) LEFT JOIN ov USING (doc_id)
+       |WHERE d.doc_id >= $BenchCut ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** Every 5th doc plays the incoming batch; the rest are the corpus. */
+  private val DeltaMod = 5
+
+  /** Q74 — incremental dedup: the interleaved "new batch" classified
+    * against the standing corpus by token-set key — new / dup_of_corpus
+    * / dup_in_batch with the keeper id (see
+    * [[graft.operators.Dedup.deltaDedup]]).
+    */
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.deltaDedup(
+        docs.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1),
+        docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1),
+        "doc_id", TextFns.tokenSetKey(col("text")))
+      .orderBy("doc_id")
+  }
+
+  private val q74Sql =
+    s"""WITH f AS (SELECT doc_id, array_to_string(list_sort(list_distinct(
+       |             list_filter(string_split_regex(lower(text), '\\s+'),
+       |                         t -> t != ''))), ' ') AS fp
+       |           FROM documents),
+       |ex AS (SELECT fp, min(doc_id) AS ck FROM f
+       |       WHERE doc_id % $DeltaMod != ${DeltaMod - 1} GROUP BY 1),
+       |inc AS (SELECT doc_id, fp,
+       |               min(doc_id) OVER (PARTITION BY fp) AS bk
+       |        FROM f WHERE doc_id % $DeltaMod = ${DeltaMod - 1})
+       |SELECT inc.doc_id,
+       |       CASE WHEN ex.ck IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN inc.doc_id = inc.bk THEN 'new'
+       |            ELSE 'dup_in_batch' END AS status,
+       |       CASE WHEN ex.ck IS NOT NULL THEN ex.ck
+       |            WHEN inc.doc_id != inc.bk THEN inc.bk END AS dup_of
+       |FROM inc LEFT JOIN ex USING (fp) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ shard assignment
+
+  private val NumShards = 8
+
+  /** Q75 — deterministic global shuffle: every doc's training shard and
+    * in-shard position, a pure function of ids (see
+    * [[graft.operators.Curation.shardAssign]]).
+    */
+  private def q75(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardAssign(
+        Tables.documents(spark, dir).select("doc_id"), "doc_id", NumShards)
+      .orderBy("doc_id")
+
+  private val q75Sql =
+    s"""WITH h AS (SELECT doc_id,
+       |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % $NumShards AS shard,
+       |    ('0x' || substr(md5('shard-ord:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      AS ord
+       |  FROM documents)
+       |SELECT doc_id, shard::INTEGER AS shard,
+       |       (row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |        - 1)::BIGINT AS pos
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- budgeted selection
+
+  /** Per-language token budget for the curated-subset selection. */
+  private val SelectBudget = 4000L
+
+  /** Q76 — per-language quality-budgeted selection: docs ranked by
+    * distinct-token ratio (DESC, id tie-break) are kept while the
+    * running token total of better docs stays under the budget (see
+    * [[graft.operators.Curation.budgetedSelection]]). The full audit
+    * frame is emitted — rank, running total, keep flag.
+    */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Curation.budgetedSelection(
+        Tables.documents(spark, dir), "doc_id", "lang",
+        round(size(array_distinct(toks)) / size(toks), 6),
+        TextFns.tokenCount(col("text")), budget = SelectBudget)
+      .orderBy("doc_id")
+  }
+
+  private val q76Sql =
+    s"""WITH s AS (SELECT doc_id, lang,
+       |    round(len(list_distinct(string_split(text, ' ')))
+       |          / len(string_split(text, ' ')), 6) AS quality,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |w AS (SELECT doc_id, lang, quality, n_tokens,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY quality DESC, doc_id)::BIGINT AS rank,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |                        ORDER BY quality DESC, doc_id
+       |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+       |  FROM s)
+       |SELECT doc_id, lang, quality, n_tokens, rank, cum_tokens,
+       |       (CASE WHEN cum_tokens - n_tokens < $SelectBudget
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ BPE pair census
+
+  private val BpeTopK = 20
+
+  /** Q77 — the BPE merge-candidate census: corpus-wide adjacent
+    * character-pair counts over the distinct-word frame, top candidates
+    * by (count DESC, pair) — tokenizer training's inner counting loop
+    * (see [[graft.operators.Curation.bpePairCounts]]).
+    */
+  private def q77(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpePairCounts(Tables.documents(spark, dir), "text", k = BpeTopK)
+
+  private val q77Sql =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+       |              FROM documents),
+       |wc AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1
+       |       HAVING len(w) >= 2),
+       |p AS (SELECT unnest(list_transform(range(1, len(w)),
+       |          i -> substr(w, i, 2))) AS pair, wc
+       |      FROM wc),
+       |pc AS (SELECT pair, sum(wc)::BIGINT AS pair_count FROM p GROUP BY 1)
+       |SELECT pair, pair_count FROM pc
+       |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // ------------------------------------------------------- batched top-k
+
+  /** Query sample for the retrieval eval: the lowest-id vectors. */
+  private val QuerySample = 8
+  private val RecallK = 10
+
+  /** Q78 — batched brute-force cosine top-k: exact retrieval for the
+    * whole query sample in one corpus scan, per-query rank-limited
+    * window (WindowGroupLimit — see
+    * [[graft.operators.Similarity.topKBatch]]). The ground-truth side
+    * of q79's recall eval.
+    */
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.topKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < QuerySample), "vec_id", k = RecallK)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  private val q78Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       |      FROM embeddings WHERE vec_id < $QuerySample),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e, q),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos_sim DESC, vec_id) AS rk
+       |      FROM s)
+       |SELECT query_id, vec_id, cos_sim FROM r WHERE rk <= $RecallK
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
+
+  // ---------------------------------------------------------- ANN recall
+
+  /** Q79 — recall@k of the LSH index against q78's brute-force ground
+    * truth, per query (see [[graft.operators.Similarity.recallAtK]] /
+    * [[graft.operators.Similarity.lshTopKBatch]]). The oracle restates
+    * BOTH retrieval paths — the full plane model, banding, candidate
+    * join, re-rank — and the recall arithmetic, so the metric itself is
+    * hash-graded, not just spot-checked.
+    */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        Similarity.lshTopKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q79Sql =
+    s"""WITH ${PipelineQueries.lshBandsSql},
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM s),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |qb AS (SELECT vec_id AS query_id, band FROM bands
+       |       WHERE vec_id < $QuerySample),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+       |         FROM bands b JOIN qb USING (band)),
+       |aps AS (SELECT c.query_id, c.vec_id,
+       |               round(${PipelineQueries.cosSql("ce.e", "qe")}, 6) AS cos_sim
+       |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+       |                    JOIN q ON q.query_id = c.query_id),
+       |apr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM aps),
+       |apt AS (SELECT query_id, vec_id FROM apr WHERE rk <= $RecallK),
+       |h AS (SELECT apt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM apt JOIN ext ON apt.query_id = ext.query_id
+       |                       AND apt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q73_contamination_score", q73, Some(q73Sql)),
+    QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
+    QueryDef("q75_shard_assign", q75, Some(q75Sql)),
+    QueryDef("q76_budgeted_selection", q76, Some(q76Sql)),
+    QueryDef("q77_bpe_pairs", q77, Some(q77Sql)),
+    QueryDef("q78_batch_topk", q78, Some(q78Sql)),
+    QueryDef("q79_ann_recall", q79, Some(q79Sql)))
+}

@@ -70,6 +70,34 @@ class PipelineOpSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("saltedHotPairs spreads one dominant bucket's output over >1 task") {
+    // one bucket holding 60 ids → 1770 pairs; unsalted, every pair would be
+    // emitted by the single task owning key "hot" — the straggler the salt
+    // exists to break up. With the id-range split, multiple join partitions
+    // must write pairs, and the output must still be the exact pair set.
+    // pin AQE partition coalescing off so the observed partition count
+    // reflects the salted join's key spread, not a post-hoc merge of the
+    // tiny test output into one partition
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val (byPartition, got) =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        val index = Seq.tabulate(60)(i => (i.toLong, "hot")).toDF("id", "g")
+          .repartition(8)
+        val pairs = Dedup.saltedHotPairs(index, Seq("g"), hotSplit = 8)
+        (pairs.withColumn("pid", spark_partition_id())
+           .groupBy("pid").count().collect(),
+         pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      } finally spark.conf.set(coalesceKey, prev)
+    assert(byPartition.length > 1,
+      s"expected >1 task writing pairs, got ${byPartition.toSeq}")
+    val expected = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+    } yield (a, b)).toSet
+    assert(got == expected)
+  }
+
   test("ngramJaccardPairs stays exact when every bucket is hot (cap=1)") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z")).toDF("id", "t")
     val pairs = Dedup.ngramJaccardPairs(df, "id", "t", n = 2, threshold = 0.1,

@@ -175,4 +175,51 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
       s"pairs + components + election must all be equi-joins/windows; got $nodes")
   }
+
+  test("q73 contamination plan: bench grams broadcast, corpus never shuffled wide") {
+    val nodes = finalNodes(SparkEntry.queries("q73_contamination_score")(spark, sf))
+    val ns = names(nodes)
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      s"benchmark gram set must broadcast; got $ns")
+    // the only sort-merge-join-shaped shuffle allowed is none: corpus rows
+    // reach the per-doc aggregate keyed by id, never joined by shuffle
+    assert(!ns.exists(_.contains("SortMergeJoin")),
+      s"corpus side must not shuffle-join; got $ns")
+  }
+
+  test("q77 bpe plan: pair census runs on the distinct-word frame, one scan") {
+    val nodes = finalNodes(SparkEntry.queries("q77_bpe_pairs")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"expected one tokenizing scan of documents, got ${dataScans.size}")
+    // top-k must be a TakeOrderedAndProject (per-partition heaps), not a
+    // global sort + limit
+    assert(names(nodes).exists(_.contains("TakeOrderedAndProject")),
+      s"top-k must plan as TakeOrderedAndProject; got ${names(nodes)}")
+  }
+
+  test("q78 batch top-k plan: queries broadcast, per-query WindowGroupLimit") {
+    val nodes = names(finalNodes(SparkEntry.queries("q78_batch_topk")(spark, sf)))
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")) ||
+           nodes.exists(_.contains("BroadcastHashJoin")),
+      s"query sample must broadcast (corpus side stays local); got $nodes")
+    assert(nodes.exists(_.contains("WindowGroupLimit")),
+      s"per-query top-k must prune through WindowGroupLimit; got $nodes")
+  }
+
+  test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
+    // the operator itself (q75 adds a presentation orderBy, which is a
+    // second, range exchange by design)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id")
+    val nodes = finalNodes(
+      graft.operators.Curation.shardAssign(docs, "doc_id", 8))
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges == 1,
+      s"shard assignment must shuffle once on the shard key, got $exchanges " +
+        s"in ${names(nodes)}")
+  }
 }

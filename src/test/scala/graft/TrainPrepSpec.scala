@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Curation, Dedup, Similarity}
+
+/** Unit tests for the round-7 training-prep operators: contamination
+  * scoring, incremental dedup, shard assignment, budgeted selection, the
+  * BPE pair census, and the batched-retrieval/recall eval harness — each
+  * against hand-computed answers on small fixtures.
+  */
+class TrainPrepSpec extends SparkSpec {
+  private lazy val sess = spark
+  import sess.implicits._
+
+  // --------------------------------------------------- contaminationScore
+
+  test("contaminationScore emits clean and zero-gram docs at 0") {
+    val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xx the quick brown fox jumps over yy"), // 4 grams, 2 shared
+      (11L, "totally different words here now ok"),  // 2 grams, 0 shared
+      (12L, "tiny")                                  // < n tokens: 0 grams
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationScore(corpus, bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (10L, 4L, 2L, 0.5),
+      (11L, 2L, 0L, 0.0),
+      (12L, 0L, 0L, 0.0)))
+  }
+
+  // ----------------------------------------------------------- deltaDedup
+
+  test("deltaDedup classifies new / dup_of_corpus / dup_in_batch") {
+    // token-set key: (1) and (2) collide ("a b"); incoming 10 collides
+    // with them; 11/12 collide with each other only; 13 is unique
+    val existing = Seq((1L, "a b"), (2L, "b a"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "a b"), (11L, "x y"), (12L, "y x"), (13L, "z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.deltaDedup(existing, incoming, "doc_id",
+        TextFns.tokenSetKey(col("text")))
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long])].collect()
+    assert(got.toSeq == Seq(
+      (10L, "dup_of_corpus", Some(1L)),
+      (11L, "new", None),
+      (12L, "dup_in_batch", Some(11L)),
+      (13L, "new", None)))
+  }
+
+  // ---------------------------------------------------------- shardAssign
+
+  test("shardAssign: shards in range, per-shard positions contiguous, deterministic") {
+    val df = Seq.tabulate(100)(i => Tuple1(i.toLong)).toDF("id")
+    val got = Curation.shardAssign(df, "id", numShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == 100)
+    assert(got.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // every shard's positions are exactly 0..count-1
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // no shard is empty at 100 rows / 4 shards (hash spread sanity)
+    assert(got.map(_._2).distinct.length == 4)
+    val again = Curation.shardAssign(df, "id", numShards = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  // --------------------------------------------------- budgetedSelection
+
+  test("budgetedSelection keeps quality-ranked docs until the budget is spent") {
+    val df = Seq(
+      (1L, "en", 0.7, 30L), (2L, "en", 0.9, 50L), (3L, "en", 0.8, 40L),
+      (4L, "de", 0.5, 10L)
+    ).toDF("id", "lang", "q", "n")
+    val got = Curation.budgetedSelection(df, "id", "lang", col("q"), col("n"),
+        budget = 90L)
+      .orderBy("id")
+      .as[(Long, String, Double, Long, Long, Long, Long)].collect()
+    // en ranking: 2 (0.9, cum 50), 3 (0.8, cum 90), 1 (0.7, cum 120)
+    // keep iff cum - n < 90: doc 2 (0 < 90) and doc 3 (50 < 90) kept;
+    // doc 1 dropped (90 is not < 90) — the at-most-one-overflow law
+    assert(got.map(r => (r._1, r._5, r._6, r._7)).toSeq == Seq(
+      (1L, 3L, 120L, 0L),
+      (2L, 1L, 50L, 1L),
+      (3L, 2L, 90L, 1L),
+      (4L, 1L, 10L, 1L)))
+  }
+
+  // -------------------------------------------------------- bpePairCounts
+
+  test("bpePairCounts weights pairs by word frequency; 1-char words drop") {
+    val df = Seq((1L, "aa ab a"), (2L, "aa")).toDF("id", "text")
+    // words: aa ×2, ab ×1, a ×1 (dropped) → pairs: aa→2, ab→1
+    val got = Curation.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("aa", 2L), ("ab", 1L)))
+  }
+
+  test("bpePairCounts counts overlapping in-word pairs once per occurrence") {
+    val df = Seq((1L, "abab")).toDF("id", "text")
+    // pairs of "abab": ab, ba, ab → ab:2, ba:1
+    val got = Curation.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("ab", 2L), ("ba", 1L)))
+  }
+
+  // ------------------------------------------- batched top-k + recall eval
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("topKBatch equals per-query topK for every query") {
+    val queries = vecs.filter(col("vec_id") < 2)
+    val batch = Similarity.topKBatch(vecs, "vec_id", "embedding",
+        queries, "vec_id", k = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val single = Similarity.topK(vecs, "vec_id", "embedding",
+          vecs.filter(col("vec_id") === qid), k = 3)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(qid) == single, s"query $qid mismatch")
+    }
+  }
+
+  test("recallAtK: identical frames score 1.0, disjoint score 0.0") {
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("query_id", "vec_id")
+    val same = Similarity.recallAtK(exact, exact, "query_id", "vec_id")
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(same.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 1L, 1L, 1.0)))
+    val disjoint = Seq((0L, 9L), (1L, 9L)).toDF("query_id", "vec_id")
+    val zero = Similarity.recallAtK(exact, disjoint, "query_id", "vec_id")
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(zero.toSeq == Seq((0L, 2L, 0L, 0.0), (1L, 1L, 0L, 0.0)))
+  }
+
+  test("lshTopKBatch equals per-query lshTopK on real-width vectors") {
+    // 64-dim like the embeddings table, so the plane signatures are
+    // genuine; batch results must match the single-query path per query
+    val rnd = new scala.util.Random(23)
+    def randVec() = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def perturb(v: Array[Float]) =
+      v.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+    val base = randVec()
+    val rows = Seq((0L, base)) ++ (1L to 4L).map(i => (i, perturb(base))) ++
+      (5L to 99L).map(i => (i, randVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 2)
+    val batch = Similarity.lshTopKBatch(df, "vec_id", "embedding",
+        queries, "vec_id", k = 5)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val single = Similarity.lshTopK(df, "vec_id", "embedding",
+          df.filter(col("vec_id") === qid), k = 5)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(qid) == single, s"query $qid mismatch")
+      // self always shares every band with itself → top hit at cos 1.0
+      assert(batch(qid).contains((qid, 1.0)))
+    }
+  }
+}
