@@ -263,6 +263,39 @@ object Curation {
           .as("containment"))
   }
 
+  /** [[contaminationScore]] restated as a STATELESS per-row kernel — the
+    * stream-safe twin: the benchmark's distinct grams are collapsed to a
+    * single array row (one static aggregate, eval-set-sized by
+    * definition), broadcast against the corpus, and each document scores
+    * itself with one in-row `array_intersect` — no explode, no join on
+    * gram, no aggregation state. Identical output to
+    * [[contaminationScore]]; the shape exists because a streaming scan
+    * cannot shuffle-aggregate per doc without watermark state, while a
+    * stream-static broadcast join plus narrow projection runs in any
+    * micro-batch (and in batch, it trades the gram-join shuffle for a
+    * per-row set intersection — the better plan when documents are
+    * short).
+    */
+  def contaminationScoreRowwise(corpus: DataFrame, benchmark: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int = 5): DataFrame = {
+    val benchArr = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("g"))
+      .distinct()
+      .agg(collect_set(col("g")).as("__graft_bg"))
+    corpus
+      .select(col(idCol), TextFns.shingles(col(textCol), n).as("gs"))
+      .crossJoin(broadcast(benchArr))
+      .select(col(idCol),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(array_intersect(col("gs"), col("__graft_bg"))).cast("long")
+          .as("n_overlap"))
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(round(col("n_overlap") / col("n_grams"), 6))
+          .as("containment"))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Overlapping token-window chunking (RAG / context-window prep): each

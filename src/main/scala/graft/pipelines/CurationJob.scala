@@ -13,12 +13,15 @@ import graft.sources.Tables
   *   near-dup KEEP LIST (n-gram Jaccard pairs → components → elected
   *   representative) → benchmark decontamination → mixture execution
   *   (weights → deterministic up/down-sampled copies) → permanent
-  *   train/val/test split
+  *   train/val/test split → shard assignment + sequence packing of the
+  *   train split
   *
-  * writing four tables: `corpus_clean` (the surviving, scrubbed,
+  * writing five tables: `corpus_clean` (the surviving, scrubbed,
   * resampled, split corpus), `quality_report` (every doc's verdict with
-  * reasons), `dedup_decisions` (the full keep list), and
-  * `mixture_report` (per-stratum weights).
+  * reasons), `dedup_decisions` (the full keep list), `mixture_report`
+  * (per-stratum weights), and `train_shards` (every train row's shard,
+  * in-shard position, and packed sequence bin — the physical layout a
+  * tokenizer run consumes).
   *
   * Composition discipline (the lesson of the reference's batch job,
   * which re-read its input per pipeline): each expensive frame is
@@ -41,6 +44,10 @@ object CurationJob {
     "low_diversity" -> (col("distinct_ratio") < 0.35),
     "top_heavy" -> (col("top_word_frac") > 0.15),
     "dup_bigrams" -> (col("dup_bigram_frac") > 0.09))
+
+  /** Shard count and per-sequence token budget for the train layout. */
+  val NumShards = 8
+  val PackBudget = 1024
 
   /** Execute the full build over `documents`: `benchCut` ids below this
     * bound play the held-out eval set (decontamination benchmark), the
@@ -82,25 +89,49 @@ object CurationJob {
         // 4. mixture weights from the CLEAN corpus, then execution + split
         val weights = Curation.mixtureWeights(clean, "lang",
           col("n_tokens"), targets)
+        // cached: feeds both the corpus_clean write and the train layout
         val corpusClean = Splits.withSplit(
           Curation.applyMixture(
             Redact.scrub(clean, "text")
               .select(col("doc_id"), col("lang"),
                 col("scrubbed").as("text"), col("n_tokens")),
             "doc_id", "lang", weights),
-          "doc_id")
+          "doc_id").cache()
 
-        Map(
-          "corpus_clean" -> corpusClean,
-          "quality_report" -> verdicts,
-          "dedup_decisions" -> keepList,
-          "mixture_report" -> weights
-        ).map { case (name, df) =>
-          val obs = org.apache.spark.sql.Observation(s"graft_curation_$name")
-          df.observe(obs, count(lit(1)).as("n_rows"))
-            .write.mode("overwrite").parquet(s"$outDir/$name")
-          name -> obs.get("n_rows").asInstanceOf[Long]
-        }
+        // 5. physical train layout: mixture copies get a composite row
+        // id (doc_id:copy), a deterministic shard + in-shard position,
+        // and a packed sequence bin per shard — all pure functions of
+        // ids, so the layout is reproducible. packSequences keys the
+        // running sum on the in-shard position and returns only the
+        // packing columns, so the bin is joined back on (shard, pos) —
+        // an equi-join on the partitioning the window just produced.
+        val sharded = Curation.shardAssign(
+          corpusClean.filter(col("split") === "train")
+            .withColumn("row_id",
+              concat_ws(":", col("doc_id"), col("copy"))),
+          "row_id", NumShards)
+        val bins = Curation.packSequences(sharded, "pos", col("n_tokens"),
+            "shard", PackBudget)
+          .select(col("shard"), col("pos"), col("bin"))
+        val trainShards = sharded
+          .join(bins, Seq("shard", "pos"))
+          .select(col("doc_id"), col("copy"), col("lang"), col("n_tokens"),
+            col("shard"), col("pos"), col("bin"))
+
+        try {
+          Map(
+            "corpus_clean" -> corpusClean,
+            "quality_report" -> verdicts,
+            "dedup_decisions" -> keepList,
+            "mixture_report" -> weights,
+            "train_shards" -> trainShards
+          ).map { case (name, df) =>
+            val obs = org.apache.spark.sql.Observation(s"graft_curation_$name")
+            df.observe(obs, count(lit(1)).as("n_rows"))
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+            name -> obs.get("n_rows").asInstanceOf[Long]
+          }
+        } finally corpusClean.unpersist()
       } finally keepList.unpersist()
     } finally scored.unpersist()
   }

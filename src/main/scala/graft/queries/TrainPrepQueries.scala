@@ -74,6 +74,22 @@ object TrainPrepQueries {
        |FROM d LEFT JOIN cnt USING (doc_id) LEFT JOIN ov USING (doc_id)
        |WHERE d.doc_id >= $BenchCut ORDER BY doc_id""".stripMargin
 
+  /** Q80 — q73's scoring as the STATELESS per-row kernel (benchmark
+    * grams collapsed to one broadcast array, in-row `array_intersect` —
+    * no gram join, stream-safe; see
+    * [[graft.operators.Curation.contaminationScoreRowwise]]). Same
+    * output contract as q73, so it is graded against the SAME oracle —
+    * two independent plans, one algorithm of record.
+    */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.contaminationScoreRowwise(
+        docs.filter(col("doc_id") >= BenchCut),
+        docs.filter(col("doc_id") < BenchCut),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- incremental dedup
 
   /** Every 5th doc plays the incoming batch; the rest are the corpus. */
@@ -289,5 +305,6 @@ object TrainPrepQueries {
     QueryDef("q76_budgeted_selection", q76, Some(q76Sql)),
     QueryDef("q77_bpe_pairs", q77, Some(q77Sql)),
     QueryDef("q78_batch_topk", q78, Some(q78Sql)),
-    QueryDef("q79_ann_recall", q79, Some(q79Sql)))
+    QueryDef("q79_ann_recall", q79, Some(q79Sql)),
+    QueryDef("q80_contamination_rowwise", q80, Some(q73Sql)))
 }

@@ -32,7 +32,7 @@ class PipelineJobSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_curationjob").toString
     val counts = CurationJob.run(spark, sf, out)
     assert(counts.keySet == Set("corpus_clean", "quality_report",
-      "dedup_decisions", "mixture_report"))
+      "dedup_decisions", "mixture_report", "train_shards"))
     assert(counts.values.forall(_ > 0))
 
     val report = spark.read.parquet(s"$out/quality_report")
@@ -59,6 +59,18 @@ class PipelineJobSpec extends SparkSpec {
       .subsetOf(Set("train", "val", "test")))
     // scrubbing really ran: no digit runs survive in the text
     assert(clean.filter(col("text").rlike("[0-9]")).isEmpty)
+
+    // train layout: one row per train-split corpus row, shards in
+    // range, and no bin overflows budget + one document (the packing law)
+    val shards = spark.read.parquet(s"$out/train_shards")
+    assert(counts("train_shards") ==
+      clean.filter(col("split") === "train").count())
+    assert(shards.filter(col("shard") < 0 ||
+      col("shard") >= CurationJob.NumShards).isEmpty)
+    val overflow = shards.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("s"), max("n_tokens").as("m"))
+      .filter(col("s") > lit(CurationJob.PackBudget) + col("m"))
+    assert(overflow.isEmpty)
 
     // deterministic: a second run writes identical corpus rows
     val out2 = Files.createTempDirectory("graft_curationjob2").toString

@@ -32,6 +32,43 @@ class TrainPrepSpec extends SparkSpec {
       (12L, 0L, 0L, 0.0)))
   }
 
+  test("contaminationScoreRowwise equals the join-based scorer") {
+    val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xx the quick brown fox jumps over yy"),
+      (11L, "totally different words here now ok"),
+      (12L, "tiny")
+    ).toDF("doc_id", "text")
+    val joined = Curation.contaminationScore(corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val rowwise = Curation.contaminationScoreRowwise(
+        corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rowwise == joined)
+  }
+
+  test("contaminationScoreRowwise runs on a stream (stateless micro-batches)") {
+    implicit val ctx = sess.sqlContext
+    val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val scored = Curation.contaminationScoreRowwise(
+      in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 5)
+    val q = scored.writeStream.format("memory")
+      .queryName("graft_contam_stream").outputMode("append").start()
+    try {
+      in.addData((10L, "xx the quick brown fox jumps over yy"))
+      q.processAllAvailable()
+      in.addData((11L, "totally different words here now ok"), (12L, "tiny"))
+      q.processAllAvailable()
+      val got = spark.table("graft_contam_stream")
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+      assert(got.toSeq == Seq(
+        (10L, 4L, 2L, 0.5),
+        (11L, 2L, 0L, 0.0),
+        (12L, 0L, 0L, 0.0)))
+    } finally q.stop()
+  }
+
   // ----------------------------------------------------------- deltaDedup
 
   test("deltaDedup classifies new / dup_of_corpus / dup_in_batch") {
