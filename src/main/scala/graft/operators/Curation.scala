@@ -198,6 +198,77 @@ object Curation {
         round(col("top_term_count") / col("n_tokens"), 6).as("top_term_share"))
   }
 
+  /** Cross-document duplicated-span coverage per document — the signal
+    * behind substring-level dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": repeated spans are
+    * memorization fuel even when no whole document duplicates): for
+    * every doc, the fraction of its `n`-gram occurrences whose gram
+    * also appears in AT LEAST ONE OTHER document. High coverage with no
+    * doc-level duplicate = boilerplate headers/footers/templates that
+    * span-level excision would remove and doc-level dedup misses.
+    * Emits `(idCol, n_grams, n_dup, dup_frac)` (docs shorter than `n`
+    * tokens have no grams and are absent).
+    *
+    * Plan shape is [[crossEntropy]]'s: ONE tokenize into a (doc, gram)
+    * count frame pinned behind a `repartition(gram)`, document
+    * frequency via `count() OVER (PARTITION BY gram)` on that same
+    * frame (never a groupBy(gram) branch — Spark would re-tokenize the
+    * diverged subtree, and never a broadcast — the distinct-gram frame
+    * of a web corpus is billions of rows), then one per-doc integer
+    * rollup. Only integer sums cross rows; the single float division
+    * is rounded at the end.
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(TextFns.ngrams(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .repartition(col("g"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_grams"),
+        sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
+  }
+
+  /** Cross-source duplication matrix — the "which sources copy from
+    * each other" dashboard that decides dedup ORDER and source
+    * priorities in a multi-source recipe: for every ordered source pair
+    * (a, b), the count of a's distinct content keys also present in b
+    * and the containment fraction `n_shared / n_a`. The full matrix is
+    * emitted (zero-overlap pairs included) — it is a dashboard frame,
+    * sources² rows, tiny by definition.
+    *
+    * The corpus collapses to a distinct (source, key) frame first —
+    * everything after operates on that index, never on text: one
+    * self-join keyed by content key (shuffle on the key — at corpus
+    * scale the key frame is exactly the dedup index [[Dedup.deltaDedup]]
+    * keeps materialized), one tiny pair aggregate, and a broadcast-sized
+    * per-source census crossed into the matrix.
+    */
+  def sourceOverlap(df: DataFrame, strataCol: String,
+                    keyExpr: Column): DataFrame = {
+    val keys = df.select(col(strataCol).as("__graft_src"),
+      keyExpr.as("__graft_fp")).distinct()
+    val sizes = keys.groupBy(col("__graft_src"))
+      .agg(count(lit(1)).as("n_a"))
+    val shared = keys.select(col("__graft_src").as("source_a"), col("__graft_fp"))
+      .join(keys.select(col("__graft_src").as("source_b"), col("__graft_fp")),
+        "__graft_fp")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("__graft_src").as("source_a"), col("n_a"))
+      .crossJoin(broadcast(sizes.select(col("__graft_src").as("source_b"))))
+      .filter(col("source_a") =!= col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_a"), 6)
+          .as("containment"))
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Benchmark decontamination: flag corpus documents sharing any word

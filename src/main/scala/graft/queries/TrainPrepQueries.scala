@@ -214,6 +214,66 @@ object TrainPrepQueries {
        |SELECT pair, pair_count FROM pc
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // ------------------------------------------------ duplicated-span stats
+
+  /** Q81 — cross-document duplicated-span coverage: per doc, the
+    * fraction of its 5-gram occurrences whose gram also appears in
+    * another document (see
+    * [[graft.operators.Curation.duplicatedSpanStats]]) — the span-level
+    * dedup signal doc-level dedup misses.
+    */
+  private def q81(spark: SparkSession, dir: String): DataFrame =
+    Curation.duplicatedSpanStats(Tables.documents(spark, dir),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  private val q81Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+      |                         toks[i+3], toks[i+4]))) AS g
+      |      FROM d),
+      |tf AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |dfx AS (SELECT doc_id, g, c, count(*) OVER (PARTITION BY g) AS df
+      |        FROM tf)
+      |SELECT doc_id, sum(c)::BIGINT AS n_grams,
+      |       sum(CASE WHEN df >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup,
+      |       round(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) / sum(c), 6)
+      |         AS dup_frac
+      |FROM dfx GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- cross-source overlap
+
+  /** Q82 — the cross-source duplication matrix over token-set content
+    * keys: for every ordered source pair, shared-key count and
+    * containment fraction, zero rows included (see
+    * [[graft.operators.Curation.sourceOverlap]]).
+    */
+  private def q82(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceOverlap(Tables.documents(spark, dir), "source",
+        graft.functions.TextFns.tokenSetKey(col("text")))
+      .orderBy("source_a", "source_b")
+
+  private val q82Sql =
+    """WITH f AS (SELECT DISTINCT source, array_to_string(list_sort(
+      |             list_distinct(list_filter(
+      |               string_split_regex(lower(text), '\s+'),
+      |               t -> t != ''))), ' ') AS fp
+      |           FROM documents),
+      |sz AS (SELECT source, count(*)::BIGINT AS n_a FROM f GROUP BY 1),
+      |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+      |              count(*)::BIGINT AS n_shared
+      |       FROM f a JOIN f b USING (fp)
+      |       WHERE a.source != b.source GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b, a.n_a,
+      |       coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+      |       round(coalesce(sh.n_shared, 0) / a.n_a, 6) AS containment
+      |FROM sz a CROSS JOIN sz b
+      |LEFT JOIN sh ON sh.source_a = a.source AND sh.source_b = b.source
+      |WHERE a.source != b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------- batched top-k
 
   /** Query sample for the retrieval eval: the lowest-id vectors. */
@@ -306,5 +366,7 @@ object TrainPrepQueries {
     QueryDef("q77_bpe_pairs", q77, Some(q77Sql)),
     QueryDef("q78_batch_topk", q78, Some(q78Sql)),
     QueryDef("q79_ann_recall", q79, Some(q79Sql)),
-    QueryDef("q80_contamination_rowwise", q80, Some(q73Sql)))
+    QueryDef("q80_contamination_rowwise", q80, Some(q73Sql)),
+    QueryDef("q81_duplicated_spans", q81, Some(q81Sql)),
+    QueryDef("q82_source_overlap", q82, Some(q82Sql)))
 }

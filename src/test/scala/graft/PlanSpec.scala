@@ -176,6 +176,19 @@ class PlanSpec extends SparkSpec {
       s"pairs + components + election must all be equi-joins/windows; got $nodes")
   }
 
+  test("q81 duplicated-spans plan: one tokenizing scan, df via window on the tf frame") {
+    val nodes = finalNodes(SparkEntry.queries("q81_duplicated_spans")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"expected a single tokenizing scan of documents, got ${dataScans.size}")
+    assert(!names(nodes).exists(_.contains("Join")),
+      s"document frequency must come from a window, not a join; " +
+        s"got ${names(nodes)}")
+  }
+
   test("q73 contamination plan: bench grams broadcast, corpus never shuffled wide") {
     val nodes = finalNodes(SparkEntry.queries("q73_contamination_score")(spark, sf))
     val ns = names(nodes)

@@ -69,6 +69,38 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // -------------------------------------------------- duplicatedSpanStats
+
+  test("duplicatedSpanStats: shared 5-gram counts for both docs") {
+    val df = Seq((1L, "a b c d e f"), (2L, "z a b c d e")).toDF("doc_id", "text")
+    // doc1 grams: "a b c d e", "b c d e f"; doc2: "z a b c d", "a b c d e"
+    // — "a b c d e" appears in both docs (df = 2)
+    val got = Curation.duplicatedSpanStats(df, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  // -------------------------------------------------------- sourceOverlap
+
+  test("sourceOverlap: full matrix with containment per ordered pair") {
+    val df = Seq(
+      (1L, "A", "x y"), (2L, "A", "p q"),
+      (3L, "B", "y x"), // token-set dup of doc 1, different source
+      (4L, "C", "r s")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceOverlap(df, "source",
+        TextFns.tokenSetKey(col("text")))
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 1L, 0.5),
+      ("A", "C", 2L, 0L, 0.0),
+      ("B", "A", 1L, 1L, 1.0),
+      ("B", "C", 1L, 0L, 0.0),
+      ("C", "A", 1L, 0L, 0.0),
+      ("C", "B", 1L, 0L, 0.0)))
+  }
+
   // ----------------------------------------------------------- deltaDedup
 
   test("deltaDedup classifies new / dup_of_corpus / dup_in_batch") {
