@@ -72,6 +72,51 @@ object Curation {
         round(lit(1.0) - col("d_bi") / col("n_bi"), 6).as("dup_bigram_frac"))
   }
 
+  /** [[repetitionStats]] restated as a STATELESS per-row kernel — the
+    * stream-safe twin (same pattern as
+    * [[contaminationScoreRowwise]]): every signal a single document's
+    * own tokens determine, computed with in-row array folds instead of
+    * explode + keyed aggregates, so the operator runs unchanged in a
+    * streaming micro-batch (each document is one row — no aggregation
+    * state, no watermark). Identical output to [[repetitionStats]],
+    * including dropping documents with no bigrams (the aggregate path's
+    * inner join does the same).
+    *
+    * The top-gram count is a run-length fold over the SORTED gram array
+    * (`aggregate` with (prev, run, best) state) — O(tokens log tokens)
+    * per row and order-pinned by construction. Spark's array HOFs run
+    * interpreted, so the batch-corpus path remains [[repetitionStats]]
+    * (codegen'd aggregates); this shape exists for streams and for
+    * single-doc scoring services.
+    */
+  def repetitionStatsRowwise(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    def maxMultiplicity(arr: Column): Column =
+      aggregate(
+        sort_array(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("w"),
+        TextFns.ngrams(col(textCol), 2).as("bi"))
+      .filter(size(col("bi")) > 0)
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("w"))) / size(col("w")), 6)
+          .as("distinct_ratio"),
+        round(maxMultiplicity(col("w")) / size(col("w")), 6)
+          .as("top_word_frac"),
+        round(maxMultiplicity(col("bi")) / size(col("bi")), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - size(array_distinct(col("bi"))) / size(col("bi")), 6)
+          .as("dup_bigram_frac"))
+  }
+
   /** The quality-filter DECISION over a signal frame — the C4/Gopher
     * rule-table step that turns per-doc signals ([[repetitionStats]],
     * TextFns stats, [[crossEntropy]], …) into keep/drop verdicts with

@@ -31,7 +31,7 @@ object CurationQueries {
     Curation.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  private val q56Sql =
+  private[queries] val q56Sql =
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g
       |           FROM documents),
       |wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),

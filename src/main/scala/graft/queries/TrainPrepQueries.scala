@@ -214,6 +214,18 @@ object TrainPrepQueries {
        |SELECT pair, pair_count FROM pc
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  /** Q83 — q56's repetition signals as the STATELESS per-row kernel
+    * (in-row run-length folds over sorted gram arrays — no explode, no
+    * keyed aggregate, stream-safe; see
+    * [[graft.operators.Curation.repetitionStatsRowwise]]). Same output
+    * contract as q56, so it is graded against the SAME oracle — two
+    * independent plans, one algorithm of record.
+    */
+  private def q83(spark: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStatsRowwise(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   // ------------------------------------------------ duplicated-span stats
 
   /** Q81 — cross-document duplicated-span coverage: per doc, the
@@ -368,5 +380,6 @@ object TrainPrepQueries {
     QueryDef("q79_ann_recall", q79, Some(q79Sql)),
     QueryDef("q80_contamination_rowwise", q80, Some(q73Sql)),
     QueryDef("q81_duplicated_spans", q81, Some(q81Sql)),
-    QueryDef("q82_source_overlap", q82, Some(q82Sql)))
+    QueryDef("q82_source_overlap", q82, Some(q82Sql)),
+    QueryDef("q83_repetition_rowwise", q83, Some(CurationQueries.q56Sql)))
 }

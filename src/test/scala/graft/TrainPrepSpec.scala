@@ -69,6 +69,47 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------------------------- repetitionStatsRowwise
+
+  test("repetitionStatsRowwise equals the aggregate-based signals") {
+    val df = Seq(
+      (1L, "a a b"), (2L, "x y z w"), (3L, "p p p q q r s p"),
+      (4L, "solo")  // no bigrams: both paths must drop it
+    ).toDF("doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id")
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val agg = canon(Curation.repetitionStats(df, "doc_id", "text"))
+    val row = canon(Curation.repetitionStatsRowwise(df, "doc_id", "text"))
+    assert(row == agg)
+    assert(row.map(_._1) == Seq(1L, 2L, 3L)) // doc 4 dropped by both
+  }
+
+  test("streaming curation pass: rowwise signals + verdict over micro-batches") {
+    implicit val ctx = sess.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val verdicts = Curation.qualityVerdict(
+      Curation.repetitionStatsRowwise(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text"),
+      "doc_id",
+      Seq("too_short" -> (col("n_tokens") < 3),
+          "low_diversity" -> (col("distinct_ratio") < 0.5)))
+    val q = verdicts.writeStream.format("memory")
+      .queryName("graft_verdict_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "a a a a"), (2L, "fine healthy diverse document"))
+      q.processAllAvailable()
+      in.addData((3L, "b b"))
+      q.processAllAvailable()
+      val got = spark.table("graft_verdict_stream")
+        .orderBy("doc_id").as[(Long, Long, String)].collect()
+      assert(got.toSeq == Seq(
+        (1L, 0L, "low_diversity"),
+        (2L, 1L, ""),
+        (3L, 0L, "too_short")))
+    } finally q.stop()
+  }
+
   // -------------------------------------------------- duplicatedSpanStats
 
   test("duplicatedSpanStats: shared 5-gram counts for both docs") {
