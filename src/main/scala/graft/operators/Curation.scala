@@ -388,9 +388,10 @@ object Curation {
     * [[contaminationScore]]; the shape exists because a streaming scan
     * cannot shuffle-aggregate per doc without watermark state, while a
     * stream-static broadcast join plus narrow projection runs in any
-    * micro-batch (and in batch, it trades the gram-join shuffle for a
-    * per-row set intersection — the better plan when documents are
-    * short).
+    * micro-batch. In BATCH, [[contaminationScore]] remains the path of
+    * record: `array_intersect` rebuilds its lookup set per row, so the
+    * row-wise kernel measures ~3× slower than the gram join at sf0.1 —
+    * use this one for streams and single-doc scoring services.
     */
   def contaminationScoreRowwise(corpus: DataFrame, benchmark: DataFrame,
                                 idCol: String, textCol: String,

@@ -217,4 +217,75 @@ object OperatorProps extends Properties("graft.operators") {
         .as[(Long, Long)].collect()
       rows.forall(r => r._1 == r._2)
     }
+
+  // small alphabet so repeats/top-grams genuinely occur
+  private val docGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "bc")).map(_.mkString(" "))
+
+  property("repetitionStatsRowwise == aggregate path on random docs") =
+    forAll(Gen.listOfN(10, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id")
+          .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+      canon(graft.operators.Curation.repetitionStatsRowwise(df, "id", "text")) ==
+        canon(graft.operators.Curation.repetitionStats(df, "id", "text"))
+    }
+
+  property("shardAssign is invariant to input partitioning and order") =
+    forAll(Gen.choose(1, 6), Gen.choose(20, 60)) { (shards, n) =>
+      val base = (0L until n.toLong).map(Tuple1(_)).toDF("id")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Curation.shardAssign(d, "id", shards)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      val a = canon(base)
+      val b = canon(base.repartition(7).orderBy(col("id").desc))
+      // identical assignment, shards in range, positions a permutation
+      a == b &&
+        a.forall { case (_, s, _) => s >= 0 && s < shards } &&
+        a.groupBy(_._2).values.forall(rows =>
+          rows.map(_._3).sorted == (0L until rows.length).toList)
+    }
+
+  property("deltaDedup == reference classification on random keys") =
+    forAll(Gen.listOfN(12, Gen.choose(0, 5)), Gen.listOfN(10, Gen.choose(0, 5))) {
+      (exKeys, incKeys) =>
+        val existing = exKeys.zipWithIndex.map { case (k, i) =>
+          (i.toLong, s"k$k") }
+        val incoming = incKeys.zipWithIndex.map { case (k, i) =>
+          ((100 + i).toLong, s"k$k") }
+        val corpusKeeper = existing.groupBy(_._2).map { case (k, rs) =>
+          k -> rs.map(_._1).min }
+        val batchKeeper = incoming.groupBy(_._2).map { case (k, rs) =>
+          k -> rs.map(_._1).min }
+        val want = incoming.map { case (id, k) =>
+          corpusKeeper.get(k) match {
+            case Some(ck) => (id, "dup_of_corpus", Some(ck))
+            case None if batchKeeper(k) == id => (id, "new", None)
+            case None => (id, "dup_in_batch", Some(batchKeeper(k)))
+          }
+        }.sortBy(_._1)
+        val got = graft.operators.Dedup.deltaDedup(
+            existing.toDF("id", "key"), incoming.toDF("id", "key"),
+            "id", col("key"))
+          .orderBy("id").as[(Long, String, Option[Long])].collect().toSeq
+        got == want
+    }
+
+  property("bpePairCounts == reference pair census on random words") =
+    forAll(Gen.listOfN(15,
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString))) { words =>
+      val text = words.mkString(" ")
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong)
+      val want = wc.toSeq.filter(_._1.length >= 2).flatMap { case (w, c) =>
+        w.sliding(2).map(_ -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+      val got = graft.operators.Curation.bpePairCounts(
+          Seq((1L, text)).toDF("id", "text"), "text", k = 1000)
+        .as[(String, Long)].collect().toSeq
+      got == want
+    }
 }
