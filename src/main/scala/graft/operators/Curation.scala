@@ -90,32 +90,38 @@ object Curation {
     * single-doc scoring services.
     */
   def repetitionStatsRowwise(df: DataFrame, idCol: String,
-                             textCol: String): DataFrame = {
-    def maxMultiplicity(arr: Column): Column =
-      aggregate(
-        sort_array(arr),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1L).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+                             textCol: String): DataFrame =
     df.select(col(idCol), TextFns.tokens(col(textCol)).as("w"),
         TextFns.ngrams(col(textCol), 2).as("bi"))
       .filter(size(col("bi")) > 0)
-      .select(col(idCol),
-        size(col("w")).cast("long").as("n_tokens"),
-        round(size(array_distinct(col("w"))) / size(col("w")), 6)
-          .as("distinct_ratio"),
-        round(maxMultiplicity(col("w")) / size(col("w")), 6)
-          .as("top_word_frac"),
-        round(maxMultiplicity(col("bi")) / size(col("bi")), 6)
-          .as("top_bigram_frac"),
-        round(lit(1.0) - size(array_distinct(col("bi"))) / size(col("bi")), 6)
-          .as("dup_bigram_frac"))
-  }
+      .select(col(idCol) +: repetitionSignalCols(col("w"), col("bi")): _*)
+
+  /** Max gram multiplicity via a run-length fold over the sorted array
+    * — the in-row replacement for `max(count) GROUP BY gram`. */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** The five row-wise repetition signal columns over a token array `w`
+    * and bigram array `bi` — shared by [[repetitionStatsRowwise]] and
+    * the composed [[curationPass]] so both emit bit-identical signals.
+    */
+  private[graft] def repetitionSignalCols(w: Column, bi: Column): Seq[Column] =
+    Seq(
+      size(w).cast("long").as("n_tokens"),
+      round(size(array_distinct(w)) / size(w), 6).as("distinct_ratio"),
+      round(maxMultiplicity(w) / size(w), 6).as("top_word_frac"),
+      round(maxMultiplicity(bi) / size(bi), 6).as("top_bigram_frac"),
+      round(lit(1.0) - size(array_distinct(bi)) / size(bi), 6)
+        .as("dup_bigram_frac"))
 
   /** The quality-filter DECISION over a signal frame — the C4/Gopher
     * rule-table step that turns per-doc signals ([[repetitionStats]],
@@ -133,9 +139,15 @@ object Curation {
     * the verdict adds no shuffle and stays inside whole-stage codegen.
     */
   def qualityVerdict(signals: DataFrame, idCol: String,
-                     rules: Seq[(String, Column)]): DataFrame = {
+                     rules: Seq[(String, Column)]): DataFrame =
+    signals.select(col(idCol) +: verdictCols(rules): _*)
+
+  /** The (keep, reasons) verdict columns for a rule table — shared by
+    * [[qualityVerdict]] and the composed [[curationPass]].
+    */
+  private[graft] def verdictCols(rules: Seq[(String, Column)]): Seq[Column] = {
     require(rules.nonEmpty, "need at least one quality rule")
-    signals.select(col(idCol),
+    Seq(
       when(rules.map(_._2).reduce(_ || _), 0L).otherwise(1L).as("keep"),
       concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*)
         .as("reasons"))
@@ -312,6 +324,46 @@ object Curation {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round(coalesce(col("n_shared"), lit(0L)) / col("n_a"), 6)
           .as("containment"))
+  }
+
+  /** The COMPOSED stateless curation pass — repetition signals,
+    * benchmark-contamination count, quality verdict (the rule table
+    * PLUS an appended `contaminated` rule on the overlap count), and
+    * PII scrub, all in ONE narrow projection over the document stream:
+    * the per-document half of [[graft.pipelines.CurationJob]] — exactly
+    * the stages that need no corpus-wide state — runnable unchanged in
+    * a streaming micro-batch (the only non-narrow input is the
+    * broadcast benchmark gram array, a static frame).
+    *
+    * Emits every input column plus the five signal columns,
+    * `n_overlap`, `keep`, `reasons`, `scrubbed`, and `n_redactions`.
+    * Documents with no bigram (single-token) are dropped, matching
+    * [[repetitionStatsRowwise]]. Dedup and mixture stay batch-side
+    * ([[graft.streaming.NearDupStream]] covers streaming near-dup) —
+    * they need cross-document state by nature.
+    */
+  def curationPass(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, rules: Seq[(String, Column)],
+                   n: Int = 5): DataFrame = {
+    val benchArr = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("g"))
+      .distinct()
+      .agg(collect_set(col("g")).as("__graft_bg"))
+    val inCols = docs.columns.map(col).toSeq
+    val scored = docs
+      .crossJoin(broadcast(benchArr))
+      .withColumn("__graft_w", TextFns.tokens(col(textCol)))
+      .withColumn("__graft_bi", TextFns.ngrams(col(textCol), 2))
+      .filter(size(col("__graft_bi")) > 0)
+      .select(inCols ++
+        repetitionSignalCols(col("__graft_w"), col("__graft_bi")) :+
+        size(array_intersect(TextFns.shingles(col(textCol), n),
+          col("__graft_bg"))).cast("long").as("n_overlap"): _*)
+    val allRules = rules :+ ("contaminated" -> (col("n_overlap") > 0L))
+    Redact.scrub(
+      scored.select(scored.columns.map(col).toSeq ++
+        verdictCols(allRules): _*),
+      textCol)
   }
 
   // ------------------------------------------------------ decontamination

@@ -185,6 +185,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfTopK]] generalized to a BATCH of query vectors (the IVF
+    * counterpart of [[lshTopKBatch]]): the corpus is cell-assigned ONCE
+    * by the in-row argmax, every query contributes its `nProbe` nearest
+    * cells to one broadcast probe table, and candidates re-rank exactly
+    * per query through the same rank-limited window as [[topKBatch]].
+    * Emits (qidCol → `query_id`, idCol, cos_sim). A corpus vector sits
+    * in exactly one cell and a query's probes are distinct, so the
+    * probe join hits each (query, vector) at most once — the max()
+    * aggregate only normalizes the shape.
+    */
+  def ivfTopKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                   queries: DataFrame, qidCol: String, k: Int,
+                   nCentroids: Int = 32, nProbe: Int = 4,
+                   centroids: Option[Seq[(Long, IndexedSeq[Float])]] = None)
+      : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = centroids.map(_.toArray).getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+    val centArr = typedlit(cents.toIndexedSeq)
+    def rankedCells: Column = array_sort(transform(centArr, c =>
+      struct(
+        (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+        c.getField("_1").as("cent"))))
+    val assigned = corpus.withColumn("cell",
+      element_at(rankedCells, 1).getField("cent"))
+      .select(col(idCol), col(embCol), col("cell"))
+    val probes = queries
+      .select(col(qidCol).as("query_id"), col(embCol).as("q_emb"),
+        explode(slice(transform(rankedCells, s => s.getField("cent")),
+          1, nProbe)).as("cell"))
+      .select(col("cell"), col("query_id"), col("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    assigned.join(broadcast(probes), "cell")
+      .select(col("query_id"), col(idCol),
+        round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
+      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
   /** One spherical k-means step over an embedding corpus: assign every
     * vector to its max-cosine centroid (ties → lowest centroid id, same
     * in-row argmax as [[ivfTopK]] — no join, no row blowup), then emit

@@ -373,8 +373,8 @@ object PipelineQueries {
        |WHERE cs >= $LshPairThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  private val IvfCentroids = 32
-  private val IvfProbes = 4
+  private[queries] val IvfCentroids = 32
+  private[queries] val IvfProbes = 4
 
   /** Q33 — IVF ANN top-k (coarse-quantizer cells + nProbe exact re-rank).
     * Fully oracle-graded: IVF involves no hashing at all — centroids are

@@ -226,6 +226,92 @@ object TrainPrepQueries {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q85's rule table — q71's thresholds; `contaminated` is appended by
+    * the pass itself. */
+  private val PassRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "too_short" -> (col("n_tokens") < 20),
+    "low_diversity" -> (col("distinct_ratio") < 0.35),
+    "top_heavy" -> (col("top_word_frac") > 0.15),
+    "dup_bigrams" -> (col("dup_bigram_frac") > 0.09))
+
+  /** Q85 — the composed stateless curation pass (see
+    * [[graft.operators.Curation.curationPass]]): signals + contamination
+    * count + verdict (incl. the appended `contaminated` rule) + scrub in
+    * ONE narrow projection — the per-document half of CurationJob,
+    * stream-runnable, graded end-to-end against an oracle that restates
+    * all four stages.
+    */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.curationPass(
+        docs.filter(col("doc_id") >= BenchCut)
+          .select("doc_id", "lang", "text"),
+        docs.filter(col("doc_id") < BenchCut),
+        "doc_id", "text", PassRules)
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  private val q85Sql =
+    s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+       |                WHERE doc_id >= $BenchCut),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM corpus),
+       |wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS tp
+       |       FROM wc GROUP BY 1),
+       |dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |          i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM dd),
+       |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS tp
+       |       FROM bc GROUP BY 1),
+       |sig AS (SELECT ws.doc_id, ws.n AS n_tokens,
+       |               round(ws.d / ws.n, 6) AS distinct_ratio,
+       |               round(ws.tp / ws.n, 6) AS top_word_frac,
+       |               round(bs.tp / bs.n, 6) AS top_bigram_frac,
+       |               round(1.0 - bs.d / bs.n, 6) AS dup_bigram_frac
+       |        FROM ws JOIN bs USING (doc_id)),
+       |ad AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, len(toks) - 3),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                          toks[i+3], toks[i+4])))) AS g
+       |       FROM ad),
+       |bset AS (SELECT DISTINCT g FROM g5 WHERE doc_id < $BenchCut),
+       |ov AS (SELECT g5.doc_id, count(*)::BIGINT AS n_overlap
+       |       FROM g5 JOIN bset USING (g) WHERE g5.doc_id >= $BenchCut
+       |       GROUP BY 1),
+       |s1 AS (SELECT doc_id,
+       |         len(regexp_extract_all(text,
+       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+       |         regexp_replace(text,
+       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |           '<EMAIL>', 'g') AS t1
+       |       FROM corpus),
+       |s2 AS (SELECT doc_id, n1 + len(regexp_extract_all(t1, '[0-9]+')) AS n,
+       |              regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS scrubbed
+       |       FROM s1)
+       |SELECT c.doc_id, c.lang, sig.n_tokens, sig.distinct_ratio,
+       |       sig.top_word_frac, sig.top_bigram_frac, sig.dup_bigram_frac,
+       |       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |       (CASE WHEN sig.n_tokens < 20 OR sig.distinct_ratio < 0.35
+       |                  OR sig.top_word_frac > 0.15
+       |                  OR sig.dup_bigram_frac > 0.09
+       |                  OR coalesce(ov.n_overlap, 0) > 0
+       |             THEN 0 ELSE 1 END)::BIGINT AS keep,
+       |       concat_ws(',',
+       |         CASE WHEN sig.n_tokens < 20 THEN 'too_short' END,
+       |         CASE WHEN sig.distinct_ratio < 0.35 THEN 'low_diversity' END,
+       |         CASE WHEN sig.top_word_frac > 0.15 THEN 'top_heavy' END,
+       |         CASE WHEN sig.dup_bigram_frac > 0.09 THEN 'dup_bigrams' END,
+       |         CASE WHEN coalesce(ov.n_overlap, 0) > 0 THEN 'contaminated' END)
+       |         AS reasons,
+       |       s2.scrubbed, s2.n::BIGINT AS n_redactions
+       |FROM corpus c JOIN sig USING (doc_id)
+       |LEFT JOIN ov ON ov.doc_id = c.doc_id
+       |JOIN s2 ON s2.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------ duplicated-span stats
 
   /** Q81 — cross-document duplicated-span coverage: per doc, the
@@ -318,6 +404,51 @@ object TrainPrepQueries {
        |SELECT query_id, vec_id, cos_sim FROM r WHERE rk <= $RecallK
        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
 
+  /** Q84 — batched IVF ANN top-k: the inverted-file counterpart of
+    * q78/q79's retrieval harness (see
+    * [[graft.operators.Similarity.ivfTopKBatch]]) — corpus cell-assigned
+    * once in-row, per-query probe cells broadcast, exact re-rank through
+    * the rank-limited window. Same quantizer model as q33, restated
+    * whole in the oracle.
+    */
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < QuerySample), "vec_id", k = RecallK,
+        nCentroids = PipelineQueries.IvfCentroids,
+        nProbe = PipelineQueries.IvfProbes)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  private lazy val q84Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent, e AS ce FROM e
+       |          ORDER BY vec_id LIMIT ${PipelineQueries.IvfCentroids}),
+       |aff AS (SELECT e.vec_id, c.cent,
+       |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+       |        FROM e, cents c),
+       |cell AS (SELECT vec_id, cent AS cell FROM (
+       |           SELECT vec_id, cent, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |qprobes AS (SELECT vec_id AS query_id, cent AS cell FROM (
+       |              SELECT vec_id, cent, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |              FROM aff WHERE vec_id < $QuerySample)
+       |            WHERE rn <= ${PipelineQueries.IvfProbes}),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e JOIN cell USING (vec_id)
+       |             JOIN qprobes ON cell.cell = qprobes.cell
+       |             JOIN q ON q.query_id = qprobes.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos_sim DESC, vec_id) AS rk
+       |      FROM s)
+       |SELECT query_id, vec_id, cos_sim FROM r WHERE rk <= $RecallK
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
+
   // ---------------------------------------------------------- ANN recall
 
   /** Q79 — recall@k of the LSH index against q78's brute-force ground
@@ -381,5 +512,7 @@ object TrainPrepQueries {
     QueryDef("q80_contamination_rowwise", q80, Some(q73Sql)),
     QueryDef("q81_duplicated_spans", q81, Some(q81Sql)),
     QueryDef("q82_source_overlap", q82, Some(q82Sql)),
-    QueryDef("q83_repetition_rowwise", q83, Some(CurationQueries.q56Sql)))
+    QueryDef("q83_repetition_rowwise", q83, Some(CurationQueries.q56Sql)),
+    QueryDef("q84_ann_ivf_batch", q84, Some(q84Sql)),
+    QueryDef("q85_curation_pass", q85, Some(q85Sql)))
 }

@@ -110,6 +110,38 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationPass: signals, contamination rule, and scrub in one stream pass") {
+    implicit val ctx = sess.sqlContext
+    val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val pass = graft.operators.Curation.curationPass(
+      in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+      Seq("low_diversity" -> (col("distinct_ratio") < 0.5)))
+    val q = pass.writeStream.format("memory")
+      .queryName("graft_pass_stream").outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "call 555 1234 about the quick brown fox jumps over fence"),
+        (11L, "spam spam spam spam"),
+        (12L, "plenty of healthy diverse and original writing here"))
+      q.processAllAvailable()
+      val got = spark.table("graft_pass_stream")
+        .select("doc_id", "n_overlap", "keep", "reasons", "scrubbed",
+          "n_redactions")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String, String, Long)].collect()
+      // doc 10: contaminated (contains both bench 5-grams... it contains
+      // "the quick brown fox jumps" and "quick brown fox jumps over") and
+      // scrubbed (two digit runs); diverse so no quality rule fires
+      assert(got(0) == (10L, 2L, 0L, "contaminated",
+        "call <NUM> <NUM> about the quick brown fox jumps over fence", 2L))
+      // doc 11: repetitive → low_diversity; clean of benchmark grams
+      assert(got(1) == (11L, 0L, 0L, "low_diversity", "spam spam spam spam", 0L))
+      // doc 12: kept untouched
+      assert(got(2)._3 == 1L && got(2)._4 == "" && got(2)._6 == 0L)
+    } finally q.stop()
+  }
+
   // -------------------------------------------------- duplicatedSpanStats
 
   test("duplicatedSpanStats: shared 5-gram counts for both docs") {
@@ -241,6 +273,22 @@ class TrainPrepSpec extends SparkSpec {
           vecs.filter(col("vec_id") === qid), k = 3)
         .as[(Long, Double)].collect().toSet
       assert(batch(qid) == single, s"query $qid mismatch")
+    }
+  }
+
+  test("ivfTopKBatch equals per-query ivfTopK on real embeddings") {
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val batch = Similarity.ivfTopKBatch(corpus, "vec_id", "embedding",
+        queries, "vec_id", k = 5)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val single = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          corpus.filter(col("vec_id") === qid), k = 5)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(qid) == single, s"query $qid mismatch")
+      assert(batch(qid).contains((qid, 1.0))) // self in own best cell
     }
   }
 
