@@ -223,6 +223,33 @@ class PlanSpec extends SparkSpec {
       s"per-query top-k must prune through WindowGroupLimit; got $nodes")
   }
 
+  test("q84 ivf batch plan: probe cells broadcast, per-query WindowGroupLimit") {
+    val nodes = names(finalNodes(SparkEntry.queries("q84_ann_ivf_batch")(spark, sf)))
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"probe table must broadcast-join the cell-assigned corpus; got $nodes")
+    assert(nodes.exists(_.contains("WindowGroupLimit")),
+      s"per-query top-k must prune through WindowGroupLimit; got $nodes")
+    assert(!nodes.exists(n => n.contains("SortMergeJoin") || n.contains("Cartesian")),
+      s"no corpus-wide shuffle join allowed; got $nodes")
+  }
+
+  test("q85 curation pass plan: one corpus scan, no shuffle join, no aggregate") {
+    val nodes = finalNodes(SparkEntry.queries("q85_curation_pass")(spark, sf))
+    val ns = names(nodes)
+    // the only join allowed is the broadcast of the one-row benchmark
+    // gram array; the corpus side must stay a narrow projection
+    assert(!ns.exists(_.contains("SortMergeJoin")),
+      s"corpus must not shuffle-join; got $ns")
+    val corpusScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("text") => f
+    }
+    // two text scans: one for the corpus rows, one for the benchmark
+    // gram aggregate — never more (no re-scan per stage)
+    assert(corpusScans.size <= 2,
+      s"expected at most corpus + benchmark text scans, got ${corpusScans.size}")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)
