@@ -341,6 +341,15 @@ object Curation {
     * [[repetitionStatsRowwise]]. Dedup and mixture stay batch-side
     * ([[graft.streaming.NearDupStream]] covers streaming near-dup) —
     * they need cross-document state by nature.
+    *
+    * Cost honesty: the in-row folds and per-row intersect run in
+    * Spark's interpreted HOF path, so over a full BATCH corpus this
+    * pass measures ~6 s at sf0.1 — slower than running the aggregate-
+    * based stages separately (which is exactly what
+    * [[graft.pipelines.CurationJob]] does). Use this composition where
+    * its shape is the point: streaming micro-batches and single-scan
+    * scoring services, where per-batch volume is small and statelessness
+    * is the requirement.
     */
   def curationPass(docs: DataFrame, benchmark: DataFrame, idCol: String,
                    textCol: String, rules: Seq[(String, Column)],
