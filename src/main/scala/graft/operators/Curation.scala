@@ -354,6 +354,12 @@ object Curation {
   def curationPass(docs: DataFrame, benchmark: DataFrame, idCol: String,
                    textCol: String, rules: Seq[(String, Column)],
                    n: Int = 5): DataFrame = {
+    val reserved = Set("n_tokens", "distinct_ratio", "top_word_frac",
+      "top_bigram_frac", "dup_bigram_frac", "n_overlap", "keep", "reasons",
+      "scrubbed", "n_redactions")
+    val clash = docs.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with pass outputs: ${clash.mkString(", ")}")
     val benchArr = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("g"))
       .distinct()
@@ -718,6 +724,8 @@ object Curation {
   def shardAssign(df: DataFrame, idCol: String, numShards: Int,
                   salt: String = "shard"): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      s"input already has a shard/pos column: ${df.columns.mkString(", ")}")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__graft_ord"), col(idCol))
     df.withColumn("shard",
@@ -751,6 +759,9 @@ object Curation {
                         qualityCol: Column, tokensCol: Column,
                         budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val reserved = Set("quality", "n_tokens", "rank", "cum_tokens", "keep")
+    require(!reserved.contains(idCol) && !reserved.contains(strataCol),
+      s"idCol/strataCol collide with an output column ($reserved)")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("quality").desc, col(idCol))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

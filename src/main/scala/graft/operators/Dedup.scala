@@ -67,6 +67,8 @@ object Dedup {
     */
   def deltaDedup(existing: DataFrame, incoming: DataFrame, idCol: String,
                  keyExpr: Column): DataFrame = {
+    require(idCol != "status" && idCol != "dup_of",
+      s"idCol '$idCol' collides with an output column")
     val corpusKeys = existing
       .select(keyExpr.as("__graft_fp"), col(idCol).as("__graft_ck"))
       .groupBy("__graft_fp").agg(min(col("__graft_ck")).as("__graft_ck"))

@@ -252,6 +252,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ab", 2L), ("ba", 1L)))
   }
 
+  // --------------------------------------------------- fail-fast contracts
+
+  test("round-7 operators fail fast on column collisions and bad params") {
+    val df = Seq((1L, "a b", "en", 2)).toDF("id", "text", "lang", "n")
+    intercept[IllegalArgumentException] {
+      Curation.shardAssign(df.withColumn("shard", lit(0)), "id", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.shardAssign(df, "id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.budgetedSelection(df, "id", "lang", col("n"), col("n"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.budgetedSelection(df.withColumnRenamed("lang", "keep"),
+        "id", "keep", col("n"), col("n"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.curationPass(df.withColumn("keep", lit(1L)), df,
+        "id", "text", Seq("r" -> (col("n_tokens") < 1)))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.deltaDedup(df, df, "status", col("text"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.bpePairCounts(df, "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.topKBatch(df, "id", "text", df, "id", k = 0)
+    }
+  }
+
   // ------------------------------------------- batched top-k + recall eval
 
   private lazy val vecs = Seq(
