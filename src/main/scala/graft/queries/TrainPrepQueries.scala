@@ -501,6 +501,68 @@ object TrainPrepQueries {
        |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
        |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** Q86 — recall@k of the IVF index against q78's brute-force ground
+    * truth (the [[q79]] evaluation applied to the other index family):
+    * how much exact recall the probe budget buys. Oracle restates the
+    * full quantizer model, probe join, both re-ranks, and the recall
+    * arithmetic.
+    */
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        Similarity.ivfTopKBatch(emb, "vec_id", "embedding", qs, "vec_id",
+          RecallK, nCentroids = PipelineQueries.IvfCentroids,
+          nProbe = PipelineQueries.IvfProbes),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q86Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM s),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |cents AS (SELECT vec_id AS cent, e AS ce FROM e
+       |          ORDER BY vec_id LIMIT ${PipelineQueries.IvfCentroids}),
+       |aff AS (SELECT e.vec_id, c.cent,
+       |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+       |        FROM e, cents c),
+       |cell AS (SELECT vec_id, cent AS cell FROM (
+       |           SELECT vec_id, cent, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |qprobes AS (SELECT vec_id AS query_id, cent AS cell FROM (
+       |              SELECT vec_id, cent, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |              FROM aff WHERE vec_id < $QuerySample)
+       |            WHERE rn <= ${PipelineQueries.IvfProbes}),
+       |ivs AS (SELECT q.query_id, e.vec_id,
+       |              round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |        FROM e JOIN cell USING (vec_id)
+       |               JOIN qprobes ON cell.cell = qprobes.cell
+       |               JOIN q ON q.query_id = qprobes.query_id),
+       |ivr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM ivs),
+       |ivt AS (SELECT query_id, vec_id FROM ivr WHERE rk <= $RecallK),
+       |h AS (SELECT ivt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM ivt JOIN ext ON ivt.query_id = ext.query_id
+       |                       AND ivt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -514,5 +576,6 @@ object TrainPrepQueries {
     QueryDef("q82_source_overlap", q82, Some(q82Sql)),
     QueryDef("q83_repetition_rowwise", q83, Some(CurationQueries.q56Sql)),
     QueryDef("q84_ann_ivf_batch", q84, Some(q84Sql)),
-    QueryDef("q85_curation_pass", q85, Some(q85Sql)))
+    QueryDef("q85_curation_pass", q85, Some(q85Sql)),
+    QueryDef("q86_ivf_recall", q86, Some(q86Sql)))
 }
