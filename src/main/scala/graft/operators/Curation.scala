@@ -302,7 +302,12 @@ object Curation {
     * self-join keyed by content key (shuffle on the key — at corpus
     * scale the key frame is exactly the dedup index [[Dedup.deltaDedup]]
     * keeps materialized), one tiny pair aggregate, and a broadcast-sized
-    * per-source census crossed into the matrix.
+    * per-source census crossed into the matrix. The index frame feeds
+    * four consumers, but its exchange subtree is IDENTICAL in each, so
+    * ReuseExchange materializes the tokenize+distinct once and the
+    * other three read shuffle files (plan-guarded in PlanSpec) — unlike
+    * the diverged-subtree cases ([[crossEntropy]]) that need an
+    * explicit pin.
     */
   def sourceOverlap(df: DataFrame, strataCol: String,
                     keyExpr: Column): DataFrame = {
@@ -469,6 +474,10 @@ object Curation {
       .agg(collect_set(col("g")).as("__graft_bg"))
     corpus
       .select(col(idCol), TextFns.shingles(col(textCol), n).as("gs"))
+      // null-text docs shingle to null; the join path drops them (null
+      // explodes to nothing), so the twin must too — else the two
+      // operators disagree on row count the first time a null appears
+      .filter(col("gs").isNotNull)
       .crossJoin(broadcast(benchArr))
       .select(col(idCol),
         size(col("gs")).cast("long").as("n_grams"),
@@ -602,7 +611,12 @@ object Curation {
     require(k > 0, s"k must be positive, got $k")
     val u = (Splits.portableHash(col(idCol), salt).cast("double") + 0.5) /
       lit(1.152921504606846976e18) // 2^60 — u in (0, 1)
-    df.withColumn("sample_key",
+    // A-ES gives weight <= 0 rows inclusion probability 0, and the log
+    // key is undefined there (ln(w) is null in Spark) — a null key would
+    // sort FIRST under asc and fill the sample with exactly the rows
+    // that must never be drawn, so they are excluded up front
+    df.filter(weightCol.cast("double") > 0.0)
+      .withColumn("sample_key",
         round(log(-log(u)) - log(weightCol.cast("double")), 6))
       .orderBy(col("sample_key").asc, col(idCol))
       .limit(k)
@@ -724,8 +738,10 @@ object Curation {
   def shardAssign(df: DataFrame, idCol: String, numShards: Int,
                   salt: String = "shard"): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
-      s"input already has a shard/pos column: ${df.columns.mkString(", ")}")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos") &&
+        !df.columns.contains("__graft_ord"),
+      s"input already has a shard/pos/__graft_ord column: " +
+        df.columns.mkString(", "))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__graft_ord"), col(idCol))
     df.withColumn("shard",

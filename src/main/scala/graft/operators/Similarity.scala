@@ -461,23 +461,11 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
               query: DataFrame, k: Int): DataFrame = {
-    val bands = Bands
-    val rows = Bits / bands
-    val planes = planeMatrix
-    def bandCols(df: DataFrame, prefix: String): DataFrame =
-      df.withColumn("e_d", VectorFns.toDouble(col(embCol)))
-        .withColumn("sig", signature(col("e_d"), planes))
-        .select(col(idCol), col(embCol), posexplode(
-          transform(sequence(lit(0), lit(bands - 1)), b =>
-            concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
-              element_at(col("sig"), b * rows + r + 1)): _*))))
-        .withColumnRenamed("col", s"${prefix}_band")
-        .drop("pos")
-    val corpusBands = bandCols(corpus, "c")
-    val queryBands = bandCols(query, "q")
-      .select(col("q_band"), col(embCol).as("q_emb"))
+    val corpusBands = bandedCols(corpus, idCol, embCol)
+    val queryBands = bandedCols(query, idCol, embCol)
+      .select(col("band").as("q_band"), col(embCol).as("q_emb"))
     corpusBands
-      .join(broadcast(queryBands), col("c_band") === col("q_band"))
+      .join(broadcast(queryBands), col("band") === col("q_band"))
       .select(col(idCol),
         round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
       .groupBy(col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))

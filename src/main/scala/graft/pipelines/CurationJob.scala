@@ -49,6 +49,26 @@ object CurationJob {
   val NumShards = 8
   val PackBudget = 1024
 
+  /** Verdicts for EVERY corpus doc. The repetition-signal frame drops
+    * docs with no bigram (its word/bigram aggregates inner-join), but
+    * the report must audit the whole corpus — so signals are
+    * left-joined back with a narrow token-count fallback: a 1-token doc
+    * gets `n_tokens` from the fallback and null for the other signals
+    * (null rule comparisons are false), so the too_short rule still
+    * convicts it instead of the doc silently vanishing from every
+    * output table.
+    */
+  def fullVerdicts(corpus: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val signals = corpus
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokenCount(col("text")).as("__nt"))
+      .join(Curation.repetitionStats(corpus, "doc_id", "text"),
+        Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), col("__nt")))
+      .drop("__nt")
+    Curation.qualityVerdict(signals, "doc_id", rules)
+  }
+
   /** Execute the full build over `documents`: `benchCut` ids below this
     * bound play the held-out eval set (decontamination benchmark), the
     * rest are the trainable corpus. Returns (table → rows written).
@@ -62,9 +82,8 @@ object CurationJob {
     val bench = docs.filter(col("doc_id") < benchCut)
     val corpus = docs.filter(col("doc_id") >= benchCut)
 
-    // 1. verdict over repetition signals; scrub rides the same frame
-    val verdicts = Curation.qualityVerdict(
-      Curation.repetitionStats(corpus, "doc_id", "text"), "doc_id", rules)
+    // 1. verdict over repetition signals — every doc gets one
+    val verdicts = fullVerdicts(corpus, rules)
     val scored = corpus
       .join(verdicts, "doc_id")
       .withColumn("n_tokens", graft.functions.TextFns.tokenCount(col("text")))
@@ -121,7 +140,11 @@ object CurationJob {
         try {
           Map(
             "corpus_clean" -> corpusClean,
-            "quality_report" -> verdicts,
+            // projected from the CACHED scored frame, not the raw
+            // verdicts plan — Spark's cache matches whole canonicalized
+            // plans, so writing `verdicts` would re-run the full signal
+            // pass from the source scan
+            "quality_report" -> scored.select("doc_id", "keep", "reasons"),
             "dedup_decisions" -> keepList,
             "mixture_report" -> weights,
             "train_shards" -> trainShards

@@ -98,6 +98,15 @@ class CurationSpec extends SparkSpec {
     assert(ids.count(_ % 2 == 0) >= 45, s"heavy-id share too low in $ids")
   }
 
+  test("weightedSample excludes non-positive weights (A-ES law)") {
+    // ln(w) is null for w <= 0, and a null key would sort FIRST under
+    // asc — exactly the rows that must never be drawn
+    val df = Seq((1L, 0), (2L, 5), (3L, -1), (4L, 3)).toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", col("w"), k = 4)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L))
+  }
+
   test("weightedSample keys spread (no saturation) under huge weights") {
     // u^(1/w) would round to 1.0 for every row at w = 1e9 (and -ln(u)/w
     // to 0.0), collapsing selection to the id tie-break; the log-space

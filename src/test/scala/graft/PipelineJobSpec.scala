@@ -79,6 +79,19 @@ class PipelineJobSpec extends SparkSpec {
     assert(clean.exceptAll(again).isEmpty && again.exceptAll(clean).isEmpty)
   }
 
+  test("fullVerdicts audits every doc — no-bigram docs convict as too_short") {
+    val corpus = Seq(
+      (1L, "hello"),                                         // 1 token: no bigram
+      (2L, "plenty of healthy diverse original text written here today now " +
+        "with more than twenty distinct tokens in a single well formed row ok")
+    ).toDF("doc_id", "text")
+    val got = CurationJob.fullVerdicts(corpus, CurationJob.DefaultRules)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(got.length == 2, s"every doc must get a verdict: ${got.toSeq}")
+    assert(got(0) == (1L, 0L, "too_short"))
+    assert(got(1)._2 == 1L && got(1)._3 == "")
+  }
+
   test("StreamingJob forks analytics + anomalies off one stream") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("graft_streamjob").toString

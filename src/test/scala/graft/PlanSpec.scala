@@ -223,6 +223,21 @@ class PlanSpec extends SparkSpec {
       s"per-query top-k must prune through WindowGroupLimit; got $nodes")
   }
 
+  test("q82 source-overlap plan: the distinct key index materializes once") {
+    val nodes = finalNodes(SparkEntry.queries("q82_source_overlap")(spark, sf))
+    // the (source, key) distinct feeds four consumers (sizes twice, both
+    // self-join sides); its exchange subtree is identical in each, so
+    // ReusedExchange must collapse them to ONE corpus tokenize+scan
+    val textScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("text") => f
+    }
+    assert(textScans.size == 1,
+      s"expected one tokenizing scan of documents, got ${textScans.size}")
+    assert(names(nodes).exists(_.contains("ReusedExchange")),
+      s"distinct key index must be reused, not recomputed; got ${names(nodes)}")
+  }
+
   test("q84 ivf batch plan: probe cells broadcast, per-query WindowGroupLimit") {
     val nodes = names(finalNodes(SparkEntry.queries("q84_ann_ivf_batch")(spark, sf)))
     assert(nodes.exists(_.contains("BroadcastHashJoin")),
