@@ -204,6 +204,31 @@ object Curation {
           .as("cross_entropy"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: split
+    * each language's corpus into head/middle/tail by LM score, then
+    * sample by bucket): per-stratum RANK-based buckets over the
+    * [[crossEntropy]] score. Rank (ntile), not quantile-value cuts,
+    * deliberately — the bucket boundary becomes an integer row count
+    * under the deterministic (score, id) order, so the assignment is
+    * exact cross-engine, where comparing against an interpolated
+    * quantile value would ride on float ulps at the cut. Emits
+    * `(idCol, n_tokens, cross_entropy, strataCol, bucket)` with bucket
+    * in 1..nBuckets (1 = lowest cross-entropy = most stereotypical).
+    *
+    * Cost is [[crossEntropy]] plus one doc-count id join and a
+    * per-stratum window — the window's per-partition state is one
+    * stratum's doc ids, the same bound as [[packSequences]]' shards.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        strataCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("cross_entropy"), col(idCol))
+    crossEntropy(df, idCol, textCol)
+      .join(df.select(col(idCol), col(strataCol)), idCol)
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+  }
+
   /** Out-of-vocabulary rate per document against a (bounded) vocabulary
     * — the coverage check run after tokenizer training: emits
     * `(idCol, n_tokens, n_oov, oov_rate)`. Composes [[encode]] (OOV

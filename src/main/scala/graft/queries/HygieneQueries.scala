@@ -37,9 +37,13 @@ object HygieneQueries {
     Curation.crossEntropy(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  private val q64Sql =
-    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |           FROM documents),
+  /** Shared cross-entropy oracle prelude (CTEs + the per-doc select) —
+    * composed into q64 here and the perplexity-bucket oracle (q87,
+    * TrainPrepQueries).
+    */
+  private[queries] val crossEntropyCte =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
       |ct AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY 1),
       |tot AS (SELECT sum(len(string_split(text, ' ')))::DOUBLE AS tt
@@ -49,11 +53,16 @@ object HygieneQueries {
       |            FROM tf JOIN ct USING (term), tot),
       |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
       |               list(ctr ORDER BY term) AS arr
-      |        FROM contrib GROUP BY 1)
-      |SELECT doc_id, n_tokens,
-      |       round(-list_reduce(arr, (a, b) -> a + b) / n_tokens, 6)
-      |         AS cross_entropy
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |        FROM contrib GROUP BY 1),
+      |ce AS (SELECT doc_id, n_tokens,
+      |              round(-list_reduce(arr, (a, b) -> a + b) / n_tokens, 6)
+      |                AS cross_entropy
+      |       FROM agg)""".stripMargin
+
+  private val q64Sql =
+    s"""WITH $crossEntropyCte
+       |SELECT doc_id, n_tokens, cross_entropy FROM ce
+       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ OOV rate
 

@@ -563,6 +563,25 @@ object TrainPrepQueries {
        |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
        |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** Q87 — CCNet-style perplexity bucketing: per-language head/middle/
+    * tail split of the cross-entropy score by RANK terciles (see
+    * [[graft.operators.Curation.perplexityBuckets]] — integer-exact
+    * bucket boundaries, no float-cut comparisons).
+    */
+  private def q87(spark: SparkSession, dir: String): DataFrame =
+    Curation.perplexityBuckets(Tables.documents(spark, dir),
+        "doc_id", "text", "lang", nBuckets = 3)
+      .orderBy("doc_id")
+
+  private val q87Sql =
+    s"""WITH ${HygieneQueries.crossEntropyCte},
+       |j AS (SELECT ce.doc_id, ce.n_tokens, ce.cross_entropy, d.lang
+       |      FROM ce JOIN documents d USING (doc_id))
+       |SELECT doc_id, n_tokens, cross_entropy, lang,
+       |       ntile(3) OVER (PARTITION BY lang
+       |                      ORDER BY cross_entropy, doc_id)::BIGINT AS bucket
+       |FROM j ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -577,5 +596,6 @@ object TrainPrepQueries {
     QueryDef("q83_repetition_rowwise", q83, Some(CurationQueries.q56Sql)),
     QueryDef("q84_ann_ivf_batch", q84, Some(q84Sql)),
     QueryDef("q85_curation_pass", q85, Some(q85Sql)),
-    QueryDef("q86_ivf_recall", q86, Some(q86Sql)))
+    QueryDef("q86_ivf_recall", q86, Some(q86Sql)),
+    QueryDef("q87_perplexity_buckets", q87, Some(q87Sql)))
 }

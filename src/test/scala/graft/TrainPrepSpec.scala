@@ -252,6 +252,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ab", 2L), ("ba", 1L)))
   }
 
+  // ------------------------------------------------------ perplexityBuckets
+
+  test("perplexityBuckets: per-stratum rank terciles over cross-entropy") {
+    // en docs engineered to three distinct cross-entropy levels: a doc of
+    // one common word (low surprise), mixed, and one of a rare word
+    // (high surprise); de has a single doc → bucket 1
+    val df = Seq(
+      (1L, "en", "the the the the"),
+      (2L, "en", "the rare the cat"),
+      (3L, "en", "zzz qqq vvv www"),
+      (4L, "de", "und und")
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.perplexityBuckets(df, "doc_id", "text", "lang",
+        nBuckets = 3)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "en", 1L), (2L, "en", 2L), (3L, "en", 3L), (4L, "de", 1L)))
+    // en buckets follow the cross-entropy order: common-word doc is the
+    // most stereotypical (head), all-rare doc the most surprising (tail)
+  }
+
   // --------------------------------------------------- fail-fast contracts
 
   test("round-7 operators fail fast on column collisions and bad params") {
