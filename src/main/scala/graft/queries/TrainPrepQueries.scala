@@ -7,12 +7,13 @@ import graft.functions.TextFns
 import graft.operators.{Curation, Dedup, Similarity}
 import graft.sources.Tables
 
-/** Q73–Q79 — round-7 training-prep surface: the remaining steps between
+/** Q73–Q87 — round-7 training-prep surface: the remaining steps between
   * a curated corpus and training shards, plus the evaluation harness a
   * pipeline runs over its own indexes —
   *
   *   - contamination SCORING (containment fraction per doc, q73 — the
-  *     threshold-policy view of q57's flags),
+  *     threshold-policy view of q57's flags; q80 is the same algorithm
+  *     as a stream-safe row-wise kernel, graded by the same oracle),
   *   - INCREMENTAL dedup of a new batch against the standing corpus
   *     (q74 — the continuous-ingest decision: new / dup-of-corpus /
   *     dup-in-batch),
@@ -21,10 +22,14 @@ import graft.sources.Tables
   *     a token budget),
   *   - the BPE merge-candidate census (q77 — tokenizer training's inner
   *     loop over the distinct-word frame),
-  *   - batched brute-force top-k retrieval (q78 — the ground-truth side
-  *     of recall eval, WindowGroupLimit-planned), and
-  *   - ANN recall@k of the LSH index against that ground truth (q79 —
-  *     the quality metric every index tunes along).
+  *   - the retrieval-evaluation harness: batched brute-force top-k
+  *     ground truth (q78), LSH recall@k (q79), batched IVF retrieval
+  *     (q84) and IVF recall@k (q86),
+  *   - span-level and cross-source duplication dashboards (q81, q82),
+  *   - stream-safe repetition signals (q83, graded by q56's oracle) and
+  *     the composed stateless curation pass (q85), and
+  *   - CCNet-style perplexity bucketing (q87 — per-language rank
+  *     terciles over the cross-entropy score).
   *
   * Oracle discipline unchanged from the earlier modules: full-algorithm
   * DuckDB restatements, integer counts divided once at the end, every
