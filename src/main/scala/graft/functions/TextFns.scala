@@ -50,24 +50,34 @@ object TextFns {
 
   /** Distinct word n-gram shingles (for Jaccard / MinHash dedup).
     * Documents shorter than n tokens yield an empty shingle set.
-    *
-    * Implemented as a zip of n shifted slices of the token array, NOT as
-    * `transform(sequence(...), i -> element_at(w, i+j))`: a lambda body
-    * that captures an outer expression re-evaluates it per element in
-    * Spark's (interpreted) higher-order-function path, turning shingling
-    * into O(tokens²) regex splits per document (~20× slowdown measured
-    * at sf0.1). Here every lambda references only its own arguments, so
-    * the token array is evaluated O(n) times per row.
+    * `array_distinct` over the codegen'd [[ngrams]] kernel — both
+    * stages codegen, preserving the whole-stage span at every use site.
     */
   def shingles(text: Column, n: Int): Column =
     array_distinct(ngrams(text, n))
 
   /** Word n-grams in document order, NOT deduplicated — the repetition
     * signals (top-bigram fraction, duplicate-gram fraction) need the
-    * multiset. Same shifted-slice zip construction as [[shingles]] (and
-    * the same O(tokens) cost bound — see the lambda-capture note there).
+    * multiset. Built by the codegen'd
+    * [[graft.expressions.WordNGrams]] kernel — the declarative
+    * shifted-slice zip ([[ngramsHof]]) rides `ZipWith`, which is
+    * `CodegenFallback`: interpreted lambdas AND a severed codegen span
+    * around every use site. The kernel is property-tested identical.
     */
-  def ngrams(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column =
+    graft.expressions.WordNGrams(tokens(text), n)
+
+  /** The declarative zip-of-shifted-slices n-gram formula — the
+    * semantic reference [[ngrams]]' codegen kernel is property-tested
+    * against (not used on any hot path).
+    *
+    * A lambda body that captures an outer expression re-evaluates it
+    * per element in Spark's interpreted higher-order-function path, so
+    * each lambda here references only its own arguments — the capturing
+    * variant measured O(tokens²) regex splits per document (~20×
+    * slowdown at sf0.1).
+    */
+  def ngramsHof(text: Column, n: Int): Column = {
     require(n >= 2, s"n-gram width must be >= 2, got $n")
     val w = tokens(text)
     val m = greatest(size(w) - (n - 1), lit(0))

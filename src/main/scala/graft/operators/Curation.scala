@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.{SortedContainsCount, SortedRunStats}
 import graft.functions.TextFns
 
 /** Corpus-curation operators for LLM training-data pipelines — the steps
@@ -82,12 +83,13 @@ object Curation {
     * including dropping documents with no bigrams (the aggregate path's
     * inner join does the same).
     *
-    * The top-gram count is a run-length fold over the SORTED gram array
-    * (`aggregate` with (prev, run, best) state) — O(tokens log tokens)
-    * per row and order-pinned by construction. Spark's array HOFs run
-    * interpreted, so the batch-corpus path remains [[repetitionStats]]
-    * (codegen'd aggregates); this shape exists for streams and for
-    * single-doc scoring services.
+    * The gram statistics are one adjacent-compare pass over the SORTED
+    * gram array — the codegen'd
+    * [[graft.expressions.SortedRunStats]] kernel (a run on sorted input
+    * IS a multiplicity class, so max-run = max multiplicity and the
+    * distinct count falls out of the same pass) — O(tokens log tokens)
+    * per row for the sort, order-pinned by construction, and entirely
+    * inside whole-stage codegen.
     */
   def repetitionStatsRowwise(df: DataFrame, idCol: String,
                              textCol: String): DataFrame =
@@ -96,32 +98,29 @@ object Curation {
       .filter(size(col("bi")) > 0)
       .select(col(idCol) +: repetitionSignalCols(col("w"), col("bi")): _*)
 
-  /** Max gram multiplicity via a run-length fold over the sorted array
-    * — the in-row replacement for `max(count) GROUP BY gram`. */
-  private def maxMultiplicity(arr: Column): Column =
-    aggregate(
-      sort_array(arr),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** The five row-wise repetition signal columns over a token array `w`
     * and bigram array `bi` — shared by [[repetitionStatsRowwise]] and
     * the composed [[curationPass]] so both emit bit-identical signals.
+    *
+    * Each gram array is sorted once and swept once by the codegen'd
+    * [[graft.expressions.SortedRunStats]] kernel, which yields BOTH the
+    * distinct count (`size(array_distinct)`) and the max multiplicity
+    * (`max(count) GROUP BY gram`) the ratios need — the duplicated
+    * `SortedRunStats(sort_array(...))` subtrees below are collapsed by
+    * whole-stage codegen's subexpression elimination, so each array is
+    * sorted and swept once per row.
     */
-  private[graft] def repetitionSignalCols(w: Column, bi: Column): Seq[Column] =
+  private[graft] def repetitionSignalCols(w: Column, bi: Column): Seq[Column] = {
+    val ws = SortedRunStats(sort_array(w))
+    val bs = SortedRunStats(sort_array(bi))
     Seq(
       size(w).cast("long").as("n_tokens"),
-      round(size(array_distinct(w)) / size(w), 6).as("distinct_ratio"),
-      round(maxMultiplicity(w) / size(w), 6).as("top_word_frac"),
-      round(maxMultiplicity(bi) / size(bi), 6).as("top_bigram_frac"),
-      round(lit(1.0) - size(array_distinct(bi)) / size(bi), 6)
+      round(ws.getField("n_distinct") / size(w), 6).as("distinct_ratio"),
+      round(ws.getField("max_run") / size(w), 6).as("top_word_frac"),
+      round(bs.getField("max_run") / size(bi), 6).as("top_bigram_frac"),
+      round(lit(1.0) - bs.getField("n_distinct") / size(bi), 6)
         .as("dup_bigram_frac"))
+  }
 
   /** The quality-filter DECISION over a signal frame — the C4/Gopher
     * rule-table step that turns per-doc signals ([[repetitionStats]],
@@ -372,14 +371,15 @@ object Curation {
     * ([[graft.streaming.NearDupStream]] covers streaming near-dup) —
     * they need cross-document state by nature.
     *
-    * Cost honesty: the in-row folds and per-row intersect run in
-    * Spark's interpreted HOF path, so over a full BATCH corpus this
-    * pass measures ~6 s at sf0.1 — slower than running the aggregate-
-    * based stages separately (which is exactly what
-    * [[graft.pipelines.CurationJob]] does). Use this composition where
-    * its shape is the point: streaming micro-batches and single-scan
-    * scoring services, where per-batch volume is small and statelessness
-    * is the requirement.
+    * The row-wise kernels are codegen'd Catalyst expressions
+    * ([[graft.expressions.SortedRunStats]] for the repetition signals,
+    * [[graft.expressions.SortedContainsCount]] for the benchmark
+    * intersect), so the whole pass is one whole-stage-codegen projection
+    * — no interpreted HOF path. [[graft.pipelines.CurationJob]] still
+    * runs the aggregate-based stages for the batch corpus (they
+    * parallelize the per-doc sort away); this composition is for
+    * streaming micro-batches and single-scan scoring services, where
+    * statelessness is the requirement.
     */
   def curationPass(docs: DataFrame, benchmark: DataFrame, idCol: String,
                    textCol: String, rules: Seq[(String, Column)],
@@ -393,7 +393,7 @@ object Curation {
     val benchArr = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("g"))
       .distinct()
-      .agg(collect_set(col("g")).as("__graft_bg"))
+      .agg(sort_array(collect_set(col("g"))).as("__graft_bg"))
     val inCols = docs.columns.map(col).toSeq
     val scored = docs
       .crossJoin(broadcast(benchArr))
@@ -402,8 +402,8 @@ object Curation {
       .filter(size(col("__graft_bi")) > 0)
       .select(inCols ++
         repetitionSignalCols(col("__graft_w"), col("__graft_bi")) :+
-        size(array_intersect(TextFns.shingles(col(textCol), n),
-          col("__graft_bg"))).cast("long").as("n_overlap"): _*)
+        SortedContainsCount(TextFns.shingles(col(textCol), n),
+          col("__graft_bg")).cast("long").as("n_overlap"): _*)
     val allRules = rules :+ ("contaminated" -> (col("n_overlap") > 0L))
     Redact.scrub(
       scored.select(scored.columns.map(col).toSeq ++
@@ -485,10 +485,13 @@ object Curation {
     * [[contaminationScore]]; the shape exists because a streaming scan
     * cannot shuffle-aggregate per doc without watermark state, while a
     * stream-static broadcast join plus narrow projection runs in any
-    * micro-batch. In BATCH, [[contaminationScore]] remains the path of
-    * record: `array_intersect` rebuilds its lookup set per row, so the
-    * row-wise kernel measures ~3× slower than the gram join at sf0.1 —
-    * use this one for streams and single-doc scoring services.
+    * micro-batch. The benchmark array is broadcast SORTED and each
+    * document counts its gram hits through the codegen'd binary-search
+    * kernel [[graft.expressions.SortedContainsCount]] —
+    * `O(grams · log bench)` per row with no per-row set build (the
+    * `array_intersect` formulation rebuilt the benchmark hash set per
+    * row, ~3× slower than the gram join; the kernel removes that
+    * rebuild).
     */
   def contaminationScoreRowwise(corpus: DataFrame, benchmark: DataFrame,
                                 idCol: String, textCol: String,
@@ -496,7 +499,7 @@ object Curation {
     val benchArr = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("g"))
       .distinct()
-      .agg(collect_set(col("g")).as("__graft_bg"))
+      .agg(sort_array(collect_set(col("g"))).as("__graft_bg"))
     corpus
       .select(col(idCol), TextFns.shingles(col(textCol), n).as("gs"))
       // null-text docs shingle to null; the join path drops them (null
@@ -506,7 +509,7 @@ object Curation {
       .crossJoin(broadcast(benchArr))
       .select(col(idCol),
         size(col("gs")).cast("long").as("n_grams"),
-        size(array_intersect(col("gs"), col("__graft_bg"))).cast("long")
+        SortedContainsCount(col("gs"), col("__graft_bg")).cast("long")
           .as("n_overlap"))
       .select(col(idCol), col("n_grams"), col("n_overlap"),
         when(col("n_grams") === 0L, lit(0.0))

@@ -59,9 +59,14 @@ object CurationJob {
     * output table.
     */
   def fullVerdicts(corpus: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    // fallback counts SPLIT-BY-SPACE tokens — the same tokenization the
+    // signal path aggregates — not the \S+ regex count: a tab/newline-
+    // separated doc is ONE space-token (so too_short convicts it), while
+    // the regex would count every word and let it through with null
+    // signals and empty reasons
     val signals = corpus
       .select(col("doc_id"),
-        graft.functions.TextFns.tokenCount(col("text")).as("__nt"))
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("__nt"))
       .join(Curation.repetitionStats(corpus, "doc_id", "text"),
         Seq("doc_id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), col("__nt")))

@@ -156,6 +156,7 @@ object CurationQueries {
        |                      / 1.152921504606846976e18))
        |               - ln(n_chars::DOUBLE), 6) AS sample_key
        |  FROM documents
+       |  WHERE n_chars > 0
        |  ORDER BY sample_key ASC, doc_id LIMIT $SampleK)
        |ORDER BY doc_id""".stripMargin
 

@@ -57,9 +57,13 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
+  // `WHERE text IS NOT NULL` pins the null-text contract both operators
+  // implement (null shingles explode/filter to nothing → the doc is
+  // absent), so the LEFT JOIN below cannot resurrect a null-text doc at
+  // (0, 0, 0.0) that Spark never emits
   private val q73Sql =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |           FROM documents),
+       |           FROM documents WHERE text IS NOT NULL),
        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |          range(1, len(toks) - 3),
        |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],

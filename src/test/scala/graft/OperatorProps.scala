@@ -218,6 +218,19 @@ object OperatorProps extends Properties("graft.operators") {
       rows.forall(r => r._1 == r._2)
     }
 
+  property("WordNGrams kernel == zip-of-slices HOF formula on random text") =
+    forAll(
+      Gen.listOfN(20, Gen.listOf(Gen.oneOf("a", "bb", "c", "", "d e"))
+        .map(_.mkString(" "))),
+      Gen.choose(2, 6)) { (texts, n) =>
+      val df = texts.toDF("text")
+      val rows = df.select(
+        graft.functions.TextFns.ngrams(col("text"), n),
+        graft.functions.TextFns.ngramsHof(col("text"), n))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.forall(r => r._1 == r._2)
+    }
+
   // small alphabet so repeats/top-grams genuinely occur
   private val docGen: Gen[String] =
     Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "bc")).map(_.mkString(" "))

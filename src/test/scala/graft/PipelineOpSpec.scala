@@ -284,6 +284,67 @@ class PipelineOpSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("SortedRunStats: distinct count + max run on sorted string arrays") {
+    val cases = Seq(
+      (Seq("a", "a", "a", "b", "c", "c"), (3, 3)), // runs 3,1,2
+      (Seq("x"), (1, 1)),                          // singleton
+      (Seq.empty[String], (0, 0)),                 // empty array
+      (Seq("a", "b", "c", "d"), (4, 1)),           // all distinct
+      (Seq("q", "q", "q", "q"), (1, 4)))           // one run
+    val df = cases.map(_._1).toDF("a")
+    val got = df.select(
+      graft.expressions.SortedRunStats(col("a")).as("s"))
+      .select(col("s.n_distinct"), col("s.max_run")).as[(Int, Int)].collect()
+    assert(got.toSeq == cases.map(_._2))
+    // null array -> null result (UnaryExpression null-safe contract)
+    val n = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("a")
+      .select(graft.expressions.SortedRunStats(col("a"))).collect().head
+    assert(n.isNullAt(0))
+    // agreement with the built-ins it replaces, on real corpus tokens
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40)
+      .select(sort_array(TextFns.tokens(col("text"))).as("a"))
+    val both = toks.select(
+      graft.expressions.SortedRunStats(col("a")).as("s"),
+      size(array_distinct(col("a"))).as("d")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getStruct(0).getInt(0) == r.getInt(1))
+      assert(r.getStruct(0).getInt(1) >= 1)
+    }
+  }
+
+  test("SortedContainsCount: binary-search membership vs array_intersect") {
+    val cases = Seq(
+      (Seq("c", "a", "z"), Seq("a", "b", "c", "d"), 2), // unsorted needles
+      (Seq.empty[String], Seq("a"), 0),                 // no needles
+      (Seq("a", "b"), Seq.empty[String], 0),            // empty haystack
+      (Seq("m"), Seq("a", "m", "z"), 1),                // exact middle hit
+      (Seq("aa", "ab", "b"), Seq("ab"), 1))             // prefix neighbours
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(
+      graft.expressions.SortedContainsCount(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == cases.map(_._3))
+    // null array -> null result
+    val n = Seq((Seq("a"), null.asInstanceOf[Seq[String]])).toDF("a", "b")
+      .select(graft.expressions.SortedContainsCount(col("a"), col("b"))).collect().head
+    assert(n.isNullAt(0))
+    // agreement with array_intersect on real corpus shingles (distinct
+    // needles — the shingle contract)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hay = docs.filter(col("doc_id") < 25)
+      .select(explode(TextFns.shingles(col("text"), 3)).as("g"))
+      .distinct().agg(sort_array(collect_set(col("g"))).as("h"))
+    val both = docs.filter(col("doc_id") >= 25 && col("doc_id") < 75)
+      .select(TextFns.shingles(col("text"), 3).as("gs"))
+      .crossJoin(broadcast(hay))
+      .select(
+        graft.expressions.SortedContainsCount(col("gs"), col("h")).as("k"),
+        size(array_intersect(col("gs"), col("h"))).as("ref")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("native VecDot kernel is bit-identical to the HOF formula of record") {
     val emb = graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
     val q = graft.sources.Tables.embeddings(spark, sf)
