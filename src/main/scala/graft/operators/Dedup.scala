@@ -122,18 +122,12 @@ object Dedup {
                         n: Int, threshold: Double,
                         hotBucketCap: Int = HotBucketCap): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol, n)
-    // round before ceil: raw double t*|s| can land epsilon ABOVE the exact
-    // rational (0.55*100 = 55.000000000000007), and ceil of that shortens
-    // the prefix by one — silently dropping qualifying pairs and breaking
-    // the exactness guarantee for thresholds whose product is integral
-    val prefLen =
-      (size(col("sh")) - ceil(round(lit(threshold) * size(col("sh")), 9)) + 1)
-        .cast("int")
-    val hashOrdered = transform(
-      array_sort(transform(col("sh"), g => struct(xxhash64(g).as("h"), g.as("g")))),
-      s => s.getField("g"))
+    // hash + sort + prefix-slice in one compiled pass per row — the
+    // codegen'd kernel (incl. the round-before-ceil prefix-length
+    // subtlety; see its scaladoc) replacing an interpreted
+    // transform/array_sort/transform/slice HOF chain
     val prefix = sh.select(col("id"),
-      explode(slice(hashOrdered, lit(1), prefLen)).as("g"))
+      explode(graft.expressions.HashPrefixGrams(col("sh"), threshold)).as("g"))
     verifiedJaccard(candidatePairs(prefix, Seq("g"), hotBucketCap), sh, threshold)
   }
 
@@ -275,7 +269,7 @@ object Dedup {
                               threshold: Double): DataFrame = {
     def side(s: String): DataFrame = sh.select(
       col("id").as(s"id_$s"), col("sh").as(s"sh_$s"),
-      sort_array(transform(col("sh"), g => xxhash64(g))).as(s"hs_$s"))
+      sort_array(graft.expressions.XxHash64Array(col("sh"))).as(s"hs_$s"))
     val interH = graft.expressions.SortedIntersectCount(
       col("hs_a"), col("hs_b")).cast("double")
     cand
@@ -550,8 +544,15 @@ object Dedup {
       .distinct()
       .cache()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp"))
+      // seed with the DIRECT-neighbor min rather than the identity: the
+      // same one aggregate the identity seeding would spend on distinct(),
+      // but near-dup components are near-cliques, where every member sees
+      // the component min one hop away — so seeding IS convergence for
+      // cliques and the loop below only verifies (one round) instead of
+      // propagating then verifying (two)
+      var labels = edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("comp"))
+        .select(col("src").as("id"), col("comp"))
         .localCheckpoint()
       var converged = false
       var round = 0
@@ -564,12 +565,18 @@ object Dedup {
         // pointer doubling: follow the new label one more hop (labels
         // are always node ids, so the lookup side is `stepped` itself);
         // comp is monotonically non-increasing, so the fixpoint is
-        // unchanged — only reached exponentially faster
-        val lookup = stepped.select(col("id").as("l_id"), col("comp").as("l_comp"))
-        val next = stepped.join(lookup, stepped("comp") === lookup("l_id"), "left")
-          .select(col("id"), col("prev"),
-            least(col("comp"), coalesce(col("l_comp"), col("comp"))).as("comp"))
-          .localCheckpoint()
+        // unchanged — only reached exponentially faster. Round 1 skips
+        // the doubling self-join: the neighbor-min seeding means cliques
+        // — the common near-dup shape — arrive converged, so the first
+        // round is usually pure verification and doubling would be a
+        // join spent compressing pointers that do not exist; chains
+        // still get doubling from round 2 on, keeping O(log n).
+        val next = (if (round == 0) stepped else {
+          val lookup = stepped.select(col("id").as("l_id"), col("comp").as("l_comp"))
+          stepped.join(lookup, stepped("comp") === lookup("l_id"), "left")
+            .select(col("id"), col("prev"),
+              least(col("comp"), coalesce(col("l_comp"), col("comp"))).as("comp"))
+        }).localCheckpoint()
         converged = next.filter(col("comp") < col("prev")).isEmpty
         labels = next.select(col("id"), col("comp"))
         round += 1

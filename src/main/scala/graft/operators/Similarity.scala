@@ -80,17 +80,30 @@ object Similarity {
       }
     }
 
+  /** The plane matrix as driver-side doubles — the model constant the
+    * signature kernel bakes in (and [[planeMatrix]] inlines). */
+  private[graft] lazy val planeDoubles: Seq[Seq[Double]] =
+    planeInts.map(_.map(_ / 1000.0 - 0.5))
+
   /** The Bits×Dim hyperplane matrix as an array<array<double>> literal —
     * row-path signature computation carries no hash calls at all.
     */
-  private[graft] def planeMatrix: Column =
-    typedlit(planeInts.map(_.map(_ / 1000.0 - 0.5)))
+  private[graft] def planeMatrix: Column = typedlit(planeDoubles)
 
-  /** Random-hyperplane signature bits of a pre-widened double embedding
-    * against an inlined plane matrix: sign of each plane dot product
-    * (native kernel — one VecDot per bit).
+  /** Random-hyperplane signature bits of a pre-widened double embedding:
+    * sign of each plane dot product, computed by the codegen'd
+    * [[graft.expressions.PlaneSignature]] kernel (the declarative
+    * [[signatureHof]] twin rides interpreted `ArrayTransform` — 128
+    * lambda dispatches per row; equality is property-tested).
     */
-  private[graft] def signature(embD: Column, planes: Column): Column =
+  private[graft] def signature(embD: Column): Column =
+    graft.expressions.PlaneSignature(embD, planeDoubles)
+
+  /** The declarative signature formula over an inlined plane matrix —
+    * the semantic reference [[signature]]'s kernel is tested against
+    * (not used on any hot path).
+    */
+  private[graft] def signatureHof(embD: Column, planes: Column): Column =
     transform(planes, p =>
       when(VectorFns.dot(embD, p) > 0, 1).otherwise(0))
 
@@ -340,7 +353,7 @@ object Similarity {
       .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))
       .repartition(col("id"))
     val banded = base
-      .withColumn("sig", signature(col("e_d"), planeMatrix))
+      .withColumn("sig", signature(col("e_d")))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(Bands - 1)), b =>
           concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
@@ -426,7 +439,7 @@ object Similarity {
                          embCol: String): DataFrame = {
     val rows = Bits / Bands
     df.withColumn("e_d", VectorFns.toDouble(col(embCol)))
-      .withColumn("sig", signature(col("e_d"), planeMatrix))
+      .withColumn("sig", signature(col("e_d")))
       .select(col(idCol), col(embCol), posexplode(
         transform(sequence(lit(0), lit(Bands - 1)), b =>
           concat_ws("_", Seq(b) ++ (0 until rows).map(r =>

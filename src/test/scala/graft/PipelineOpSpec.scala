@@ -133,12 +133,20 @@ class PipelineOpSpec extends SparkSpec {
     val corpus = graft.sources.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 20).orderBy("vec_id")
     val planes = Similarity.planeMatrix
-    val fast = corpus.select(
-      Similarity.signature(VectorFns.toDouble(col("embedding")), planes))
+    val kernel = corpus.select(
+      Similarity.signature(VectorFns.toDouble(col("embedding"))))
+      .as[Seq[Int]].collect().toSeq
+    val hof = corpus.select(
+      Similarity.signatureHof(VectorFns.toDouble(col("embedding")), planes))
       .as[Seq[Int]].collect().toSeq
     val ref = corpus.select(Similarity.lshSignature(col("embedding")))
       .as[Seq[Int]].collect().toSeq
-    assert(fast == ref)
+    assert(kernel == ref)
+    assert(hof == ref)
+    // the kernel also accepts the raw float column (exact widening)
+    val kernelF = corpus.select(Similarity.signature(col("embedding")))
+      .as[Seq[Int]].collect().toSeq
+    assert(kernelF == ref)
   }
 
   test("dropDuplicatesExact keeps exactly the min-id row per group") {
@@ -343,6 +351,42 @@ class PipelineOpSpec extends SparkSpec {
         size(array_intersect(col("gs"), col("h"))).as("ref")).collect()
     assert(both.nonEmpty)
     both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("XxHash64Array matches the xxhash64 builtin element-for-element") {
+    val df = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40)
+      .select(TextFns.shingles(col("text"), 3).as("sh"))
+    val both = df.select(
+      graft.expressions.XxHash64Array(col("sh")).as("k"),
+      transform(col("sh"), g => xxhash64(g)).as("ref")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val n = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("sh")
+      .select(graft.expressions.XxHash64Array(col("sh"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("HashPrefixGrams matches the declarative prefix formula") {
+    for (t <- Seq(0.4, 0.55, 0.6, 1.0)) {
+      val sh = graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") < 60)
+        .select(TextFns.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val prefLen =
+        (size(col("sh")) - ceil(round(lit(t) * size(col("sh")), 9)) + 1)
+          .cast("int")
+      val hashOrdered = transform(
+        array_sort(transform(col("sh"),
+          g => struct(xxhash64(g).as("h"), g.as("g")))),
+        s => s.getField("g"))
+      val both = sh.select(
+        graft.expressions.HashPrefixGrams(col("sh"), t).as("k"),
+        slice(hashOrdered, lit(1), prefLen).as("ref")).collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"threshold $t"))
+    }
   }
 
   test("native VecDot kernel is bit-identical to the HOF formula of record") {
