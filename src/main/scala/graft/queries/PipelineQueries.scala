@@ -462,18 +462,30 @@ object PipelineQueries {
     * payload bytes are the UTF-8 (here ASCII) text bytes.
     */
   private def q31(spark: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packText(Tables.documents(spark, dir), "doc_id", "text")
-    Multimodal.decodeFeaturesStub(packed, "doc_id").orderBy("id")
+    val packed = Multimodal.packBmp(Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.decodeImageFeatures(packed, "doc_id").orderBy("id")
   }
 
+  /** The oracle recomputes every decoded feature from FIRST PRINCIPLES
+    * over the source text — never from the binary: the BMP container is
+    * a pure function of the text bytes (fixed 8-px width, 24-byte rows,
+    * zero padding), so header fields and the pixel-array byte mean are
+    * all derivable from `encode(text)` alone. Spark must parse its own
+    * packed bytes back to exactly these values for the hash to match —
+    * grading the real header parse end-to-end.
+    */
   private val q31Sql =
-    """SELECT doc_id AS id,
-      |       16 + ascii(text[1:1]) % 64 AS width,
-      |       16 + ascii(text[length(text):length(text)]) % 64 AS height,
+    """WITH b AS (SELECT doc_id, encode(text) AS bb,
+      |                  octet_length(encode(text)) AS n,
+      |                  greatest((octet_length(encode(text)) + 23) // 24, 1)
+      |                    AS h
+      |           FROM documents)
+      |SELECT doc_id AS id, 'bmp' AS format, 8 AS width, h::INTEGER AS height,
       |       3 AS channels,
-      |       list_sum(list_transform(regexp_extract_all(text, '.'),
-      |           c -> ascii(c)::BIGINT)) / length(text) AS byte_mean
-      |FROM documents ORDER BY id""".stripMargin
+      |       list_sum(list_transform(range(1, n + 1),
+      |           i -> ('0x' || substr(hex(bb), 2*i - 1, 2))::BIGINT))
+      |         / (h * 24.0) AS byte_mean
+      |FROM b ORDER BY id""".stripMargin
 
   /** Q32 — frame sampling: slice each payload into 4 fixed-width binary
     * frames; grade the per-frame byte length and md5.

@@ -511,14 +511,46 @@ class PipelineOpSpec extends SparkSpec {
     assert(meta.getAs[Long]("n_bytes") == 3L)
   }
 
-  test("decodeFeaturesStub: deterministic pseudo-features from bytes") {
-    val df = Seq((1L, "abc")).toDF("id", "t") // bytes 97 98 99
-    val r = Multimodal.decodeFeaturesStub(
-      Multimodal.packText(df, "id", "t"), "id").collect().head
-    assert(r.getInt(1) == 16 + 97 % 64) // width from first byte
-    assert(r.getInt(2) == 16 + 99 % 64) // height from last byte
-    assert(r.getInt(3) == 3)
-    assert(r.getDouble(4) == (97 + 98 + 99) / 3.0)
+  test("packBmp emits a genuine BMP file a stock JDK reader opens") {
+    val df = Seq((1L, "abc"), (2L, "x" * 100)).toDF("id", "t")
+    val rows = Multimodal.packBmp(df, "id", "t").orderBy("id").collect()
+    rows.zip(Seq(1, 5)).foreach { case (r, expectH) =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(r.getStruct(2).getAs[String]("format") == "image/bmp")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "JDK BMP reader rejected the payload")
+      assert(img.getWidth == 8 && img.getHeight == expectH)
+    }
+  }
+
+  test("decodeImageFeatures: real BMP header parse + pixel byte mean") {
+    val df = Seq((1L, "abc")).toDF("id", "t") // bytes 97 98 99, 1 row of 24
+    val r = Multimodal.decodeImageFeatures(
+      Multimodal.packBmp(df, "id", "t"), "id").collect().head
+    assert(r.getString(1) == "bmp")
+    assert(r.getInt(2) == 8)  // header width
+    assert(r.getInt(3) == 1)  // 3 bytes -> 1 zero-padded 24-byte row
+    assert(r.getInt(4) == 3)  // 24 bpp -> 3 channels
+    assert(r.getDouble(5) == (97 + 98 + 99) / 24.0) // padding counted
+  }
+
+  test("decodeImageFeatures: PNG IHDR parse; unknown bytes decode null") {
+    // hand-built PNG prefix: signature + IHDR length/type + 37x19,
+    // bit depth 8, color type 6 (RGBA)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 37, 0, 0, 0, 19, 8, 6, 0, 0, 0)
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.decodeImageFeatures(
+      df.withColumn("meta", struct(lit("image/png").as("format"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("checksum"))), "id").orderBy("id").collect()
+    assert(rows(0).getString(1) == "png")
+    assert(rows(0).getInt(2) == 37 && rows(0).getInt(3) == 19)
+    assert(rows(0).getInt(4) == 4)      // RGBA
+    assert(rows(0).isNullAt(5))         // compressed pixels -> no byte stats
+    assert(rows(1).isNullAt(1))         // unrecognized payload -> null row
   }
 
   test("frameSample: 4 frames tile the payload with integer offsets") {
