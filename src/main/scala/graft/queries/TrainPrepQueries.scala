@@ -572,6 +572,71 @@ object TrainPrepQueries {
        |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
        |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** Merge rounds for the graded BPE training run. */
+  private val BpeMerges = 8
+
+  /** Q88 — the ITERATIVE BPE trainer: 8 rounds of count-best-fuse over
+    * the distinct-word symbol frame, graded as the end-state symbol
+    * vocabulary `(symbol, n_occurrences)` (see
+    * [[graft.operators.Curation.bpeTrain]] — a wrong argmax or fusion
+    * in any round changes the final symbols, so the whole loop is
+    * hash-graded, not just one census like q77).
+    */
+  private def q88(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpeTrain(Tables.documents(spark, dir), "text", merges = BpeMerges)
+      .orderBy("symbol")
+
+  /** The oracle unrolls all 8 training rounds in SQL: per round, a pair
+    * census (`pc`), the argmax merge pick (`bp`), and a RECURSIVE
+    * fixpoint (`f`) that repeatedly fuses the leftmost occurrence of
+    * the picked pair in every word — equivalent to the engine's one
+    * left-to-right scan because a fused symbol can never seed a new
+    * match (that would need an empty symbol). `w{i+1}` keeps each
+    * word's match-free fixpoint row.
+    *
+    * Every non-recursive CTE is `MATERIALIZED`: each stage references
+    * its predecessor more than once, and letting the optimizer INLINE
+    * the chain instead re-expands all prior stages per reference —
+    * exponential re-evaluation of the recursive fixpoints (measured as
+    * a multi-minute hang at sf0.001; materialized, the whole oracle
+    * runs in ~0.1 s).
+    */
+  private lazy val q88Sql: String = {
+    def hasMatch(t: String) =
+      s"list_contains(list_transform(range(1, len(syms)), " +
+        s"j -> syms[j] = $t.a AND syms[j+1] = $t.b), true)"
+    val stages = (0 until BpeMerges).map { i =>
+      s"""pc$i AS MATERIALIZED (SELECT p AS pair, sum(wc)::BIGINT AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |             j -> syms[j] || ' ' || syms[j+1])) AS p, wc
+         |    FROM w$i) GROUP BY 1),
+         |bp$i AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
+         |                string_split(pair, ' ')[2] AS b
+         |         FROM pc$i ORDER BY cnt DESC, pair LIMIT 1),
+         |f$i AS (SELECT wid, syms, wc FROM w$i
+         |  UNION ALL
+         |  SELECT wid,
+         |         syms[1:j0-1] || [syms[j0] || syms[j0+1]] || syms[j0+2:],
+         |         wc
+         |  FROM (SELECT f.wid, f.syms, f.wc,
+         |          list_min(list_filter(range(1, len(f.syms)),
+         |            j -> f.syms[j] = bp$i.a AND f.syms[j+1] = bp$i.b)) AS j0
+         |        FROM f$i f, bp$i) WHERE j0 IS NOT NULL),
+         |w${i + 1} AS MATERIALIZED (SELECT f.wid, f.syms, f.wc FROM f$i f, bp$i
+         |              WHERE NOT coalesce(${hasMatch(s"bp$i")}, false))""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |w0 AS MATERIALIZED (SELECT w AS wid, regexp_extract_all(w, '.') AS syms,
+       |              cnt::BIGINT AS wc
+       |       FROM (SELECT w, count(*) AS cnt FROM (
+       |               SELECT unnest(string_split(text, ' ')) AS w
+       |               FROM documents) GROUP BY 1)),
+       |${stages.mkString(",\n")}
+       |SELECT symbol, sum(wc)::BIGINT AS n_occurrences FROM (
+       |  SELECT unnest(syms) AS symbol, wc FROM w$BpeMerges)
+       |GROUP BY 1 ORDER BY symbol""".stripMargin
+  }
+
   /** Q87 — CCNet-style perplexity bucketing: per-language head/middle/
     * tail split of the cross-entropy score by RANK terciles (see
     * [[graft.operators.Curation.perplexityBuckets]] — integer-exact
@@ -606,5 +671,6 @@ object TrainPrepQueries {
     QueryDef("q84_ann_ivf_batch", q84, Some(q84Sql)),
     QueryDef("q85_curation_pass", q85, Some(q85Sql)),
     QueryDef("q86_ivf_recall", q86, Some(q86Sql)),
-    QueryDef("q87_perplexity_buckets", q87, Some(q87Sql)))
+    QueryDef("q87_perplexity_buckets", q87, Some(q87Sql)),
+    QueryDef("q88_bpe_train", q88, Some(q88Sql)))
 }

@@ -252,6 +252,34 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ab", 2L), ("ba", 1L)))
   }
 
+  // --------------------------------------------------------------- bpeTrain
+
+  test("bpeTrain: two rounds of count-best-fuse reach the expected vocab") {
+    val df = Seq((1L, "aa ab"), (2L, "aa")).toDF("id", "text")
+    // census: aa×2 → [a,a], ab×1 → [a,b]
+    // round 1: pairs "a a"×2, "a b"×1 → fuse (a,a): aa→[aa]
+    // round 2: pairs "a b"×1 → fuse (a,b): ab→[ab]
+    val got = Curation.bpeTrain(df, "text", merges = 2)
+      .orderBy("symbol").as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("aa", 2L), ("ab", 1L)))
+    // zero merges = plain char census; 1-char words keep their symbol
+    val chars = Curation.bpeTrain(Seq((1L, "ab a")).toDF("id", "text"),
+        "text", merges = 0)
+      .orderBy("symbol").as[(String, Long)].collect()
+    assert(chars.toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("BpeMergePair fuses left-to-right without overlap") {
+    val got = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+      .select(graft.expressions.BpeMergePair(col("syms"), "a", "a"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("aa", "a"))
+    val multi = Seq(Tuple1(Seq("x", "a", "b", "a", "b"))).toDF("syms")
+      .select(graft.expressions.BpeMergePair(col("syms"), "a", "b"))
+      .as[Seq[String]].collect().head
+    assert(multi == Seq("x", "ab", "ab"))
+  }
+
   // ------------------------------------------------------ perplexityBuckets
 
   test("perplexityBuckets: per-stratum rank terciles over cross-entropy") {
