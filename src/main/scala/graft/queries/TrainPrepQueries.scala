@@ -656,6 +656,132 @@ object TrainPrepQueries {
        |                      ORDER BY cross_entropy, doc_id)::BIGINT AS bucket
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- product quantization
+
+  /** The shared PQ-model CTE chain: seeds (16 lowest-id vectors'
+    * subvectors), the one-Lloyd-step refinement with empty-cell seed
+    * fallback, the final per-(subspace, cell) centroid lists, and the
+    * code assignment — restating
+    * [[graft.operators.Similarity.pqCodebook]] / `pqCodes` whole. Every
+    * distance/dot is a `list_reduce` left fold, matching the kernels'
+    * accumulation order exactly; ties break toward the lower cell.
+    * CTEs are MATERIALIZED — each is referenced downstream more than
+    * once and optimizer inlining would re-expand the chain per
+    * reference (the q88 lesson).
+    */
+  private val pqCte =
+    """e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e
+      |                   FROM embeddings),
+      |seeds AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS se
+      |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 16)),
+      |a0 AS MATERIALIZED (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT x.vec_id, t.s, sd.c,
+      |           row_number() OVER (PARTITION BY x.vec_id, t.s ORDER BY
+      |             list_reduce(list_transform(range(0, 8),
+      |               j -> (x.e[t.s*8+j+1] - sd.se[t.s*8+j+1])
+      |                  * (x.e[t.s*8+j+1] - sd.se[t.s*8+j+1])),
+      |               (u, v) -> u + v) ASC, sd.c ASC) AS rn
+      |    FROM e x, range(0, 8) t(s), seeds sd) WHERE rn = 1),
+      |ref AS MATERIALIZED (
+      |  SELECT a.s, a.c, tj.j, round(avg(x.e[a.s*8 + tj.j + 1]), 6) AS v
+      |  FROM a0 a JOIN e x USING (vec_id) CROSS JOIN range(0, 8) tj(j)
+      |  GROUP BY 1, 2, 3),
+      |cbk AS MATERIALIZED (
+      |  SELECT t.s, sd.c, tj.j,
+      |         coalesce(r.v, round(sd.se[t.s*8 + tj.j + 1], 6)) AS v
+      |  FROM range(0, 8) t(s) CROSS JOIN seeds sd CROSS JOIN range(0, 8) tj(j)
+      |  LEFT JOIN ref r ON r.s = t.s AND r.c = sd.c AND r.j = tj.j),
+      |cent AS MATERIALIZED (SELECT s, c, list(v ORDER BY j) AS cent
+      |                      FROM cbk GROUP BY 1, 2),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, s, c AS code FROM (
+      |    SELECT x.vec_id, ct.s, ct.c,
+      |      row_number() OVER (PARTITION BY x.vec_id, ct.s ORDER BY
+      |        list_reduce(list_transform(range(0, 8),
+      |          j -> (x.e[ct.s*8+j+1] - ct.cent[j+1])
+      |             * (x.e[ct.s*8+j+1] - ct.cent[j+1])),
+      |          (u, v) -> u + v) ASC, ct.c ASC) AS rn
+      |    FROM e x, cent ct) WHERE rn = 1)""".stripMargin
+
+  /** Q89 — PQ code assignment: every vector's 8-byte code under the
+    * trained (seed + one Lloyd step) codebook, graded code-for-code
+    * (see [[graft.operators.Similarity.pqCodes]] — a wrong seed, a
+    * wrong mean, or a flipped argmin anywhere in training changes
+    * codes, so the whole trainer is hash-graded).
+    */
+  private def q89(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy("vec_id", "subspace")
+
+  private lazy val q89Sql =
+    s"""WITH $pqCte
+       |SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code
+       |FROM codes ORDER BY vec_id, subspace""".stripMargin
+
+  /** Q90 — recall@k of PQ asymmetric-distance retrieval against q78's
+    * brute-force ground truth — the q79/q86 evaluation applied to the
+    * third index family (see
+    * [[graft.operators.Similarity.pqTopKBatch]]): how much exact recall
+    * 8-byte codes keep. The oracle restates the full codebook training,
+    * the per-subspace ADC folds summed in subspace order, the true-norm
+    * cosine normalization, both top-k re-ranks, and the recall
+    * arithmetic.
+    */
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        Similarity.pqTopKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q90Sql =
+    s"""WITH $pqCte,
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, e AS qe,
+       |         sqrt(list_reduce(list_transform(e, x -> x*x),
+       |              (u, v) -> u + v)) AS nq
+       |  FROM e WHERE vec_id < $QuerySample),
+       |nx AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(list_reduce(list_transform(e, x -> x*x),
+       |                      (u, v) -> u + v)) AS nx
+       |  FROM e),
+       |sx AS (SELECT q.query_id, e.vec_id,
+       |              round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |       FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM sx),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |ips AS (SELECT q.query_id, cd.vec_id, cd.s,
+       |          list_reduce(list_transform(range(0, 8),
+       |            j -> q.qe[cd.s*8+j+1] * ct.cent[j+1]), (u, v) -> u + v) AS ip
+       |        FROM codes cd JOIN cent ct ON ct.s = cd.s AND ct.c = cd.code, q),
+       |tot AS (SELECT query_id, vec_id,
+       |          list_reduce(list(ip ORDER BY s), (u, v) -> u + v) AS adc
+       |        FROM ips GROUP BY 1, 2),
+       |aps AS (SELECT t.query_id, t.vec_id,
+       |          round(t.adc / (nx.nx * q.nq), 6) AS cos_sim
+       |        FROM tot t JOIN nx USING (vec_id)
+       |                   JOIN q ON q.query_id = t.query_id),
+       |apr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM aps),
+       |apt AS (SELECT query_id, vec_id FROM apr WHERE rk <= $RecallK),
+       |h AS (SELECT apt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM apt JOIN ext ON apt.query_id = ext.query_id
+       |                       AND apt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -672,5 +798,7 @@ object TrainPrepQueries {
     QueryDef("q85_curation_pass", q85, Some(q85Sql)),
     QueryDef("q86_ivf_recall", q86, Some(q86Sql)),
     QueryDef("q87_perplexity_buckets", q87, Some(q87Sql)),
-    QueryDef("q88_bpe_train", q88, Some(q88Sql)))
+    QueryDef("q88_bpe_train", q88, Some(q88Sql)),
+    QueryDef("q89_pq_codes", q89, Some(q89Sql)),
+    QueryDef("q90_pq_recall", q90, Some(q90Sql)))
 }

@@ -389,6 +389,53 @@ class PipelineOpSpec extends SparkSpec {
     }
   }
 
+  test("PqAssign picks the L2-nearest centroid per subspace, ties low") {
+    // 2 subspaces × 2 dims, 2 cells each
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(5.0, 5.0), Seq(9.0, 9.0)))
+    val df = Seq(
+      (Seq(0.1f, 0.2f, 8.0f, 8.0f), Seq(0, 1)),  // near cell0 / cell1
+      (Seq(0.9f, 1.1f, 5.1f, 4.8f), Seq(1, 0)),  // near cell1 / cell0
+      (Seq(0.5f, 0.5f, 7.0f, 7.0f), Seq(0, 0)))  // equidistant -> low cell
+    .map(_._1).toDF("e")
+    val got = df.select(
+      graft.expressions.PqAssign(col("e"), cb)).as[Seq[Int]].collect()
+    assert(got.toSeq == Seq(Seq(0, 1), Seq(1, 0), Seq(0, 0)))
+  }
+
+  test("PqAdcDot equals the reconstructed-vector dot product") {
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      Seq(Seq(0.5, 0.5), Seq(2.0, 0.0)))
+    val df = Seq((Seq(1.0f, 1.0f, 2.0f, 3.0f), Seq(1, 0))).toDF("q", "codes")
+    val got = df.select(
+      graft.expressions.PqAdcDot(col("q"), col("codes"), cb)).as[Double]
+      .collect().head
+    // subspace 0 -> cell 1 (3,4): 1*3 + 1*4 = 7; subspace 1 -> cell 0
+    // (0.5,0.5): 2*0.5 + 3*0.5 = 2.5
+    assert(got == 7.0 + 2.5)
+  }
+
+  test("pqCodes covers every (vector, subspace) with codes in range") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding").collect()
+    assert(codes.length == n * 8)
+    assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
+  }
+
+  test("pqTopKBatch: ADC retrieval recovers most exact top-k neighbours") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 4)
+    val recall = Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", 10),
+        Similarity.pqTopKBatch(emb, "vec_id", "embedding", qs, "vec_id", 10),
+        "query_id", "vec_id")
+      .agg(avg(col("recall"))).as[Double].collect().head
+    assert(recall > 0.2, s"PQ recall@10 collapsed: $recall")
+  }
+
   test("native VecDot kernel is bit-identical to the HOF formula of record") {
     val emb = graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
     val q = graft.sources.Tables.embeddings(spark, sf)
