@@ -321,6 +321,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("throughput: curationPass clears a 10k-doc micro-batch under the floor") {
+    // the stateless curation pass is the shape intended for streams —
+    // track its per-batch cost where it actually runs, so a future
+    // regression of the row-wise kernels (SortedRunStats /
+    // SortedContainsCount / WordNGrams falling back to interpreted
+    // HOFs) shows up as a failed floor, not a silent bench drift
+    implicit val ctx = spark.sqlContext
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(i: Int): String =
+      (0 until 40).map(j => words((i * 7 + j * 3) % words.length)).mkString(" ")
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation.curationPass(
+        in.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+        Seq("low_diversity" -> ($"distinct_ratio" < 0.1)))
+      .select($"doc_id", $"keep")
+      .writeStream.format("memory").queryName("curation_thru").start()
+    try {
+      val t0 = System.nanoTime()
+      in.addData((1 to 10000).map(i => (i.toLong, doc(i))))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      info(f"curationPass micro-batch: 10k docs in $sec%.1f s " +
+        f"(${10000 / sec}%.0f docs/s)")
+      // reference streaming floor: 1,000 records/min with <30 s latency;
+      // the codegen'd pass clears 10k docs orders of magnitude faster
+      assert(sec < 30.0, f"curation micro-batch took $sec%.1f s")
+      assert(spark.table("curation_thru").count() == 10000L)
+    } finally q.stop()
+  }
+
   test("throughput: a 10k-record batch clears in far under the 30s floor") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
