@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{KMinValues, RollingHash, VecDot}
+import graft.expressions.{BmpImage, ImageFeatures, KMinValues, RollingHash, VecDot, WordNGrams}
 
 /** Session extension point for the engine's custom Catalyst expressions —
   * the standard injection path
@@ -15,6 +15,8 @@ import graft.expressions.{KMinValues, RollingHash, VecDot}
   * {{{
   *   SELECT vec_dot(embedding, embedding) FROM embeddings  -- squared norm
   *   SELECT kmv_distinct(xxhash64(user_id), 64) FROM events -- KMV sketch
+  *   SELECT word_ngrams(split(text, ' '), 3) FROM documents -- shingle build
+  *   SELECT image_features(payload).width FROM media       -- BMP/PNG parse
   * }}}
   *
   * `kmv_distinct(hashedLong, k)` estimates hashes as uniform on
@@ -66,6 +68,32 @@ object GraftExtensions {
         val k = lit(children(1), "k").toInt
         val domain = if (children.size == 3) lit(children(2), "domain") else 1L << 60
         KMinValues(children.head, k, domain).toAggregateExpression()
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"word_ngrams expects (tokenArray, n), got ${children.size} args")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an integer literal, got $other")
+        }
+        WordNGrams(children.head, n)
+      }),
+    (FunctionIdentifier("bmp_image"),
+      new ExpressionInfo(classOf[BmpImage].getName, "bmp_image"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"bmp_image expects 1 argument, got ${children.size}")
+        BmpImage(children.head)
+      }),
+    (FunctionIdentifier("image_features"),
+      new ExpressionInfo(classOf[ImageFeatures].getName, "image_features"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"image_features expects 1 argument, got ${children.size}")
+        ImageFeatures(children.head)
       }))
 
   /** Register into an existing session's function registry. */

@@ -276,6 +276,17 @@ class PipelineOpSpec extends SparkSpec {
     assert(sql == api && sql > 0.0)
   }
 
+  test("word_ngrams / bmp_image / image_features usable from SQL text") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_ngrams(split('a b c', ' '), 2) AS g,
+        |       image_features(bmp_image('abc')).height AS h,
+        |       image_features(bmp_image('abc')).channels AS c""".stripMargin)
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getInt(1) == 1 && r.getInt(2) == 3)
+  }
+
   test("SortedIntersectCount: two-pointer merge semantics vs reference intersect") {
     val cases = Seq(
       (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), 2),  // plain overlap

@@ -265,6 +265,37 @@ class PlanSpec extends SparkSpec {
       s"expected at most corpus + benchmark text scans, got ${corpusScans.size}")
   }
 
+  test("pq code assignment plan: narrow — no join, no exchange, one scan") {
+    // the codebook is a plan CONSTANT (baked into the PqAssign
+    // expression), so assignment must never join or shuffle — a
+    // regression to a broadcast-centroid join would show here
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cb = graft.operators.Similarity.pqCodebook(emb, "vec_id", "embedding")
+    val nodes = finalNodes(emb.select(col("vec_id"),
+      graft.expressions.PqAssign(col("embedding"), cb).as("codes")))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")), s"assignment must not join: $ns")
+    assert(!ns.exists(_.contains("Exchange")),
+      s"assignment must not shuffle: $ns")
+    assert(ns.count(_.startsWith("Scan parquet")) == 1,
+      s"assignment is one narrow pass over one scan: $ns")
+  }
+
+  test("q31 multimodal decode plan: narrow — no join, no exchange") {
+    // pack + parse are both expressions over the row — the decode path
+    // must stay a partition-preserving projection (no RDD drop-out, no
+    // shuffle); the presentation orderBy is the only allowed exchange
+    val packed = graft.operators.Multimodal.packBmp(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    val nodes = finalNodes(
+      graft.operators.Multimodal.decodeImageFeatures(packed, "doc_id"))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")) && !ns.exists(_.contains("Exchange")),
+      s"decode must be a narrow projection: $ns")
+    assert(ns.count(_.startsWith("Scan parquet")) == 1,
+      s"decode reads the documents scan once: $ns")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)
