@@ -482,8 +482,8 @@ object PipelineQueries {
       |           FROM documents)
       |SELECT doc_id AS id, 'bmp' AS format, 8 AS width, h::INTEGER AS height,
       |       3 AS channels,
-      |       list_sum(list_transform(range(1, n + 1),
-      |           i -> ('0x' || substr(hex(bb), 2*i - 1, 2))::BIGINT))
+      |       coalesce(list_sum(list_transform(range(1, n + 1),
+      |           i -> ('0x' || substr(hex(bb), 2*i - 1, 2))::BIGINT)), 0)
       |         / (h * 24.0) AS byte_mean
       |FROM b ORDER BY id""".stripMargin
 

@@ -592,7 +592,11 @@ object TrainPrepQueries {
     * the picked pair in every word — equivalent to the engine's one
     * left-to-right scan because a fused symbol can never seed a new
     * match (that would need an empty symbol). `w{i+1}` keeps each
-    * word's match-free fixpoint row.
+    * word's match-free fixpoint row. When a round has NO pairs left
+    * (every word fused to one symbol), `bp` emits an empty-string
+    * sentinel pair that can never match — the cross joins stay
+    * populated and later rounds are no-ops, exactly the engine's
+    * early-stop semantics.
     *
     * Every non-recursive CTE is `MATERIALIZED`: each stage references
     * its predecessor more than once, and letting the optimizer INLINE
@@ -610,9 +614,12 @@ object TrainPrepQueries {
          |    SELECT unnest(list_transform(range(1, len(syms)),
          |             j -> syms[j] || ' ' || syms[j+1])) AS p, wc
          |    FROM w$i) GROUP BY 1),
-         |bp$i AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
-         |                string_split(pair, ' ')[2] AS b
-         |         FROM pc$i ORDER BY cnt DESC, pair LIMIT 1),
+         |bp$i AS MATERIALIZED (
+         |  (SELECT string_split(pair, ' ')[1] AS a,
+         |          string_split(pair, ' ')[2] AS b
+         |   FROM pc$i ORDER BY cnt DESC, pair LIMIT 1)
+         |  UNION ALL
+         |  SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM pc$i)),
          |f$i AS (SELECT wid, syms, wc FROM w$i
          |  UNION ALL
          |  SELECT wid,

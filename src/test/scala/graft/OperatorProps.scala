@@ -231,6 +231,43 @@ object OperatorProps extends Properties("graft.operators") {
       rows.forall(r => r._1 == r._2)
     }
 
+  property("BpeMergePair == leftmost-greedy reference fold") =
+    forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "ab")),
+      Gen.oneOf(("a", "b"), ("a", "a"), ("ab", "c"), ("c", "c"))) {
+      (syms, pair) =>
+        def ref(xs: List[String]): List[String] = xs match {
+          case a :: b :: rest if a == pair._1 && b == pair._2 =>
+            (a + b) :: ref(rest)
+          case x :: rest => x :: ref(rest)
+          case Nil       => Nil
+        }
+        val got = Seq(Tuple1(syms)).toDF("syms")
+          .select(graft.expressions.BpeMergePair(col("syms"), pair._1, pair._2))
+          .as[Seq[String]].collect().head
+        got.toList == ref(syms)
+    }
+
+  property("PqAssign == reference per-subspace L2 argmin") =
+    forAll(
+      Gen.listOfN(6, Gen.listOfN(4, Gen.choose(-5.0f, 5.0f))),
+      Gen.listOfN(2, Gen.listOfN(3, Gen.listOfN(2, Gen.choose(-5.0, 5.0))))) {
+      (vecs, cb) =>
+        def ref(v: List[Float]): Seq[Int] = cb.indices.map { s =>
+          val cells = cb(s)
+          cells.indices.minBy { c =>
+            (0 until 2).foldLeft(0.0) { (d, j) =>
+              val diff = v(s * 2 + j).toDouble - cells(c)(j)
+              d + diff * diff
+            }
+          }
+        }
+        val got = vecs.toDF("e")
+          .select(graft.expressions.PqAssign(col("e"), cb))
+          .as[Seq[Int]].collect()
+        got.toSeq == vecs.map(ref)
+    }
+
   // small alphabet so repeats/top-grams genuinely occur
   private val docGen: Gen[String] =
     Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "bc")).map(_.mkString(" "))
