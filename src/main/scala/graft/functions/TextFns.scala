@@ -111,8 +111,15 @@ object TextFns {
     * assignments be oracle-graded bit-for-bit. This exact shape is a
     * cross-cutting contract (the oracle SQL restates it verbatim) —
     * every portable-hash call site must go through this one definition.
+    * Computed by the [[graft.expressions.Md5Hash60]] digest-bytes
+    * kernel (no hex-string round trip); [[md5Hash60Formula]] is the
+    * declarative restatement it is property-tested against.
     */
-  def md5Hash60(c: Column): Column =
+  def md5Hash60(c: Column): Column = graft.expressions.Md5Hash60(c)
+
+  /** The formula-of-record restatement of [[md5Hash60]] (not used on
+    * any hot path; the kernel is property-tested identical). */
+  def md5Hash60Formula(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Normalized-content fingerprint: md5 of lowercased,

@@ -231,6 +231,16 @@ object OperatorProps extends Properties("graft.operators") {
       rows.forall(r => r._1 == r._2)
     }
 
+  property("Md5Hash60 kernel == hex-string formula of record") =
+    forAll(Gen.listOfN(25, Gen.listOf(Gen.choose(' ', '~')).map(_.mkString))) {
+      texts =>
+        val rows = texts.toDF("t").select(
+          graft.functions.TextFns.md5Hash60(col("t")),
+          graft.functions.TextFns.md5Hash60Formula(col("t")))
+          .as[(Long, Long)].collect()
+        rows.forall(r => r._1 == r._2)
+    }
+
   property("BpeMergePair == leftmost-greedy reference fold") =
     forAll(
       Gen.listOf(Gen.oneOf("a", "b", "c", "ab")),
