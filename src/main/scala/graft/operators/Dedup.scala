@@ -328,7 +328,10 @@ object Dedup {
                    threshold: Double, bands: Int = 32): DataFrame = {
     val rowsPerBand = 64 / bands
     val sh = shingleFrame(df, idCol, textCol, n)
-    val sig = minHashSigs(sh, 64)
+    // signatures in-row via the codegen'd kernel — no explode, no keyed
+    // aggregate; numerically identical to [[minHashSigs]] (pinned by test)
+    val sig = sh.select(col("id"),
+      graft.expressions.MinHashSig(col("sh"), 64).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>

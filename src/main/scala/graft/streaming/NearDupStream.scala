@@ -61,7 +61,8 @@ object NearDupStream {
       (col("band") +: (0 until rows).map(r =>
         element_at(col("sig"), col("band") * rows + r + 1))): _*)
     docs.withWatermark("ts", watermark)
-      .withColumn("sig", Dedup.minHashSignature(TextFns.shingles(col("text"), n)))
+      .withColumn("sig",
+        graft.expressions.MinHashSig(TextFns.shingles(col("text"), n), 64))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .select(col("doc_id"), col("ts"), bucketKey.as("bucket"))
       .as[(Long, java.sql.Timestamp, String)]

@@ -119,14 +119,28 @@ class PipelineOpSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
-  test("minHash aggregate formulation equals the array-fold formulation") {
+  test("minHash kernel, aggregate, and array-fold formulations all agree") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s")).toDF("id", "t")
     val sh = df.select(col("id"), TextFns.shingles(col("t"), 3).as("sh"))
     val agg = Dedup.minHashSigs(sh, 64).orderBy("id")
       .select("sig").as[Seq[Long]].collect().toSeq
     val fold = sh.orderBy("id")
       .select(Dedup.minHashSignature(col("sh"))).as[Seq[Long]].collect().toSeq
+    val kernel = sh.orderBy("id")
+      .select(graft.expressions.MinHashSig(col("sh"), 64))
+      .as[Seq[Long]].collect().toSeq
     assert(agg == fold)
+    assert(kernel == fold)
+    // corpus sample: kernel == aggregate formulation on real shingles
+    val corp = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id").as("id"), TextFns.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ka = corp.select(col("id"), graft.expressions.MinHashSig(col("sh"), 64)
+      .as("k")).orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+    val aa = Dedup.minHashSigs(corp, 64).orderBy("id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(ka == aa)
   }
 
   test("inlined plane-matrix LSH signature equals the per-row formula") {
