@@ -759,12 +759,25 @@ object Curation {
     * Single-character words never enter pair counting but keep their
     * symbol in the vocabulary, like the real trainer's word census.
     */
-  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeWordSymbols(df, textCol, merges)
+      .select(explode(col("syms")).as("symbol"), col("wc"))
+      .groupBy("symbol").agg(sum(col("wc")).as("n_occurrences"))
+
+  /** The trained per-word segmentation — `(w, syms, wc)`: every distinct
+    * word, its symbol sequence after `merges` BPE rounds, and its corpus
+    * frequency. The shared state [[bpeTrain]] censuses into a vocabulary
+    * and [[bpeEncode]] joins back onto documents — one training loop,
+    * both application surfaces.
+    */
+  private[graft] def bpeWordSymbols(df: DataFrame, textCol: String,
+                                    merges: Int): DataFrame = {
     require(merges >= 0, s"merges must be >= 0, got $merges")
     var words = df
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
+      .select(col("w"),
+        regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
         col("wc"))
       .localCheckpoint()
     var round = 0
@@ -783,14 +796,37 @@ object Curation {
         // space-joined pair splits back unambiguously
         val Array(a, b) = top.head.getString(0).split(" ", 2)
         words = words
-          .select(graft.expressions.BpeMergePair(col("syms"), a, b).as("syms"),
+          .select(col("w"),
+            graft.expressions.BpeMergePair(col("syms"), a, b).as("syms"),
             col("wc"))
           .localCheckpoint()
       }
       round += 1
     }
-    words.select(explode(col("syms")).as("symbol"), col("wc"))
-      .groupBy("symbol").agg(sum(col("wc")).as("n_occurrences"))
+    words
+  }
+
+  /** ENCODE the corpus with the trained BPE segmentation — the apply
+    * half of [[bpeTrain]]: every document token becomes its symbol
+    * sequence after `merges` rounds, emitted as
+    * `(idCol, word_pos, sym_pos, symbol)` in document order. Because
+    * BPE merges never cross word boundaries, application IS a join of
+    * the token stream against the trained (word → symbols) frame — the
+    * same shape as [[encode]]'s vocabulary join, shuffled on the word
+    * key (the distinct-word frame of a web corpus is too large to
+    * broadcast; the join key is exactly the frame's grouping key).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Int): DataFrame = {
+    val segmented = bpeWordSymbols(df, textCol, merges)
+      .select(col("w"), col("syms"))
+    df.select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
+      .join(segmented, "w")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
   }
 
   // ------------------------------------------------------ sequence packing

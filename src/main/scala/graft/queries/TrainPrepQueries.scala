@@ -605,7 +605,7 @@ object TrainPrepQueries {
     * a multi-minute hang at sf0.001; materialized, the whole oracle
     * runs in ~0.1 s).
     */
-  private lazy val q88Sql: String = {
+  private lazy val bpeCteChain: String = {
     def hasMatch(t: String) =
       s"list_contains(list_transform(range(1, len(syms)), " +
         s"j -> syms[j] = $t.a AND syms[j+1] = $t.b), true)"
@@ -638,11 +638,40 @@ object TrainPrepQueries {
        |       FROM (SELECT w, count(*) AS cnt FROM (
        |               SELECT unnest(string_split(text, ' ')) AS w
        |               FROM documents) GROUP BY 1)),
-       |${stages.mkString(",\n")}
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val q88Sql =
+    s"""$bpeCteChain
        |SELECT symbol, sum(wc)::BIGINT AS n_occurrences FROM (
        |  SELECT unnest(syms) AS symbol, wc FROM w$BpeMerges)
        |GROUP BY 1 ORDER BY symbol""".stripMargin
-  }
+
+  /** Q91 — BPE ENCODING of the corpus under the q88-trained
+    * segmentation: every document token's symbol sequence after 8
+    * merges, in document order (see
+    * [[graft.operators.Curation.bpeEncode]] — merges never cross word
+    * boundaries, so application is a join of the token stream against
+    * the trained word→symbols frame). Graded symbol-for-symbol; a
+    * wrong merge anywhere in training mis-segments some word and
+    * breaks the hash.
+    */
+  private def q91(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpeEncode(Tables.documents(spark, dir), "doc_id", "text",
+        merges = BpeMerges)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
+  private lazy val q91Sql =
+    s"""$bpeCteChain,
+       |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS word_pos,
+       |             unnest(toks) AS w
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents))
+       |SELECT t.doc_id, t.word_pos::BIGINT AS word_pos,
+       |       generate_subscripts(f.syms, 1)::BIGINT - 1 AS sym_pos,
+       |       unnest(f.syms) AS symbol
+       |FROM t JOIN w$BpeMerges f ON f.wid = t.w
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
   /** Q87 — CCNet-style perplexity bucketing: per-language head/middle/
     * tail split of the cross-entropy score by RANK terciles (see
@@ -807,5 +836,6 @@ object TrainPrepQueries {
     QueryDef("q87_perplexity_buckets", q87, Some(q87Sql)),
     QueryDef("q88_bpe_train", q88, Some(q88Sql)),
     QueryDef("q89_pq_codes", q89, Some(q89Sql)),
-    QueryDef("q90_pq_recall", q90, Some(q90Sql)))
+    QueryDef("q90_pq_recall", q90, Some(q90Sql)),
+    QueryDef("q91_bpe_encode", q91, Some(q91Sql)))
 }

@@ -269,6 +269,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(chars.toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("bpeEncode segments document tokens with the trained merges") {
+    val df = Seq((1L, "aa ab"), (2L, "aa")).toDF("id", "text")
+    // after 2 merges (see the bpeTrain test): aa → [aa], ab → [ab]
+    val got = Curation.bpeEncode(df, "id", "text", merges = 2)
+      .orderBy("id", "word_pos", "sym_pos")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, "aa"), (1L, 1L, 0L, "ab"), (2L, 0L, 0L, "aa")))
+    // zero merges: plain character segmentation in document order
+    val chars = Curation.bpeEncode(Seq((1L, "ab a")).toDF("id", "text"),
+        "id", "text", merges = 0)
+      .orderBy("id", "word_pos", "sym_pos")
+      .as[(Long, Long, Long, String)].collect()
+    assert(chars.toSeq == Seq(
+      (1L, 0L, 0L, "a"), (1L, 0L, 1L, "b"), (1L, 1L, 0L, "a")))
+  }
+
   test("BpeMergePair fuses left-to-right without overlap") {
     val got = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
       .select(graft.expressions.BpeMergePair(col("syms"), "a", "a"))
