@@ -244,6 +244,58 @@ object Similarity {
       .drop("__graft_rk")
   }
 
+  /** IVF-PQ ANN top-k for a BATCH of query vectors — the composed
+    * inverted-file + product-quantization index (the classic
+    * at-scale ANN layout, Jégou et al. 2011 §IV): the coarse quantizer
+    * restricts each query to its `nProbe` cells ([[ivfTopKBatch]]'s
+    * assignment, same model, same in-row argmax) and candidates inside
+    * those cells are scored through their 8-byte PQ codes
+    * ([[graft.expressions.PqAdcDot]]) instead of their full vectors —
+    * so a query touches `~nProbe/nCentroids` of the corpus AND reads
+    * 32× less data per touched row. Norms are the true stored scalars,
+    * as in [[pqTopKBatch]]; the final per-query top-k rides the same
+    * rank-limited window. Recall cost of the double approximation is
+    * measured by [[recallAtK]] (q92).
+    */
+  def ivfPqTopKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                     queries: DataFrame, qidCol: String, k: Int,
+                     nCentroids: Int = 32, nProbe: Int = 4,
+                     m: Int = PqSubspaces, cells: Int = PqCells): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
+    val centArr = typedlit(cents.toIndexedSeq)
+    def rankedCells: Column = array_sort(transform(centArr, c =>
+      struct(
+        (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+        c.getField("_1").as("cent"))))
+    val cb = pqCodebook(corpus, idCol, embCol, m, cells)
+    val assigned = corpus
+      .withColumn("cell", element_at(rankedCells, 1).getField("cent"))
+      .select(col(idCol),
+        graft.expressions.PqAssign(col(embCol), cb).as("__graft_codes"),
+        VectorFns.norm(col(embCol)).as("__graft_nx"), col("cell"))
+    val probes = queries
+      .select(col(qidCol).as("query_id"), col(embCol).as("q_emb"),
+        VectorFns.norm(col(embCol)).as("__graft_nq"),
+        explode(slice(transform(rankedCells, s => s.getField("cent")),
+          1, nProbe)).as("cell"))
+      .select(col("cell"), col("query_id"), col("q_emb"), col("__graft_nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    assigned.join(broadcast(probes), "cell")
+      .select(col("query_id"), col(idCol),
+        round(graft.expressions.PqAdcDot(col("q_emb"), col("__graft_codes"), cb)
+          / (col("__graft_nx") * col("__graft_nq")), 6).as("cos_sim"))
+      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
   /** One spherical k-means step over an embedding corpus: assign every
     * vector to its max-cosine centroid (ties → lowest centroid id, same
     * in-row argmax as [[ivfTopK]] — no join, no row blowup), then emit

@@ -647,6 +647,89 @@ object TrainPrepQueries {
        |  SELECT unnest(syms) AS symbol, wc FROM w$BpeMerges)
        |GROUP BY 1 ORDER BY symbol""".stripMargin
 
+  /** Q92 — recall@k of the COMPOSED IVF-PQ index against q78's
+    * brute-force ground truth: the coarse quantizer restricts each
+    * query to its probe cells AND candidates are scored through their
+    * 8-byte PQ codes — the double approximation of the classic
+    * at-scale ANN layout, with its recall cost measured like q79/q86/
+    * q90 (see [[graft.operators.Similarity.ivfPqTopKBatch]]). The
+    * oracle restates the full coarse model (q84's), the full PQ model
+    * (q89's), the cell-restricted ADC scoring, both re-ranks, and the
+    * recall arithmetic.
+    */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", qs, "vec_id",
+          RecallK, nCentroids = PipelineQueries.IvfCentroids,
+          nProbe = PipelineQueries.IvfProbes),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q92Sql =
+    s"""WITH $pqCte,
+       |ivfc AS MATERIALIZED (SELECT vec_id AS cent, e AS ce FROM e
+       |          ORDER BY vec_id LIMIT ${PipelineQueries.IvfCentroids}),
+       |aff AS MATERIALIZED (SELECT e.vec_id, c.cent,
+       |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+       |        FROM e, ivfc c),
+       |cellv AS MATERIALIZED (SELECT vec_id, cent AS cell FROM (
+       |           SELECT vec_id, cent, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |qprobes AS MATERIALIZED (SELECT vec_id AS query_id, cent AS cell FROM (
+       |              SELECT vec_id, cent, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |              FROM aff WHERE vec_id < $QuerySample)
+       |            WHERE rn <= ${PipelineQueries.IvfProbes}),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, e AS qe,
+       |         sqrt(list_reduce(list_transform(e, x -> x*x),
+       |              (u, v) -> u + v)) AS nq
+       |  FROM e WHERE vec_id < $QuerySample),
+       |nx AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(list_reduce(list_transform(e, x -> x*x),
+       |                      (u, v) -> u + v)) AS nx
+       |  FROM e),
+       |sx AS (SELECT q.query_id, e.vec_id,
+       |              round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |       FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM sx),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |cand AS (SELECT qp.query_id, cv.vec_id
+       |         FROM cellv cv JOIN qprobes qp ON cv.cell = qp.cell),
+       |ips AS (SELECT ca.query_id, ca.vec_id, cd.s,
+       |          list_reduce(list_transform(range(0, 8),
+       |            j -> q.qe[cd.s*8+j+1] * ct.cent[j+1]), (u, v) -> u + v) AS ip
+       |        FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+       |             JOIN cent ct ON ct.s = cd.s AND ct.c = cd.code
+       |             JOIN q ON q.query_id = ca.query_id),
+       |tot AS (SELECT query_id, vec_id,
+       |          list_reduce(list(ip ORDER BY s), (u, v) -> u + v) AS adc
+       |        FROM ips GROUP BY 1, 2),
+       |aps AS (SELECT t.query_id, t.vec_id,
+       |          round(t.adc / (nx.nx * q.nq), 6) AS cos_sim
+       |        FROM tot t JOIN nx USING (vec_id)
+       |                   JOIN q ON q.query_id = t.query_id),
+       |apr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM aps),
+       |apt AS (SELECT query_id, vec_id FROM apr WHERE rk <= $RecallK),
+       |h AS (SELECT apt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM apt JOIN ext ON apt.query_id = ext.query_id
+       |                       AND apt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
   /** Q91 — BPE ENCODING of the corpus under the q88-trained
     * segmentation: every document token's symbol sequence after 8
     * merges, in document order (see
@@ -837,5 +920,6 @@ object TrainPrepQueries {
     QueryDef("q88_bpe_train", q88, Some(q88Sql)),
     QueryDef("q89_pq_codes", q89, Some(q89Sql)),
     QueryDef("q90_pq_recall", q90, Some(q90Sql)),
-    QueryDef("q91_bpe_encode", q91, Some(q91Sql)))
+    QueryDef("q91_bpe_encode", q91, Some(q91Sql)),
+    QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)))
 }

@@ -450,6 +450,26 @@ class PipelineOpSpec extends SparkSpec {
     assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
   }
 
+  test("ivfPqTopKBatch: results are a subset of the probed-cell candidates") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 4)
+    val ivfpq = Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding",
+      qs, "vec_id", k = 10).collect()
+    assert(ivfpq.nonEmpty)
+    // every (query, hit) must also appear in the pure-PQ ranking's
+    // candidate universe scored with the same codebook — the cell
+    // restriction can only DROP candidates, never invent scores
+    val pq = Similarity.pqTopKBatch(emb, "vec_id", "embedding",
+      qs, "vec_id", k = Int.MaxValue / 2)
+      .select(col("query_id"), col("vec_id"), col("cos_sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(pq.contains(key), s"hit $key not scoreable by the PQ model")
+      assert(pq(key) == r.getDouble(2), s"ADC score mismatch at $key")
+    }
+  }
+
   test("pqTopKBatch: ADC retrieval recovers most exact top-k neighbours") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val qs = emb.filter(col("vec_id") < 4)
