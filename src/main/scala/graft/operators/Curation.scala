@@ -313,6 +313,53 @@ object Curation {
         round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
   }
 
+  /** EXCISE cross-document duplicated spans — the apply step behind
+    * [[duplicatedSpanStats]]' signal (Lee et al. 2021: repeated spans
+    * are memorization fuel; doc-level dedup misses them): a token is
+    * removed from a document iff it is covered by some `n`-gram
+    * occurrence whose gram also appears in ANOTHER document and whose
+    * canonical owner (the minimum doc id containing the gram) is not
+    * this document — so exactly one copy of every duplicated span
+    * survives, in its lowest-id document. Emits
+    * `(idCol, n_tokens, n_removed, kept_text)` for EVERY document
+    * (kept_text = surviving tokens in order, '' if everything was
+    * excised).
+    *
+    * Scale shape: one tokenize pinned behind a `repartition(id)` feeds
+    * both the gram occurrences and the token stream (ReusedExchange —
+    * the [[crossEntropy]] discipline); gram stats are one
+    * distinct + keyed aggregate on the gram key (the same shuffle class
+    * as [[duplicatedSpanStats]] — never a broadcast, web-scale gram
+    * frames are billions of rows); covered positions are bounded by
+    * `occurrences × n` and collapse through a distinct; the final
+    * per-doc assembly sorts only one document's tokens per group.
+    */
+  def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+    val occ = toks.select(col("id"),
+      posexplode(graft.expressions.WordNGrams(col("toks"), n)).as(Seq("p", "g")))
+    val stats = occ.select(col("g"), col("id")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
+    val covered = occ.join(stats, "g")
+      .filter(col("df") >= 2 && col("owner") =!= col("id"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("t"))
+      .distinct()
+    val tok = toks.select(col("id"), posexplode(col("toks")).as(Seq("t", "tok")))
+    val kept = tok.join(covered, Seq("id", "t"), "left_anti")
+    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept.groupBy("id").agg(
+          count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("t"), col("tok")))),
+            s => s.getField("tok"))).as("kept_text")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Cross-source duplication matrix — the "which sources copy from
     * each other" dashboard that decides dedup ORDER and source
     * priorities in a multi-source recipe: for every ordered source pair

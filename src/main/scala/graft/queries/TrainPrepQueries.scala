@@ -901,6 +901,46 @@ object TrainPrepQueries {
        |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
        |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** Q93 — duplicated-span EXCISION: every doc's surviving text after
+    * removing tokens covered by cross-document duplicated 5-grams whose
+    * canonical owner is another doc — exactly one copy of each
+    * duplicated span survives corpus-wide (see
+    * [[graft.operators.Curation.exciseDuplicateSpans]]; the apply step
+    * of q81's signal). Graded text-for-text.
+    */
+  private def q93(spark: SparkSession, dir: String): DataFrame =
+    Curation.exciseDuplicateSpans(Tables.documents(spark, dir),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  private val q93Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |occ AS (SELECT doc_id,
+      |               unnest(range(1, len(toks) - 3)) - 1 AS p,
+      |               unnest(list_transform(range(1, len(toks) - 3),
+      |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+      |                                toks[i+3], toks[i+4]))) AS g
+      |        FROM d),
+      |st AS (SELECT g, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+      |       FROM occ GROUP BY 1),
+      |cov AS (SELECT DISTINCT o.doc_id, o.p + u.i AS t
+      |        FROM occ o JOIN st USING (g), range(0, 5) u(i)
+      |        WHERE st.df >= 2 AND st.owner != o.doc_id),
+      |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS t,
+      |               unnest(toks) AS tok FROM d),
+      |kept AS (SELECT tok.doc_id, tok.t, tok.tok
+      |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id
+      |                                AND cov.t = tok.t
+      |         WHERE cov.t IS NULL),
+      |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+      |              array_to_string(list(tok ORDER BY t), ' ') AS kept_text
+      |       FROM kept GROUP BY 1)
+      |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+      |       (len(d.toks) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+      |       coalesce(ka.kept_text, '') AS kept_text
+      |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -921,5 +961,6 @@ object TrainPrepQueries {
     QueryDef("q89_pq_codes", q89, Some(q89Sql)),
     QueryDef("q90_pq_recall", q90, Some(q90Sql)),
     QueryDef("q91_bpe_encode", q91, Some(q91Sql)),
-    QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)))
+    QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)),
+    QueryDef("q93_span_excision", q93, Some(q93Sql)))
 }

@@ -142,6 +142,25 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exciseDuplicateSpans keeps one canonical copy of each dup span") {
+    val df = Seq(
+      (1L, "a b c d e x y"),   // owns "a b c d e" (min doc id)
+      (2L, "z a b c d e w"),   // shares it -> positions 1..5 excised
+      (3L, "p q r s t u")      // unique -> untouched
+    ).toDF("doc_id", "text")
+    val got = Curation.exciseDuplicateSpans(df, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got(0) == (1L, 7L, 0L, "a b c d e x y")) // canonical keeps all
+    assert(got(1) == (2L, 7L, 5L, "z w"))           // span excised
+    assert(got(2) == (3L, 6L, 0L, "p q r s t u"))
+    // a doc that is ENTIRELY a duplicated span of an earlier doc
+    val wipe = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val w = Curation.exciseDuplicateSpans(wipe, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(w(0) == (1L, 5L, 0L, "a b c d e"))
+    assert(w(1) == (2L, 5L, 5L, ""))
+  }
+
   // -------------------------------------------------- duplicatedSpanStats
 
   test("duplicatedSpanStats: shared 5-gram counts for both docs") {
