@@ -67,20 +67,27 @@ object Bench {
     // min-of-iters discipline as the queries; each run writes to a fresh
     // temp dir that is deleted afterwards.
     val jobbed = if (only.forall(_.contains("curation_job"))) {
-      val jobTimes = (1 to iters).map { _ =>
+      // only SUCCESSFUL runs enter the min — a crashed run's (short)
+      // elapsed time must not masquerade as a performance improvement
+      val jobTimes = (1 to iters).flatMap { _ =>
         System.gc()
         val out = java.nio.file.Files.createTempDirectory("graft_bench_job")
         val t0 = System.nanoTime()
-        try graft.pipelines.CurationJob.run(spark, sfDir, out.toString)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] curation_job failed: ${e.getMessage}")
-        }
+        val ok =
+          try { graft.pipelines.CurationJob.run(spark, sfDir, out.toString); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] curation_job failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        java.nio.file.Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(out)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        dt
+        finally walk.close()
+        if (ok) Some(dt) else None
       }
-      results :+ ("curation_job" -> jobTimes.min)
+      if (jobTimes.nonEmpty) results :+ ("curation_job" -> jobTimes.min)
+      else results // all runs failed — already reported on stderr
     } else results
     val qs = jobbed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

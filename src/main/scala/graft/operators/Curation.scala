@@ -348,7 +348,7 @@ object Curation {
       .distinct()
     val tok = toks.select(col("id"), posexplode(col("toks")).as(Seq("t", "tok")))
     val kept = tok.join(covered, Seq("id", "t"), "left_anti")
-    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
       .join(kept.groupBy("id").agg(
           count(lit(1)).as("n_kept"),
           concat_ws(" ", transform(

@@ -53,15 +53,6 @@ object Multimodal {
         length(payload).cast("long").as("n_bytes"),
         md5(payload).as("checksum")).as("meta"))
 
-  /** Feature schema produced by the decode stage. */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("id", LongType, nullable = false),
-    StructField("format", StringType, nullable = true),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("channels", IntegerType, nullable = true),
-    StructField("byte_mean", DoubleType, nullable = true)))
-
   /** REAL image-metadata decode over the packed frame: parse each
     * payload's container bytes ([[graft.expressions.ImageFeatures]] —
     * BMP little-endian header fields + mean over the uncompressed pixel

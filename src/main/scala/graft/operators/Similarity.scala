@@ -193,7 +193,6 @@ object Similarity {
     assigned.join(broadcast(probes), "cell")
       .select(col(idCol),
         round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
-      .groupBy(col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -205,8 +204,8 @@ object Similarity {
     * per query through the same rank-limited window as [[topKBatch]].
     * Emits (qidCol → `query_id`, idCol, cos_sim). A corpus vector sits
     * in exactly one cell and a query's probes are distinct, so the
-    * probe join hits each (query, vector) at most once — the max()
-    * aggregate only normalizes the shape.
+    * probe join hits each (query, vector) at most once — no dedup
+    * aggregate is needed (or planned) between the join and the window.
     */
   def ivfTopKBatch(corpus: DataFrame, idCol: String, embCol: String,
                    queries: DataFrame, qidCol: String, k: Int,
@@ -238,7 +237,6 @@ object Similarity {
     assigned.join(broadcast(probes), "cell")
       .select(col("query_id"), col(idCol),
         round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
-      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("__graft_rk", row_number().over(w))
       .filter(col("__graft_rk") <= k)
       .drop("__graft_rk")
@@ -290,7 +288,6 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         round(graft.expressions.PqAdcDot(col("q_emb"), col("__graft_codes"), cb)
           / (col("__graft_nx") * col("__graft_nq")), 6).as("cos_sim"))
-      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("__graft_rk", row_number().over(w))
       .filter(col("__graft_rk") <= k)
       .drop("__graft_rk")

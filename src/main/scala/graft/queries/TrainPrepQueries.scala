@@ -913,9 +913,12 @@ object TrainPrepQueries {
         "doc_id", "text", n = 5)
       .orderBy("doc_id")
 
+  // `WHERE text IS NOT NULL` pins the null-text contract (q73's rule):
+  // a null-text doc has no token rows in Spark and must not be
+  // resurrected by the final LEFT JOIN from `d`
   private val q93Sql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-      |           FROM documents),
+      |           FROM documents WHERE text IS NOT NULL),
       |occ AS (SELECT doc_id,
       |               unnest(range(1, len(toks) - 3)) - 1 AS p,
       |               unnest(list_transform(range(1, len(toks) - 3),
