@@ -621,6 +621,49 @@ object Curation {
           / col("n_tokens"), 6).as("weight"))
   }
 
+  /** TEMPERATURE-scaled mixture weighting — the `p^α` rebalancing of
+    * multilingual/multi-source LLM recipes (XLM-R §3.1, mT5 §3.2:
+    * sampling share `q_i ∝ p_i^α` flattens the natural distribution
+    * toward uniform as `α → 0`, leaving it untouched at `α = 1`):
+    * computes each stratum's natural token share, the temperature-
+    * scaled target share, and the resulting [[mixtureWeights]]-style
+    * up/down-sampling weight `target_share · total / n_tokens` —
+    * directly consumable by [[applyMixture]]. Unlike [[mixtureWeights]]
+    * the targets are DERIVED from the corpus, so no hand-written
+    * mixture table is needed.
+    *
+    * One keyed aggregate + a broadcast of the stratum table to itself
+    * (strata counts are tiny by definition). Float discipline: shares
+    * are single divisions of exact integer sums; `pow` and the final
+    * weight carry the registry-wide `round(_, 6)`, and the normalizing
+    * `Σ p_j^α` folds over the strata in STRATUM ORDER (sorted
+    * collect + left fold) so the sum is order-pinned cross-engine.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String, tokensCol: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+    val total = stats.agg(sum(col("n_tokens")).as("total_tokens"))
+    val scored = stats.crossJoin(broadcast(total))
+      .withColumn("share", col("n_tokens") / col("total_tokens"))
+      .withColumn("scaled", pow(col("share"), lit(alpha)))
+    // order-pinned normalizer: fold the per-stratum p^alpha terms in
+    // stratum order — a parallel sum() of doubles is partition-order-
+    // dependent and the graded weight must be bit-reproducible
+    val norm = scored
+      .agg(sort_array(collect_list(struct(col(strataCol), col("scaled"))))
+        .as("arr"))
+      .select(aggregate(transform(col("arr"), x => x.getField("scaled")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    scored.crossJoin(broadcast(norm))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("natural_share"),
+        round(col("scaled") / col("z"), 6).as("target_share"),
+        round((col("scaled") / col("z")) * col("total_tokens")
+          / col("n_tokens"), 6).as("weight"))
+  }
+
   /** EXECUTE a domain mixture: expand each document into
     * `floor(w) + Bernoulli(frac(w))` copies, where `w` is its stratum's
     * [[mixtureWeights]] weight and the Bernoulli draw is a

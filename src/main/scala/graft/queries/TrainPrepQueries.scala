@@ -944,6 +944,37 @@ object TrainPrepQueries {
       |       coalesce(ka.kept_text, '') AS kept_text
       |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Temperature for the q94 rebalancing (the mT5/XLM-R range). */
+  private val MixAlpha = 0.7
+
+  /** Q94 — temperature-scaled mixture weights: per-language natural
+    * token share, `p^α`-flattened target share (α = 0.7), and the
+    * resulting up/down-sampling weight, targets DERIVED from the
+    * corpus rather than hand-written (see
+    * [[graft.operators.Curation.temperatureWeights]]).
+    */
+  private def q94(spark: SparkSession, dir: String): DataFrame =
+    Curation.temperatureWeights(Tables.documents(spark, dir), "lang",
+        TextFns.tokenCount(col("text")), alpha = MixAlpha)
+      .orderBy("lang")
+
+  private val q94Sql =
+    s"""WITH s AS (SELECT lang, count(*) AS n_docs,
+       |             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+       |           FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
+       |sc AS (SELECT s.lang, s.n_docs, s.n_tokens, tot.tt,
+       |              s.n_tokens / tot.tt AS share,
+       |              pow(s.n_tokens / tot.tt, $MixAlpha) AS scaled
+       |       FROM s, tot),
+       |z AS (SELECT list_reduce(list(scaled ORDER BY lang),
+       |             (u, v) -> u + v) AS z FROM sc)
+       |SELECT lang, n_docs::BIGINT AS n_docs, n_tokens,
+       |       round(share, 6) AS natural_share,
+       |       round(scaled / z.z, 6) AS target_share,
+       |       round((scaled / z.z) * tt / n_tokens, 6) AS weight
+       |FROM sc, z ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -965,5 +996,6 @@ object TrainPrepQueries {
     QueryDef("q90_pq_recall", q90, Some(q90Sql)),
     QueryDef("q91_bpe_encode", q91, Some(q91Sql)),
     QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)),
-    QueryDef("q93_span_excision", q93, Some(q93Sql)))
+    QueryDef("q93_span_excision", q93, Some(q93Sql)),
+    QueryDef("q94_temperature_mixture", q94, Some(q94Sql)))
 }

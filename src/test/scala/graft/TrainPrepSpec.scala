@@ -271,6 +271,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ab", 2L), ("ba", 1L)))
   }
 
+  test("temperatureWeights: alpha=1 is the natural mixture; alpha<1 flattens") {
+    val df = Seq(
+      (1L, "en", "a b c d e f g h"),  // 8 tokens
+      (2L, "de", "x y")               // 2 tokens
+    ).toDF("doc_id", "lang", "text")
+    val t = graft.functions.TextFns.tokenCount(col("text"))
+    // alpha = 1: target == natural share, every weight exactly 1
+    val id = Curation.temperatureWeights(df, "lang", t, alpha = 1.0)
+      .orderBy("lang").collect()
+    id.foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(4), "alpha=1 must keep shares")
+      assert(r.getDouble(5) == 1.0)
+    }
+    // alpha = 0.5: minority stratum up-weighted, majority down-weighted
+    val half = Curation.temperatureWeights(df, "lang", t, alpha = 0.5)
+      .orderBy("lang").collect()
+    val (de, en) = (half(0), half(1))
+    assert(de.getDouble(4) > de.getDouble(3), "minority share must rise")
+    assert(en.getDouble(4) < en.getDouble(3), "majority share must fall")
+    assert(de.getDouble(5) > 1.0 && en.getDouble(5) < 1.0)
+  }
+
   // --------------------------------------------------------------- bpeTrain
 
   test("bpeTrain: two rounds of count-best-fuse reach the expected vocab") {
