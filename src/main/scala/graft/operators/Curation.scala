@@ -336,8 +336,7 @@ object Curation {
     */
   def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 5): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
-      .repartition(col("id"))
+    val toks = tokenFrame(df, idCol, textCol)
     val occ = toks.select(col("id"),
       posexplode(graft.expressions.WordNGrams(col("toks"), n)).as(Seq("p", "g")))
     val stats = occ.select(col("g"), col("id")).distinct()
@@ -346,6 +345,55 @@ object Curation {
       .filter(col("df") >= 2 && col("owner") =!= col("id"))
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("t"))
       .distinct()
+    exciseCovered(toks, covered, idCol)
+  }
+
+  /** EXCISE benchmark-contaminated spans — the "excise the span"
+    * alternative to dropping a contaminated document wholesale (the
+    * policy fork [[contaminationScore]]'s scaladoc names): every token
+    * covered by an `n`-gram occurrence that appears in the held-out
+    * benchmark is removed, and the rest of the document survives —
+    * recovering the clean majority of lightly-contaminated docs that
+    * [[decontaminate]]-then-drop would discard. Same output contract as
+    * [[exciseDuplicateSpans]]: `(idCol, n_tokens, n_removed,
+    * kept_text)` for every corpus document.
+    *
+    * Scale shape: benchmark grams distinct'd + BROADCAST (eval suites
+    * are small by definition — [[decontaminate]]'s argument), so the
+    * corpus-side occurrence stream takes one broadcast semi-join and
+    * never shuffles on the gram key at all; covered positions and the
+    * per-doc reassembly are [[exciseDuplicateSpans]]'s.
+    */
+  def exciseContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val toks = tokenFrame(corpus, idCol, textCol)
+    val covered = toks
+      .select(col("id"),
+        posexplode(graft.expressions.WordNGrams(col("toks"), n)).as(Seq("p", "g")))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("t"))
+      .distinct()
+    exciseCovered(toks, covered, idCol)
+  }
+
+  /** The shared tokenized frame of the excision operators, pinned
+    * behind one id exchange so the occurrence and token streams reuse
+    * a single tokenize (the [[crossEntropy]] discipline). */
+  private def tokenFrame(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+
+  /** Shared excision assembly: drop `covered` (id, t) token positions
+    * and reassemble each document — `(idCol, n_tokens, n_removed,
+    * kept_text)`, kept_text '' when everything was excised. Sorts only
+    * one document's tokens per group. */
+  private def exciseCovered(toks: DataFrame, covered: DataFrame,
+                            idCol: String): DataFrame = {
     val tok = toks.select(col("id"), posexplode(col("toks")).as(Seq("t", "tok")))
     val kept = tok.join(covered, Seq("id", "t"), "left_anti")
     toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))

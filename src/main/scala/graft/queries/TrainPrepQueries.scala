@@ -944,6 +944,53 @@ object TrainPrepQueries {
       |       coalesce(ka.kept_text, '') AS kept_text
       |FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Q95 — benchmark-span EXCISION: the "excise the span" policy fork
+    * of decontamination — tokens covered by a benchmark-matching
+    * 5-gram are removed, the rest of the document survives (see
+    * [[graft.operators.Curation.exciseContaminatedSpans]]; same
+    * benchmark cut as q57/q73). Graded text-for-text.
+    */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.exciseContaminatedSpans(
+        docs.filter(col("doc_id") >= BenchCut),
+        docs.filter(col("doc_id") < BenchCut),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  private val q95Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE text IS NOT NULL),
+       |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |           range(1, len(toks) - 3),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                          toks[i+3], toks[i+4])))) AS g
+       |       FROM d WHERE doc_id < $BenchCut),
+       |occ AS (SELECT doc_id,
+       |               unnest(range(1, len(toks) - 3)) - 1 AS p,
+       |               unnest(list_transform(range(1, len(toks) - 3),
+       |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                                toks[i+3], toks[i+4]))) AS g
+       |        FROM d WHERE doc_id >= $BenchCut),
+       |cov AS (SELECT DISTINCT o.doc_id, o.p + u.i AS t
+       |        FROM occ o JOIN bg USING (g), range(0, 5) u(i)),
+       |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS t,
+       |               unnest(toks) AS tok
+       |        FROM d WHERE doc_id >= $BenchCut),
+       |kept AS (SELECT tok.doc_id, tok.t, tok.tok
+       |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id
+       |                                AND cov.t = tok.t
+       |         WHERE cov.t IS NULL),
+       |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |              array_to_string(list(tok ORDER BY t), ' ') AS kept_text
+       |       FROM kept GROUP BY 1)
+       |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       |       (len(d.toks) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+       |       coalesce(ka.kept_text, '') AS kept_text
+       |FROM d LEFT JOIN ka USING (doc_id)
+       |WHERE d.doc_id >= $BenchCut ORDER BY doc_id""".stripMargin
+
   /** Temperature for the q94 rebalancing (the mT5/XLM-R range). */
   private val MixAlpha = 0.7
 
@@ -997,5 +1044,6 @@ object TrainPrepQueries {
     QueryDef("q91_bpe_encode", q91, Some(q91Sql)),
     QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)),
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
-    QueryDef("q94_temperature_mixture", q94, Some(q94Sql)))
+    QueryDef("q94_temperature_mixture", q94, Some(q94Sql)),
+    QueryDef("q95_decontam_excision", q95, Some(q95Sql)))
 }

@@ -161,6 +161,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(w(1) == (2L, 5L, 5L, ""))
   }
 
+  test("exciseContaminatedSpans removes only benchmark-covered tokens") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro the quick brown fox jumps outro"), // span at positions 1..5
+      (11L, "totally clean text with nothing shared here")
+    ).toDF("doc_id", "text")
+    val got = Curation.exciseContaminatedSpans(corpus, bench,
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got(0) == (10L, 7L, 5L, "intro outro"))
+    assert(got(1) == (11L, 7L, 0L, "totally clean text with nothing shared here"))
+  }
+
   // -------------------------------------------------- duplicatedSpanStats
 
   test("duplicatedSpanStats: shared 5-gram counts for both docs") {
