@@ -7,7 +7,7 @@ import graft.functions.TextFns
 import graft.operators.{Curation, Dedup, Similarity}
 import graft.sources.Tables
 
-/** Q73–Q87 — round-7 training-prep surface: the remaining steps between
+/** Q73–Q95 — the training-prep surface: the remaining steps between
   * a curated corpus and training shards, plus the evaluation harness a
   * pipeline runs over its own indexes —
   *
@@ -27,9 +27,15 @@ import graft.sources.Tables
   *     (q84) and IVF recall@k (q86),
   *   - span-level and cross-source duplication dashboards (q81, q82),
   *   - stream-safe repetition signals (q83, graded by q56's oracle) and
-  *     the composed stateless curation pass (q85), and
+  *     the composed stateless curation pass (q85),
   *   - CCNet-style perplexity bucketing (q87 — per-language rank
-  *     terciles over the cross-entropy score).
+  *     terciles over the cross-entropy score),
+  *   - the ITERATIVE BPE trainer and its encoding application (q88,
+  *     q91), product quantization — codes, ADC recall, and the composed
+  *     IVF-PQ index (q89, q90, q92),
+  *   - span-level excision, both cross-document (q93) and
+  *     benchmark-contamination (q95), and
+  *   - temperature-scaled mixture weighting (q94).
   *
   * Oracle discipline unchanged from the earlier modules: full-algorithm
   * DuckDB restatements, integer counts divided once at the end, every
