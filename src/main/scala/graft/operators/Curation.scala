@@ -337,11 +337,19 @@ object Curation {
   def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 5): DataFrame = {
     val toks = tokenFrame(df, idCol, textCol)
+    // gram document-frequency and canonical owner via WINDOWS on the one
+    // gram-partitioned occurrence frame (df = max dense_rank by id —
+    // a distinct count without a second evaluation of the gram build;
+    // a separate groupBy branch would re-run WordNGrams per consumer,
+    // the diverged-subtree trap of [[crossEntropy]])
     val occ = toks.select(col("id"),
-      posexplode(graft.expressions.WordNGrams(col("toks"), n)).as(Seq("p", "g")))
-    val stats = occ.select(col("g"), col("id")).distinct()
-      .groupBy("g").agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
-    val covered = occ.join(stats, "g")
+        posexplode(graft.expressions.WordNGrams(col("toks"), n)).as(Seq("p", "g")))
+      .repartition(col("g"))
+    val wg = Window.partitionBy(col("g"))
+    val covered = occ
+      .withColumn("dr", dense_rank().over(wg.orderBy(col("id"))))
+      .withColumn("df", max(col("dr")).over(wg))
+      .withColumn("owner", min(col("id")).over(wg))
       .filter(col("df") >= 2 && col("owner") =!= col("id"))
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("t"))
       .distinct()
@@ -382,29 +390,49 @@ object Curation {
 
   /** The shared tokenized frame of the excision operators, pinned
     * behind one id exchange so the occurrence and token streams reuse
-    * a single tokenize (the [[crossEntropy]] discipline). */
+    * a single tokenize (the [[crossEntropy]] discipline).
+    *
+    * The explicit `size > 0 && isNotNull` filter is semantically a
+    * no-op (`split` never yields an empty array; null text is dropped
+    * by contract) but plan-critical: `InferFiltersFromGenerate` adds
+    * exactly this predicate below the DIRECT `posexplode(toks)` branch
+    * and not below the `posexplode(word_ngrams(toks))` branch, and the
+    * asymmetric pushed filter makes the two exchange subtrees differ —
+    * defeating ReusedExchange and re-running the tokenize per
+    * consumer. Stating the filter once makes both subtrees identical
+    * (guarded in PlanSpec).
+    */
   private def tokenFrame(df: DataFrame, idCol: String,
                          textCol: String): DataFrame =
     df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
       .repartition(col("id"))
 
   /** Shared excision assembly: drop `covered` (id, t) token positions
     * and reassemble each document — `(idCol, n_tokens, n_removed,
     * kept_text)`, kept_text '' when everything was excised. Sorts only
-    * one document's tokens per group. */
+    * one document's tokens per group. Every token position is either
+    * kept or covered, so `n_tokens = n_kept + n_removed` and every
+    * tokenized document appears on at least one side of the full outer
+    * join — no third consumer of the token frame is needed (the
+    * `covered` subtree's distinct exchange is reused between the
+    * anti-join and the removed-count aggregate).
+    */
   private def exciseCovered(toks: DataFrame, covered: DataFrame,
                             idCol: String): DataFrame = {
     val tok = toks.select(col("id"), posexplode(col("toks")).as(Seq("t", "tok")))
     val kept = tok.join(covered, Seq("id", "t"), "left_anti")
-    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(kept.groupBy("id").agg(
-          count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("t"), col("tok")))),
-            s => s.getField("tok"))).as("kept_text")),
-        Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("t"), col("tok")))),
+        s => s.getField("tok"))).as("kept_text"))
+    val covAgg = covered.groupBy("id").agg(count(lit(1)).as("n_cov"))
+    keptAgg.join(covAgg, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        (coalesce(col("n_kept"), lit(0L)) + coalesce(col("n_cov"), lit(0L)))
+          .as("n_tokens"),
+        coalesce(col("n_cov"), lit(0L)).as("n_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 

@@ -296,6 +296,38 @@ class PlanSpec extends SparkSpec {
       s"decode reads the documents scan once: $ns")
   }
 
+  test("q93 excision plan: one tokenize reused, no cartesian/nested-loop") {
+    // the occurrence stream and the token stream must share the single
+    // pinned tokenize exchange — a diverged subtree would re-split the
+    // whole corpus per consumer
+    val nodes = finalNodes(SparkEntry.queries("q93_span_excision")(spark, sf))
+    val ns = names(nodes)
+    assert(!ns.exists(n => n.contains("Cartesian") || n.contains("NestedLoop")),
+      s"excision must stay equi-join only: $ns")
+    assert(ns.exists(_.contains("ReusedExchange")),
+      s"tokenize exchange must be reused between occurrence and token " +
+        s"streams: $ns")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size <= 1, s"one documents scan expected, got ${scans.size}")
+  }
+
+  test("q95 decontam-excision plan: bench grams broadcast, no gram shuffle join") {
+    val nodes = finalNodes(SparkEntry.queries("q95_decontam_excision")(spark, sf))
+    val ns = names(nodes)
+    assert(!ns.exists(n => n.contains("Cartesian") || n.contains("NestedLoop")),
+      s"excision must stay equi-join only: $ns")
+    // the gram membership test must be the broadcast semi-join — a
+    // sort-merge join on the gram key would shuffle the corpus-side
+    // occurrence stream wide
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(!smj.exists(_.joinType.toString.contains("Semi")),
+      s"bench grams must broadcast, not shuffle: $ns")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)
