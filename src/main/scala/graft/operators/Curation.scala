@@ -436,6 +436,48 @@ object Curation {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** The corpus-level HEALTH REPORT — the one-page dashboard a curation
+    * run opens with: document/token totals, mean document length, the
+    * exact-duplicate rate (1 − distinct fingerprints / docs), the
+    * benchmark-contamination rate (docs sharing any 5-gram with the
+    * eval set / docs), and each stratum's document share — as a LONG
+    * `(metric, value)` frame (the [[Profile]] shape: dynamic metric
+    * names, one double column, trivially unionable across corpora).
+    *
+    * Composition cost: three independent aggregates over the corpus
+    * (global census incl. the fingerprint distinct, stratum census,
+    * [[decontaminate]]'s broadcast-gram count) — each individually
+    * scale-shaped; the global census rides ONE scan (sibling
+    * aggregates), strata counts are tiny, and the single-row frames
+    * cross-join broadcast. All ratios are single rounded divisions of
+    * exact integers.
+    */
+  def corpusReport(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, strataCol: String,
+                   n: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col(textCol)))).as("n_tokens"),
+      countDistinct(TextFns.fingerprint(col(textCol))).as("n_distinct"))
+    val cont = decontaminate(corpus, benchmark, idCol, textCol, n)
+      .agg(count(lit(1)).as("n_contaminated"))
+    val global = base.crossJoin(broadcast(cont)).select(explode(map(
+      lit("n_docs"), col("n_docs").cast("double"),
+      lit("n_tokens"), col("n_tokens").cast("double"),
+      lit("avg_doc_tokens"), round(col("n_tokens") / col("n_docs"), 6),
+      lit("exact_dup_rate"),
+      round(lit(1.0) - col("n_distinct") / col("n_docs"), 6),
+      lit("contaminated_rate"),
+      round(col("n_contaminated") / col("n_docs"), 6))).as(Seq("metric", "value")))
+    val strata = corpus.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(base.select(col("n_docs"))))
+      .select(concat(lit("share_"), col(strataCol)).as("metric"),
+        round(col("c") / col("n_docs"), 6).as("value"))
+    global.unionByName(strata)
+  }
+
   /** Cross-source duplication matrix — the "which sources copy from
     * each other" dashboard that decides dedup ORDER and source
     * priorities in a multi-source recipe: for every ordered source pair

@@ -1028,6 +1028,54 @@ object TrainPrepQueries {
        |       round((scaled / z.z) * tt / n_tokens, 6) AS weight
        |FROM sc, z ORDER BY lang""".stripMargin
 
+  /** Q96 — the corpus health report: doc/token totals, mean length,
+    * exact-duplicate rate, benchmark-contamination rate, and per-language
+    * shares as one long (metric, value) frame (see
+    * [[graft.operators.Curation.corpusReport]]; same benchmark cut as
+    * q57/q73).
+    */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.corpusReport(
+        docs.filter(col("doc_id") >= BenchCut),
+        docs.filter(col("doc_id") < BenchCut),
+        "doc_id", "text", "lang", n = 5)
+      .orderBy("metric")
+  }
+
+  private val q96Sql =
+    s"""WITH c AS (SELECT * FROM documents WHERE doc_id >= $BenchCut),
+       |base AS (SELECT count(*)::BIGINT AS n_docs,
+       |                sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       |                count(DISTINCT md5(trim(regexp_replace(lower(text),
+       |                  '\\s+', ' ', 'g'))))::BIGINT AS n_distinct
+       |         FROM c),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, len(toks) - 3),
+       |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                         toks[i+3], toks[i+4])))) AS g
+       |      FROM d),
+       |b AS (SELECT DISTINCT g FROM g WHERE doc_id < $BenchCut),
+       |cont AS (SELECT count(DISTINCT g.doc_id)::BIGINT AS n_cont
+       |         FROM g JOIN b USING (g) WHERE g.doc_id >= $BenchCut),
+       |global AS (
+       |  SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM base
+       |  UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM base
+       |  UNION ALL SELECT 'avg_doc_tokens', round(n_tokens / n_docs, 6)
+       |            FROM base
+       |  UNION ALL SELECT 'exact_dup_rate',
+       |            round(1.0 - n_distinct / n_docs, 6) FROM base
+       |  UNION ALL SELECT 'contaminated_rate',
+       |            round(cont.n_cont / base.n_docs, 6) FROM base, cont),
+       |strata AS (SELECT 'share_' || lang AS metric,
+       |                  round(count(*) / (SELECT n_docs FROM base), 6)
+       |                    AS value
+       |           FROM c GROUP BY lang)
+       |SELECT metric, value FROM global
+       |UNION ALL SELECT metric, value FROM strata
+       |ORDER BY metric""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1051,5 +1099,6 @@ object TrainPrepQueries {
     QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)),
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
     QueryDef("q94_temperature_mixture", q94, Some(q94Sql)),
-    QueryDef("q95_decontam_excision", q95, Some(q95Sql)))
+    QueryDef("q95_decontam_excision", q95, Some(q95Sql)),
+    QueryDef("q96_corpus_report", q96, Some(q96Sql)))
 }
