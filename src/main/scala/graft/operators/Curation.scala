@@ -858,6 +858,106 @@ object Curation {
       .limit(k)
   }
 
+  // ------------------------------------------------- DSIR data selection
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-n-gram feature distribution
+    * is. Features are the document's word `n`-grams (multiset — counts
+    * matter) hashed into `buckets` buckets; two bag-of-buckets unigram
+    * models are fit with add-1 smoothing, one on `target` (the small
+    * high-quality domain: a curated source, a benchmark's train split)
+    * and one on `raw` (the crawl being selected from), and each raw
+    * doc's log importance weight is the sum over its feature
+    * occurrences of `ln p_target(b) − ln p_raw(b)`. Emits
+    * `(idCol, n_feats, dsir_logw)`; raw docs too short to produce a
+    * gram score 0 (no evidence either way), null-text docs are dropped
+    * (the [[contaminationScore]] convention).
+    *
+    * Scale shape: both bucket models are ≤ `buckets` rows BY
+    * CONSTRUCTION no matter the corpus size — that hashing bound is the
+    * point of DSIR's hashed features, and it is what makes the log-ratio
+    * table a broadcast at any scale. The corpus is tokenized once into a
+    * (doc, bucket) count frame (map-side combine on the explode), the
+    * raw model is a second bounded rollup OF THAT FRAME (no second
+    * tokenize), and the per-doc weight is one doc-keyed aggregate over
+    * rows already joined to the broadcast table — no gram-keyed
+    * shuffle of document text anywhere.
+    *
+    * Float discipline: the per-doc sum folds `c_b · λ_b` addends in
+    * BUCKET ORDER (sorted collect + left fold — a parallel `sum()` of
+    * doubles is partition-order-dependent), and only the final sum
+    * carries the registry-wide `round(_, 6)`; the per-doc list is
+    * bounded by `min(buckets, grams)`.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, n: Int = 2, buckets: Int = 1024,
+                  salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucket = (g: Column) => pmod(Splits.portableHash(g, salt), lit(buckets))
+    val docBuckets = raw
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFns.ngrams(col(textCol), n)).as("g"))
+      .select(col(idCol), bucket(col("g")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val rawModel = docBuckets.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val targetModel = target
+      .filter(col(textCol).isNotNull)
+      .select(explode(TextFns.ngrams(col(textCol), n)).as("g"))
+      .select(bucket(col("g")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = rawModel.agg(sum(col("cr")).cast("double").as("rt"))
+      .crossJoin(targetModel.agg(sum(col("ct")).cast("double").as("tt")))
+    // buckets absent from the raw model can't occur in docBuckets, so
+    // the left side of the ratio table is exactly the raw support
+    val lam = rawModel.join(targetModel, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("tt") + lit(buckets.toDouble))) -
+          log((col("cr") + lit(1.0)) / (col("rt") + lit(buckets.toDouble))))
+          .as("lam"))
+    val weights = docBuckets
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_feats"),
+        sort_array(collect_list(
+          struct(col("b"), (col("c") * col("lam")).as("t")))).as("arr"))
+      .select(col(idCol), col("n_feats"),
+        round(aggregate(transform(col("arr"), x => x.getField("t")),
+          lit(0.0), (acc, x) => acc + x), 6).as("dsir_logw"))
+    raw.filter(col(textCol).isNotNull).select(col(idCol))
+      .join(weights, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  /** DSIR selection — the Gumbel-top-k resampling step over
+    * [[dsirWeights]]' log weights (Xie et al. §3, importance resampling
+    * without replacement): each doc draws a deterministic Gumbel from
+    * its id's portable hash and the k largest `logw + Gumbel` win. The
+    * key is computed as `ln(−ln u) − logw` with the k SMALLEST winning —
+    * the same orientation as [[weightedSample]]'s A-ES key (the two
+    * schemes coincide for `w = e^logw`; working in the log domain skips
+    * the `exp` overflow for strongly target-like docs) — and the same
+    * scale-invariant round-before-top-k contract applies: 6 decimal
+    * places on the log key are ~6 significant digits at any weight
+    * scale. One narrow projection over the weight frame + one
+    * `TakeOrderedAndProject` top-k — per-partition heaps, no global
+    * sort.
+    */
+  def dsirSelect(weights: DataFrame, idCol: String, k: Int,
+                 salt: String = "dsir-sel"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Splits.portableHash(col(idCol), salt).cast("double") + 0.5) /
+      lit(1.152921504606846976e18) // 2^60 — u in (0, 1)
+    weights
+      .withColumn("sample_key", round(log(-log(u)) - col("dsir_logw"), 6))
+      .orderBy(col("sample_key").asc, col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------- vocabulary + encode
 
   /** Frequency-ranked vocabulary over the corpus: `(term, token_id)`

@@ -7,7 +7,7 @@ import graft.functions.TextFns
 import graft.operators.{Curation, Dedup, Similarity}
 import graft.sources.Tables
 
-/** Q73–Q95 — the training-prep surface: the remaining steps between
+/** Q73–Q98 — the training-prep surface: the remaining steps between
   * a curated corpus and training shards, plus the evaluation harness a
   * pipeline runs over its own indexes —
   *
@@ -35,7 +35,9 @@ import graft.sources.Tables
   *     IVF-PQ index (q89, q90, q92),
   *   - span-level excision, both cross-document (q93) and
   *     benchmark-contamination (q95), and
-  *   - temperature-scaled mixture weighting (q94).
+  *   - temperature-scaled mixture weighting (q94), and
+  *   - DSIR importance weighting and its Gumbel-top-k resampling
+  *     (q97, q98 — hashed-bigram target-likeness selection).
   *
   * Oracle discipline unchanged from the earlier modules: full-algorithm
   * DuckDB restatements, integer counts divided once at the end, every
@@ -1076,6 +1078,85 @@ object TrainPrepQueries {
        |UNION ALL SELECT metric, value FROM strata
        |ORDER BY metric""".stripMargin
 
+  /** Hash buckets for the q97/q98 DSIR feature space. */
+  private val DsirBuckets = 1024
+
+  /** Sample size for the q98 DSIR resampling step. */
+  private val DsirK = 40
+
+  /** Q97 — DSIR importance weights (Xie et al. 2023): every document's
+    * hashed-bigram log importance weight against a target domain
+    * (source `src0` plays the curated target), the score the DSIR
+    * selection policy ranks by (see
+    * [[graft.operators.Curation.dsirWeights]]).
+    */
+  private def q97(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.dsirWeights(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 2, buckets = DsirBuckets)
+      .orderBy("doc_id")
+  }
+
+  /** The q97 weight computation as a DuckDB CTE chain, shared by the
+    * q98 oracle (which selects over the same weights). */
+  private val dsirWeightCtes =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |           FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id, source,
+       |             ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT
+       |               % $DsirBuckets AS b
+       |      FROM (SELECT doc_id, source,
+       |                   unnest(list_transform(range(1, len(toks)),
+       |                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+       |            FROM d)),
+       |dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+       |raw AS (SELECT b, sum(c)::BIGINT AS cr FROM dc GROUP BY 1),
+       |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM f
+       |        WHERE source = 'src0' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cr) FROM raw)::DOUBLE AS rt,
+       |               (SELECT sum(ct) FROM tgt)::DOUBLE AS tt),
+       |lam AS (SELECT raw.b,
+       |               ln((coalesce(tgt.ct, 0) + 1.0)
+       |                  / (tot.tt + $DsirBuckets.0))
+       |             - ln((raw.cr + 1.0) / (tot.rt + $DsirBuckets.0)) AS lam
+       |        FROM raw LEFT JOIN tgt USING (b), tot),
+       |w AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_feats,
+       |             list_reduce(list(dc.c * lam.lam ORDER BY dc.b),
+       |                         (u, v) -> u + v) AS s
+       |      FROM dc JOIN lam USING (b) GROUP BY 1),
+       |wt AS (SELECT d.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+       |              round(coalesce(w.s, 0.0), 6) AS dsir_logw
+       |       FROM d LEFT JOIN w USING (doc_id))""".stripMargin
+
+  private val q97Sql =
+    s"""$dsirWeightCtes
+       |SELECT doc_id, n_feats, dsir_logw FROM wt ORDER BY doc_id""".stripMargin
+
+  /** Q98 — DSIR selection: Gumbel-top-k importance resampling over the
+    * q97 weights — the k docs that survive the DSIR draw, with their
+    * (deterministic) sample keys (see
+    * [[graft.operators.Curation.dsirSelect]]).
+    */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.dsirSelect(
+        Curation.dsirWeights(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 2, buckets = DsirBuckets),
+        "doc_id", k = DsirK)
+      .orderBy("doc_id")
+  }
+
+  private val q98Sql =
+    s"""$dsirWeightCtes
+       |SELECT doc_id, n_feats, dsir_logw, sample_key FROM (
+       |  SELECT doc_id, n_feats, dsir_logw,
+       |         round(ln(-ln((('0x' || substr(md5('dsir-sel:'
+       |                  || doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+       |                  / 1.152921504606846976e18))
+       |               - dsir_logw, 6) AS sample_key
+       |  FROM wt ORDER BY sample_key ASC, doc_id LIMIT $DsirK)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1100,5 +1181,7 @@ object TrainPrepQueries {
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
     QueryDef("q94_temperature_mixture", q94, Some(q94Sql)),
     QueryDef("q95_decontam_excision", q95, Some(q95Sql)),
-    QueryDef("q96_corpus_report", q96, Some(q96Sql)))
+    QueryDef("q96_corpus_report", q96, Some(q96Sql)),
+    QueryDef("q97_dsir_weights", q97, Some(q97Sql)),
+    QueryDef("q98_dsir_select", q98, Some(q98Sql)))
 }

@@ -484,4 +484,52 @@ class TrainPrepSpec extends SparkSpec {
       assert(batch(qid).contains((qid, 1.0)))
     }
   }
+
+  // ---------------------------------------------------------------- DSIR
+
+  test("dsirWeights: target-like docs outscore off-target; short docs at 0") {
+    val target = Seq(
+      (100L, "alpha beta gamma delta alpha beta"),
+      (101L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma delta"),    // every bigram in the target
+      (2L, "zeta eta theta iota kappa"), // no bigram in the target
+      (3L, "one")                        // < 2 tokens: no features
+    ).toDF("doc_id", "text")
+    val got = Curation.dsirWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((1L, 3L), (2L, 4L), (3L, 0L)))
+    // target-covered grams carry positive log-ratios, unseen grams
+    // negative ones (add-1 smoothing): the orderings are structural
+    assert(got(0)._3 > 0.0 && got(1)._3 < 0.0)
+    assert(got(2)._3 == 0.0)
+  }
+
+  test("dsirWeights emits every non-null-text doc once, n_feats = bigrams") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 60)
+    val w = Curation.dsirWeights(docs,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+    val expected = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        greatest(size(TextFns.tokens(col("text"))) - 1, lit(0)).cast("long")
+          .as("nb"))
+    val joined = w.join(expected, "doc_id")
+      .select(col("n_feats"), col("nb")).as[(Long, Long)].collect()
+    assert(joined.length == expected.count().toInt)
+    joined.foreach { case (nf, nb) => assert(nf == nb) }
+  }
+
+  test("dsirSelect: k rows, deterministic, dominated by strong weights") {
+    val weights = ((1L, 1000.0) +: (2L to 50L).map(i => (i, 0.0)))
+      .toDF("doc_id", "dsir_logw")
+      .withColumn("n_feats", lit(10L))
+    val a = Curation.dsirSelect(weights, "doc_id", k = 5)
+      .orderBy("doc_id").as[(Long, Double, Long, Double)].collect()
+    val b = Curation.dsirSelect(weights, "doc_id", k = 5)
+      .orderBy("doc_id").as[(Long, Double, Long, Double)].collect()
+    assert(a.length == 5)
+    assert(a.toSeq == b.toSeq)                  // pure function of ids
+    assert(a.exists(_._1 == 1L))                // +1000 log-weight always wins
+  }
 }
