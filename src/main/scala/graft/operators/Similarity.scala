@@ -525,6 +525,78 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * near-duplicate removal bounded by a coarse k-means partition — the
+    * clustered alternative to [[lshNearDupPairs]]' banding. Every vector
+    * is assigned to its max-cosine cell by the same in-row argmax as
+    * [[ivfTopK]] (one narrow pass, no join), candidate pairs are
+    * enumerated WITHIN cells only, verified with the exact cosine, and
+    * each connected component keeps ONE representative — per the paper's
+    * policy, the member with the LOWEST cosine to its cell centroid
+    * (keep the least stereotypical copy; ties to the smallest id).
+    * Emits `(idCol, cell, cluster, cent_sim, keep)` — `cent_sim` the
+    * rounded centroid cosine the election orders by, singletons always
+    * kept.
+    *
+    * Scale shape: the quantizer is a MODEL (nCells × dim floats,
+    * inlined), so assignment shuffles nothing; the pair step inherits
+    * [[graft.operators.Dedup.candidatePairs]]' hot-bucket salting, and
+    * the representative window partitions by near-dup cluster (small by
+    * construction). The paper's trade is explicit: duplicates split
+    * across cells are missed, and `nCells` must GROW with the corpus
+    * (they run 11k clusters on LAION) to keep the within-cell pair
+    * count — the `Σ cell²` term — bounded; pass a
+    * [[kMeansCentroids]]-trained model for tighter (= smaller-error)
+    * cells, the default being the deterministic lowest-id seeds.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, embCol: String,
+               threshold: Double, nCells: Int = 8,
+               centroids: Option[Seq[(Long, IndexedSeq[Float])]] = None)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cents = centroids.map(_.toArray).getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+    val centArr = typedlit(cents.toIndexedSeq)
+    val ranked = array_sort(transform(centArr, c =>
+      struct(
+        (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+        c.getField("_1").as("cent"))))
+    val assigned = corpus
+      .select(col(idCol), col(embCol), element_at(ranked, 1).as("top"))
+      .select(col(idCol).as("id"),
+        VectorFns.toDouble(col(embCol)).as("e_d"),
+        col("top").getField("cent").as("cell"),
+        round(lit(0.0) - col("top").getField("neg_cos"), 6).as("cent_sim"))
+      .repartition(col("id"))
+    val withNorm = assigned.withColumn("n", VectorFns.norm(col("e_d")))
+    val pairs = Dedup.candidatePairs(
+        assigned.select(col("id"), col("cell")), Seq("cell"))
+      .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
+        col("n").as("n_a")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("e_d").as("e_b"),
+        col("n").as("n_b")), "id_b")
+      .filter(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+    val clustered = assigned
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("comp"), col("id")).as("cluster"), col("cent_sim"))
+    // the election orders by the ROUNDED centroid cosine (rounded before
+    // any order that depends on it — the registry-wide contract)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("cent_sim").asc, col(idCol))
+    clustered.withColumn("keep",
+      when(row_number().over(w) === 1, 1L).otherwise(0L))
+  }
+
   /** Brute-force cosine top-k for a BATCH of query vectors — the
     * ground-truth side of an ANN recall evaluation (and the exact
     * retrieval path when the query set is small enough to broadcast):

@@ -15,8 +15,10 @@ import graft.sources.Tables
   * one kept representative per cluster), both lexical (n-gram Jaccard,
   * q68) and semantic (embedding LSH, q69), mixture EXECUTION (weights
   * → deterministically resampled corpus, q70), the quality-filter
-  * VERDICT (threshold rules → keep/drop with reasons, q71), and
-  * single-pass table profiling (q72).
+  * VERDICT (threshold rules → keep/drop with reasons, q71),
+  * single-pass table profiling (q72), and SemDeDup — k-means-cell-
+  * bounded semantic dedup with the paper's least-stereotypical
+  * representative election (q99).
   *
   * Oracle discipline unchanged: full-algorithm DuckDB restatements.
   * Cross-engine float policy: per-doc float folds are ORDER-PINNED
@@ -236,6 +238,58 @@ object HygieneQueries {
 
   // ------------------------------------------------------ apply mixture
 
+  /** Coarse-partition width for the q99 SemDeDup quantizer (the q50
+    * seeding convention: lowest-id vectors, deterministic). */
+  private val SemCells = 8
+
+  /** Q99 — SemDeDup (Abbas et al. 2023): k-means-cell-bounded semantic
+    * dedup — the clustered counterpart of q69's LSH banding. Every
+    * vector lands in its max-cosine seed cell, within-cell pairs at
+    * cosine ≥ threshold form clusters, and each cluster keeps its LEAST
+    * centroid-like member (the paper's diversity-preserving election;
+    * see [[graft.operators.Similarity.semDedup]]).
+    */
+  private def q99(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = PipelineQueries.LshPairThreshold, nCells = SemCells)
+      .orderBy("vec_id")
+
+  private val q99Sql =
+    s"""WITH RECURSIVE
+       |ed AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS cent, e AS ce FROM ed
+       |      ORDER BY vec_id LIMIT $SemCells),
+       |aff AS (SELECT ed.vec_id, c.cent,
+       |          ${PipelineQueries.cosSql("ed.e", "c.ce")} AS cs
+       |        FROM ed, c),
+       |cell AS (SELECT vec_id, cent, round(cs, 6) AS cent_sim FROM (
+       |           SELECT vec_id, cent, cs,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${PipelineQueries.cosSql("ea.e", "eb.e")} AS cs
+       |      FROM cell a JOIN cell b ON a.cent = b.cent
+       |                             AND a.vec_id < b.vec_id
+       |           JOIN ed ea ON ea.vec_id = a.vec_id
+       |           JOIN ed eb ON eb.vec_id = b.vec_id),
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE cs >= ${PipelineQueries.LshPairThreshold}),
+       |ee AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM ee
+       |          UNION
+       |          SELECT r.a, ee.b FROM reach r JOIN ee ON r.b = ee.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+       |         FROM reach GROUP BY a),
+       |d AS (SELECT cell.vec_id, cell.cent AS cell,
+       |             coalesce(k.comp, cell.vec_id) AS cluster, cell.cent_sim
+       |      FROM cell LEFT JOIN comp k ON cell.vec_id = k.id)
+       |SELECT vec_id, cell, cluster, cent_sim,
+       |       (CASE WHEN row_number() OVER (PARTITION BY cluster
+       |                ORDER BY cent_sim ASC, vec_id) = 1
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM d ORDER BY vec_id""".stripMargin
+
   /** Q70 — mixture EXECUTION: q59's language mixture weights applied to
     * the corpus (see [[graft.operators.Curation.applyMixture]]) — each
     * doc becomes `floor(w) + Bernoulli(frac(w))` copies with the draw a
@@ -355,5 +409,6 @@ object HygieneQueries {
     QueryDef("q69_semantic_keeplist", q69, Some(q69Sql)),
     QueryDef("q70_apply_mixture", q70, Some(q70Sql)),
     QueryDef("q71_quality_verdict", q71, Some(q71Sql)),
-    QueryDef("q72_table_profile", q72, Some(q72Sql)))
+    QueryDef("q72_table_profile", q72, Some(q72Sql)),
+    QueryDef("q99_semdedup", q99, Some(q99Sql)))
 }

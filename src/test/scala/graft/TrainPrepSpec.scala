@@ -485,6 +485,34 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ SemDeDup
+
+  test("semDedup: within-cell dups cluster; least centroid-like member kept") {
+    // seeds (nCells = 2) are ids 1 and 2 → cells [1,0] and [0,1];
+    // 3 and 4 sit near cell 1's centroid and near each other, 5 is a
+    // cell-2 loner
+    val df = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.95f, 0.05f)),
+      (5L, Array(-0.7f, 0.72f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = 0.95, nCells = 2)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("cell"), col("cluster"), col("keep"))
+      .as[(Long, Long, Long, Long)].collect()
+    // cell 1 = {1,3,4}: all pairwise cos >= 0.95 → one cluster labeled
+    // by its min id; the representative is 3 (lowest centroid cosine —
+    // 1 IS the centroid at cos 1.0, 4 is nearer to it than 3)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 0L),
+      (2L, 2L, 2L, 1L),
+      (3L, 1L, 1L, 1L),
+      (4L, 1L, 1L, 0L),
+      (5L, 2L, 5L, 1L)))
+  }
+
   // ---------------------------------------------------------------- DSIR
 
   test("dsirWeights: target-like docs outscore off-target; short docs at 0") {
