@@ -876,13 +876,19 @@ object Curation {
     *
     * Scale shape: both bucket models are ≤ `buckets` rows BY
     * CONSTRUCTION no matter the corpus size — that hashing bound is the
-    * point of DSIR's hashed features, and it is what makes the log-ratio
-    * table a broadcast at any scale. The corpus is tokenized once into a
-    * (doc, bucket) count frame (map-side combine on the explode), the
-    * raw model is a second bounded rollup OF THAT FRAME (no second
-    * tokenize), and the per-doc weight is one doc-keyed aggregate over
-    * rows already joined to the broadcast table — no gram-keyed
-    * shuffle of document text anywhere.
+    * point of DSIR's hashed features. The TARGET model is therefore a
+    * MODEL, not data (the quantizer-centroid convention): its bounded
+    * bucket counts are collected and inlined as a literal array, so
+    * each row looks its `ct` up in-row — no join. The raw corpus is
+    * tokenized ONCE into a (doc, bucket) count frame pinned behind a
+    * bucket-keyed exchange (the [[crossEntropy]] pattern); the
+    * per-bucket `cr` rides a window over that exchange, the corpus
+    * total is one bounded aggregate of the SAME exchange
+    * (ReusedExchange — a separate rollup subtree would re-tokenize the
+    * corpus: column pruning makes the "shared" aggregate canonicalize
+    * differently per consumer and Spark plans it twice), and the
+    * per-doc weight is one doc-keyed aggregate. No gram-keyed shuffle
+    * of document text anywhere.
     *
     * Float discipline: the per-doc sum folds `c_b · λ_b` addends in
     * BUCKET ORDER (sorted collect + left fold — a parallel `sum()` of
@@ -895,30 +901,31 @@ object Curation {
                   salt: String = "dsir"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val bucket = (g: Column) => pmod(Splits.portableHash(g, salt), lit(buckets))
+    // target bucket counts: ≤ buckets rows by construction — a model,
+    // collected once and inlined (ct == 0 buckets included, so the
+    // in-row lookup is a plain array index)
+    val ctArr = Array.fill(buckets)(0L)
+    target.filter(col(textCol).isNotNull)
+      .select(explode(TextFns.ngrams(col(textCol), n)).as("g"))
+      .select(bucket(col("g")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .collect().foreach(r => ctArr(r.getLong(0).toInt) = r.getLong(1))
+    val tt = ctArr.sum.toDouble
+    val ctLit = typedlit(ctArr.toIndexedSeq)
     val docBuckets = raw
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFns.ngrams(col(textCol), n)).as("g"))
       .select(col(idCol), bucket(col("g")).as("b"))
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-    val rawModel = docBuckets.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val targetModel = target
-      .filter(col(textCol).isNotNull)
-      .select(explode(TextFns.ngrams(col(textCol), n)).as("g"))
-      .select(bucket(col("g")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = rawModel.agg(sum(col("cr")).cast("double").as("rt"))
-      .crossJoin(targetModel.agg(sum(col("ct")).cast("double").as("tt")))
-    // buckets absent from the raw model can't occur in docBuckets, so
-    // the left side of the ratio table is exactly the raw support
-    val lam = rawModel.join(targetModel, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-            (col("tt") + lit(buckets.toDouble))) -
-          log((col("cr") + lit(1.0)) / (col("rt") + lit(buckets.toDouble))))
-          .as("lam"))
+      .repartition(col("b"))
+    val rawTotal = docBuckets.agg(sum(col("c")).cast("double").as("rt"))
     val weights = docBuckets
-      .join(broadcast(lam), Seq("b"))
+      .withColumn("cr", sum(col("c")).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(rawTotal))
+      .withColumn("lam",
+        log((element_at(ctLit, col("b").cast("int") + 1) + lit(1.0)) /
+            lit(tt + buckets)) -
+          log((col("cr") + lit(1.0)) / (col("rt") + lit(buckets.toDouble))))
       .groupBy(col(idCol)).agg(
         sum(col("c")).as("n_feats"),
         sort_array(collect_list(

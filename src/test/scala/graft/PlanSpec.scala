@@ -328,6 +328,27 @@ class PlanSpec extends SparkSpec {
       s"bench grams must broadcast, not shuffle: $ns")
   }
 
+  test("q97 dsir plan: corpus tokenized once, raw total reuses the pinned exchange") {
+    val nodes = finalNodes(SparkEntry.queries("q97_dsir_weights")(spark, sf))
+    val ns = names(nodes)
+    // one tokenizing scan (the (doc, bucket) frame) + one narrow id scan
+    // for the zero-gram left join; the target model was collected at
+    // build time (≤ buckets rows — a model, not data) and is inlined
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 2,
+      s"expected tokenize + id-list scans only, got ${dataScans.size}: $ns")
+    // the corpus total must read the bucket-pinned exchange, not re-run
+    // the tokenize subtree (column pruning split the plan into four
+    // corpus scans before the frame was pinned)
+    assert(ns.contains("ReusedExchange"),
+      s"raw total must reuse the pinned (doc, bucket) exchange; got $ns")
+    assert(!ns.exists(_.contains("SortMergeJoin")),
+      s"bucket models are bounded — every join must broadcast; got $ns")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)
