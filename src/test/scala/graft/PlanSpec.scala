@@ -176,6 +176,13 @@ class PlanSpec extends SparkSpec {
       s"pairs + components + election must all be equi-joins/windows; got $nodes")
   }
 
+  test("q99 semdedup plan: in-row cell assignment, no cartesian/nested-loop") {
+    val nodes = names(finalNodes(SparkEntry.queries("q99_semdedup")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"assignment is an in-row argmax and pairs/components/election are " +
+        s"equi-joins/windows; got $nodes")
+  }
+
   test("q81 duplicated-spans plan: one tokenizing scan, df via window on the tf frame") {
     val nodes = finalNodes(SparkEntry.queries("q81_duplicated_spans")(spark, sf))
     val dataScans = nodes.collect {
