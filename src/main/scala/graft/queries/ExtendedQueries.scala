@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.KMinValues
 import graft.functions.TfIdf
-import graft.operators.{AsOf, Quantiles, RangeJoin, Sessionize, Splits}
+import graft.operators.{AsOf, Quantiles, RangeJoin, Sessionize, Sketch, Splits}
 import graft.sources.Tables
 import QueryDefs._
 
 /** Q38–Q43 — round-5 extension surface: the relational operators Spark
   * has no built-in form of (as-of join, interval join), plus the
   * pipeline primitives a 100 TB training-data curation run leans on
-  * (deterministic distinct-count sketch, permanent dataset splits,
-  * TF-IDF keywording, per-group quantiles).
+  * (deterministic distinct-count and frequency sketches — KMV q40,
+  * count-min q100 — permanent dataset splits, TF-IDF keywording,
+  * per-group quantiles).
   *
   * Same oracle discipline as the rest of the registry: every query is
   * graded by a full-algorithm DuckDB restatement (the as-of and KMV
@@ -166,6 +167,52 @@ object ExtendedQueries {
        |                  THEN (${KmvK - 1}.0 * 1152921504606846976.0) / k.hk
        |                  ELSE k.nd::DOUBLE END, 6) AS kmv_distinct
        |FROM c JOIN k USING (event_type) ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ cms sketch
+
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+  private val CmsTopK = 20
+
+  /** Q100 — count-min frequency estimates: the corpus term stream is
+    * compressed into a bounded 4×2048 cell sketch and the exact top-20
+    * terms read their estimates back out of it (see
+    * [[graft.operators.Sketch]]) — grading both CMS linear build and
+    * min-read estimator, and exhibiting the `estimate ≥ exact` one-sided
+    * error live (equality on a corpus this small).
+    */
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(CmsTopK)
+    Sketch.cmsEstimate(Sketch.countMin(toks, "term", CmsDepth, CmsWidth),
+        top, "term", CmsDepth, CmsWidth)
+      .join(top, "term")
+      .select(col("term"), col("n_exact"), col("cms_est"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  private val q100Sql =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+       |             FROM documents WHERE text IS NOT NULL),
+       |cells AS (SELECT i, ('0x' || substr(md5('cms' || i::VARCHAR || ':'
+       |                       || term), 1, 15))::BIGINT % $CmsWidth AS b
+       |          FROM tok CROSS JOIN range(0, $CmsDepth) t(i)),
+       |sk AS (SELECT i, b, count(*)::BIGINT AS c FROM cells GROUP BY 1, 2),
+       |top AS (SELECT term, count(*)::BIGINT AS n_exact FROM tok GROUP BY 1
+       |        ORDER BY n_exact DESC, term LIMIT $CmsTopK),
+       |est AS (SELECT t.term, min(coalesce(sk.c, 0))::BIGINT AS cms_est
+       |        FROM top t CROSS JOIN range(0, $CmsDepth) r(i)
+       |        LEFT JOIN sk ON sk.i = r.i
+       |                    AND sk.b = ('0x' || substr(md5('cms'
+       |                          || r.i::VARCHAR || ':' || t.term), 1, 15))
+       |                          ::BIGINT % $CmsWidth
+       |        GROUP BY 1)
+       |SELECT term, n_exact, cms_est FROM top JOIN est USING (term)
+       |ORDER BY n_exact DESC, term""".stripMargin
 
   // --------------------------------------------------------- dataset split
 
@@ -591,5 +638,6 @@ object ExtendedQueries {
     QueryDef("q52_bloom_filter", q52, Some(q52Sql)),
     QueryDef("q53_histogram", q53, Some(q53Sql)),
     QueryDef("q54_snapshot_diff", q54, Some(q54Sql)),
-    QueryDef("q55_unpivot", q55, Some(q55Sql)))
+    QueryDef("q55_unpivot", q55, Some(q55Sql)),
+    QueryDef("q100_cms_estimate", q100, Some(q100Sql)))
 }

@@ -366,4 +366,42 @@ class ExtendedOpSpec extends SparkSpec {
       .as[(String, Double, Double)].head()
     assert(math.abs(ap._2 - 51.0) <= 1.0 && math.abs(ap._3 - 91.0) <= 1.0)
   }
+
+  test("Sketch: CMS estimates are one-sided; shard sketches merge linearly") {
+    import graft.operators.Sketch
+    val terms = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+    val sk = Sketch.countMin(terms, "term")
+    // bounded by construction
+    assert(sk.count() <= 4L * 2048L)
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n"))
+    val est = Sketch.cmsEstimate(sk, exact, "term")
+      .join(exact, "term").select(col("cms_est"), col("n"))
+      .as[(Long, Long)].collect()
+    assert(est.nonEmpty)
+    // the CMS guarantee: never an underestimate
+    est.foreach { case (e, n) => assert(e >= n, s"estimate $e < exact $n") }
+    // unseen terms read empty cells (or collided ones — still >= 0)
+    val unseen = Seq("zzz_not_in_corpus").toDF("term")
+    val u = Sketch.cmsEstimate(sk, unseen, "term").as[(String, Long)].head()
+    assert(u._2 >= 0L)
+    // linearity: per-source shard sketches summed == whole-corpus sketch
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+    val shards = Seq("src0", "src1").map(s =>
+      Sketch.countMin(docs.filter(col("source") === s)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
+        "term"))
+    val merged = shards.reduce(_ unionByName _)
+      .groupBy("row", "bucket").agg(sum(col("c")).as("c"))
+    val whole = Sketch.countMin(docs
+      .filter(col("source").isin("src0", "src1"))
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term")),
+      "term")
+    assert(merged.join(whole, Seq("row", "bucket"), "full")
+      .filter(merged("c") =!= whole("c") ||
+        merged("c").isNull || whole("c").isNull)
+      .isEmpty)
+  }
 }
