@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{Bm25, TextFns}
 import graft.operators.{Curation, Dedup, Similarity}
 import graft.sources.Tables
 
@@ -37,7 +37,9 @@ import graft.sources.Tables
   *     benchmark-contamination (q95), and
   *   - temperature-scaled mixture weighting (q94), and
   *   - DSIR importance weighting and its Gumbel-top-k resampling
-  *     (q97, q98 — hashed-bigram target-likeness selection).
+  *     (q97, q98 — hashed-bigram target-likeness selection), and
+  *   - BM25 lexical retrieval (q101 — the term-based index family
+  *     next to the embedding ones).
   *
   * Oracle discipline unchanged from the earlier modules: full-algorithm
   * DuckDB restatements, integer counts divided once at the end, every
@@ -1157,6 +1159,60 @@ object TrainPrepQueries {
        |  FROM wt ORDER BY sample_key ASC, doc_id LIMIT $DsirK)
        |ORDER BY doc_id""".stripMargin
 
+  /** q101 retrieval depth / BM25 hyperparameters (the Robertson
+    * defaults). */
+  private val BmK = 5
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+
+  /** Query cut for q101: the lowest-id docs play the query set, the
+    * rest the corpus (the q78 batched-retrieval convention). */
+  private val BmQueryCut = 10
+
+  /** Q101 — BM25 lexical retrieval: top-5 corpus documents per query
+    * doc under Okapi BM25 with the Lucene positive idf (see
+    * [[graft.functions.Bm25]]) — the term-based retrieval family next
+    * to the embedding indexes of q78/q84.
+    */
+  private def q101(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Bm25.topK(docs.filter(col("doc_id") >= BmQueryCut), "doc_id", "text",
+        docs.filter(col("doc_id") < BmQueryCut), "doc_id", "text",
+        k = BmK, k1 = BmK1, b = BmB)
+      .orderBy("query_id", "rank")
+  }
+
+  private val q101Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM (SELECT doc_id, unnest(toks) AS term FROM d
+       |             WHERE doc_id >= $BmQueryCut)
+       |       GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT count(*)::DOUBLE AS n,
+       |               sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+       |       FROM d WHERE doc_id < $BmQueryCut),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |              list_reduce(list(
+       |                ln(1.0 + (tot.n - dfx.df + 0.5) / (dfx.df + 0.5))
+       |                  * (tf.tf * ${BmK1 + 1.0})
+       |                  / (tf.tf + $BmK1 * (${1.0 - BmB}
+       |                       + $BmB * dl.dl / tot.avgdl))
+       |                ORDER BY tf.term), (x, y) -> x + y) AS s
+       |       FROM tf JOIN dfx USING (term)
+       |            JOIN dl ON dl.doc_id = tf.doc_id
+       |            JOIN qt USING (term), tot
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, round(s, 6) AS bm25,
+       |             row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(s, 6) DESC, doc_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, doc_id, rank::BIGINT AS rank, bm25 FROM r
+       |WHERE rank <= $BmK ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1183,5 +1239,6 @@ object TrainPrepQueries {
     QueryDef("q95_decontam_excision", q95, Some(q95Sql)),
     QueryDef("q96_corpus_report", q96, Some(q96Sql)),
     QueryDef("q97_dsir_weights", q97, Some(q97Sql)),
-    QueryDef("q98_dsir_select", q98, Some(q98Sql)))
+    QueryDef("q98_dsir_select", q98, Some(q98Sql)),
+    QueryDef("q101_bm25_topk", q101, Some(q101Sql)))
 }

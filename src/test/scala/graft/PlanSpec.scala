@@ -356,6 +356,25 @@ class PlanSpec extends SparkSpec {
       s"bucket models are bounded — every join must broadcast; got $ns")
   }
 
+  test("q101 bm25 plan: corpus tokenized once, broadcast-only joins, WindowGroupLimit") {
+    val nodes = finalNodes(SparkEntry.queries("q101_bm25_topk")(spark, sf))
+    val ns = names(nodes)
+    // corpus tokenize + query tokenize — the (doc, term, tf) frame is
+    // pinned on a term exchange and the totals aggregate reuses it
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 2,
+      s"expected corpus + query tokenizing scans only, got ${dataScans.size}: $ns")
+    assert(ns.contains("ReusedExchange"),
+      s"corpus totals must reuse the pinned tf exchange; got $ns")
+    assert(!ns.exists(_.contains("SortMergeJoin")),
+      s"query terms and totals broadcast — no shuffle join; got $ns")
+    assert(ns.exists(_.contains("WindowGroupLimit")),
+      s"per-query top-k must prune through WindowGroupLimit; got $ns")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)

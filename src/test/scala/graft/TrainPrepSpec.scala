@@ -485,6 +485,28 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- BM25
+
+  test("Bm25.topK: hand-computed ranking, unmatched docs absent") {
+    val corpus = Seq(
+      (10L, "apple banana apple"),        // dl 3, apple tf 2
+      (11L, "banana cherry"),             // no query term
+      (12L, "cherry cherry cherry date")  // dl 4, date tf 1
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple date")).toDF("doc_id", "text")
+    val got = graft.functions.Bm25.topK(corpus, "doc_id", "text",
+        queries, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+    // N = 3, avgdl = 3; df(apple) = df(date) = 1 → idf = ln(1 + 2.5/1.5)
+    val idf = math.log(1.0 + 2.5 / 1.5)
+    val d10 = BigDecimal(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d12 = BigDecimal(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 4 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 10L, 1L, d10), (1L, 12L, 2L, d12)))
+  }
+
   // ------------------------------------------------------------ SemDeDup
 
   test("semDedup: within-cell dups cluster; least centroid-like member kept") {
