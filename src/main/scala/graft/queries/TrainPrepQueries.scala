@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bm25, TextFns}
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Fusion, Similarity}
 import graft.sources.Tables
 
 /** Q73–Q98 — the training-prep surface: the remaining steps between
@@ -39,7 +39,8 @@ import graft.sources.Tables
   *   - DSIR importance weighting and its Gumbel-top-k resampling
   *     (q97, q98 — hashed-bigram target-likeness selection), and
   *   - BM25 lexical retrieval (q101 — the term-based index family
-  *     next to the embedding ones).
+  *     next to the embedding ones) with reciprocal-rank fusion of
+  *     the ANN index rankings (q102).
   *
   * Oracle discipline unchanged from the earlier modules: full-algorithm
   * DuckDB restatements, integer counts divided once at the end, every
@@ -1213,6 +1214,76 @@ object TrainPrepQueries {
        |SELECT query_id, doc_id, rank::BIGINT AS rank, bm25 FROM r
        |WHERE rank <= $BmK ORDER BY query_id, rank""".stripMargin
 
+  /** Q102 — reciprocal-rank fusion of the LSH and IVF ANN rankings for
+    * the q78 query sample (see [[graft.operators.Fusion.rrf]]): the
+    * calibration-free combiner that lifts recall above either index
+    * alone when their miss sets differ — graded on the fused ranking
+    * itself.
+    */
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Fusion.rrf(Seq(
+        Similarity.lshTopKBatch(emb, "vec_id", "embedding", qs, "vec_id",
+          RecallK),
+        Similarity.ivfTopKBatch(emb, "vec_id", "embedding", qs, "vec_id",
+          RecallK, nCentroids = PipelineQueries.IvfCentroids,
+          nProbe = PipelineQueries.IvfProbes)),
+        "query_id", "vec_id", "cos_sim", k = RecallK)
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val q102Sql =
+    s"""WITH ${PipelineQueries.lshBandsSql},
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |qb AS (SELECT vec_id AS query_id, band FROM bands
+       |       WHERE vec_id < $QuerySample),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+       |         FROM bands b JOIN qb USING (band)),
+       |aps AS (SELECT c.query_id, c.vec_id,
+       |               round(${PipelineQueries.cosSql("ce.e", "qe")}, 6) AS cos_sim
+       |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+       |                    JOIN q ON q.query_id = c.query_id),
+       |lt AS (SELECT query_id, vec_id, rk FROM (
+       |         SELECT query_id, vec_id, row_number() OVER (
+       |             PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |         FROM aps) WHERE rk <= $RecallK),
+       |cents AS (SELECT vec_id AS cent, e AS ce FROM e
+       |          ORDER BY vec_id LIMIT ${PipelineQueries.IvfCentroids}),
+       |aff AS (SELECT e.vec_id, c.cent,
+       |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+       |        FROM e, cents c),
+       |cell AS (SELECT vec_id, cent AS cell FROM (
+       |           SELECT vec_id, cent, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |qprobes AS (SELECT vec_id AS query_id, cent AS cell FROM (
+       |              SELECT vec_id, cent, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY (0.0 - cs), cent) AS rn
+       |              FROM aff WHERE vec_id < $QuerySample)
+       |            WHERE rn <= ${PipelineQueries.IvfProbes}),
+       |ivs AS (SELECT qp.query_id, e.vec_id,
+       |               round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |        FROM e JOIN cell USING (vec_id)
+       |               JOIN qprobes qp ON cell.cell = qp.cell
+       |               JOIN q ON q.query_id = qp.query_id),
+       |it AS (SELECT query_id, vec_id, rk FROM (
+       |         SELECT query_id, vec_id, row_number() OVER (
+       |             PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |         FROM ivs) WHERE rk <= $RecallK),
+       |f AS (SELECT coalesce(lt.query_id, it.query_id) AS query_id,
+       |             coalesce(lt.vec_id, it.vec_id) AS vec_id,
+       |             round(coalesce(1.0 / (60 + lt.rk), 0.0)
+       |                 + coalesce(1.0 / (60 + it.rk), 0.0), 6) AS rrf
+       |      FROM lt FULL JOIN it ON lt.query_id = it.query_id
+       |                          AND lt.vec_id = it.vec_id),
+       |r AS (SELECT query_id, vec_id, rrf, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS rank
+       |      FROM f)
+       |SELECT query_id, vec_id, rank::BIGINT AS rank, rrf FROM r
+       |WHERE rank <= $RecallK ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1240,5 +1311,6 @@ object TrainPrepQueries {
     QueryDef("q96_corpus_report", q96, Some(q96Sql)),
     QueryDef("q97_dsir_weights", q97, Some(q97Sql)),
     QueryDef("q98_dsir_select", q98, Some(q98Sql)),
-    QueryDef("q101_bm25_topk", q101, Some(q101Sql)))
+    QueryDef("q101_bm25_topk", q101, Some(q101Sql)),
+    QueryDef("q102_rrf_fusion", q102, Some(q102Sql)))
 }

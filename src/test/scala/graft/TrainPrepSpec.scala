@@ -485,6 +485,28 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- RRF fusion
+
+  test("Fusion.rrf: hand-computed fused ranking over two systems") {
+    // system A ranks (1,2,3); system B ranks (2,3,4) — doc 2 fuses best
+    val a = Seq((7L, 1L, 0.9), (7L, 2L, 0.8), (7L, 3L, 0.7))
+      .toDF("query_id", "vec_id", "cos_sim")
+    val b = Seq((7L, 2L, 0.95), (7L, 3L, 0.85), (7L, 4L, 0.75))
+      .toDF("query_id", "vec_id", "cos_sim")
+    val got = graft.operators.Fusion.rrf(Seq(a, b),
+        "query_id", "vec_id", "cos_sim", k = 4)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Seq(
+      (7L, 2L, r6(1.0 / 62 + 1.0 / 61)), // rank 2 in A, rank 1 in B
+      (7L, 3L, r6(1.0 / 63 + 1.0 / 62)), // rank 3 in A, rank 2 in B
+      (7L, 1L, r6(1.0 / 61)),            // A only, rank 1
+      (7L, 4L, r6(1.0 / 63)))            // B only, rank 3
+    assert(got.toSeq == exp.zipWithIndex.map { case ((q, v, s), i) =>
+      (q, v, (i + 1).toLong, s) })
+  }
+
   // ---------------------------------------------------------------- BM25
 
   test("Bm25.topK: hand-computed ranking, unmatched docs absent") {
