@@ -485,6 +485,36 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("round-8 operators fail fast on bad params") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val emb = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Curation.dsirWeights(df, df, "doc_id", "text", buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.dsirSelect(df.withColumn("dsir_logw", lit(0.0)), "doc_id", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketch.countMin(df, "text", depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketch.cmsEstimate(df, df, "text", width = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Bm25.topK(df, "doc_id", "text", df, "doc_id", "text",
+        k = 5, b = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Fusion.rrf(Seq.empty, "q", "id", "s", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Fusion.rrf(Seq(df), "doc_id", "text", "s", k = 0)
+    }
+  }
+
   // ----------------------------------------------------------- RRF fusion
 
   test("Fusion.rrf: hand-computed fused ranking over two systems") {
