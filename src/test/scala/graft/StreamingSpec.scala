@@ -321,6 +321,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: per-batch sketches sum to the batch-built sketch") {
+    // CMS linearity is what makes the sketch a streaming accumulator: a
+    // pipeline adds each micro-batch's bounded cell frame into a store
+    // and the result is bit-identical to sketching the whole corpus at
+    // once — locked in across a 2-batch split here
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Sketch
+    import graft.functions.TextFns
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} shared"))
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketch.countMin(batch
+            .select(explode(TextFns.tokens(col("text"))).as("term")), "term")
+          .collect().foreach { r =>
+            val k = (r.getInt(0), r.getLong(1))
+            cells(k) = cells.getOrElse(k, 0L) + r.getLong(2)
+          }
+      }.start()
+    try {
+      in.addData(docs.take(15)); q.processAllAvailable()
+      in.addData(docs.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val whole = Sketch.countMin(docs.toDF("doc_id", "text")
+        .select(explode(TextFns.tokens(col("text"))).as("term")), "term")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.toMap == whole)
+  }
+
   test("throughput: curationPass clears a 10k-doc micro-batch under the floor") {
     // the stateless curation pass is the shape intended for streams —
     // track its per-batch cost where it actually runs, so a future
