@@ -940,6 +940,52 @@ object Curation {
         coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
   }
 
+  /** [[dsirWeights]] restated as a STATELESS per-row kernel — the
+    * stream-safe twin (the [[contaminationScoreRowwise]] /
+    * [[repetitionStatsRowwise]] convention): both bucket models are
+    * collected ONCE from static frames at build time (bounded ≤
+    * `buckets` rows by the hashing — the frozen-model contract a
+    * production scorer runs under anyway) and baked into the
+    * log-ratio array of the codegen'd
+    * [[graft.expressions.HashedGramScore]] kernel, so each document
+    * scores itself in-row — no explode, no join, no aggregation state,
+    * runnable in any micro-batch or single-doc scoring service.
+    *
+    * Same λ formula as the batch path, but the per-doc sum accumulates
+    * in GRAM (document) order over raw occurrences rather than in
+    * bucket order over aggregated counts — a different float
+    * association, so the twin is graded by its OWN oracle restating
+    * that order (the q56/q83 pairing precedent, where the orders
+    * coincide; here they genuinely differ in final ulps).
+    */
+  def dsirScoreRowwise(docs: DataFrame, raw: DataFrame, target: DataFrame,
+                       idCol: String, textCol: String, n: Int = 2,
+                       buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def model(d: DataFrame): Array[Long] = {
+      val arr = Array.fill(buckets)(0L)
+      d.filter(col(textCol).isNotNull)
+        .select(explode(TextFns.ngrams(col(textCol), n)).as("g"))
+        .select(pmod(Splits.portableHash(col("g"), salt), lit(buckets)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val ct = model(target)
+    val cr = model(raw)
+    val tt = ct.sum.toDouble
+    val rt = cr.sum.toDouble
+    val lam = IndexedSeq.tabulate(buckets)(b =>
+      math.log((ct(b) + 1.0) / (tt + buckets)) -
+        math.log((cr(b) + 1.0) / (rt + buckets)))
+    val toks = TextFns.tokens(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_feats"),
+        round(graft.expressions.HashedGramScore(toks, n, salt, lam), 6)
+          .as("dsir_logw"))
+  }
+
   /** DSIR selection — the Gumbel-top-k resampling step over
     * [[dsirWeights]]' log weights (Xie et al. §3, importance resampling
     * without replacement): each doc draws a deterministic Gumbel from

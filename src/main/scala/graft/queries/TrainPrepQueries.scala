@@ -36,8 +36,9 @@ import graft.sources.Tables
   *   - span-level excision, both cross-document (q93) and
   *     benchmark-contamination (q95), and
   *   - temperature-scaled mixture weighting (q94), and
-  *   - DSIR importance weighting and its Gumbel-top-k resampling
-  *     (q97, q98 — hashed-bigram target-likeness selection), and
+  *   - DSIR importance weighting, its Gumbel-top-k resampling, and
+  *     the stream-safe row-wise scoring twin (q97, q98, q103 —
+  *     hashed-bigram target-likeness selection), and
   *   - BM25 lexical retrieval (q101 — the term-based index family
   *     next to the embedding ones) with reciprocal-rank fusion of
   *     the ANN index rankings (q102).
@@ -1214,6 +1215,54 @@ object TrainPrepQueries {
        |SELECT query_id, doc_id, rank::BIGINT AS rank, bm25 FROM r
        |WHERE rank <= $BmK ORDER BY query_id, rank""".stripMargin
 
+  /** Q103 — DSIR scoring as a stateless per-row kernel: the q97
+    * algorithm with both bucket models frozen at build time and the
+    * log-ratio sum computed in-row over the document's grams (see
+    * [[graft.operators.Curation.dsirScoreRowwise]]) — the stream-safe
+    * twin, graded by its own gram-order oracle (the batch path folds
+    * in bucket order over aggregated counts; same values up to final
+    * ulps, different association).
+    */
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.dsirScoreRowwise(docs, docs,
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 2, buckets = DsirBuckets)
+      .orderBy("doc_id")
+  }
+
+  private val q103Sql =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |           FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id, source, p,
+       |             ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT
+       |               % $DsirBuckets AS b
+       |      FROM (SELECT doc_id, source,
+       |                   unnest(range(1, len(toks))) AS p,
+       |                   unnest(list_transform(range(1, len(toks)),
+       |                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+       |            FROM d)),
+       |raw AS (SELECT b, count(*)::BIGINT AS cr FROM f GROUP BY 1),
+       |tgt AS (SELECT b, count(*)::BIGINT AS ct FROM f
+       |        WHERE source = 'src0' GROUP BY 1),
+       |tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM raw)::DOUBLE AS rt,
+       |               (SELECT coalesce(sum(ct), 0) FROM tgt)::DOUBLE AS tt),
+       |lam AS (SELECT r.i AS b,
+       |               ln((coalesce(tgt.ct, 0) + 1.0)
+       |                  / (tot.tt + $DsirBuckets.0))
+       |             - ln((coalesce(raw.cr, 0) + 1.0)
+       |                  / (tot.rt + $DsirBuckets.0)) AS lam
+       |        FROM range(0, $DsirBuckets) r(i)
+       |             LEFT JOIN raw ON raw.b = r.i
+       |             LEFT JOIN tgt ON tgt.b = r.i, tot),
+       |w AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+       |             list_reduce(list(lam.lam ORDER BY f.p),
+       |                         (x, y) -> x + y) AS s
+       |      FROM f JOIN lam USING (b) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+       |       round(coalesce(w.s, 0.0), 6) AS dsir_logw
+       |FROM d LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Q102 — reciprocal-rank fusion of the LSH and IVF ANN rankings for
     * the q78 query sample (see [[graft.operators.Fusion.rrf]]): the
     * calibration-free combiner that lifts recall above either index
@@ -1312,5 +1361,6 @@ object TrainPrepQueries {
     QueryDef("q97_dsir_weights", q97, Some(q97Sql)),
     QueryDef("q98_dsir_select", q98, Some(q98Sql)),
     QueryDef("q101_bm25_topk", q101, Some(q101Sql)),
-    QueryDef("q102_rrf_fusion", q102, Some(q102Sql)))
+    QueryDef("q102_rrf_fusion", q102, Some(q102Sql)),
+    QueryDef("q103_dsir_rowwise", q103, Some(q103Sql)))
 }

@@ -231,6 +231,26 @@ object OperatorProps extends Properties("graft.operators") {
       rows.forall(r => r._1 == r._2)
     }
 
+  property("HashedGramScore kernel == lookup-fold HOF formula on random text") =
+    forAll(
+      Gen.listOfN(15, Gen.listOf(Gen.oneOf("a", "bb", "c", "", "d e"))
+        .map(_.mkString(" "))),
+      Gen.choose(2, 4)) { (texts, n) =>
+      val buckets = 64
+      val lam = IndexedSeq.tabulate(buckets)(b => (b * 37 % 23) * 0.125 - 1.0)
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val hof = aggregate(
+        transform(graft.expressions.WordNGrams(toks, n), g =>
+          element_at(typedlit(lam),
+            (pmod(graft.operators.Splits.portableHash(g, "dsir"),
+              lit(buckets)) + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x)
+      val rows = texts.toDF("text").select(
+        graft.expressions.HashedGramScore(toks, n, "dsir", lam), hof)
+        .as[(Double, Double)].collect()
+      rows.forall(r => r._1 == r._2)
+    }
+
   property("Md5Hash60 kernel == hex-string formula of record") =
     forAll(Gen.listOfN(25, Gen.listOf(Gen.choose(' ', '~')).map(_.mkString))) {
       texts =>

@@ -622,6 +622,26 @@ class TrainPrepSpec extends SparkSpec {
     joined.foreach { case (nf, nb) => assert(nf == nb) }
   }
 
+  test("dsirScoreRowwise agrees with the batch path on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 60)
+    val target = docs.filter(col("source") === "src0")
+    val batch = Curation.dsirWeights(docs, target, "doc_id", "text")
+    val twin = Curation.dsirScoreRowwise(docs, docs, target, "doc_id", "text")
+    val joined = batch.join(
+        twin.withColumnRenamed("n_feats", "nf2")
+          .withColumnRenamed("dsir_logw", "w2"), "doc_id")
+      .select(col("n_feats"), col("nf2"), col("dsir_logw"), col("w2"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(joined.length == docs.filter(col("text").isNotNull).count().toInt)
+    joined.foreach { case (nf, nf2, w1, w2) =>
+      assert(nf == nf2)
+      // same lambda values summed in different association — the two
+      // rounded results can differ by at most one ulp-step at round-6
+      assert(math.abs(w1 - w2) <= 2e-6, s"$w1 vs $w2")
+    }
+  }
+
   test("dsirSelect: k rows, deterministic, dominated by strong weights") {
     val weights = ((1L, 1000.0) +: (2L to 50L).map(i => (i, 0.0)))
       .toDF("doc_id", "dsir_logw")
