@@ -321,6 +321,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreRowwise is stream-safe: frozen models, stateless pass") {
+    // models collect from STATIC frames at build; the stream only flows
+    // through the narrow kernel projection — no state, no output-mode
+    // constraint. Streamed scores must equal the same docs scored in
+    // batch (pure function of text + frozen models).
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Curation
+    val model = Seq((100L, "alpha beta gamma"), (101L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "zz yy"), (3L, "one"))
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.dsirScoreRowwise(in.toDF().toDF("doc_id", "text"),
+        model, model, "doc_id", "text")
+      .writeStream.format("memory").queryName("dsir_st").start()
+    try {
+      in.addData(docs.take(2)); q.processAllAvailable()
+      in.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_st")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = Curation.dsirScoreRowwise(docs.toDF("doc_id", "text"),
+        model, model, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("streaming CMS: per-batch sketches sum to the batch-built sketch") {
     // CMS linearity is what makes the sketch a streaming accumulator: a
     // pipeline adds each micro-batch's bounded cell frame into a store
