@@ -372,6 +372,25 @@ object Dedup {
     hammingPairs(simHashPortableSigs(df, idCol, textCol),
       bits = 60, maxHamming = maxHamming)
 
+  /** IMAGE near-dup pairs over a packed media frame — the multimodal
+    * column's dedup step: each payload compresses to the 60-bit
+    * block-mean perceptual hash
+    * ([[graft.expressions.ImageBlockHash]] — one narrow codegen'd pass
+    * over the pixel bytes, integer-exact and oracle-restatable) and the
+    * pairs ride the SAME pigeonhole block join + exact Hamming verify
+    * as the text SimHash paths ([[simHashPortablePairs]]): lossless for
+    * Hamming ≤ maxHamming by construction, banded-bucket shuffle — the
+    * 100 TB shape, never all-pairs. Unparseable payloads hash to null
+    * and are excluded (they have no pixel statistics to compare).
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 4): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"),
+        graft.expressions.ImageBlockHash(col(payloadCol)).as("sig"))
+        .filter(col("sig").isNotNull),
+      bits = 60, maxHamming = maxHamming)
+
   /** Portable SimHash signatures as a partial-aggregable plan: explode
     * tokens, take 60 conditional ±1 sums grouped by doc, pack the signs.
     * Numerically identical to the [[simHashPortable]] expression (same

@@ -507,6 +507,54 @@ object PipelineQueries {
       |FROM documents, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Hamming radius for the q104 image near-dup pairs. */
+  private val ImgHamming = 4
+
+  /** Q104 — IMAGE near-dup pairs: every document's BMP payload (the
+    * q31 packing) compresses to the 60-bit block-mean perceptual hash
+    * and near-identical images pair up within Hamming ≤ $ImgHamming —
+    * the multimodal column's dedup step (see
+    * [[graft.operators.Dedup.imageNearDupPairs]]). The oracle
+    * recomputes the hash from FIRST PRINCIPLES over the source text
+    * (the pixel array is a pure function of the text bytes — the q31
+    * convention) and verifies pairs by brute-force Hamming, which the
+    * pigeonhole generation equals losslessly at this radius.
+    */
+  private def q104(spark: SparkSession, dir: String): DataFrame =
+    Dedup.imageNearDupPairs(
+        Multimodal.packBmp(Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id", "payload", maxHamming = ImgHamming)
+      .orderBy("id_a", "id_b")
+
+  private val q104Sql =
+    s"""WITH b AS (SELECT doc_id, encode(text) AS bb,
+       |                  octet_length(encode(text)) AS n,
+       |                  greatest((octet_length(encode(text)) + 23) // 24, 1)
+       |                    * 24 AS total
+       |           FROM documents WHERE text IS NOT NULL),
+       |tb AS (SELECT doc_id, total, bb, unnest(range(1, n + 1)) AS i FROM b),
+       |tv AS (SELECT doc_id, ((i - 1) * 60) // total AS blk,
+       |              ('0x' || substr(hex(bb), 2*i - 1, 2))::BIGINT AS v
+       |       FROM tb),
+       |sums AS (SELECT doc_id, blk, sum(v)::BIGINT AS s FROM tv GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(v)::BIGINT AS ts FROM tv GROUP BY 1),
+       |pz AS (SELECT doc_id, total, unnest(range(0, total)) AS p FROM b),
+       |sz AS (SELECT doc_id, (p * 60) // total AS blk, count(*)::BIGINT AS size,
+       |              any_value(total) AS total
+       |       FROM pz GROUP BY 1, 2),
+       |hash AS (SELECT sz.doc_id,
+       |                sum(CASE WHEN coalesce(s, 0) * sz.total
+       |                              > tot.ts * sz.size
+       |                         THEN 1::BIGINT << blk ELSE 0 END)::BIGINT AS sig
+       |         FROM sz LEFT JOIN sums USING (doc_id, blk)
+       |                 JOIN tot USING (doc_id)
+       |         GROUP BY 1)
+       |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |       bit_count(xor(a.sig, c.sig))::BIGINT AS hamming
+       |FROM hash a JOIN hash c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.sig, c.sig)) <= $ImgHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q19_exact_dedup", q19, Some(q19Sql)),
     QueryDef("q20_tokenset_dedup", q20, Some(q20Sql)),
@@ -525,5 +573,6 @@ object PipelineQueries {
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),
     QueryDef("q31_multimodal_features", q31, Some(q31Sql)),
-    QueryDef("q32_frame_sample", q32, Some(q32Sql)))
+    QueryDef("q32_frame_sample", q32, Some(q32Sql)),
+    QueryDef("q104_image_neardup", q104, Some(q104Sql)))
 }

@@ -645,6 +645,36 @@ class PipelineOpSpec extends SparkSpec {
     assert(rows(1).isNullAt(1))         // unrecognized payload -> null row
   }
 
+  test("ImageBlockHash: deterministic, perturbation-local, null on non-BMP") {
+    val texts = Seq(
+      (1L, "a" * 48),                 // constant bytes -> no block above mean
+      (2L, "abc " * 30),              // structured doc
+      (3L, "abc " * 29 + "abcQ"),     // one byte perturbed vs 2
+      (4L, "." * 60 + "z" * 60))      // structurally different: low half,
+                                      // high half (a perceptual hash pairs
+                                      // same-STRUCTURE images — "zyx "*30
+                                      // would rightly pair with "abc "*30)
+    val packed = Multimodal.packBmp(texts.toDF("id", "t"), "id", "t")
+    val sigs = packed.select(col("id"),
+        graft.expressions.ImageBlockHash(col("payload")).as("sig"))
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == 0L)            // constant image hashes to 0
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 60)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a one-byte change moves few block means past the global mean
+    assert(ham(sigs(2L), sigs(3L)) <= 4)
+    // non-BMP payload hashes to null
+    val n = Seq(Tuple1("not a bmp".getBytes)).toDF("payload")
+      .select(graft.expressions.ImageBlockHash(col("payload"))).collect().head
+    assert(n.isNullAt(0))
+    // the pair path pairs the perturbed twin, not the unrelated doc
+    val pairs = graft.operators.Dedup.imageNearDupPairs(
+        packed, "id", "payload", maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 3L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
   test("frameSample: 4 frames tile the payload with integer offsets") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "t") // 10 bytes, frame len 2
     val rows = Multimodal.frameSample(
