@@ -214,6 +214,42 @@ object ExtendedQueries {
        |SELECT term, n_exact, cms_est FROM top JOIN est USING (term)
        |ORDER BY n_exact DESC, term""".stripMargin
 
+  // --------------------------------------------------------------- z-order
+
+  /** Quantization width for the q105 z-order values. */
+  private val ZBits = 16
+
+  /** Q105 — Z-order layout values: every event's Morton interleave over
+    * (user_id, value), the single sort key that clusters BOTH
+    * dimensions for write-side data skipping (see
+    * [[graft.operators.Layout.withZValue]]) — graded value-for-value,
+    * so the quantization and bit interleave are checked exactly.
+    */
+  private def q105(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.withZValue(
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+          col("value")),
+        Seq("user_id", "value"), bits = ZBits)
+      .select(col("event_id"), col("z_value"))
+      .orderBy("event_id")
+
+  private val q105Sql =
+    s"""WITH s AS (SELECT min(user_id)::DOUBLE AS mnu, max(user_id)::DOUBLE AS mxu,
+       |                  min(value)::DOUBLE AS mnv, max(value)::DOUBLE AS mxv
+       |           FROM events),
+       |q AS (SELECT event_id,
+       |             CASE WHEN mxu = mnu THEN 0 ELSE
+       |               floor((user_id::DOUBLE - mnu) * ${(1L << ZBits) - 1}.0
+       |                     / (mxu - mnu))::BIGINT END AS qu,
+       |             CASE WHEN mxv = mnv THEN 0 ELSE
+       |               floor((value - mnv) * ${(1L << ZBits) - 1}.0
+       |                     / (mxv - mnv))::BIGINT END AS qv
+       |      FROM events, s)
+       |SELECT event_id, list_sum(list_transform(range(0, $ZBits),
+       |         b -> (((qu >> b) & 1) << (2*b)) + (((qv >> b) & 1) << (2*b + 1))
+       |       ))::BIGINT AS z_value
+       |FROM q ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------------- dataset split
 
   /** Q41 — permanent train/val/test membership (80/10/10) for every
@@ -639,5 +675,6 @@ object ExtendedQueries {
     QueryDef("q53_histogram", q53, Some(q53Sql)),
     QueryDef("q54_snapshot_diff", q54, Some(q54Sql)),
     QueryDef("q55_unpivot", q55, Some(q55Sql)),
-    QueryDef("q100_cms_estimate", q100, Some(q100Sql)))
+    QueryDef("q100_cms_estimate", q100, Some(q100Sql)),
+    QueryDef("q105_zorder_value", q105, Some(q105Sql)))
 }

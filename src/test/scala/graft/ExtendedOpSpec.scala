@@ -367,6 +367,32 @@ class ExtendedOpSpec extends SparkSpec {
     assert(math.abs(ap._2 - 51.0) <= 1.0 && math.abs(ap._3 - 91.0) <= 1.0)
   }
 
+  test("Layout.withZValue: hand-computed Morton interleave; nulls and degenerates") {
+    import graft.operators.Layout
+    // 2 cols, 2 bits: min-max over {0..3} quantizes to identity, so the
+    // z-value is the textbook bit interleave (x at even, y at odd bits)
+    val df = Seq((0, 0, 0), (1, 3, 0), (2, 0, 3), (3, 3, 3), (4, 1, 2))
+      .toDF("id", "x", "y")
+    val got = Layout.withZValue(df, Seq("x", "y"), bits = 2)
+      .orderBy("id").select(col("id"), col("z_value"))
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((0, 0L), (1, 5L), (2, 10L), (3, 15L), (4, 9L)))
+    // constant column carries no bits; null key -> null z
+    val dg = Layout.withZValue(
+        Seq((1, 7, Some(2.0)), (2, 7, None)).toDF("id", "c", "v"),
+        Seq("c", "v"), bits = 4)
+      .orderBy("id").select(col("z_value")).collect()
+    assert(dg(0).getLong(0) >= 0L)
+    assert(dg(1).isNullAt(0))
+    // contract checks
+    intercept[IllegalArgumentException] {
+      Layout.withZValue(df, Seq("x", "y"), bits = 40) // 80 bits > 62
+    }
+    intercept[IllegalArgumentException] {
+      Layout.withZValue(df.withColumn("z_value", lit(1)), Seq("x"))
+    }
+  }
+
   test("Sketch: CMS estimates are one-sided; shard sketches merge linearly") {
     import graft.operators.Sketch
     val terms = graft.sources.Tables.documents(spark, sf)
