@@ -9,7 +9,8 @@ import graft.operators.{AsOf, Quantiles, RangeJoin, Sessionize, Sketch, Splits}
 import graft.sources.Tables
 import QueryDefs._
 
-/** Q38–Q43 — round-5 extension surface: the relational operators Spark
+/** Q38–Q55 (+ Q100 count-min, Q105 z-order) — extension surface: the
+  * relational operators Spark
   * has no built-in form of (as-of join, interval join), plus the
   * pipeline primitives a 100 TB training-data curation run leans on
   * (deterministic distinct-count and frequency sketches — KMV q40,

@@ -7,7 +7,7 @@ import graft.functions.VectorFns
 import graft.operators.{Curation, Dedup, Redact, Similarity}
 import graft.sources.Tables
 
-/** Q64–Q72 — round-7 corpus-hygiene surface: the scoring and decision
+/** Q64–Q72 (+ Q99 SemDeDup) — corpus-hygiene surface: the scoring and decision
   * steps between the round-6 curation signals and an actual training
   * set — LM-based quality scoring (unigram cross-entropy), tokenizer
   * coverage (OOV rate), PII-style pattern scrubbing, per-source corpus

@@ -8,12 +8,14 @@ import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
 import graft.sources.Tables
 import QueryDefs._
 
-/** Q19–Q35 — the large-scale training-data pipeline surface (SURVEY §7.3):
+/** Q19–Q35 (+ Q104 image near-dup) — the large-scale training-data
+  * pipeline surface (SURVEY §7.3):
   * deduplication (exact, n-gram Jaccard, MinHash+LSH), text analysis
   * (token counting, quality scoring, language ID, rolling-hash
   * fingerprints), similarity search over embeddings (brute-force cosine
   * and LSH-bucketed ANN), sessionization / gap detection, and the
-  * multimodal binary-column plumbing.
+  * multimodal binary-column plumbing — packing, decode, frame sampling,
+  * and perceptual-hash near-dup.
   *
   * Every query here is a thin declarative wrapper over the operators in
   * `graft.operators` / `graft.functions`, with a DuckDB oracle wherever
