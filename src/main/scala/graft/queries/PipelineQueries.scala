@@ -509,6 +509,38 @@ object PipelineQueries {
       |FROM documents, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Q106 — audio-style frame features: the q32 frame sampling composed
+    * with the integer-exact PCM statistics kernel (see
+    * [[graft.operators.Multimodal.audioFrameStats]]) — sample count,
+    * amplitude moments, and frame-mean crossings per frame, graded
+    * value-for-value from the source text bytes.
+    */
+  private def q106(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameStats(
+        Multimodal.packText(Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id", n = 4)
+      .orderBy("doc_id", "frame_idx")
+
+  private val q106Sql =
+    """WITH fr AS (SELECT doc_id, i AS frame_idx,
+      |                   substr(text, (length(text) // 4) * i + 1,
+      |                          greatest(length(text) // 4, 1)) AS f
+      |            FROM documents, (SELECT unnest(range(0, 4)) AS i)),
+      |c AS (SELECT doc_id, frame_idx, length(f)::BIGINT AS n,
+      |             list_transform(range(1, length(f) + 1),
+      |                            k -> ord(substr(f, k, 1))::BIGINT) AS v
+      |      FROM fr),
+      |s AS (SELECT doc_id, frame_idx, n, v,
+      |             coalesce(list_sum(v), 0)::BIGINT AS sum_amp,
+      |             coalesce(list_sum(list_transform(v, x -> x * x)), 0)::BIGINT
+      |               AS energy
+      |      FROM c)
+      |SELECT doc_id, frame_idx, n AS n_samples, sum_amp, energy,
+      |       coalesce(list_sum(list_transform(range(2, n + 1),
+      |         k -> CASE WHEN (v[k] * n > sum_amp) != (v[k - 1] * n > sum_amp)
+      |                   THEN 1 ELSE 0 END)), 0)::BIGINT AS mean_crossings
+      |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Hamming radius for the q104 image near-dup pairs. */
   private val ImgHamming = 4
 
@@ -576,5 +608,6 @@ object PipelineQueries {
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),
     QueryDef("q31_multimodal_features", q31, Some(q31Sql)),
     QueryDef("q32_frame_sample", q32, Some(q32Sql)),
-    QueryDef("q104_image_neardup", q104, Some(q104Sql)))
+    QueryDef("q104_image_neardup", q104, Some(q104Sql)),
+    QueryDef("q106_audio_frames", q106, Some(q106Sql)))
 }

@@ -675,6 +675,24 @@ class PipelineOpSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("PcmFrameStats: hand-computed moments and mean crossings") {
+    // bytes 97 98 32 97: sum 324, energy 29446; above-mean pattern
+    // T T F T -> 2 crossings. Empty frame -> all zeros.
+    val df = Seq((1L, "ab a".getBytes), (2L, Array.empty[Byte]))
+      .toDF("id", "frame")
+    val got = df.select(col("id"),
+        graft.expressions.PcmFrameStats(col("frame")).as("s"))
+      .orderBy("id")
+      .select(col("s.n_samples"), col("s.sum_amp"), col("s.energy"),
+        col("s.mean_crossings"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 324L, 29446L, 2L), (0L, 0L, 0L, 0L)))
+    // null payload -> null struct
+    val n = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("frame")
+      .select(graft.expressions.PcmFrameStats(col("frame"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("frameSample: 4 frames tile the payload with integer offsets") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "t") // 10 bytes, frame len 2
     val rows = Multimodal.frameSample(
