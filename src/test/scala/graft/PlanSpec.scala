@@ -183,6 +183,15 @@ class PlanSpec extends SparkSpec {
         s"equi-joins/windows; got $nodes")
   }
 
+  test("q104 image near-dup plan: pinned signature exchange reused, no cartesian") {
+    val nodes = names(finalNodes(SparkEntry.queries("q104_image_neardup")(spark, sf)))
+    assert(nodes.contains("ReusedExchange"),
+      s"the hash frame feeds the blocked index and both verify joins " +
+        s"through one pinned exchange; got $nodes")
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"pigeonhole + verify must stay equi-join only; got $nodes")
+  }
+
   test("q81 duplicated-spans plan: one tokenizing scan, df via window on the tf frame") {
     val nodes = finalNodes(SparkEntry.queries("q81_duplicated_spans")(spark, sf))
     val dataScans = nodes.collect {
