@@ -682,6 +682,73 @@ object Curation {
           .as("containment"))
   }
 
+  // ------------------------------------------------------- span corruption
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective AUGMENTATION step that turns a clean corpus
+    * into (input, target) training pairs: ~`ratePct`% of tokens are
+    * masked, CONSECUTIVE masked tokens collapse into one sentinel, the
+    * input keeps the unmasked text with `<extra_id_k>` sentinels in
+    * span order, and the target lists each sentinel with its masked
+    * span, closed by the final `<extra_id_n_spans>` sentinel (the T5
+    * convention). Emits
+    * `(idCol, n_tokens, n_masked, n_spans, input_text, target_text)`.
+    *
+    * The mask is a pure function of (doc id, position) through the
+    * portable hash — the [[Splits]] permanence contract: re-runs,
+    * repartitions, and retries corrupt identically, and the DuckDB
+    * oracle reproduces every pair bit-for-bit (a `rand()`-based mask
+    * could never be graded). Plan shape: one tokenize + posexplode,
+    * two windows on the SAME (id, pos) sort (lag for span starts, a
+    * running sum for sentinel numbering — one exchange, one sort), one
+    * doc-keyed aggregate; the per-doc piece lists are bounded by
+    * document length. Null-text docs are dropped (the corpus-operator
+    * convention).
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  ratePct: Int = 15, salt: String = "t5span"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100,
+      s"ratePct must be in [0, 100], got $ratePct")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(TextFns.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .withColumn("mask",
+        pmod(Splits.portableHash(
+          concat_ws("_", col(idCol), col("pos")), salt), lit(100)) < ratePct)
+      .withColumn("span_start",
+        col("mask") && !coalesce(lag(col("mask"), 1).over(w), lit(false)))
+      .withColumn("span_idx",
+        sum(when(col("span_start"), 1L).otherwise(0L)).over(w) - 1L)
+    val sentinel = concat(lit("<extra_id_"), col("span_idx"), lit(">"))
+    val pieces = toks.select(col(idCol), col("pos"), col("mask"),
+      col("span_start"),
+      when(!col("mask"), col("tok"))
+        .when(col("span_start"), sentinel)
+        .otherwise(lit("")).as("in_piece"),
+      when(col("mask") && col("span_start"),
+          concat(sentinel, lit(" "), col("tok")))
+        .when(col("mask"), col("tok"))
+        .otherwise(lit("")).as("tgt_piece"))
+    pieces.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("mask"), 1)).as("n_masked"),
+        count(when(col("span_start"), 1)).as("n_spans"),
+        sort_array(collect_list(struct(col("pos"), col("in_piece"))))
+          .as("in_arr"),
+        sort_array(collect_list(struct(col("pos"), col("tgt_piece"))))
+          .as("tgt_arr"))
+      .select(col(idCol), col("n_tokens"), col("n_masked"), col("n_spans"),
+        array_join(filter(transform(col("in_arr"), x => x.getField("in_piece")),
+          x => x =!= ""), " ").as("input_text"),
+        concat(
+          array_join(filter(transform(col("tgt_arr"),
+            x => x.getField("tgt_piece")), x => x =!= ""), " "),
+          when(col("n_masked") > 0L, lit(" ")).otherwise(lit("")),
+          lit("<extra_id_"), col("n_spans"), lit(">")).as("target_text"))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Overlapping token-window chunking (RAG / context-window prep): each

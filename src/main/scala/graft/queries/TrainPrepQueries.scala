@@ -41,7 +41,9 @@ import graft.sources.Tables
   *     hashed-bigram target-likeness selection), and
   *   - BM25 lexical retrieval (q101 — the term-based index family
   *     next to the embedding ones) with reciprocal-rank fusion of
-  *     the ANN index rankings (q102).
+  *     the ANN index rankings (q102), and
+  *   - T5-style span corruption (q107 — the corpus as deterministic
+  *     denoising (input, target) pairs).
   *
   * Oracle discipline unchanged from the earlier modules: full-algorithm
   * DuckDB restatements, integer counts divided once at the end, every
@@ -1333,6 +1335,61 @@ object TrainPrepQueries {
        |SELECT query_id, vec_id, rank::BIGINT AS rank, rrf FROM r
        |WHERE rank <= $RecallK ORDER BY query_id, rank""".stripMargin
 
+  /** Mask rate (percent) for the q107 span corruption. */
+  private val CorruptPct = 15
+
+  /** Q107 — T5-style span corruption: the corpus as denoising
+    * (input, target) pairs — hash-deterministic masking, consecutive
+    * masked tokens collapsed to sentinels, targets closed by the final
+    * sentinel (see [[graft.operators.Curation.spanCorrupt]]) — graded
+    * string-for-string.
+    */
+  private def q107(spark: SparkSession, dir: String): DataFrame =
+    Curation.spanCorrupt(Tables.documents(spark, dir), "doc_id", "text",
+        ratePct = CorruptPct)
+      .orderBy("doc_id")
+
+  private val q107Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+       |             unnest(toks) AS tok
+       |      FROM d),
+       |m AS (SELECT doc_id, pos, tok,
+       |             (('0x' || substr(md5('t5span:' || doc_id || '_' || pos),
+       |                              1, 15))::BIGINT % 100) < $CorruptPct
+       |               AS mask
+       |      FROM t),
+       |s AS (SELECT *, mask AND NOT coalesce(
+       |               lag(mask) OVER (PARTITION BY doc_id ORDER BY pos),
+       |               false) AS span_start
+       |      FROM m),
+       |x AS (SELECT *, (sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT - 1
+       |               AS span_idx
+       |      FROM s),
+       |p AS (SELECT doc_id, pos, mask, span_start,
+       |             CASE WHEN NOT mask THEN tok
+       |                  WHEN span_start THEN '<extra_id_' || span_idx || '>'
+       |                  ELSE '' END AS in_piece,
+       |             CASE WHEN mask AND span_start
+       |                    THEN '<extra_id_' || span_idx || '> ' || tok
+       |                  WHEN mask THEN tok
+       |                  ELSE '' END AS tgt_piece
+       |      FROM x)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |       (count(*) FILTER (WHERE mask))::BIGINT AS n_masked,
+       |       (count(*) FILTER (WHERE span_start))::BIGINT AS n_spans,
+       |       coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+       |                FILTER (WHERE in_piece != ''), '') AS input_text,
+       |       coalesce(string_agg(tgt_piece, ' ' ORDER BY pos)
+       |                FILTER (WHERE tgt_piece != ''), '')
+       |         || CASE WHEN count(*) FILTER (WHERE mask) > 0
+       |                 THEN ' ' ELSE '' END
+       |         || '<extra_id_' || count(*) FILTER (WHERE span_start) || '>'
+       |         AS target_text
+       |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1362,5 +1419,6 @@ object TrainPrepQueries {
     QueryDef("q98_dsir_select", q98, Some(q98Sql)),
     QueryDef("q101_bm25_topk", q101, Some(q101Sql)),
     QueryDef("q102_rrf_fusion", q102, Some(q102Sql)),
-    QueryDef("q103_dsir_rowwise", q103, Some(q103Sql)))
+    QueryDef("q103_dsir_rowwise", q103, Some(q103Sql)),
+    QueryDef("q107_span_corrupt", q107, Some(q107Sql)))
 }

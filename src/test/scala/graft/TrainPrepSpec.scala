@@ -515,6 +515,39 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- span corruption
+
+  test("spanCorrupt: sentinel substitution reconstructs the original text") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40)
+    val out = Curation.spanCorrupt(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), col("input_text"), col("target_text"), col("text"))
+      .as[(Long, Long, Long, Long, String, String, String)].collect()
+    assert(out.length == 40)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, nt, nm, ns, input, target, text) =>
+      assert(nm <= nt && ns <= nm, s"doc $id count invariants")
+      // target = <extra_id_0> span0 <extra_id_1> span1 ... <extra_id_ns>
+      val ids = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(ids == (0L.to(ns).map(_.toInt)), s"doc $id sentinel order")
+      val spans = sentinel.split(target).map(_.trim).filter(_.nonEmpty)
+      assert(spans.length == ns, s"doc $id span count")
+      // substitute spans back into the input -> original document
+      val rebuilt = sentinel.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+      assert(rebuilt == text, s"doc $id reconstruction")
+    }
+    // deterministic across invocations (pure function of ids + salt)
+    val again = Curation.spanCorrupt(docs, "doc_id", "text")
+      .select(col("doc_id"), col("input_text"))
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, _, _, input, _, _) =>
+      assert(again(id) == input)
+    }
+  }
+
   // ----------------------------------------------------------- RRF fusion
 
   test("Fusion.rrf: hand-computed fused ranking over two systems") {
