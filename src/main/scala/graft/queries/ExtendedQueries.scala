@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.KMinValues
 import graft.functions.TfIdf
-import graft.operators.{AsOf, Quantiles, RangeJoin, Sessionize, Sketch, Splits}
+import graft.operators.{AsOf, Quantiles, RangeJoin, Sessionize, Sketch, Splits, TimeSeries}
 import graft.sources.Tables
 import QueryDefs._
 
@@ -250,6 +250,44 @@ object ExtendedQueries {
        |         b -> (((qu >> b) & 1) << (2*b)) + (((qv >> b) & 1) << (2*b + 1))
        |       ))::BIGINT AS z_value
        |FROM q ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------- EWMA smooth
+
+  /** Smoothing factor / trailing-frame width for the q108 EWMA. */
+  private val EwmaAlpha = 0.3
+  private val EwmaWindow = 8
+
+  /** Q108 — per-user EWMA telemetry smoothing: the recursive
+    * `acc = alpha * x + (1 - alpha) * acc` fold over each row's trailing
+    * $EwmaWindow-observation frame, plus the residual the monitoring
+    * rules threshold (see [[TimeSeries.ewmaSmooth]]) — graded
+    * value-for-value, so the fold order and seeding are checked exactly
+    * (the codegen kernel and the oracle's `list_reduce` are both strict
+    * oldest-first left folds).
+    */
+  private def q108(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaSmooth(Tables.events(spark, dir),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valueCol = "value", alpha = EwmaAlpha, window = EwmaWindow)
+      .orderBy("user_id", "event_id")
+
+  private val q108Sql =
+    s"""WITH w AS (SELECT user_id, event_id, value,
+       |                  list(value::DOUBLE) OVER (
+       |                    PARTITION BY user_id ORDER BY ts, event_id
+       |                    ROWS BETWEEN ${EwmaWindow - 1} PRECEDING
+       |                         AND CURRENT ROW) AS vals
+       |           FROM events)
+       |SELECT user_id, event_id, value,
+       |       floor(list_reduce(vals, (acc, x) ->
+       |               ($EwmaAlpha)::DOUBLE * x
+       |             + (${1.0 - EwmaAlpha})::DOUBLE * acc)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS ewma,
+       |       floor((value - list_reduce(vals, (acc, x) ->
+       |               ($EwmaAlpha)::DOUBLE * x
+       |             + (${1.0 - EwmaAlpha})::DOUBLE * acc))
+       |             * 1000000.0 + 0.5) / 1000000.0 AS deviation
+       |FROM w ORDER BY user_id, event_id""".stripMargin
 
   // --------------------------------------------------------- dataset split
 
@@ -677,5 +715,6 @@ object ExtendedQueries {
     QueryDef("q54_snapshot_diff", q54, Some(q54Sql)),
     QueryDef("q55_unpivot", q55, Some(q55Sql)),
     QueryDef("q100_cms_estimate", q100, Some(q100Sql)),
-    QueryDef("q105_zorder_value", q105, Some(q105Sql)))
+    QueryDef("q105_zorder_value", q105, Some(q105Sql)),
+    QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))
 }

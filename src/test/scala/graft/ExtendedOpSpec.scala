@@ -430,4 +430,46 @@ class ExtendedOpSpec extends SparkSpec {
         merged("c").isNull || whole("c").isNull)
       .isEmpty)
   }
+
+  // --------------------------------------------------------------- EWMA
+
+  test("TimeSeries.ewmaSmooth recursive fold, trailing frame, tiebreak") {
+    val ev = Seq(
+      // key A, ordered by ts: values 1, 2, 4 (window 2)
+      (1L, 10L, ts(1000000L), 1.0),
+      (1L, 11L, ts(2000000L), 2.0),
+      (1L, 12L, ts(3000000L), 4.0),
+      // key B: ts tie broken by event_id (20 before 21)
+      (2L, 21L, ts(1000000L), 8.0),
+      (2L, 20L, ts(1000000L), 0.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = graft.operators.TimeSeries.ewmaSmooth(
+        ev, "user_id", "ts", "event_id", "value", alpha = 0.5, window = 2)
+      .select($"event_id", $"ewma", $"deviation")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // A: [1] -> 1; [1,2] -> .5*2+.5*1 = 1.5; frame slides to [2,4] -> 3.0
+    assert(got(10L) == (1.0, 0.0))
+    assert(got(11L) == (1.5, 0.5))
+    assert(got(12L) == (3.0, 1.0))
+    // B: frame order is (ts, event_id) so 20 seeds, 21 folds over [0, 8]
+    assert(got(20L) == (0.0, 0.0))
+    assert(got(21L) == (4.0, 4.0))
+  }
+
+  test("ewmaSmooth window=1 degenerates to the identity (ewma == value)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bad = graft.operators.TimeSeries.ewmaSmooth(
+        ev, "user_id", "ts", "event_id", "value", alpha = 0.3, window = 1)
+      .filter($"ewma" =!= $"value" || $"deviation" =!= 0.0)
+    assert(bad.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.ewmaSmooth(
+        ev, "user_id", "ts", "event_id", "value", alpha = 0.0, window = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.ewmaSmooth(
+        ev, "user_id", "ts", "event_id", "value", alpha = 0.3, window = 0)
+    }
+  }
 }
