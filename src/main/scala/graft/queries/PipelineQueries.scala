@@ -192,6 +192,58 @@ object PipelineQueries {
       |                          / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE)), 6) AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q109 — glyph-level composition + entropy quality signals: the ASCII
+    * class counts and code-point-distribution Shannon entropy (nats) of
+    * every document, in one fused scan via the codegen'd
+    * [[graft.expressions.CharClassStats]] kernel — the symbol-soup /
+    * low-entropy-boilerplate detectors that sit below the token-level
+    * quality rules. Entropy folds `p·ln(p)` in ascending code-point
+    * order (restated exactly by the oracle's ordered `list_reduce`) and
+    * is graded under the bit-stable `q6` quantization.
+    */
+  private def q109(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expressions.CharClassStats(col("text")).as("cs"))
+      .select(
+        col("doc_id"),
+        col("cs.n_cp").cast("long").as("n_cp"),
+        col("cs.n_alpha").cast("long").as("n_alpha"),
+        col("cs.n_upper").cast("long").as("n_upper"),
+        col("cs.n_digit").cast("long").as("n_digit"),
+        col("cs.n_space").cast("long").as("n_space"),
+        q6(col("cs.entropy")).as("entropy"))
+      .orderBy("doc_id")
+
+  private val q109Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |u AS (SELECT doc_id, ascii(substring(text, i, 1)) AS cp
+      |      FROM (SELECT doc_id, text,
+      |                   unnest(range(1, length(text) + 1)) AS i FROM d)),
+      |cls AS (SELECT doc_id, count(*)::BIGINT AS n_cp,
+      |               (count(*) FILTER (WHERE (cp BETWEEN 65 AND 90)
+      |                                    OR (cp BETWEEN 97 AND 122)))::BIGINT AS n_alpha,
+      |               (count(*) FILTER (WHERE cp BETWEEN 65 AND 90))::BIGINT AS n_upper,
+      |               (count(*) FILTER (WHERE cp BETWEEN 48 AND 57))::BIGINT AS n_digit,
+      |               (count(*) FILTER (WHERE cp IN (9, 10, 13, 32)))::BIGINT AS n_space
+      |        FROM u GROUP BY 1),
+      |h AS (SELECT doc_id, cp, count(*) AS k FROM u GROUP BY 1, 2),
+      |e AS (SELECT h.doc_id,
+      |             0.0 - list_reduce(
+      |               list((k::DOUBLE / n_cp) * ln(k::DOUBLE / n_cp) ORDER BY cp),
+      |               (a, b) -> a + b) AS ent
+      |      FROM h JOIN cls USING (doc_id) GROUP BY h.doc_id, cls.n_cp)
+      |SELECT d.doc_id,
+      |       coalesce(cls.n_cp, 0)::BIGINT AS n_cp,
+      |       coalesce(cls.n_alpha, 0)::BIGINT AS n_alpha,
+      |       coalesce(cls.n_upper, 0)::BIGINT AS n_upper,
+      |       coalesce(cls.n_digit, 0)::BIGINT AS n_digit,
+      |       coalesce(cls.n_space, 0)::BIGINT AS n_space,
+      |       floor(coalesce(e.ent, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS entropy
+      |FROM d LEFT JOIN cls USING (doc_id) LEFT JOIN e ON e.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Q24 — language-ID confusion matrix: labeled lang × predicted lang. */
   private def q24(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -609,5 +661,6 @@ object PipelineQueries {
     QueryDef("q31_multimodal_features", q31, Some(q31Sql)),
     QueryDef("q32_frame_sample", q32, Some(q32Sql)),
     QueryDef("q104_image_neardup", q104, Some(q104Sql)),
-    QueryDef("q106_audio_frames", q106, Some(q106Sql)))
+    QueryDef("q106_audio_frames", q106, Some(q106Sql)),
+    QueryDef("q109_char_stats", q109, Some(q109Sql)))
 }

@@ -22,6 +22,17 @@ object QueryDefs {
   /** Round a floating aggregate for oracle comparison. */
   def r6(c: Column): Column = round(c, 6)
 
+  /** Bit-stable 6-decimal quantization: `floor(x*1e6 + 0.5)/1e6` — the
+    * same IEEE op sequence in any engine (floor/multiply/divide are all
+    * exactly specified), unlike `round()`, whose implementations diverge
+    * at representation boundaries (Spark BigDecimal HALF_UP on the exact
+    * decimal expansion vs DuckDB `std::round(x*1e6)/1e6` — seen live on
+    * q108 at 53.3326575). Oracle twin:
+    * `floor(x * 1000000.0 + 0.5) / 1000000.0`.
+    */
+  def q6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
   /** Timestamp → epoch microseconds (DuckDB `epoch_us`). */
   def tsUs(c: Column): Column = unix_micros(c)
 

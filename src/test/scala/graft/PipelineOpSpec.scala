@@ -693,6 +693,30 @@ class PipelineOpSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("CharClassStats: class counts, entropy fold order, edge inputs") {
+    import graft.expressions.CharClassStats
+    val rows = Seq("Ab1 cé", "", "aaaa", "abab").toDF("t")
+      .select(CharClassStats(col("t")).as("cs")).select("cs.*").collect()
+    // "Ab1 c<e-acute>": 6 code points, 4 alpha (A b c + e-acute is NOT
+    // ASCII-alpha -> 3 alpha), 1 upper, 1 digit, 1 space
+    val r0 = rows(0)
+    assert((r0.getInt(0), r0.getInt(1), r0.getInt(2), r0.getInt(3),
+      r0.getInt(4)) == ((6, 3, 1, 1, 1)))
+    // entropy of 6 distinct singletons = ln(6)
+    assert(math.abs(r0.getDouble(5) - math.log(6.0)) < 1e-12)
+    // empty text: all zero, entropy exactly +0.0
+    val r1 = rows(1)
+    assert((r1.getInt(0), r1.getDouble(5)) == ((0, 0.0)))
+    assert(java.lang.Double.doubleToLongBits(r1.getDouble(5)) == 0L)
+    // single repeated symbol: entropy 0; two-symbol balanced: ln(2)
+    assert(rows(2).getDouble(5) == 0.0)
+    assert(math.abs(rows(3).getDouble(5) - math.log(2.0)) < 1e-12)
+    // astral code point counts once (surrogate pair) toward n_cp only
+    val astral = Seq("a😀b").toDF("t")
+      .select(CharClassStats(col("t")).as("cs")).select("cs.*").collect()(0)
+    assert((astral.getInt(0), astral.getInt(1)) == ((3, 2)))
+  }
+
   test("frameSample: 4 frames tile the payload with integer offsets") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "t") // 10 bytes, frame len 2
     val rows = Multimodal.frameSample(
