@@ -597,6 +597,47 @@ object Similarity {
       when(row_number().over(w) === 1, 1L).otherwise(0L))
   }
 
+  /** Contrastive (anchor → positive, hard-negative) pair mining — the
+    * triplet/InfoNCE data-prep step of embedding-model training: for
+    * every anchor, the most-similar SAME-label corpus vector (the
+    * positive) and the most-similar OTHER-label vector (the hard
+    * negative — the pair that actually moves a metric-learning loss),
+    * plus the margin between them (negative margin = the anchor's
+    * nearest neighbor crosses the class boundary, the rows worth
+    * auditing for label noise).
+    *
+    * Scale shape: identical to [[topKBatch]] — anchors broadcast (a
+    * mining pass is batched, never corpus-scale at once), corpus
+    * scanned once with an |A|-way in-row [[graft.expressions.VecDot]]
+    * fanout, and each (anchor, same/other) side keeps its best row via
+    * a rank-limited window (WindowGroupLimit k-heap, k=1). The final
+    * per-anchor pivot rides the same shuffle as the window. Anchors
+    * whose label has no other member emit a null positive.
+    */
+  def contrastivePairs(corpus: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, anchors: DataFrame): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(embCol).as("__a_emb"), col(labelCol).as("__a_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"), col("same"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    corpus.crossJoin(broadcast(a))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"), col(idCol),
+        (col(labelCol) === col("__a_label")).as("same"),
+        round(VectorFns.cosine(col(embCol), col("__a_emb")), 6).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") === 1)
+      .groupBy(col("anchor_id")).agg(
+        max(when(col("same"), col(idCol))).as("pos_id"),
+        max(when(col("same"), col("cos_sim"))).as("pos_sim"),
+        max(when(!col("same"), col(idCol))).as("neg_id"),
+        max(when(!col("same"), col("cos_sim"))).as("neg_sim"))
+      .withColumn("margin",
+        floor((col("pos_sim") - col("neg_sim")) * lit(1e6) + lit(0.5))
+          .cast("double") / lit(1e6))
+  }
+
   /** Brute-force cosine top-k for a BATCH of query vectors — the
     * ground-truth side of an ANN recall evaluation (and the exact
     * retrieval path when the query set is small enough to broadcast):

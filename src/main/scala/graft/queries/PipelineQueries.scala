@@ -395,6 +395,45 @@ object PipelineQueries {
        |SELECT vec_id, round(cs, 6) AS cos_sim FROM s
        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Anchor-set bound for the q110 contrastive mining pass. */
+  private val ContrastiveAnchors = 64
+
+  /** Q110 — contrastive (positive, hard-negative) mining over the
+    * embedding corpus for a broadcast anchor batch: per anchor, the
+    * best same-label and best other-label cosine neighbors plus the
+    * margin between them (see [[Similarity.contrastivePairs]]) —
+    * triplet-loss data prep, graded value-for-value.
+    */
+  private def q110(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.contrastivePairs(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < ContrastiveAnchors))
+      .orderBy("anchor_id")
+  }
+
+  private lazy val q110Sql =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+       |           FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS a_label, e AS ae
+       |      FROM e WHERE vec_id < $ContrastiveAnchors),
+       |s AS (SELECT a.anchor_id, e.vec_id, (e.label = a.a_label) AS same,
+       |             round(${cosSql("e.e", "ae")}, 6) AS cos_sim
+       |      FROM e JOIN a ON e.vec_id != a.anchor_id),
+       |r AS (SELECT anchor_id, vec_id, same, cos_sim,
+       |             row_number() OVER (PARTITION BY anchor_id, same
+       |                                ORDER BY cos_sim DESC, vec_id) AS rk
+       |      FROM s),
+       |p AS (SELECT anchor_id,
+       |             max(vec_id) FILTER (WHERE same) AS pos_id,
+       |             max(cos_sim) FILTER (WHERE same) AS pos_sim,
+       |             max(vec_id) FILTER (WHERE NOT same) AS neg_id,
+       |             max(cos_sim) FILTER (WHERE NOT same) AS neg_sim
+       |      FROM r WHERE rk = 1 GROUP BY anchor_id)
+       |SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim,
+       |       floor((pos_sim - neg_sim) * 1000000.0 + 0.5) / 1000000.0
+       |         AS margin
+       |FROM p ORDER BY anchor_id""".stripMargin
+
   private[queries] val LshPairThreshold = 0.4
 
   /** Q37 — LSH-banded embedding near-dup pairs: the 100 TB replacement
@@ -662,5 +701,6 @@ object PipelineQueries {
     QueryDef("q32_frame_sample", q32, Some(q32Sql)),
     QueryDef("q104_image_neardup", q104, Some(q104Sql)),
     QueryDef("q106_audio_frames", q106, Some(q106Sql)),
-    QueryDef("q109_char_stats", q109, Some(q109Sql)))
+    QueryDef("q109_char_stats", q109, Some(q109Sql)),
+    QueryDef("q110_contrastive_pairs", q110, Some(q110Sql)))
 }

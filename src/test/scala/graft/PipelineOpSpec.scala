@@ -693,6 +693,32 @@ class PipelineOpSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("contrastivePairs: best same/other-label neighbors, null positive") {
+    // 2-d unit-ish vectors: anchor 0 (label A) is closest to 1 (A) among
+    // same-label and to 2 (B) among other-label; 4 has a unique label.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),   // same label, very close
+      (2L, Array(0.8f, 0.3f), 1),   // other label, close
+      (3L, Array(-1.0f, 0.0f), 1),  // other label, opposite
+      (4L, Array(0.0f, 1.0f), 2)    // unique label
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.contrastivePairs(
+        emb, "vec_id", "embedding", "label",
+        emb.filter($"vec_id".isin(0L, 4L)))
+      .orderBy("anchor_id").collect()
+    val a0 = got(0)
+    assert(a0.getLong(0) == 0L)
+    assert(a0.getLong(a0.fieldIndex("pos_id")) == 1L)
+    assert(a0.getLong(a0.fieldIndex("neg_id")) == 2L)
+    // positive is closer than the hard negative -> positive margin
+    assert(a0.getDouble(a0.fieldIndex("margin")) > 0.0)
+    val a4 = got(1)
+    assert(a4.getLong(0) == 4L)
+    assert(a4.isNullAt(a4.fieldIndex("pos_id"))) // unique label: no positive
+    assert(!a4.isNullAt(a4.fieldIndex("neg_id")))
+  }
+
   test("CharClassStats: class counts, entropy fold order, edge inputs") {
     import graft.expressions.CharClassStats
     val rows = Seq("Ab1 cé", "", "aaaa", "abab").toDF("t")
