@@ -638,6 +638,41 @@ object Similarity {
           .cast("double") / lit(1e6))
   }
 
+  /** MMR diversity re-rank of each query's retrieval candidates —
+    * "most relevant, least redundant" greedy top-k (Carbonell &
+    * Goldstein 1998), the diversity-aware selection step between
+    * retrieval and consumption (RAG context assembly, eval-set
+    * construction). Candidates come from [[topKBatch]] (swap in an ANN
+    * variant at corpus scale), then each query's bounded candidate list
+    * is re-ranked by ONE call of the sequential greedy kernel
+    * ([[graft.expressions.MmrRerank]]) — the recurrence is inherently
+    * serial in k, so the right distribution unit is the query, not the
+    * step.
+    *
+    * Scale shape: retrieval cost is [[topKBatch]]'s; the re-rank adds
+    * one broadcast-hash join to fetch candidate vectors (candidate
+    * frame is |Q|·n rows — always the small side), one shuffle to group
+    * them per query, and O(k·n) in-row cosines per query. No driver
+    * loop, no per-step shuffle.
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, embCol: String,
+                queries: DataFrame, qidCol: String,
+                nCandidates: Int, k: Int, lambda: Double): DataFrame = {
+    val cands = topKBatch(corpus, idCol, embCol, queries, qidCol,
+        nCandidates)
+      .withColumnRenamed("cos_sim", "rel")
+    corpus.select(col(idCol), col(embCol).as("__emb"))
+      .join(broadcast(cands), Seq(idCol))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col(idCol), col("rel"), col("__emb")))
+        .as("__cands"))
+      .select(col("query_id"),
+        explode(graft.expressions.MmrRerank(col("__cands"), lambda, k))
+          .as("__m"))
+      .select(col("query_id"), col("__m.vec_id").as(idCol),
+        col("__m.rank").as("rank"), col("__m.mmr").as("mmr"))
+  }
+
   /** Brute-force cosine top-k for a BATCH of query vectors — the
     * ground-truth side of an ANN recall evaluation (and the exact
     * retrieval path when the query set is small enough to broadcast):

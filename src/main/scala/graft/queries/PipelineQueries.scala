@@ -434,6 +434,80 @@ object PipelineQueries {
        |         AS margin
        |FROM p ORDER BY anchor_id""".stripMargin
 
+  /** q111 MMR parameters: anchor queries, candidate pool, selection
+    * size, relevance-vs-diversity tradeoff.
+    */
+  private val MmrQueries = 8
+  private val MmrCands = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  /** Q111 — MMR diversity re-rank: each query's top-$MmrCands brute
+    * candidates greedily reduced to $MmrK "most relevant, least
+    * redundant" picks (see [[Similarity.mmrRerank]]). The oracle
+    * restates the greedy recurrence as an unrolled $MmrK-step
+    * MATERIALIZED CTE chain — selection AND scores are graded exactly
+    * (raw-mmr argmax, id tiebreak, bit-stable final quantization).
+    */
+  private def q111(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrRerank(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < MmrQueries), "vec_id",
+        nCandidates = MmrCands, k = MmrK, lambda = MmrLambda)
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val q111Sql = {
+    val lam = s"(${MmrLambda})::DOUBLE"
+    val om = s"(${1.0 - MmrLambda})::DOUBLE"
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT query_id, vec_id, $i::BIGINT AS rank, mmr
+         |  FROM (SELECT c.query_id, c.vec_id,
+         |               $lam * c.rel - $om * max(x.sim) AS mmr,
+         |               row_number() OVER (PARTITION BY c.query_id
+         |                 ORDER BY $lam * c.rel - $om * max(x.sim) DESC,
+         |                          c.vec_id) AS rk
+         |        FROM cand c
+         |        JOIN cc x ON x.query_id = c.query_id AND x.va = c.vec_id
+         |        JOIN sel${i - 1} t ON t.query_id = x.query_id
+         |                          AND t.vec_id = x.vb
+         |        LEFT JOIN sel${i - 1} d ON d.query_id = c.query_id
+         |                               AND d.vec_id = c.vec_id
+         |        WHERE d.vec_id IS NULL
+         |        GROUP BY c.query_id, c.vec_id, c.rel) WHERE rk = 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+         |                       UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $MmrQueries),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${cosSql("e.e", "qe")}, 6) AS rel
+       |      FROM e, q),
+       |cand AS MATERIALIZED (SELECT query_id, vec_id, rel FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY rel DESC, vec_id) AS rk FROM s)
+       |      WHERE rk <= $MmrCands),
+       |cc AS MATERIALIZED (SELECT a.query_id, a.vec_id AS va,
+       |             b.vec_id AS vb,
+       |             floor(${cosSql("ea.e", "eb.e")}
+       |                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |      FROM cand a
+       |      JOIN cand b ON a.query_id = b.query_id
+       |                 AND a.vec_id != b.vec_id
+       |      JOIN e ea ON ea.vec_id = a.vec_id
+       |      JOIN e eb ON eb.vec_id = b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT query_id, vec_id, 1::BIGINT AS rank,
+       |             $lam * rel AS mmr
+       |      FROM (SELECT query_id, vec_id, rel, row_number() OVER (
+       |              PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+       |            FROM cand) WHERE rk = 1),
+       |$steps
+       |SELECT query_id, vec_id, rank,
+       |       floor(mmr * 1000000.0 + 0.5) / 1000000.0 AS mmr
+       |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+  }
+
   private[queries] val LshPairThreshold = 0.4
 
   /** Q37 — LSH-banded embedding near-dup pairs: the 100 TB replacement
@@ -702,5 +776,6 @@ object PipelineQueries {
     QueryDef("q104_image_neardup", q104, Some(q104Sql)),
     QueryDef("q106_audio_frames", q106, Some(q106Sql)),
     QueryDef("q109_char_stats", q109, Some(q109Sql)),
-    QueryDef("q110_contrastive_pairs", q110, Some(q110Sql)))
+    QueryDef("q110_contrastive_pairs", q110, Some(q110Sql)),
+    QueryDef("q111_mmr_rerank", q111, Some(q111Sql)))
 }

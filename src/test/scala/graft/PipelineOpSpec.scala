@@ -719,6 +719,46 @@ class PipelineOpSpec extends SparkSpec {
     assert(!a4.isNullAt(a4.fieldIndex("neg_id")))
   }
 
+  test("MmrRerank kernel: greedy selection trades relevance for diversity") {
+    import graft.expressions.MmrRerank
+    // A (id 1) most relevant; B (id 2) is A's exact duplicate; C (id 3)
+    // orthogonal. Pure relevance would pick [A, B]; MMR must pick C second.
+    val cands = array(
+      struct(lit(1L), lit(0.9), typedLit(Array(1.0f, 0.0f))),
+      struct(lit(2L), lit(0.85), typedLit(Array(1.0f, 0.0f))),
+      struct(lit(3L), lit(0.5), typedLit(Array(0.0f, 1.0f))))
+    val got = Seq(1).toDF("x")
+      .select(explode(MmrRerank(cands, lambda = 0.5, k = 3)).as("m"))
+      .select("m.*").as[(Long, Long, Double)].collect().toSeq
+    // step1: 0.5*0.9; step2: C wins 0.25 over B's 0.5*0.85-0.5*1 = -0.075
+    assert(got == Seq((1L, 1L, 0.45), (3L, 2L, 0.25), (2L, 3L, -0.075)))
+    // k > n: emits exactly n rows
+    val short = Seq(1).toDF("x")
+      .select(explode(MmrRerank(cands, lambda = 0.5, k = 9)).as("m"))
+    assert(short.count() == 3)
+  }
+
+  test("mmrRerank operator: rank-1 is the relevance argmax, k rows per query") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val got = graft.operators.Similarity.mmrRerank(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 2), "vec_id",
+      nCandidates = 10, k = 4, lambda = 0.7)
+    val rows = got.orderBy("query_id", "rank").collect()
+    assert(rows.length == 8) // 2 queries x k=4
+    // rank 1 of each query = its own vector (cos 1.0 with itself)
+    val r1 = rows.filter(_.getLong(rows.head.fieldIndex("rank")) == 1L)
+    assert(r1.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(0L -> 0L, 1L -> 1L))
+    // ranks are 1..k and selected ids are distinct per query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(rs.head.fieldIndex("rank"))).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      assert(rs.map(_.getLong(1)).distinct.length == 4)
+    }
+  }
+
   test("CharClassStats: class counts, entropy fold order, edge inputs") {
     import graft.expressions.CharClassStats
     val rows = Seq("Ab1 cé", "", "aaaa", "abab").toDF("t")
