@@ -384,6 +384,57 @@ class PlanSpec extends SparkSpec {
       s"per-query top-k must prune through WindowGroupLimit; got $ns")
   }
 
+  test("q108 ewma plan: one key exchange, no join, codegen'd fold") {
+    val nodes = finalNodes(SparkEntry.queries("q108_ewma_smooth")(spark, sf))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")),
+      s"smoothing is one windowed pass — no join allowed; got $ns")
+    // one hash exchange for the series key + the presentation range sort
+    val hashEx = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+    assert(hashEx == 1,
+      s"exactly one key shuffle expected, got $hashEx in $ns")
+    // the fold is a codegen Expression, not an interpreted HOF: the
+    // projection above the window must sit inside a WholeStageCodegen span
+    assert(ns.exists(_.contains("WholeStageCodegen")),
+      s"EwmaFold projection must stay codegen'd; got $ns")
+  }
+
+  test("q110 contrastive plan: anchors broadcast, k=1 WindowGroupLimit") {
+    val nodes = names(finalNodes(
+      SparkEntry.queries("q110_contrastive_pairs")(spark, sf)))
+    assert(nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+        n.contains("BroadcastHashJoin")),
+      s"anchor batch must broadcast (corpus side stays local); got $nodes")
+    assert(nodes.exists(_.contains("WindowGroupLimit")),
+      s"per-(anchor, side) best row must prune via WindowGroupLimit; got $nodes")
+    assert(!nodes.exists(n => n.contains("SortMergeJoin") ||
+        n.contains("CartesianProduct")),
+      s"no corpus-wide shuffle/cartesian join allowed; got $nodes")
+  }
+
+  test("q111 mmr plan: candidate fetch is broadcast, no per-step shuffle") {
+    val nodes = finalNodes(SparkEntry.queries("q111_mmr_rerank")(spark, sf))
+    val ns = names(nodes)
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      s"candidate frame must broadcast into the vector fetch; got $ns")
+    assert(!ns.exists(n => n.contains("SortMergeJoin") ||
+        n.contains("CartesianProduct")),
+      s"greedy steps run in-row — no shuffle join allowed; got $ns")
+    // 3 scans by construction: topKBatch's corpus scan + its broadcast
+    // query sample + the candidate-vector fetch; the greedy loop itself
+    // must NOT add any more
+    val scans = nodes.count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    assert(scans == 3, s"expected exactly 3 scans, got $scans in $ns")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)
