@@ -638,6 +638,49 @@ object Similarity {
           .cast("double") / lit(1e6))
   }
 
+  /** k-NN weak labeling / label-quality audit: each query vector gets
+    * the majority label of its k nearest corpus neighbors (self
+    * excluded by id), with the vote fraction as confidence and a
+    * correctness flag against the stored label — the cheap automatic
+    * labeler for unlabeled ingest AND the disagreement signal that
+    * surfaces mislabeled rows (a vector whose neighbors outvote its own
+    * label is an audit candidate).
+    *
+    * Vote semantics: neighbors rank by (cos DESC, id); the predicted
+    * label is the highest vote count, ties broken by the SMALLER label
+    * id — fully deterministic. Scale shape is [[topKBatch]]: query batch
+    * broadcast, one corpus scan, WindowGroupLimit k-heap per query, then
+    * a per-(query, label) count whose shuffle key extends the window's.
+    */
+  def knnPredict(corpus: DataFrame, idCol: String, embCol: String,
+                 labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("__q_emb"), col(labelCol).as("true_label"))
+    val wNn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("pred_label"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("true_label").cast("long").as("true_label"),
+        col(labelCol).cast("long").as("pred_label"),
+        round(VectorFns.cosine(col(embCol), col("__q_emb")), 6).as("cos_sim"),
+        col(idCol))
+      .withColumn("__graft_rk", row_number().over(wNn))
+      .filter(col("__graft_rk") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__graft_vr", row_number().over(wVote))
+      .filter(col("__graft_vr") === 1)
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"),
+        (col("votes").cast("double") / lit(k)).as("conf"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
   /** MMR diversity re-rank of each query's retrieval candidates —
     * "most relevant, least redundant" greedy top-k (Carbonell &
     * Goldstein 1998), the diversity-aware selection step between

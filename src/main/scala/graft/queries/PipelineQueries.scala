@@ -434,6 +434,47 @@ object PipelineQueries {
        |         AS margin
        |FROM p ORDER BY anchor_id""".stripMargin
 
+  /** q112 k-NN labeling parameters: query-sample bound and vote size. */
+  private val KnnQueries = 64
+  private val KnnK = 10
+
+  /** Q112 — k-NN weak labeling + label audit over the embedding corpus:
+    * a query batch predicted by the majority label of its $KnnK nearest
+    * neighbors (self excluded), with vote confidence and the
+    * agrees-with-stored-label flag (see [[Similarity.knnPredict]]) —
+    * graded row-for-row including the deterministic vote tiebreak.
+    */
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnPredict(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < KnnQueries), k = KnnK)
+      .orderBy("query_id")
+  }
+
+  private lazy val q112Sql =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe
+       |      FROM e WHERE vec_id < $KnnQueries),
+       |s AS (SELECT q.query_id, q.true_label::BIGINT AS true_label,
+       |             e.label::BIGINT AS pred_label, e.vec_id,
+       |             round(${cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e JOIN q ON e.vec_id != q.query_id),
+       |nn AS (SELECT * FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY cos_sim DESC, vec_id) AS rk
+       |         FROM s) WHERE rk <= $KnnK),
+       |v AS (SELECT query_id, true_label, pred_label,
+       |             count(*)::BIGINT AS votes
+       |      FROM nn GROUP BY 1, 2, 3),
+       |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY votes DESC, pred_label) AS vr
+       |      FROM v)
+       |SELECT query_id, true_label, pred_label, votes,
+       |       votes::DOUBLE / $KnnK AS conf,
+       |       (pred_label = true_label) AS correct
+       |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -777,5 +818,6 @@ object PipelineQueries {
     QueryDef("q106_audio_frames", q106, Some(q106Sql)),
     QueryDef("q109_char_stats", q109, Some(q109Sql)),
     QueryDef("q110_contrastive_pairs", q110, Some(q110Sql)),
-    QueryDef("q111_mmr_rerank", q111, Some(q111Sql)))
+    QueryDef("q111_mmr_rerank", q111, Some(q111Sql)),
+    QueryDef("q112_knn_label", q112, Some(q112Sql)))
 }

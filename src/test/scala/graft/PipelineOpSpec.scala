@@ -719,6 +719,28 @@ class PipelineOpSpec extends SparkSpec {
     assert(!a4.isNullAt(a4.fieldIndex("neg_id")))
   }
 
+  test("knnPredict: majority vote, self-exclusion, smaller-label tiebreak") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),  // query; own label never voted (self excluded)
+      (1L, Array(0.9f, 0.1f), 5),
+      (2L, Array(0.8f, 0.2f), 3),
+      (3L, Array(0.7f, 0.3f), 5),
+      (4L, Array(-1.0f, 0.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 0L)
+    // k=3: neighbors 1,2,3 -> votes {5:2, 3:1} -> pred 5, conf 2/3, wrong
+    val r3 = graft.operators.Similarity.knnPredict(
+      emb, "vec_id", "embedding", "label", q, k = 3).collect().head
+    assert(r3.getLong(r3.fieldIndex("pred_label")) == 5L)
+    assert(r3.getLong(r3.fieldIndex("votes")) == 2L)
+    assert(math.abs(r3.getDouble(r3.fieldIndex("conf")) - 2.0 / 3) < 1e-15)
+    assert(!r3.getBoolean(r3.fieldIndex("correct")))
+    // k=2: neighbors 1,2 -> votes {5:1, 3:1} tie -> smaller label 3 wins
+    val r2 = graft.operators.Similarity.knnPredict(
+      emb, "vec_id", "embedding", "label", q, k = 2).collect().head
+    assert(r2.getLong(r2.fieldIndex("pred_label")) == 3L)
+  }
+
   test("MmrRerank kernel: greedy selection trades relevance for diversity") {
     import graft.expressions.MmrRerank
     // A (id 1) most relevant; B (id 2) is A's exact duplicate; C (id 3)
