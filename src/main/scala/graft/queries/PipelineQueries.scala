@@ -179,17 +179,23 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  private val q23Sql =
-    """SELECT doc_id,
-      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
-      |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|for|on)\b')) AS n_stop,
-      |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-      |  round(0.4 * least(1.0, len(regexp_extract_all(text, '\S+')) / 100.0)
+  /** The q23 quality formula, unrounded — shared by q23 and the q113
+    * per-source calibration so the two grade the SAME score.
+    */
+  private val qualityExprSql =
+    """0.4 * least(1.0, len(regexp_extract_all(text, '\S+')) / 100.0)
       |      + 0.4 * least(1.0, (len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|for|on)\b'))
       |                          / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE) * 5.0)
       |      + 0.2 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,;:!?]')) * 10.0
-      |                          / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE)), 6) AS quality
+      |                          / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE))""".stripMargin
+
+  private val q23Sql =
+    s"""SELECT doc_id,
+      |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+      |  len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it|for|on)\\b')) AS n_stop,
+      |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+      |  round($qualityExprSql, 6) AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Q109 — glyph-level composition + entropy quality signals: the ASCII
@@ -474,6 +480,42 @@ object PipelineQueries {
        |       votes::DOUBLE / $KnnK AS conf,
        |       (pred_label = true_label) AS correct
        |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin
+
+  /** Q113 — per-source quality calibration: raw quality scores are not
+    * comparable across sources (each source has its own length/style
+    * distribution), so selection thresholds must be set on the
+    * WITHIN-SOURCE percentile, not the raw score — the classic
+    * train-data-mixing fix. Emits the q23 quality score, its percent
+    * rank within the document's source (ties broken by doc_id — fully
+    * deterministic, and exact: `(rank−1)/(n−1)` is integer arithmetic
+    * in double), and the decile bucket a budgeted selector would key
+    * on. One window over one source-keyed exchange.
+    */
+  private def q113(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        r6(TextFns.qualityScore(col("text"))).as("quality"))
+      .withColumn("cal", percent_rank().over(w))
+      .withColumn("decile",
+        least(floor(col("cal") * lit(10)), lit(9)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q113Sql =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  round($qualityExprSql, 6) AS quality
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, source, quality,
+       |             percent_rank() OVER (PARTITION BY source
+       |                                  ORDER BY quality, doc_id) AS cal
+       |      FROM d)
+       |SELECT doc_id, source, quality, cal,
+       |       least(floor(cal * 10), 9)::BIGINT AS decile
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
@@ -819,5 +861,6 @@ object PipelineQueries {
     QueryDef("q109_char_stats", q109, Some(q109Sql)),
     QueryDef("q110_contrastive_pairs", q110, Some(q110Sql)),
     QueryDef("q111_mmr_rerank", q111, Some(q111Sql)),
-    QueryDef("q112_knn_label", q112, Some(q112Sql)))
+    QueryDef("q112_knn_label", q112, Some(q112Sql)),
+    QueryDef("q113_quality_calibrate", q113, Some(q113Sql)))
 }

@@ -719,6 +719,23 @@ class PipelineOpSpec extends SparkSpec {
     assert(!a4.isNullAt(a4.fieldIndex("neg_id")))
   }
 
+  test("q113 calibration: cal spans [0,1] per source, deciles in range") {
+    val got = SparkEntry.queries("q113_quality_calibrate")(spark, sf)
+    val perSource = got.groupBy("source")
+      .agg(min("cal").as("mn"), max("cal").as("mx"),
+        min("decile").as("dmn"), max("decile").as("dmx"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("mn")) == 0.0)
+      if (r.getLong(r.fieldIndex("n")) > 1)
+        assert(r.getDouble(r.fieldIndex("mx")) == 1.0)
+      assert(r.getLong(r.fieldIndex("dmn")) >= 0L &&
+        r.getLong(r.fieldIndex("dmx")) <= 9L)
+    }
+  }
+
   test("knnPredict: majority vote, self-exclusion, smaller-label tiebreak") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 9),  // query; own label never voted (self excluded)
