@@ -597,6 +597,56 @@ object Similarity {
       when(row_number().over(w) === 1, 1L).otherwise(0L))
   }
 
+  /** Self-supervised prototypicality pruning (Sorscher et al. 2022,
+    * "Beyond neural scaling laws: beating power law scaling via data
+    * pruning"): an example's prototypicality is its cosine to its
+    * k-means cell centroid, and in the abundant-data regime the paper's
+    * best metric KEEPS the hard (least prototypical) examples. The keep
+    * policy here retains the `keepFrac` least-prototypical rows of each
+    * cell: `proto_rank` is the within-cell percent rank of the rounded
+    * centroid cosine (ascending, ties to the smaller id — `(rank−1)/
+    * (n−1)` is integer arithmetic in double, so the score is exact and
+    * engine-portable), and `keep = proto_rank < keepFrac`. Singleton
+    * cells rank 0.0 and are always kept. Emits
+    * `(idCol, cell, cent_sim, proto_rank, keep)`.
+    *
+    * Scale shape: the quantizer is a MODEL (nCells × dim floats, inlined
+    * in the plan — [[semDedup]]'s assignment, same deterministic
+    * lowest-id seeding unless a [[kMeansCentroids]]-trained model is
+    * passed), so cell assignment is one narrow in-row argmax pass with
+    * no join; the only exchange is the ranking window's single shuffle
+    * on the cell key. Like SemDeDup, `nCells` grows with the corpus so
+    * per-cell row counts stay window-friendly.
+    */
+  def prototypicality(corpus: DataFrame, idCol: String, embCol: String,
+                      keepFrac: Double, nCells: Int = 8,
+                      centroids: Option[Seq[(Long, IndexedSeq[Float])]] = None)
+      : DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val cents = centroids.map(_.toArray).getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+    val centArr = typedlit(cents.toIndexedSeq)
+    val ranked = array_sort(transform(centArr, c =>
+      struct(
+        (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+        c.getField("_1").as("cent"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("cent_sim").asc, col(idCol))
+    corpus
+      .select(col(idCol), element_at(ranked, 1).as("top"))
+      .select(col(idCol),
+        col("top").getField("cent").as("cell"),
+        round(lit(0.0) - col("top").getField("neg_cos"), 6).as("cent_sim"))
+      .withColumn("proto_rank", percent_rank().over(w))
+      .withColumn("keep",
+        when(col("proto_rank") < keepFrac, 1L).otherwise(0L))
+  }
+
   /** Contrastive (anchor → positive, hard-negative) pair mining — the
     * triplet/InfoNCE data-prep step of embedding-model training: for
     * every anchor, the most-similar SAME-label corpus vector (the

@@ -517,6 +517,47 @@ object PipelineQueries {
        |       least(floor(cal * 10), 9)::BIGINT AS decile
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q114 pruning parameters: coarse-partition width (the q50/q99
+    * lowest-id seeding convention) and the kept fraction per cell.
+    */
+  private val ProtoCells = 8
+  private val ProtoKeepFrac = 0.7
+
+  /** Q114 — prototypicality-based data pruning (Sorscher et al. 2022):
+    * cosine to the k-means cell centroid as the self-supervised
+    * difficulty metric, keeping the $ProtoKeepFrac LEAST prototypical
+    * rows of each cell — the abundant-data-regime policy the paper shows
+    * beating random pruning (see [[Similarity.prototypicality]]). Cell
+    * assignment is q99's in-row argmax over the inlined seed model; the
+    * only exchange is the per-cell ranking window's.
+    */
+  private def q114(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicality(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", keepFrac = ProtoKeepFrac, nCells = ProtoCells)
+      .orderBy("vec_id")
+
+  private val q114Sql =
+    s"""WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS cent, e AS ce FROM ed
+       |      ORDER BY vec_id LIMIT $ProtoCells),
+       |aff AS (SELECT ed.vec_id, c.cent,
+       |          ${cosSql("ed.e", "c.ce")} AS cs
+       |        FROM ed, c),
+       |cell AS (SELECT vec_id, cent AS cell, round(cs, 6) AS cent_sim FROM (
+       |           SELECT vec_id, cent, cs,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |r AS (SELECT vec_id, cell, cent_sim,
+       |             percent_rank() OVER (PARTITION BY cell
+       |                                  ORDER BY cent_sim, vec_id)
+       |               AS proto_rank
+       |      FROM cell)
+       |SELECT vec_id, cell, cent_sim, proto_rank,
+       |       (CASE WHEN proto_rank < $ProtoKeepFrac THEN 1 ELSE 0
+       |        END)::BIGINT AS keep
+       |FROM r ORDER BY vec_id""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -862,5 +903,6 @@ object PipelineQueries {
     QueryDef("q110_contrastive_pairs", q110, Some(q110Sql)),
     QueryDef("q111_mmr_rerank", q111, Some(q111Sql)),
     QueryDef("q112_knn_label", q112, Some(q112Sql)),
-    QueryDef("q113_quality_calibrate", q113, Some(q113Sql)))
+    QueryDef("q113_quality_calibrate", q113, Some(q113Sql)),
+    QueryDef("q114_proto_prune", q114, Some(q114Sql)))
 }

@@ -736,6 +736,36 @@ class PipelineOpSpec extends SparkSpec {
     }
   }
 
+  test("prototypicality: planted cells, hard examples kept, easy pruned") {
+    // Two planted directions; seeds = lowest-id vectors (ids 1, 2).
+    // Within cell 1: id 1 (the seed, cent_sim 1.0) is MOST prototypical,
+    // id 5 (slightly rotated) is least — with keepFrac 0.5 over 4
+    // members, ranks 0, 1/3, 2/3, 1 → only ranks < 0.5 survive.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.99f, 0.01f, 0.0f)),
+      (4L, Array(0.98f, 0.02f, 0.0f)),
+      (5L, Array(0.80f, 0.20f, 0.0f)),
+      (6L, Array(0.01f, 0.99f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.prototypicality(emb, "vec_id", "embedding",
+      keepFrac = 0.5, nCells = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 == 1L && got(3L)._1 == 1L &&
+      got(4L)._1 == 1L && got(5L)._1 == 1L)
+    assert(got(2L)._1 == 2L && got(6L)._1 == 2L)
+    // cell 1 ascending cent_sim: 5 < 4 < 3 < 1 → ranks 0, 1/3, 2/3, 1
+    assert(got(5L)._2 == 0.0 && got(5L)._3 == 1L)
+    assert(math.abs(got(4L)._2 - 1.0 / 3) < 1e-12 && got(4L)._3 == 1L)
+    assert(math.abs(got(3L)._2 - 2.0 / 3) < 1e-12 && got(3L)._3 == 0L)
+    assert(got(1L)._2 == 1.0 && got(1L)._3 == 0L)
+    // cell 2: two members → ranks 0 and 1; the seed (most prototypical)
+    // is pruned, the harder example kept
+    assert(got(6L)._2 == 0.0 && got(6L)._3 == 1L)
+    assert(got(2L)._2 == 1.0 && got(2L)._3 == 0L)
+  }
+
   test("knnPredict: majority vote, self-exclusion, smaller-label tiebreak") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 9),  // query; own label never voted (self excluded)
