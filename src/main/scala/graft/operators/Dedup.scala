@@ -642,4 +642,62 @@ object Dedup {
       .select(col(idCol), col("cluster"),
         when(row_number().over(w) === 1, 1L).otherwise(0L).as("keep"))
   }
+
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    * scheme; see [[graft.expressions.WinnowFingerprints]]): per document
+    * the rightmost-min of every `w`-wide window over the word `k`-gram
+    * hash sequence, exploded to `(idCol, pos, fp_hash)` rows. Any two
+    * documents sharing a run of `w + k − 1` tokens are GUARANTEED to
+    * share a fingerprint — the local, position-aware complement of
+    * MinHash (which samples globally and loses locality). Purely narrow
+    * until the explode; ~1/w of grams selected, so the emitted index is
+    * a fraction of the shingle index [[ngramJaccardPairs]] shuffles.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(
+        graft.expressions.WinnowFingerprints(
+          graft.expressions.WordNGrams(TextFns.tokens(col(textCol)), k), w))
+        .as("fp"))
+      .select(col(idCol), col("fp.pos").cast("long").as("pos"),
+        col("fp.hash").as("fp_hash"))
+
+  /** Winnowing overlap report — MOSS's pairing step: documents sharing
+    * selected fingerprints, scored by the Jaccard of their fingerprint
+    * SETS. Fingerprints appearing in more than `dfCap` documents are
+    * dropped first (the paper's noise rule: boilerplate grams select
+    * everywhere and pair everything — at web scale the cap is ALSO what
+    * makes the pairing self-join safe: bucket width ≤ dfCap bounds every
+    * bucket's pair fanout at dfCap·(dfCap−1)/2, so no salting is
+    * needed). Emits `(id_a, id_b, n_shared, jaccard)` — Jaccard of the
+    * fingerprint SETS — for pairs sharing at least `minShared`
+    * fingerprints.
+    */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, w: Int = 4, dfCap: Int = 20,
+                    minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+    val dfW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_hash"))
+    val kept = fps
+      .withColumn("__graft_df", count(lit(1)).over(dfW))
+      .filter(col("__graft_df") <= dfCap)
+      .select(col("id"), col("fp_hash"))
+    val counts = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"))
+    val shared = kept.select(col("id").as("id_a"), col("fp_hash"))
+      .join(kept.select(col("id").as("id_b"), col("fp_hash")), "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n_fp").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_fp").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
 }

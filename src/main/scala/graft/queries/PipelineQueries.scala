@@ -558,6 +558,93 @@ object PipelineQueries {
        |        END)::BIGINT AS keep
        |FROM r ORDER BY vec_id""".stripMargin
 
+  /** q115/q116 winnowing parameters: gram width k, window width w
+    * (detection floor = shared runs of w + k − 1 = 6 tokens), the
+    * boilerplate document-frequency cap, and the minimum shared
+    * fingerprints for a reported pair.
+    */
+  private val WinnowK = 3
+  private val WinnowW = 4
+  private val WinnowDfCap = 20
+  private val WinnowMinShared = 2
+
+  /** Q115 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * scheme): rightmost-min of every $WinnowW-wide window over the
+    * word-$WinnowK-gram portable-hash sequence — the position-aware,
+    * guarantee-bearing complement of MinHash (any shared
+    * ${WinnowW + WinnowK - 1}-token run MUST share a fingerprint). See
+    * [[graft.expressions.WinnowFingerprints]]; the oracle restates
+    * hash + window selection from the same md5-60 contract.
+    */
+  private def q115(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text",
+        k = WinnowK, w = WinnowW)
+      .orderBy("doc_id", "pos")
+
+  /** The q115 selection chain (tokens → grams → portable hashes →
+    * rightmost-min window selection), shared with q116's oracle.
+    */
+  private val winnowSelSql =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |g0 AS (SELECT doc_id, toks,
+       |         unnest(range(1, greatest(len(toks) - ${WinnowK - 2}, 1)))
+       |           AS i
+       |       FROM t),
+       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,
+       |         ('0x' || substr(md5(concat_ws(' ',
+       |            toks[i], toks[i+1], toks[i+2])), 1, 15))::BIGINT AS h
+       |       FROM g0),
+       |n AS (SELECT doc_id, count(*) AS np FROM g GROUP BY 1),
+       |w0 AS (SELECT doc_id,
+       |         unnest(range(greatest(np - ${WinnowW - 1}, 1))) AS s
+       |       FROM n),
+       |cand AS (SELECT w0.doc_id, w0.s, g.pos, g.h
+       |         FROM w0 JOIN g ON g.doc_id = w0.doc_id
+       |                       AND g.pos BETWEEN w0.s
+       |                                     AND w0.s + ${WinnowW - 1}),
+       |sel AS MATERIALIZED (SELECT doc_id, pos, h FROM (
+       |         SELECT doc_id, s, pos, h,
+       |                row_number() OVER (PARTITION BY doc_id, s
+       |                                   ORDER BY h, pos DESC) AS rn
+       |         FROM cand) WHERE rn = 1)""".stripMargin
+
+  private val q115Sql =
+    s"""WITH $winnowSelSql
+       |SELECT DISTINCT doc_id, pos, h AS fp_hash
+       |FROM sel ORDER BY doc_id, pos""".stripMargin
+
+  /** Q116 — winnowing overlap report (MOSS's pairing step): document
+    * pairs sharing ≥ $WinnowMinShared selected fingerprints after
+    * dropping fingerprints in > $WinnowDfCap docs (the boilerplate noise
+    * rule — which also bounds every pairing bucket's fanout), scored by
+    * the Jaccard of the fingerprint sets.
+    */
+  private def q116(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlap(Tables.documents(spark, dir), "doc_id", "text",
+        k = WinnowK, w = WinnowW, dfCap = WinnowDfCap,
+        minShared = WinnowMinShared)
+      .orderBy("id_a", "id_b")
+
+  private val q116Sql =
+    s"""WITH $winnowSelSql,
+       |f AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel),
+       |d AS (SELECT h FROM f GROUP BY h
+       |      HAVING count(*) <= $WinnowDfCap),
+       |kf AS MATERIALIZED (SELECT f.doc_id, f.h FROM f JOIN d USING (h)),
+       |c AS MATERIALIZED (SELECT doc_id, count(*) AS n_fp
+       |                   FROM kf GROUP BY 1),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             count(*)::BIGINT AS n_shared
+       |      FROM kf a JOIN kf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT id_a, id_b, n_shared,
+       |       round(n_shared::DOUBLE
+       |             / (ca.n_fp + cb.n_fp - n_shared), 6) AS jaccard
+       |FROM p JOIN c ca ON ca.doc_id = p.id_a
+       |       JOIN c cb ON cb.doc_id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -904,5 +991,7 @@ object PipelineQueries {
     QueryDef("q111_mmr_rerank", q111, Some(q111Sql)),
     QueryDef("q112_knn_label", q112, Some(q112Sql)),
     QueryDef("q113_quality_calibrate", q113, Some(q113Sql)),
-    QueryDef("q114_proto_prune", q114, Some(q114Sql)))
+    QueryDef("q114_proto_prune", q114, Some(q114Sql)),
+    QueryDef("q115_winnow_fingerprints", q115, Some(q115Sql)),
+    QueryDef("q116_winnow_overlap", q116, Some(q116Sql)))
 }

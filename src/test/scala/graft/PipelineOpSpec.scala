@@ -736,6 +736,55 @@ class PipelineOpSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints: hash contract, rightmost-min, short docs, guarantee") {
+    import graft.expressions.{Md5Hash60, WinnowFingerprints, WordNGrams}
+    // hash contract: selected hashes are Md5Hash60 of the selected gram
+    val one = Seq("a b c").toDF("t")   // one gram → one whole-list window
+    val got = one.select(
+      explode(WinnowFingerprints(WordNGrams(TextFns.tokens(col("t")), 3), 4))
+        .as("fp"))
+      .select(col("fp.pos"), col("fp.hash")).collect()
+    val h = one.select(Md5Hash60(lit("a b c"))).collect().head.getLong(0)
+    assert(got.toSeq.map(r => (r.getInt(0), r.getLong(1))) == Seq((0, h)))
+    // a repeated gram ties on hash → rightmost occurrence selected
+    val rep = Seq("x y x y x y").toDF("t") // grams: xyx yxy xyx yxy
+    val selRep = rep.select(
+      explode(WinnowFingerprints(WordNGrams(TextFns.tokens(col("t")), 3), 4))
+        .as("fp")).select(col("fp.pos")).collect().map(_.getInt(0)).toSeq
+    // one window over 4 grams; min hash appears at two positions →
+    // rightmost of the tied pair (pos 2 or 3, never 0 or 1)
+    assert(selRep.length == 1 && selRep.head >= 2)
+    // fewer tokens than k → no grams → no fingerprints; null text → none
+    val short = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text").count() == 0)
+    // winnowing guarantee: docs sharing a w+k-1 = 6-token run share a
+    // fingerprint
+    val docs = Seq(
+      (1L, "p q r s t u completely unrelated tail one"),
+      (2L, "different head words p q r s t u")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+    val shared = fps.filter(col("doc_id") === 1L).select("fp_hash")
+      .intersect(fps.filter(col("doc_id") === 2L).select("fp_hash"))
+    assert(shared.count() >= 1)
+  }
+
+  test("winnowOverlap: near-dup pair found, df-cap drops boilerplate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "totally different content with no shared runs at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlap(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) >= 2L) // long shared prefix → several shared fps
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    // dfCap = 1 drops every fingerprint shared by 2+ docs → no pairs
+    assert(Dedup.winnowOverlap(docs, "doc_id", "text", dfCap = 1).count() == 0)
+  }
+
   test("prototypicality: planted cells, hard examples kept, easy pruned") {
     // Two planted directions; seeds = lowest-id vectors (ids 1, 2).
     // Within cell 1: id 1 (the seed, cent_sim 1.0) is MOST prototypical,
