@@ -228,6 +228,75 @@ object Curation {
       .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
   }
 
+  /** Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4 — the inexpensive,
+    * unnormalized smoothing that matches Kneser-Ney quality at web
+    * scale): each position i ≥ 2 scores
+    * `S(w_i|w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})` when the model has
+    * the bigram, else `α · (c(w_i) + 1) / (N + V)` — the paper's α = 0.4
+    * unigram backoff, with add-1 smoothing at the unigram floor so
+    * model-unseen words stay defined (the one documented deviation;
+    * Brants leaves the unseen-unigram case to the caller). Counts come
+    * from a SEPARATE model corpus (score docs against a reference
+    * subset — the CCNet/DSIR shape; self-scoring would make backoff
+    * unreachable since every in-doc bigram counts itself). Emits
+    * `(idCol, n_scored, n_backoff, sb_logscore)` — the mean log score
+    * over scored positions and how many fell to backoff (high
+    * n_backoff/n_scored = out-of-domain text); docs with < 2 tokens
+    * have no scorable position and are omitted.
+    *
+    * Scale shape: the model's bigram/unigram count tables are web-scale
+    * (the paper's is 300 G n-grams) so they are NEVER broadcast — the
+    * position frame left-joins them on the term keys (three key-shuffles:
+    * bigram, prev-word, cur-word), exactly the distributed-count lookup
+    * the paper describes; N/V ride one broadcast 1-row aggregate. The
+    * per-doc mean pins float order by folding position-sorted structs
+    * (the q64 contract).
+    */
+  def stupidBackoff(df: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame, modelTextCol: String,
+                    alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val modelToks = model
+      .select(explode(TextFns.tokens(col(modelTextCol))).as("w"))
+    val uni = modelToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val big = model
+      .select(explode(graft.expressions.WordNGrams(
+        TextFns.tokens(col(modelTextCol)), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val nv = uni.agg(sum(col("c1")).cast("double").as("n_model"),
+      count(lit(1)).cast("double").as("v_model"))
+    val pos = df
+      .select(col(idCol), posexplode(graft.expressions.WordNGrams(
+        TextFns.tokens(col(textCol)), 2)))
+      .select(col(idCol), col("pos"),
+        col("col").as("bg"),
+        substring_index(col("col"), " ", 1).as("prev"),
+        substring_index(col("col"), " ", -1).as("cur"))
+    pos
+      .join(big, Seq("bg"), "left")
+      .join(uni.select(col("w").as("prev"), col("c1").as("c1_prev")),
+        Seq("prev"), "left")
+      .join(uni.select(col("w").as("cur"), col("c1").as("c1_cur")),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol), col("pos"),
+        when(col("c2").isNotNull,
+            log(col("c2") / col("c1_prev")))
+          .otherwise(log(lit(alpha) * (coalesce(col("c1_cur"), lit(0L)) + 1)
+            / (col("n_model") + col("v_model")))).as("ls"),
+        col("c2").isNull.as("backoff"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_scored"),
+        count(when(col("backoff"), 1)).as("n_backoff"),
+        sort_array(collect_list(struct(col("pos"), col("ls")))).as("arr"))
+      .select(col(idCol), col("n_scored"), col("n_backoff"),
+        round(aggregate(transform(col("arr"), x => x.getField("ls")),
+          lit(0.0), (acc, x) => acc + x) / col("n_scored"), 6)
+          .as("sb_logscore"))
+  }
+
   /** Out-of-vocabulary rate per document against a (bounded) vocabulary
     * — the coverage check run after tokenizer training: emits
     * `(idCol, n_tokens, n_oov, oov_rate)`. Composes [[encode]] (OOV

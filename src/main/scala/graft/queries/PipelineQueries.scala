@@ -645,6 +645,58 @@ object PipelineQueries {
        |       JOIN c cb ON cb.doc_id = p.id_b
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q117 — Stupid Backoff bigram LM scoring (Brants et al. 2007):
+    * every document scored against the English-subset bigram model —
+    * `c(prev cur)/c(prev)` on model hits, `0.4·(c(cur)+1)/(N+V)` on
+    * backoff (see [[Curation.stupidBackoff]]). The in-domain/
+    * out-of-domain split shows up as the backoff fraction; the mean log
+    * score is the CCNet-style selection signal. Model count tables join
+    * (never broadcast — web-scale at 100 TB); the per-doc fold is
+    * position-pinned on both engines.
+    */
+  private def q117(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Curation.stupidBackoff(
+        docs.filter(col("text").isNotNull), "doc_id", "text",
+        docs.filter(col("lang") === "en" && col("text").isNotNull), "text")
+      .orderBy("doc_id")
+  }
+
+  private val q117Sql =
+    """WITH m AS (SELECT string_split(text, ' ') AS toks
+      |           FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+      |mu AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c1
+      |      FROM (SELECT unnest(toks) AS w FROM m) GROUP BY 1),
+      |mb AS MATERIALIZED (SELECT bg, count(*)::BIGINT AS c2
+      |      FROM (SELECT concat_ws(' ', toks[i], toks[i+1]) AS bg
+      |            FROM (SELECT toks,
+      |                    unnest(range(1, greatest(len(toks), 1))) AS i
+      |                  FROM m)) GROUP BY 1),
+      |nv AS (SELECT sum(c1)::DOUBLE AS nm, count(*)::DOUBLE AS vm FROM mu),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |p0 AS (SELECT doc_id, toks,
+      |         unnest(range(1, greatest(len(toks), 1))) AS i
+      |       FROM d),
+      |p AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, toks[i] AS prev,
+      |         toks[i+1] AS cur,
+      |         concat_ws(' ', toks[i], toks[i+1]) AS bg
+      |       FROM p0),
+      |s AS (SELECT p.doc_id, p.pos,
+      |        CASE WHEN mb.c2 IS NOT NULL
+      |             THEN ln(mb.c2 / up.c1::DOUBLE)
+      |             ELSE ln(0.4 * (coalesce(uc.c1, 0) + 1)
+      |                     / (nv.nm + nv.vm)) END AS ls,
+      |        (mb.c2 IS NULL) AS backoff
+      |      FROM p LEFT JOIN mb USING (bg)
+      |             LEFT JOIN mu up ON up.w = p.prev
+      |             LEFT JOIN mu uc ON uc.w = p.cur, nv)
+      |SELECT doc_id, count(*)::BIGINT AS n_scored,
+      |       (count(*) FILTER (WHERE backoff))::BIGINT AS n_backoff,
+      |       round(list_reduce(list(ls ORDER BY pos), (x, y) -> x + y)
+      |             / count(*), 6) AS sb_logscore
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -993,5 +1045,6 @@ object PipelineQueries {
     QueryDef("q113_quality_calibrate", q113, Some(q113Sql)),
     QueryDef("q114_proto_prune", q114, Some(q114Sql)),
     QueryDef("q115_winnow_fingerprints", q115, Some(q115Sql)),
-    QueryDef("q116_winnow_overlap", q116, Some(q116Sql)))
+    QueryDef("q116_winnow_overlap", q116, Some(q116Sql)),
+    QueryDef("q117_stupid_backoff", q117, Some(q117Sql)))
 }

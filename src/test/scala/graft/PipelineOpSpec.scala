@@ -785,6 +785,27 @@ class PipelineOpSpec extends SparkSpec {
     assert(Dedup.winnowOverlap(docs, "doc_id", "text", dfCap = 1).count() == 0)
   }
 
+  test("stupidBackoff: bigram path, backoff path, short docs omitted") {
+    import graft.operators.Curation
+    // model: "a b a b" → uni: a=2 b=2 (N=4, V=2); bigrams: "a b"=2, "b a"=1
+    val model = Seq("a b a b").toDF("text")
+    val docs = Seq(
+      (1L, "a b"),     // one position: S = c("a b")/c(a) = 2/2 = 1 → ln 1 = 0
+      (2L, "a z"),     // backoff: z unseen → 0.4 * (0+1)/(4+2) = 1/15
+      (3L, "a"),       // single token → no position → omitted
+      (4L, "b a b")    // "b a": 1/2; "a b": 2/2 → mean ln = (ln .5 + 0)/2
+    ).toDF("doc_id", "text")
+    val got = Curation.stupidBackoff(docs, "doc_id", "text", model, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) == ((1L, 0L, 0.0)))
+    assert(got(2L)._1 == 1L && got(2L)._2 == 1L)
+    assert(math.abs(got(2L)._3 - math.log(0.4 * 1 / 6.0)) < 1e-6)
+    assert(got(4L)._1 == 2L && got(4L)._2 == 0L)
+    assert(math.abs(got(4L)._3 - math.log(0.5) / 2) < 1e-6)
+  }
+
   test("prototypicality: planted cells, hard examples kept, easy pruned") {
     // Two planted directions; seeds = lowest-id vectors (ids 1, 2).
     // Within cell 1: id 1 (the seed, cent_sim 1.0) is MOST prototypical,
