@@ -71,4 +71,35 @@ object Sketch {
       .groupBy(col(termCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
+
+  /** φ-heavy hitters via the sketch (Cormode & Muthukrishnan 2005 §4.2):
+    * every term whose CMS estimate reaches `⌈φ·N⌉`. The one-sided
+    * estimator makes the report one-sided too — every TRULY φ-frequent
+    * term is guaranteed present (estimate ≥ exact), while
+    * collision-inflated light terms may slip in (≤ ε·N over-count at
+    * the sketch's width) — so the exact count and the `inflation`
+    * over-estimate ride along as the audit columns a monitoring
+    * consumer alarms on. Emits `(termCol, cms_est, n_exact,
+    * inflation)`.
+    *
+    * Cost: [[countMin]]'s saturating cell aggregate + one exact term
+    * count (map-side combine) + the broadcast-sketch estimate read —
+    * the candidate set is the distinct-term frame, so the only
+    * corpus-sized shuffle is the term-keyed count every exact top-k
+    * already pays.
+    */
+  def heavyHitters(terms: DataFrame, termCol: String, phi: Double,
+                   depth: Int = 4, width: Int = 2048,
+                   salt: String = "cms"): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val exact = terms.groupBy(col(termCol)).agg(count(lit(1)).as("n_exact"))
+    val tot = exact.agg(sum(col("n_exact")).as("n_total"))
+    cmsEstimate(countMin(terms, termCol, depth, width, salt),
+        exact.select(col(termCol)), termCol, depth, width, salt)
+      .join(exact, termCol)
+      .crossJoin(broadcast(tot))
+      .filter(col("cms_est") >= ceil(lit(phi) * col("n_total")))
+      .select(col(termCol), col("cms_est"), col("n_exact"),
+        (col("cms_est") - col("n_exact")).as("inflation"))
+  }
 }

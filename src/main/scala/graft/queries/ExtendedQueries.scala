@@ -215,6 +215,48 @@ object ExtendedQueries {
        |SELECT term, n_exact, cms_est FROM top JOIN est USING (term)
        |ORDER BY n_exact DESC, term""".stripMargin
 
+  /** q118 heavy-hitter threshold: terms at ≥ 0.5% of the token stream. */
+  private val HhPhi = 0.005
+
+  /** Q118 — CMS φ-heavy hitters: every term whose sketch estimate
+    * reaches ⌈$HhPhi·N⌉ (see [[graft.operators.Sketch.heavyHitters]]) —
+    * the monitoring read a shipped sketch exists for, graded with the
+    * exact count and collision inflation as audit columns (the report
+    * is one-sided: true heavy hitters can't be missed, light terms can
+    * only enter by collision).
+    */
+  private def q118(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+    Sketch.heavyHitters(toks, "term", HhPhi, CmsDepth, CmsWidth)
+      .orderBy(col("cms_est").desc, col("term"))
+  }
+
+  private val q118Sql =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+       |             FROM documents WHERE text IS NOT NULL),
+       |cells AS (SELECT i, ('0x' || substr(md5('cms' || i::VARCHAR || ':'
+       |                       || term), 1, 15))::BIGINT % $CmsWidth AS b
+       |          FROM tok CROSS JOIN range(0, $CmsDepth) t(i)),
+       |sk AS (SELECT i, b, count(*)::BIGINT AS c FROM cells GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT term, count(*)::BIGINT AS n_exact
+       |                    FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(n_exact)::BIGINT AS n_total FROM ex),
+       |est AS (SELECT e.term, min(coalesce(sk.c, 0))::BIGINT AS cms_est
+       |        FROM ex e CROSS JOIN range(0, $CmsDepth) r(i)
+       |        LEFT JOIN sk ON sk.i = r.i
+       |                    AND sk.b = ('0x' || substr(md5('cms'
+       |                          || r.i::VARCHAR || ':' || e.term), 1, 15))
+       |                          ::BIGINT % $CmsWidth
+       |        GROUP BY 1)
+       |SELECT ex.term, est.cms_est, ex.n_exact,
+       |       (est.cms_est - ex.n_exact)::BIGINT AS inflation
+       |FROM est JOIN ex USING (term), tot
+       |WHERE est.cms_est >= ceil($HhPhi * tot.n_total)
+       |ORDER BY cms_est DESC, term""".stripMargin
+
   // --------------------------------------------------------------- z-order
 
   /** Quantization width for the q105 z-order values. */
@@ -715,6 +757,7 @@ object ExtendedQueries {
     QueryDef("q54_snapshot_diff", q54, Some(q54Sql)),
     QueryDef("q55_unpivot", q55, Some(q55Sql)),
     QueryDef("q100_cms_estimate", q100, Some(q100Sql)),
+    QueryDef("q118_heavy_hitters", q118, Some(q118Sql)),
     QueryDef("q105_zorder_value", q105, Some(q105Sql)),
     QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))
 }

@@ -393,6 +393,31 @@ class ExtendedOpSpec extends SparkSpec {
     }
   }
 
+  test("Sketch.heavyHitters: one-sided report, audit columns, phi sweep") {
+    import graft.operators.Sketch
+    // "a" ×6, "b" ×3, "c" ×1 → N = 10
+    val terms = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("term")
+    val hh = Sketch.heavyHitters(terms, "term", phi = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // threshold ceil(3.0) = 3: a and b qualify (2048-wide sketch, 3
+    // terms → no collisions, est == exact), c (1 < 3) cannot
+    assert(hh.keySet == Set("a", "b"))
+    assert(hh("a") == ((6L, 6L, 0L)) && hh("b") == ((3L, 3L, 0L)))
+    // phi above every frequency → empty report
+    assert(Sketch.heavyHitters(terms, "term", phi = 0.7).count() == 0)
+    // guarantee on real data: every truly phi-frequent term is reported
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+    val n = corpus.count()
+    val trueHeavy = corpus.groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= math.ceil(0.005 * n))
+    val reported = Sketch.heavyHitters(corpus, "term", phi = 0.005)
+      .select(col("term"))
+    assert(trueHeavy.select("term").except(reported).count() == 0)
+  }
+
   test("Sketch: CMS estimates are one-sided; shard sketches merge linearly") {
     import graft.operators.Sketch
     val terms = graft.sources.Tables.documents(spark, sf)
