@@ -589,6 +589,69 @@ object Curation {
           .as("containment"))
   }
 
+  /** Jensen–Shannon divergence matrix between the strata's unigram
+    * distributions — the "which sources are statistically redundant"
+    * diagnostic behind mixture design (JSD is the symmetric, bounded
+    * [0, ln 2] divergence — 0 = identical term distributions, ln 2 =
+    * disjoint vocabularies; Lin 1991). Emits the full pair matrix
+    * `(src_a, src_b, n_shared, jsd)` with `src_a < src_b`, including
+    * vocabulary-disjoint pairs at exactly `ln 2`.
+    *
+    * Only SHARED terms need the cross-source join: a term present in
+    * one side only contributes `0.5·p·ln 2`, and those sums are just
+    * `1 − Σ_shared p` per side — so the join is an inner equi-join on
+    * the term key, never an outer-join over either vocabulary.
+    * Per-term contributions are quantized to integers
+    * (`floor(x·1e12 + 0.5)` — the [[graft.expressions.EwmaFold]]
+    * grade-boundary trick) and SUMMED, so the aggregate is exact,
+    * partition-order-free, and map-side combinable — no per-pair
+    * collect_list, no ordered fold, no float-order pin needed. |Σ| ≤
+    * ln 2·1e12 by construction, so the scaled sum can't overflow.
+    * Shuffles: one (stratum, term) count, one term-keyed self-join
+    * (per-term fanout bounded by strata², not corpus size), one tiny
+    * pair aggregate.
+    */
+  def sourceDivergence(df: DataFrame, strataCol: String,
+                       textCol: String): DataFrame = {
+    def q12(c: Column): Column = floor(c * lit(1e12) + lit(0.5))
+    val ct = df.filter(col(textCol).isNotNull)
+      .select(col(strataCol).as("__graft_src"),
+        explode(TextFns.tokens(col(textCol))).as("__graft_term"))
+      .groupBy(col("__graft_src"), col("__graft_term"))
+      .agg(count(lit(1)).as("__graft_c"))
+    val tot = ct.groupBy(col("__graft_src"))
+      .agg(sum(col("__graft_c")).as("__graft_n"))
+    val pr = ct.join(tot, "__graft_src")
+      .select(col("__graft_src"), col("__graft_term"),
+        (col("__graft_c") / col("__graft_n")).as("__graft_p"))
+    val a = pr.select(col("__graft_src").as("src_a"),
+      col("__graft_term"), col("__graft_p").as("p"))
+    val b = pr.select(col("__graft_src").as("src_b"),
+      col("__graft_term"), col("__graft_p").as("q"))
+    val shared = a.join(b, "__graft_term")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(q12(lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))))
+          .as("sj"),
+        sum(q12(col("p"))).as("sp"),
+        sum(q12(col("q"))).as("sq"))
+    val srcs = tot.select(col("__graft_src"))
+    srcs.select(col("__graft_src").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("__graft_src").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("sj"), lit(0L)) / lit(1e12)
+          + lit(0.5) * log(lit(2.0))
+            * (lit(1.0) - coalesce(col("sp"), lit(0L)) / lit(1e12))
+          + lit(0.5) * log(lit(2.0))
+            * (lit(1.0) - coalesce(col("sq"), lit(0L)) / lit(1e12)), 6)
+          .as("jsd"))
+  }
+
   /** The COMPOSED stateless curation pass — repetition signals,
     * benchmark-contamination count, quality verdict (the rule table
     * PLUS an appended `contaminated` rule on the overlap count), and

@@ -697,6 +697,48 @@ object PipelineQueries {
       |             / count(*), 6) AS sb_logscore
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q119 — source-pair Jensen–Shannon divergence matrix: the
+    * "which sources are statistically redundant" mixture-design
+    * diagnostic (see [[graft.operators.Curation.sourceDivergence]]).
+    * Per-term contributions are integer-quantized then summed, so the
+    * float aggregate is exact and partition-order-free on both engines
+    * — no ordered fold anywhere.
+    */
+  private def q119(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.sourceDivergence(
+        Tables.documents(spark, dir), "source", "text")
+      .orderBy("src_a", "src_b")
+
+  private val q119Sql =
+    """WITH tk AS (SELECT source AS src,
+      |              unnest(string_split(text, ' ')) AS term
+      |            FROM documents WHERE text IS NOT NULL),
+      |ct AS MATERIALIZED (SELECT src, term, count(*)::BIGINT AS c
+      |                    FROM tk GROUP BY 1, 2),
+      |tot AS MATERIALIZED (SELECT src, sum(c)::BIGINT AS n
+      |                     FROM ct GROUP BY 1),
+      |pr AS MATERIALIZED (SELECT ct.src, ct.term, ct.c / tot.n AS p
+      |                    FROM ct JOIN tot USING (src)),
+      |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+      |         count(*)::BIGINT AS n_shared,
+      |         sum(floor((0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+      |                    + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p)))
+      |                   * 1e12 + 0.5)::BIGINT)::BIGINT AS sj,
+      |         sum(floor(a.p * 1e12 + 0.5)::BIGINT)::BIGINT AS sp,
+      |         sum(floor(b.p * 1e12 + 0.5)::BIGINT)::BIGINT AS sq
+      |       FROM pr a JOIN pr b ON a.term = b.term AND a.src < b.src
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT a.src AS src_a, b.src AS src_b
+      |          FROM tot a JOIN tot b ON a.src < b.src)
+      |SELECT p.src_a, p.src_b,
+      |       coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+      |       round(coalesce(sh.sj, 0) / 1e12
+      |             + 0.5 * ln(2.0) * (1.0 - coalesce(sh.sp, 0) / 1e12)
+      |             + 0.5 * ln(2.0) * (1.0 - coalesce(sh.sq, 0) / 1e12), 6)
+      |         AS jsd
+      |FROM pairs p LEFT JOIN sh USING (src_a, src_b)
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -1046,5 +1088,6 @@ object PipelineQueries {
     QueryDef("q114_proto_prune", q114, Some(q114Sql)),
     QueryDef("q115_winnow_fingerprints", q115, Some(q115Sql)),
     QueryDef("q116_winnow_overlap", q116, Some(q116Sql)),
-    QueryDef("q117_stupid_backoff", q117, Some(q117Sql)))
+    QueryDef("q117_stupid_backoff", q117, Some(q117Sql)),
+    QueryDef("q119_source_jsd", q119, Some(q119Sql)))
 }

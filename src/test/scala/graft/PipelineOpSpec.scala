@@ -806,6 +806,33 @@ class PipelineOpSpec extends SparkSpec {
     assert(math.abs(got(4L)._3 - math.log(0.5) / 2) < 1e-6)
   }
 
+  test("sourceDivergence: hand-computed JSD, disjoint pair at ln 2") {
+    import graft.operators.Curation
+    val docs = Seq(
+      ("A", "x x y"),   // p: x=2/3, y=1/3
+      ("B", "x z z"),   // q: x=1/3, z=2/3
+      ("C", "w w")      // disjoint from both
+    ).toDF("source", "text")
+    val got = Curation.sourceDivergence(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 3) // full matrix incl. disjoint pairs
+    // shared x: (1/3)ln(4/3) + (1/6)ln(2/3); exclusive mass y + z
+    val jc = (1.0 / 3) * math.log(4.0 / 3) + (1.0 / 6) * math.log(2.0 / 3)
+    val expAB = jc + 0.5 * math.log(2.0)
+    assert(got(("A", "B"))._1 == 1L)
+    assert(math.abs(got(("A", "B"))._2 - expAB) < 1e-6)
+    // vocabulary-disjoint pairs sit exactly at ln 2
+    assert(got(("A", "C"))._1 == 0L)
+    assert(math.abs(got(("A", "C"))._2 - math.log(2.0)) < 1e-6)
+    assert(math.abs(got(("B", "C"))._2 - math.log(2.0)) < 1e-6)
+    // identical distributions → 0
+    val same = Seq(("A", "x y"), ("B", "y x")).toDF("source", "text")
+    val z = Curation.sourceDivergence(same, "source", "text")
+      .collect().head
+    assert(z.getDouble(3) == 0.0)
+  }
+
   test("prototypicality: planted cells, hard examples kept, easy pruned") {
     // Two planted directions; seeds = lowest-id vectors (ids 1, 2).
     // Within cell 1: id 1 (the seed, cent_sim 1.0) is MOST prototypical,
