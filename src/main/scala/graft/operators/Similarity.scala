@@ -647,6 +647,48 @@ object Similarity {
         when(col("proto_rank") < keepFrac, 1L).otherwise(0L))
   }
 
+  /** Mean-pool + L2-normalize grouped embeddings — the chunk→document
+    * aggregation of a retrieval pipeline (embed bounded chunks, pool
+    * into one document vector; normalizing makes downstream dot
+    * products cosines). Emits `(groupCol, n_chunks, emb_unit)` with the
+    * unit vector's elements rounded to 6 (grade-stable); an all-zero
+    * group pools to the zero vector rather than NaNs.
+    *
+    * Determinism at any partitioning: the per-dimension mean folds
+    * member values in `orderCol` order (the q64 sorted-struct contract
+    * — member lists are chunks-per-doc long, bounded by construction),
+    * the dimension assembly sorts by position, and the norm is the
+    * in-row [[graft.functions.VectorFns.norm]] left fold — no
+    * cross-row float accumulation anywhere. Shuffles: one
+    * (group, dim) aggregate, one group aggregate.
+    */
+  def meanPool(df: DataFrame, groupCol: String, embCol: String,
+               orderCol: String): DataFrame = {
+    val e = df
+      .select(col(groupCol), col(orderCol).as("__graft_ord"),
+        posexplode(VectorFns.toDouble(col(embCol)))
+          .as(Seq("__graft_pos", "__graft_v")))
+    val dim = e.groupBy(col(groupCol), col("__graft_pos")).agg(
+        count(lit(1)).as("__graft_nc"),
+        sort_array(collect_list(struct(col("__graft_ord"), col("__graft_v"))))
+          .as("__graft_vs"))
+      .select(col(groupCol), col("__graft_pos"), col("__graft_nc"),
+        (aggregate(transform(col("__graft_vs"), _.getField("__graft_v")),
+          lit(0.0), _ + _) / col("__graft_nc")).as("__graft_m"))
+    dim.groupBy(col(groupCol)).agg(
+        max(col("__graft_nc")).as("n_chunks"),
+        sort_array(collect_list(struct(col("__graft_pos"), col("__graft_m"))))
+          .as("__graft_pm"))
+      .select(col(groupCol), col("n_chunks"),
+        transform(col("__graft_pm"), _.getField("__graft_m"))
+          .as("__graft_em"))
+      .withColumn("__graft_nr", VectorFns.norm(col("__graft_em")))
+      .select(col(groupCol), col("n_chunks"),
+        transform(col("__graft_em"), x =>
+          when(col("__graft_nr") === 0.0, lit(0.0))
+            .otherwise(round(x / col("__graft_nr"), 6))).as("emb_unit"))
+  }
+
   /** Contrastive (anchor → positive, hard-negative) pair mining — the
     * triplet/InfoNCE data-prep step of embedding-model training: for
     * every anchor, the most-similar SAME-label corpus vector (the

@@ -739,6 +739,48 @@ object PipelineQueries {
       |FROM pairs p LEFT JOIN sh USING (src_a, src_b)
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** q120 pooling width: consecutive-id chunks per pooled document. */
+  private val PoolChunk = 10
+
+  /** Q120 — chunk→document embedding pooling: mean-pool each
+    * $PoolChunk-chunk group and L2-normalize (see
+    * [[Similarity.meanPool]]). The driver compare can't sort ARRAY
+    * columns, so the unit vector is exploded to scalars for grading —
+    * the q50 centroid convention.
+    */
+  private def q120(spark: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(
+        Tables.embeddings(spark, dir)
+          .select(expr(s"vec_id div $PoolChunk").as("grp"),
+            col("vec_id"), col("embedding")),
+        "grp", "embedding", "vec_id")
+      .select(col("grp"), col("n_chunks"),
+        posexplode(col("emb_unit")).as(Seq("pos", "u")))
+      .select(col("grp"), col("n_chunks"), col("pos").cast("long").as("pos"),
+        col("u"))
+      .orderBy("grp", "pos")
+
+  private val q120Sql =
+    s"""WITH e AS (SELECT vec_id // $PoolChunk AS grp, vec_id AS ord,
+       |             unnest(embedding::DOUBLE[]) AS v,
+       |             unnest(range(len(embedding))) AS pos
+       |           FROM embeddings),
+       |d AS (SELECT grp, pos, count(*)::BIGINT AS nc,
+       |        list_reduce(list(v ORDER BY ord), (x, y) -> x + y)
+       |          / count(*) AS m
+       |      FROM e GROUP BY grp, pos),
+       |g AS (SELECT grp, max(nc)::BIGINT AS n_chunks,
+       |        list(m ORDER BY pos) AS em
+       |      FROM d GROUP BY grp),
+       |n AS (SELECT grp, n_chunks, em,
+       |        sqrt(list_reduce(list_transform(em, x -> x * x),
+       |                         (x, y) -> x + y)) AS nr
+       |      FROM g)
+       |SELECT grp, n_chunks, unnest(range(len(em))) AS pos,
+       |       unnest(list_transform(em, x ->
+       |         CASE WHEN nr = 0 THEN 0.0 ELSE round(x / nr, 6) END)) AS u
+       |FROM n ORDER BY grp, pos""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -1089,5 +1131,6 @@ object PipelineQueries {
     QueryDef("q115_winnow_fingerprints", q115, Some(q115Sql)),
     QueryDef("q116_winnow_overlap", q116, Some(q116Sql)),
     QueryDef("q117_stupid_backoff", q117, Some(q117Sql)),
-    QueryDef("q119_source_jsd", q119, Some(q119Sql)))
+    QueryDef("q119_source_jsd", q119, Some(q119Sql)),
+    QueryDef("q120_mean_pool", q120, Some(q120Sql)))
 }

@@ -833,6 +833,22 @@ class PipelineOpSpec extends SparkSpec {
     assert(z.getDouble(3) == 0.0)
   }
 
+  test("meanPool: hand-computed mean + unit norm, zero-group guard") {
+    val emb = Seq(
+      (0L, 0L, Array(3.0f, 0.0f)),
+      (1L, 0L, Array(1.0f, 2.0f)),   // grp 0 mean = (2, 1), norm = sqrt 5
+      (2L, 1L, Array(0.0f, 0.0f))    // grp 1 pools to zero vector
+    ).toDF("vec_id", "grp", "embedding")
+    val got = Similarity.meanPool(emb, "grp", "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(got(0L)._1 == 2L)
+    val n5 = math.sqrt(5.0)
+    assert(math.abs(got(0L)._2(0) - 2.0 / n5) < 1e-6)
+    assert(math.abs(got(0L)._2(1) - 1.0 / n5) < 1e-6)
+    assert(got(1L) == ((1L, Seq(0.0, 0.0))))
+  }
+
   test("prototypicality: planted cells, hard examples kept, easy pruned") {
     // Two planted directions; seeds = lowest-id vectors (ids 1, 2).
     // Within cell 1: id 1 (the seed, cent_sim 1.0) is MOST prototypical,
