@@ -435,6 +435,71 @@ class PlanSpec extends SparkSpec {
     assert(scans == 3, s"expected exactly 3 scans, got $scans in $ns")
   }
 
+  test("q114 prototypicality plan: no join, one key exchange, codegen'd") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val nodes = finalNodes(graft.operators.Similarity.prototypicality(
+      emb, "vec_id", "embedding", keepFrac = 0.7, nCells = 8))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")),
+      s"cell assignment is an in-row argmax over the inlined model — no " +
+        s"join allowed; got $ns")
+    val hashEx = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+    assert(hashEx == 1,
+      s"exactly the cell-window shuffle expected, got $hashEx in $ns")
+    val scans = nodes.count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    assert(scans == 1, s"one corpus scan expected, got $scans in $ns")
+  }
+
+  test("winnowFingerprints plan: narrow — no join, no exchange, one scan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nodes = finalNodes(
+      Dedup.winnowFingerprints(docs, "doc_id", "text"))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")), s"no join allowed; got $ns")
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"fingerprint selection is purely narrow; got $ns")
+    assert(ns.exists(_.contains("WholeStageCodegen")),
+      s"the winnow kernel must stay inside a codegen span; got $ns")
+  }
+
+  test("q119 jsd plan: shared-term equi-join only, pair matrix broadcast") {
+    val nodes = names(finalNodes(
+      SparkEntry.queries("q119_source_jsd")(spark, sf)))
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      s"the only product is the broadcast source-pair matrix; got $nodes")
+    assert(nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+        n.contains("BroadcastHashJoin")),
+      s"pair matrix / pair lookup must ride broadcast joins; got $nodes")
+  }
+
+  test("meanPool plan: no join, two keyed aggregates only") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(expr("vec_id div 10").as("grp"), col("vec_id"),
+        col("embedding"))
+    val nodes = finalNodes(
+      graft.operators.Similarity.meanPool(emb, "grp", "embedding", "vec_id"))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")), s"no join allowed; got $ns")
+    val hashEx = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+    assert(hashEx == 2,
+      s"(group, dim) + group aggregates — exactly two key shuffles, " +
+        s"got $hashEx in $ns")
+  }
+
   test("shardAssign plan: exactly one exchange (the shard key shuffle)") {
     // the operator itself (q75 adds a presentation orderBy, which is a
     // second, range exchange by design)
