@@ -1389,6 +1389,37 @@ object Curation {
         col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
   }
 
+  /** Tokenizer fertility / compression evaluation — the metric pair a
+    * tokenizer is judged by per stratum (Rust et al. 2021, "How Good is
+    * Your Tokenizer?"): `fertility` = mean symbols per word under the
+    * [[bpeTrain]]-trained segmentation (1.0 = every word is one symbol;
+    * high = the vocabulary serves this stratum badly — the classic
+    * under-resourced-language signal), and `chars_per_symbol` = the
+    * inverse compression rate. Emits `(strataCol, n_words, n_symbols,
+    * n_chars, fertility, chars_per_symbol)`.
+    *
+    * All-integer sums + two final rounded divisions (exact at any
+    * partitioning). Cost: the training loop ([[bpeWordSymbols]] —
+    * distinct-word frame, never the token stream) + the same word-keyed
+    * vocabulary join [[bpeEncode]] pays, then one stratum aggregate.
+    */
+  def bpeFertility(df: DataFrame, strataCol: String, textCol: String,
+                   merges: Int): DataFrame = {
+    val segmented = bpeWordSymbols(df, textCol, merges)
+      .select(col("w"), size(col("syms")).cast("long").as("__graft_ns"),
+        length(col("w")).cast("long").as("__graft_nc"))
+    df.select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .join(segmented, "w")
+      .groupBy(col(strataCol)).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__graft_ns")).as("n_symbols"),
+        sum(col("__graft_nc")).as("n_chars"))
+      .select(col(strataCol), col("n_words"), col("n_symbols"),
+        col("n_chars"),
+        round(col("n_symbols") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") / col("n_symbols"), 6).as("chars_per_symbol"))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Greedy in-order sequence packing: within each shard (`shardCol` —

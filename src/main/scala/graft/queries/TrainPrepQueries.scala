@@ -770,6 +770,33 @@ object TrainPrepQueries {
        |FROM t JOIN w$BpeMerges f ON f.wid = t.w
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
+  /** Q121 — tokenizer fertility / compression per source under the
+    * q88-trained BPE (Rust et al. 2021): mean symbols per word and
+    * chars per symbol — the per-stratum "does this vocabulary serve
+    * this slice" report (see
+    * [[graft.operators.Curation.bpeFertility]]). Integer sums + two
+    * rounded divisions; the oracle rides the full unrolled training
+    * chain, so a wrong merge anywhere shifts a fertility and breaks
+    * the hash.
+    */
+  private def q121(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpeFertility(Tables.documents(spark, dir), "source", "text",
+        merges = BpeMerges)
+      .orderBy("source")
+
+  private lazy val q121Sql =
+    s"""$bpeCteChain,
+       |tk AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       |SELECT tk.source, count(*)::BIGINT AS n_words,
+       |       sum(len(f.syms))::BIGINT AS n_symbols,
+       |       sum(len(f.wid))::BIGINT AS n_chars,
+       |       round(sum(len(f.syms))::BIGINT / count(*), 6) AS fertility,
+       |       round(sum(len(f.wid))::BIGINT / sum(len(f.syms))::BIGINT, 6)
+       |         AS chars_per_symbol
+       |FROM tk JOIN w$BpeMerges f ON f.wid = tk.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q87 — CCNet-style perplexity bucketing: per-language head/middle/
     * tail split of the cross-entropy score by RANK terciles (see
     * [[graft.operators.Curation.perplexityBuckets]] — integer-exact
@@ -1410,6 +1437,7 @@ object TrainPrepQueries {
     QueryDef("q89_pq_codes", q89, Some(q89Sql)),
     QueryDef("q90_pq_recall", q90, Some(q90Sql)),
     QueryDef("q91_bpe_encode", q91, Some(q91Sql)),
+    QueryDef("q121_bpe_fertility", q121, Some(q121Sql)),
     QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)),
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
     QueryDef("q94_temperature_mixture", q94, Some(q94Sql)),

@@ -323,6 +323,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(chars.toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("bpeFertility: symbols-per-word and chars-per-symbol per stratum") {
+    // after 1 merge on this corpus: pairs "a a"×3 (from aa×2, aaa has
+    // two but counts once per position: [a,a,a] → "a a"×2·1)...
+    // keep it simpler: 2 merges over the bpeTrain fixture, strata split
+    val df = Seq(("s1", "aa ab"), ("s2", "aa")).toDF("source", "text")
+    // trained as in the bpeTrain test: aa → [aa], ab → [ab]
+    val got = Curation.bpeFertility(df, "source", "text", merges = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    // s1: words aa, ab → 2 words, 2 symbols, 4 chars → fert 1.0, cps 2.0
+    // s2: word aa → 1 word, 1 symbol, 2 chars → fert 1.0, cps 2.0
+    assert(got.toSeq == Seq(("s1", 2L, 2L, 4L, 1.0, 2.0),
+      ("s2", 1L, 1L, 2L, 1.0, 2.0)))
+    // zero merges: every char is a symbol → fertility = chars per word
+    val raw = Curation.bpeFertility(df, "source", "text", merges = 0)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(raw.toSeq == Seq(("s1", 2L, 4L, 4L, 2.0, 1.0),
+      ("s2", 1L, 2L, 2L, 2.0, 1.0)))
+  }
+
   test("bpeEncode segments document tokens with the trained merges") {
     val df = Seq((1L, "aa ab"), (2L, "aa")).toDF("id", "text")
     // after 2 merges (see the bpeTrain test): aa → [aa], ab → [ab]
