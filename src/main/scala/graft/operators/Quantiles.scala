@@ -63,6 +63,41 @@ object Quantiles {
     * `greatest`/`least` SKIP nulls, so an unguarded clip would
     * fabricate the upper bound for every null metric.
     */
+  /** Robust per-group outlier detection via the MODIFIED z-score
+    * (Iglewicz & Hoaglin 1993): `med` = group median, `mad` = median of
+    * `|v − med|`, `rob_z = 0.6745·(v − med)/mad`, outlier when
+    * `|rob_z| > cut` (their recommended 3.5). Unlike the mean/stddev
+    * z-score the reference's rule table approximates, the estimator has
+    * a 50% breakdown point — the outliers themselves cannot inflate the
+    * threshold and mask each other. Emits ONLY the outlier rows
+    * (`idCols`, key, value, med, mad, rob_z — output bounded by the
+    * outlier rate, not the corpus); groups with `mad = 0` are skipped
+    * (the score is undefined on degenerate distributions).
+    *
+    * Two [[exact]]-median aggregates (per-group sort buffers — the
+    * documented bounded-group caveat; the group domain here is a key
+    * enum, and [[approx]] is the drop-in at unbounded cardinality),
+    * each broadcast back onto the rows; the deviation and flag passes
+    * are narrow. Medians and the score round to 6 before the
+    * threshold compare, so the flag itself is engine-portable.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  cut: Double = 3.5): DataFrame = {
+    require(cut > 0.0, s"cut must be positive, got $cut")
+    val med = exact(df, keyCol, valCol, Seq(0.5))
+      .withColumnRenamed("p50", "med")
+    val dev = df.join(broadcast(med), keyCol)
+      .withColumn("__graft_ad", abs(col(valCol) - col("med")))
+    val mad = exact(dev, keyCol, "__graft_ad", Seq(0.5))
+      .withColumnRenamed("p50", "mad")
+    dev.join(broadcast(mad), keyCol)
+      .filter(col("mad") =!= 0.0)
+      .withColumn("rob_z",
+        round(lit(0.6745) * (col(valCol) - col("med")) / col("mad"), 6))
+      .filter(abs(col("rob_z")) > cut)
+      .drop("__graft_ad")
+  }
+
   def winsorized(df: DataFrame, keyCol: String, valCol: String,
                  loP: Double, hiP: Double): DataFrame = {
     require(loP < hiP, s"need loP < hiP, got $loP >= $hiP")

@@ -397,6 +397,38 @@ object ExtendedQueries {
       |       round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q122 — robust outlier report: per-type MODIFIED z-score
+    * (Iglewicz–Hoaglin median/MAD, see
+    * [[graft.operators.Quantiles.madOutliers]]) — the 50%-breakdown
+    * complement of q06's fixed rule thresholds: the outliers can't
+    * inflate the estimator and mask each other, and no per-type
+    * constants need maintaining. Emits only the flagged rows.
+    */
+  private def q122(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.madOutliers(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("rob_z"))
+      .orderBy("event_id")
+
+  private val q122Sql =
+    """WITH med AS (SELECT event_type,
+      |               round(quantile_cont(value, 0.5), 6) AS med
+      |             FROM events GROUP BY 1),
+      |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+      |               abs(e.value - m.med) AS ad
+      |        FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+      |        FROM dev GROUP BY 1),
+      |z AS (SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+      |             round(0.6745 * (d.value - d.med) / a.mad, 6) AS rob_z
+      |      FROM dev d JOIN mad a USING (event_type)
+      |      WHERE a.mad <> 0)
+      |SELECT event_id, event_type, value, med, mad, rob_z
+      |FROM z WHERE abs(rob_z) > 3.5 ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------- rollup / pivot / clip
 
   /** Q44 — hierarchical rollup (day × event_type → day → grand total):
@@ -758,6 +790,7 @@ object ExtendedQueries {
     QueryDef("q55_unpivot", q55, Some(q55Sql)),
     QueryDef("q100_cms_estimate", q100, Some(q100Sql)),
     QueryDef("q118_heavy_hitters", q118, Some(q118Sql)),
+    QueryDef("q122_mad_outliers", q122, Some(q122Sql)),
     QueryDef("q105_zorder_value", q105, Some(q105Sql)),
     QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))
 }

@@ -393,6 +393,22 @@ class ExtendedOpSpec extends SparkSpec {
     }
   }
 
+  test("Quantiles.madOutliers: flags the tail, skips mad=0 groups") {
+    import graft.operators.Quantiles
+    val df = Seq(
+      ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0), ("g", 4L, 4.0),
+      ("g", 5L, 100.0),              // med 3, mad 1 → rob_z = 65.4265
+      ("z", 6L, 5.0), ("z", 7L, 5.0), ("z", 8L, 5.0), ("z", 9L, 9.0)
+    ).toDF("k", "id", "v")           // z: med 5, mad 0 → group skipped
+    val got = Quantiles.madOutliers(df, "k", "v")
+      .select("id", "med", "mad", "rob_z").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(3) - 0.6745 * 97) < 1e-6)
+  }
+
   test("Sketch.heavyHitters: one-sided report, audit columns, phi sweep") {
     import graft.operators.Sketch
     // "a" ×6, "b" ×3, "c" ×1 → N = 10
