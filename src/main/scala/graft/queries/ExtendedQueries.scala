@@ -429,6 +429,68 @@ object ExtendedQueries {
       |SELECT event_id, event_type, value, med, mad, rob_z
       |FROM z WHERE abs(rob_z) > 3.5 ORDER BY event_id""".stripMargin
 
+  /** The q123 funnel: signup → click → purchase, in strict order. */
+  private val FunnelStages = Seq("signup", "click", "purchase")
+
+  /** Q123 — ordered conversion funnel (see
+    * [[graft.operators.Sessionize.funnel]]): per user the first signup,
+    * the first click strictly after it, the first purchase strictly
+    * after that — later stages only count in order. One conditional-min
+    * aggregate per stage on one key-pinned exchange.
+    */
+  private def q123(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.funnel(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            tsUs(col("ts")).as("ts_us")),
+        "user_id", "event_type", "ts_us", FunnelStages)
+      .orderBy("user_id")
+
+  private val q123Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+      |           FROM events),
+      |s1 AS (SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN tu END) AS t1
+      |       FROM e GROUP BY 1),
+      |s2 AS (SELECT e.user_id, max(s1.t1) AS t1,
+      |         min(CASE WHEN event_type = 'click' AND tu > s1.t1
+      |             THEN tu END) AS t2
+      |       FROM e JOIN s1 USING (user_id) GROUP BY 1),
+      |s3 AS (SELECT e.user_id, max(s2.t1) AS t1, max(s2.t2) AS t2,
+      |         min(CASE WHEN event_type = 'purchase' AND tu > s2.t2
+      |             THEN tu END) AS t3
+      |       FROM e JOIN s2 USING (user_id) GROUP BY 1)
+      |SELECT user_id, t1, t2, t3,
+      |       (CASE WHEN t3 IS NOT NULL THEN 3
+      |             WHEN t2 IS NOT NULL THEN 2
+      |             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |         AS stage_reached
+      |FROM s3 ORDER BY user_id""".stripMargin
+
+  /** Q124 — cohort retention triangle (see
+    * [[graft.operators.Sessionize.cohortRetention]]): users cohorted by
+    * first-signup day, cells count users active N days later — the
+    * companion read of the q123 funnel. Output bounded by days², not
+    * users.
+    */
+  private def q124(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.cohortRetention(
+        Tables.events(spark, dir), "user_id", "ts",
+        col("event_type") === "signup")
+      .orderBy("cohort_day", "day_offset")
+
+  private val q124Sql =
+    """WITH d AS (SELECT user_id, ts::DATE AS day, event_type FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort
+      |      FROM d WHERE event_type = 'signup' GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, day FROM d)
+      |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+      |       (a.day - c.cohort)::BIGINT AS day_offset,
+      |       count(*)::BIGINT AS n_users
+      |FROM a JOIN c USING (user_id)
+      |WHERE a.day >= c.cohort
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- rollup / pivot / clip
 
   /** Q44 — hierarchical rollup (day × event_type → day → grand total):
@@ -791,6 +853,8 @@ object ExtendedQueries {
     QueryDef("q100_cms_estimate", q100, Some(q100Sql)),
     QueryDef("q118_heavy_hitters", q118, Some(q118Sql)),
     QueryDef("q122_mad_outliers", q122, Some(q122Sql)),
+    QueryDef("q123_funnel", q123, Some(q123Sql)),
+    QueryDef("q124_cohort_retention", q124, Some(q124Sql)),
     QueryDef("q105_zorder_value", q105, Some(q105Sql)),
     QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))
 }

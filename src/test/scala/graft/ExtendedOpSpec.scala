@@ -393,6 +393,53 @@ class ExtendedOpSpec extends SparkSpec {
     }
   }
 
+  test("Sessionize.funnel: strict ordering, partial stages, stage_reached") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE the click → stage 2 only
+      (2L, "signup", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // user 3: click before signup doesn't count; no click after
+      (3L, "click", 5L), (3L, "signup", 10L),
+      // user 4: never signed up
+      (4L, "click", 10L), (4L, "purchase", 20L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val got = Sessionize.funnel(ev, "user_id", "event_type", "ts_us",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))).toMap
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(got(2L) == ((Some(10L), Some(20L), None, 2L)))
+    assert(got(3L) == ((Some(10L), None, None, 1L)))
+    assert(got(4L) == ((None, None, None, 0L)))
+  }
+
+  test("Sessionize.cohortRetention: triangle counts, pre-anchor excluded") {
+    import java.sql.Timestamp
+    import graft.operators.Sessionize
+    def t(day: Int, h: Int = 12) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1 signs up day 1, active days 1, 2 (twice), 4
+      (1L, "signup", t(1)), (1L, "view", t(2)), (1L, "click", t(2, 14)),
+      (1L, "view", t(4)),
+      // user 2 signs up day 2, active day 2 and 3; PRE-anchor day 1 view
+      (2L, "view", t(1)), (2L, "signup", t(2)), (2L, "view", t(3)),
+      // user 3 never signs up → no cohort
+      (3L, "view", t(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Sessionize.cohortRetention(ev, "user_id", "ts",
+        col("event_type") === "signup")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
   test("Quantiles.madOutliers: flags the tail, skips mad=0 groups") {
     import graft.operators.Quantiles
     val df = Seq(
