@@ -331,6 +331,61 @@ object ExtendedQueries {
        |             * 1000000.0 + 0.5) / 1000000.0 AS deviation
        |FROM w ORDER BY user_id, event_id""".stripMargin
 
+  /** q125 CUSUM parameters: trailing-frame width (the detection
+    * horizon), slack and alarm in robust sigmas.
+    */
+  private val CusumWindow = 16
+  private val CusumSlack = 0.5
+  private val CusumAlarm = 4.0
+
+  /** Q125 — windowed CUSUM drift detection per event type (Page 1954):
+    * both one-sided cumulative sums folded over each row's trailing
+    * $CusumWindow observations with median/MAD-derived target and
+    * slack (see [[TimeSeries.cusum]]) — the sustained-small-shift
+    * detector complementing q122's per-point robust z-score. Graded
+    * value-for-value: fold order, the zero seed, and the robust
+    * parameterization are all checked.
+    */
+  private def q125(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusum(Tables.events(spark, dir),
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valueCol = "value", window = CusumWindow,
+        slackSigmas = CusumSlack, alarmSigmas = CusumAlarm)
+      .orderBy("event_type", "event_id")
+
+  private val q125Sql =
+    s"""WITH med AS (SELECT event_type,
+       |               round(quantile_cont(value, 0.5), 6) AS med
+       |             FROM events GROUP BY 1),
+       |dev AS (SELECT e.event_type, abs(e.value - m.med) AS ad
+       |        FROM events e JOIN med m USING (event_type)),
+       |mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+       |        FROM dev GROUP BY 1),
+       |st AS (SELECT m.event_type, m.med,
+       |         floor(a.mad * 1.4826 * 1000000.0 + 0.5) / 1000000.0
+       |           AS sigma
+       |       FROM med m JOIN mad a USING (event_type)
+       |       WHERE a.mad <> 0),
+       |w AS (SELECT e.event_type, e.event_id, e.value, st.med, st.sigma,
+       |        list(e.value::DOUBLE) OVER (
+       |          PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+       |          ROWS BETWEEN ${CusumWindow - 1} PRECEDING
+       |               AND CURRENT ROW) AS vals
+       |      FROM events e JOIN st USING (event_type)),
+       |z AS (SELECT event_type, event_id, value,
+       |        floor(list_reduce(list_prepend(0.0, vals), (acc, x) ->
+       |                greatest(0, acc + x - (med + $CusumSlack * sigma)))
+       |              * 1000000.0 + 0.5) / 1000000.0 AS cusum_hi,
+       |        floor(list_reduce(list_prepend(0.0, vals), (acc, x) ->
+       |                greatest(0, acc - x - ($CusumSlack * sigma - med)))
+       |              * 1000000.0 + 0.5) / 1000000.0 AS cusum_lo,
+       |        sigma
+       |      FROM w)
+       |SELECT event_type, event_id, value, cusum_hi, cusum_lo, sigma,
+       |       (cusum_hi > $CusumAlarm * sigma
+       |        OR cusum_lo > $CusumAlarm * sigma) AS alarm
+       |FROM z ORDER BY event_type, event_id""".stripMargin
+
   // --------------------------------------------------------- dataset split
 
   /** Q41 — permanent train/val/test membership (80/10/10) for every
@@ -854,6 +909,7 @@ object ExtendedQueries {
     QueryDef("q118_heavy_hitters", q118, Some(q118Sql)),
     QueryDef("q122_mad_outliers", q122, Some(q122Sql)),
     QueryDef("q123_funnel", q123, Some(q123Sql)),
+    QueryDef("q125_cusum_drift", q125, Some(q125Sql)),
     QueryDef("q124_cohort_retention", q124, Some(q124Sql)),
     QueryDef("q105_zorder_value", q105, Some(q105Sql)),
     QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))

@@ -393,6 +393,40 @@ class ExtendedOpSpec extends SparkSpec {
     }
   }
 
+  test("CusumFold kernel: zero seed, reset at zero, sign, empty array") {
+    import graft.expressions.CusumFold
+    val df = Seq(Tuple1(Seq(5.0, 5.0, 1.0, 5.0))).toDF("vals")
+    // offset 4, sign +1: 0→1→2→max(0,-1)=0→1
+    val hi = df.select(CusumFold(col("vals"), lit(4.0), 1)).head.getDouble(0)
+    assert(hi == 1.0)
+    // sign -1, offset -4 (≡ target 4, slack 0): 0→max(0,-1)… drops →
+    // 0→0→3→max(0,3-1)=2
+    val lo = df.select(CusumFold(col("vals"), lit(-4.0), -1)).head.getDouble(0)
+    assert(lo == 2.0)
+    val empty = Seq(Tuple1(Seq.empty[Double])).toDF("vals")
+      .select(CusumFold(col("vals"), lit(1.0), 1)).head.getDouble(0)
+    assert(empty == 0.0)
+  }
+
+  test("TimeSeries.cusum: sustained shift alarms, stable series does not") {
+    import java.sql.Timestamp
+    import graft.operators.TimeSeries
+    def t(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    // series "s": median 10, a late sustained +3 shift over 8 points
+    val base = (1 to 20).map(i => ("s", t(i), i.toLong, 10.0 + (i % 3) * 0.5))
+    val drift = (21 to 28).map(i => ("s", t(i), i.toLong, 13.0 + (i % 3) * 0.5))
+    val ev = (base ++ drift)
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.cusum(ev, "k", "ts", "id", "v", window = 16)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(6))))
+      .toMap
+    // early stable rows: no alarm
+    assert(!got(10L)._2 && !got(20L)._2)
+    // by the end of the sustained shift the upper sum has accumulated
+    assert(got(28L)._1 > got(21L)._1)
+    assert(got(28L)._2, s"sustained shift must alarm; got ${got(28L)}")
+  }
+
   test("Sessionize.funnel: strict ordering, partial stages, stage_reached") {
     import graft.operators.Sessionize
     val ev = Seq(
