@@ -643,6 +643,60 @@ object Dedup {
         when(row_number().over(w) === 1, 1L).otherwise(0L).as("keep"))
   }
 
+  /** PageRank over an undirected pair graph (Page et al. 1999; power
+    * iteration with damping) — the centrality read of a near-dup graph:
+    * high-rank documents sit in dense duplication neighborhoods (the
+    * template/boilerplate families worth auditing before dedup commits
+    * to a keeper), a signal cluster SIZE alone misses. Pairs are
+    * symmetrized, every node has degree ≥ 1 (rank mass can't dangle),
+    * init is uniform 1/n over the graph's nodes, and each of the
+    * `iters` rounds computes
+    * `r' = (1−d)/n + d·Σ_in r(u)/deg(u)`. Emits
+    * `(id, deg, rank)` with rank rounded to 6.
+    *
+    * Determinism: each node's incoming contributions fold in sorted
+    * source order (neighbor lists are near-dup-cluster-sized — the
+    * [[keepList]] bound); n rides a broadcast 1-row aggregate, never a
+    * driver collect. Scale shape: the classic Pregel loop — one
+    * edges⋈ranks join + one dst-keyed aggregate per round, lineage
+    * truncated per round like [[connectedComponents]]; rounds are a
+    * fixed constant, not data-dependent.
+    */
+  def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"),
+        col(idA).cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nn = deg.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = deg.select(col("src").as("id")).crossJoin(broadcast(nn))
+      .select(col("id"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+      ranks = contribs
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(struct(col("src"), col("c"))))
+          .as("arr"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("id"),
+          (lit(1.0 - damping) / col("n") + lit(damping) *
+            aggregate(transform(col("arr"), _.getField("c")),
+              lit(0.0), _ + _)).as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(deg.withColumnRenamed("src", "id"), "id")
+      .select(col("id"), col("deg"), round(col("r"), 6).as("rank"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
     * scheme; see [[graft.expressions.WinnowFingerprints]]): per document
     * the rightmost-min of every `w`-wide window over the word `k`-gram

@@ -718,6 +718,55 @@ object ExtendedQueries {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** q126 PageRank parameters. */
+  private val PrIters = 5
+  private val PrDamping = 0.85
+
+  /** Q126 — PageRank centrality over the q21 near-dup graph (Page et
+    * al. 1999): high-rank docs sit in DENSE duplication neighborhoods
+    * (template families worth auditing before dedup elects keepers) —
+    * a signal cluster size alone misses (see
+    * [[graft.operators.Dedup.pageRank]]). The oracle unrolls all
+    * $PrIters power-iteration rounds over the same pair CTE as
+    * q21/q49, with every per-node fold pinned in source order.
+    */
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.pageRank(
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+          "doc_id", "text", n = 3, threshold = 0.6),
+        iters = PrIters, damping = PrDamping)
+      .orderBy("id")
+  }
+
+  private val q126Sql = {
+    val d = PrDamping.toString
+    val om = (1.0 - PrDamping).toString
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.dst AS id,
+         |         $om / nn.n + $d * list_reduce(
+         |           list(r${i - 1}.r / dg.deg ORDER BY e.src),
+         |           (x, y) -> x + y) AS r
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |         JOIN dg ON dg.src = e.src, nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    s"""WITH ${PipelineQueries.ngramPairsCte},
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE inter / (sz_a + sz_b - inter) >= 0.6),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+       |                   UNION SELECT b, a FROM e0),
+       |dg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg
+       |                    FROM e GROUP BY 1),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM dg),
+       |r0 AS MATERIALIZED (SELECT src AS id, 1.0 / nn.n AS r FROM dg, nn),
+       |${rounds.mkString(",\n")}
+       |SELECT r.id, dg2.deg, round(r.r, 6) AS rank
+       |FROM r$PrIters r JOIN dg dg2 ON dg2.src = r.id
+       |ORDER BY r.id""".stripMargin
+  }
+
   // ---------------------------------------------------- stratified sample
 
   /** Q51 — deterministic stratified sample of the corpus: keep 50% of
@@ -910,6 +959,7 @@ object ExtendedQueries {
     QueryDef("q122_mad_outliers", q122, Some(q122Sql)),
     QueryDef("q123_funnel", q123, Some(q123Sql)),
     QueryDef("q125_cusum_drift", q125, Some(q125Sql)),
+    QueryDef("q126_dedup_pagerank", q126, Some(q126Sql)),
     QueryDef("q124_cohort_retention", q124, Some(q124Sql)),
     QueryDef("q105_zorder_value", q105, Some(q105Sql)),
     QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))

@@ -393,6 +393,29 @@ class ExtendedOpSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.pageRank: rank mass conserved, hub outranks leaves") {
+    import graft.operators.Dedup
+    // star: 1 connected to 2,3,4; plus an isolated pair 5-6
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.pageRank(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == 6)
+    // hub has degree 3 and the highest rank; leaves are symmetric
+    assert(got(1L)._1 == 3L)
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got(1L)._2 > got(2L)._2)
+    // the 5-6 pair is symmetric at 1/n stationary rank
+    assert(got(5L) == got(6L))
+    // total mass ≈ 1 (rounded ranks)
+    val mass = got.values.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass")
+    // determinism under repartition
+    val again = Dedup.pageRank(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, (_, r)) => assert(again(id) == r) }
+  }
+
   test("CusumFold kernel: zero seed, reset at zero, sign, empty array") {
     import graft.expressions.CusumFold
     val df = Seq(Tuple1(Seq(5.0, 5.0, 1.0, 5.0))).toDF("vals")
