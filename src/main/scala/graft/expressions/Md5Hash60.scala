@@ -78,4 +78,17 @@ object Md5Hash60 {
   /** Column-API entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(Md5Hash60(ColumnBridge.expression(c)))
+
+  /** Driver-side twin of the kernel, for deterministic MODEL-parameter
+    * generation (e.g. the random-projection sign matrix): identical
+    * digest-bytes-to-long math over the UTF-8 bytes of `s`.
+    */
+  def hash60(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h |= (d(i) & 0xffL) << (52 - 8 * i); i += 1 }
+    h | ((d(7) & 0xffL) >>> 4)
+  }
 }

@@ -689,6 +689,42 @@ object Similarity {
             .otherwise(round(x / col("__graft_nr"), 6))).as("emb_unit"))
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    * database-friendly ±1 variant): project embeddings to `outDim`
+    * dimensions through a deterministic sign matrix,
+    * `y_j = Σ_i s_ij·x_i / √outDim` with
+    * `s_ij = ±1` from the parity of the portable 60-bit hash of
+    * `"salt:j:i"` — the cheap pre-clustering dimensionality reduction
+    * (distances preserved within 1±ε for outDim = O(log n / ε²)), with
+    * the matrix a pure FUNCTION, so any engine or later run regenerates
+    * it bit-for-bit (no stored model artifact at all). Emits
+    * `(idCol, proj: array<double>)`, elements quantized via the
+    * grade-stable `floor(x·1e6 + 0.5)/1e6`.
+    *
+    * One narrow pass: the sign matrix is outDim × inDim literals inlined
+    * in the plan, each output dimension one codegen'd
+    * [[graft.expressions.VecDot]] — no shuffle, no join, no driver
+    * collect (the matrix is GENERATED driver-side from the hash, not
+    * collected from data).
+    */
+  def randomProject(corpus: DataFrame, idCol: String, embCol: String,
+                    inDim: Int, outDim: Int,
+                    salt: String = "rp"): DataFrame = {
+    require(inDim > 0 && outDim > 0,
+      s"need positive dims, got inDim=$inDim outDim=$outDim")
+    val signs: IndexedSeq[IndexedSeq[Double]] =
+      (0 until outDim).map(j => (0 until inDim).map(i =>
+        if (graft.expressions.Md5Hash60.hash60(s"$salt:$j:$i") % 2 == 0) 1.0
+        else -1.0))
+    val sqrtK = math.sqrt(outDim.toDouble)
+    def q6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    corpus.select(col(idCol),
+      array((0 until outDim).map(j =>
+        q6(graft.expressions.VecDot(col(embCol), typedlit(signs(j)))
+          / lit(sqrtK))): _*).as("proj"))
+  }
+
   /** Contrastive (anchor → positive, hard-negative) pair mining — the
     * triplet/InfoNCE data-prep step of embedding-model training: for
     * every anchor, the most-similar SAME-label corpus vector (the

@@ -781,6 +781,38 @@ object PipelineQueries {
        |         CASE WHEN nr = 0 THEN 0.0 ELSE round(x / nr, 6) END)) AS u
        |FROM n ORDER BY grp, pos""".stripMargin
 
+  /** q127 projection dims: 64-d corpus embeddings → 16-d sketches. */
+  private val RpInDim = 64
+  private val RpOutDim = 16
+
+  /** Q127 — Johnson–Lindenstrauss ±1 random projection (Achlioptas
+    * 2003): 64-d embeddings to 16-d through the hash-derived sign
+    * matrix (see [[Similarity.randomProject]] — the matrix is a pure
+    * function of the salt, so the oracle regenerates it from the same
+    * md5-60 parity). Graded exploded-to-scalars like q50/q120.
+    */
+  private def q127(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", inDim = RpInDim, outDim = RpOutDim)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "y")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
+      .orderBy("vec_id", "pos")
+
+  private val q127Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x
+       |           FROM embeddings),
+       |p AS (SELECT vec_id, j,
+       |        floor(list_reduce(list_transform(range($RpInDim), i ->
+       |                (CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR
+       |                        || ':' || i::VARCHAR), 1, 15))::BIGINT
+       |                        % 2 = 0
+       |                      THEN 1.0 ELSE -1.0 END) * x[i + 1]),
+       |              (a, b) -> a + b) / ${math.sqrt(RpOutDim.toDouble)}
+       |              * 1000000.0 + 0.5) / 1000000.0 AS y
+       |      FROM e CROSS JOIN range($RpOutDim) t(j))
+       |SELECT vec_id, j::BIGINT AS pos, y
+       |FROM p ORDER BY vec_id, pos""".stripMargin
+
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.
     */
@@ -1132,5 +1164,6 @@ object PipelineQueries {
     QueryDef("q116_winnow_overlap", q116, Some(q116Sql)),
     QueryDef("q117_stupid_backoff", q117, Some(q117Sql)),
     QueryDef("q119_source_jsd", q119, Some(q119Sql)),
-    QueryDef("q120_mean_pool", q120, Some(q120Sql)))
+    QueryDef("q120_mean_pool", q120, Some(q120Sql)),
+    QueryDef("q127_random_project", q127, Some(q127Sql)))
 }

@@ -253,6 +253,67 @@ object EventsStream {
       }
   }
 
+  /** Per-key CUSUM state for [[cusumAlerts]]: both one-sided sums. */
+  case class CusumState(hi: Double, lo: Double)
+
+  /** A CUSUM drift alarm: which side tripped, at what accumulated sum. */
+  case class CusumAlert(key: String, at_us: Long, side: String, sum: Double)
+
+  /** §7.3/St4 — streaming CUSUM drift alerts: the EXACT Page (1954)
+    * recursion the batch [[graft.operators.TimeSeries.cusum]] windows
+    * approximate — streaming is where the unbounded-prefix recursion is
+    * natural, because the whole accumulated state is TWO DOUBLES per
+    * key in `mapGroupsWithState` (the batch twin bounds its trailing
+    * frame precisely because it lacks this carry). Emits an alert row
+    * whenever either one-sided sum crosses `alarmAt`, with the sum
+    * RESET after alarming (Page's restart — otherwise one drift alarms
+    * on every subsequent event).
+    *
+    * `target`/`slack`/`alarmAt` come from a batch profile (q125's
+    * median/MAD stats — monitoring configures from history, it doesn't
+    * re-estimate per batch). Keys are a bounded domain (event/sensor
+    * types), so state needs no timeout; within a micro-batch events
+    * process in event-time order, cross-batch ordering is delivery
+    * order (the [[gapAlerts]] contract).
+    */
+  def cusumAlerts(df: DataFrame, target: Double, slack: Double,
+                  alarmAt: Double,
+                  watermark: String = "10 minutes"): Dataset[CusumAlert] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts"), col("value").cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CusumState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          var s = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val alerts = rows.toSeq.sortBy(r => micros(r._2)).flatMap {
+            case (_, ts, v) =>
+              var hi = s.hi + v - (target + slack)
+              if (hi < 0.0) hi = 0.0
+              var lo = s.lo + (target - slack) - v
+              if (lo < 0.0) lo = 0.0
+              val out = Seq.newBuilder[CusumAlert]
+              if (hi > alarmAt) {
+                out += CusumAlert(key, micros(ts), "hi", hi)
+                hi = 0.0
+              }
+              if (lo > alarmAt) {
+                out += CusumAlert(key, micros(ts), "lo", lo)
+                lo = 0.0
+              }
+              s = CusumState(hi, lo)
+              out.result()
+          }
+          state.update(s)
+          alerts.iterator
+      }
+  }
+
   /** §7.3/St — streaming ingest dedup: drop re-deliveries of the same
     * `event_id` arriving within the watermark delay of each other (an
     * at-least-once source — a Kafka producer retry, a replayed partition

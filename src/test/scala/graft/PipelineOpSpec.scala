@@ -849,6 +849,36 @@ class PipelineOpSpec extends SparkSpec {
     assert(got(1L) == ((1L, Seq(0.0, 0.0))))
   }
 
+  test("randomProject: hash-sign fold matches, norms roughly preserved") {
+    import graft.expressions.Md5Hash60
+    val x = Array.tabulate(8)(i => (i + 1) * 0.5f)
+    val emb = Seq((1L, x)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(emb, "vec_id", "embedding",
+        inDim = 8, outDim = 4)
+      .select(col("proj")).head.getSeq[Double](0)
+    assert(got.length == 4)
+    // recompute dimension 0 with the same hash parity and fold order
+    val expected0 = {
+      var s = 0.0
+      for (i <- 0 until 8) {
+        val sign = if (Md5Hash60.hash60(s"rp:0:$i") % 2 == 0) 1.0 else -1.0
+        s += sign * x(i).toDouble
+      }
+      math.floor(s / math.sqrt(4.0) * 1e6 + 0.5) / 1e6
+    }
+    assert(got.head == expected0)
+    // JL sanity on the corpus: projected norms within a loose factor
+    val embs = graft.sources.Tables.embeddings(spark, sf).limit(20)
+    val pn = Similarity.randomProject(embs, "vec_id", "embedding", 64, 16)
+      .select(sqrt(VectorFns.dot(col("proj"), col("proj"))).as("np"),
+        col("vec_id"))
+      .join(embs.select(col("vec_id"),
+        sqrt(VectorFns.dot(col("embedding"), col("embedding"))).as("n")),
+        "vec_id")
+      .select((col("np") / col("n")).as("ratio")).as[Double].collect()
+    pn.foreach(r => assert(r > 0.3 && r < 3.0, s"norm ratio $r"))
+  }
+
   test("prototypicality: planted cells, hard examples kept, easy pruned") {
     // Two planted directions; seeds = lowest-id vectors (ids 1, 2).
     // Within cell 1: id 1 (the seed, cent_sim 1.0) is MOST prototypical,

@@ -209,6 +209,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumAlerts: drift accumulates across micro-batches, resets after alarm") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // target 10, slack 1 → stable values ≤ 11 never accumulate; each
+    // drifted value 14 adds 3 to hi; alarm at 8 trips on the 3rd
+    val q = EventsStream.cusumAlerts(in.toDF(), target = 10.0, slack = 1.0,
+        alarmAt = 8.0)
+      .writeStream.format("memory").queryName("cusum_st")
+      .outputMode("append").start()
+    try {
+      // batch 1: stable, then two drifted values (hi = 3, then 6)
+      in.addData(ev(1, 10, value = 10.0), ev(2, 20, value = 14.0),
+        ev(3, 30, value = 14.0))
+      q.processAllAvailable()
+      assert(spark.table("cusum_st").count() == 0)
+      // batch 2: the carried hi = 6 + 3 = 9 > 8 → alarm, then reset —
+      // the following drifted value accumulates from 0 again
+      in.addData(ev(4, 40, value = 14.0), ev(5, 50, value = 14.0))
+      q.processAllAvailable()
+      val alerts = spark.table("cusum_st").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getDouble(3)))
+      assert(alerts.length == 1)
+      assert(alerts.head == (("click", 40000000L, "hi", 9.0)))
+      // downward drift trips the lo side
+      in.addData(ev(6, 60, value = 1.0), ev(7, 70, value = 1.0))
+      q.processAllAvailable()
+      val lo = spark.table("cusum_st").collect()
+        .filter(_.getString(2) == "lo")
+      assert(lo.length == 1 && lo.head.getDouble(3) == 16.0)
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops re-deliveries of an event id across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
