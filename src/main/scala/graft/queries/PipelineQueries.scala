@@ -782,8 +782,8 @@ object PipelineQueries {
        |FROM n ORDER BY grp, pos""".stripMargin
 
   /** q127 projection dims: 64-d corpus embeddings → 16-d sketches. */
-  private val RpInDim = 64
-  private val RpOutDim = 16
+  private[queries] val RpInDim = 64
+  private[queries] val RpOutDim = 16
 
   /** Q127 — Johnson–Lindenstrauss ±1 random projection (Achlioptas
     * 2003): 64-d embeddings to 16-d through the hash-derived sign
@@ -798,10 +798,13 @@ object PipelineQueries {
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
       .orderBy("vec_id", "pos")
 
-  private val q127Sql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x
-       |           FROM embeddings),
-       |p AS (SELECT vec_id, j,
+  /** The q127 projection restated in SQL — `rpp(vec_id, j, y)` per
+    * output dimension — shared with q128's recall oracle.
+    */
+  private[queries] lazy val rpProjCte =
+    s"""rpe AS (SELECT vec_id, embedding::DOUBLE[] AS x
+       |        FROM embeddings),
+       |rpp AS MATERIALIZED (SELECT vec_id, j,
        |        floor(list_reduce(list_transform(range($RpInDim), i ->
        |                (CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR
        |                        || ':' || i::VARCHAR), 1, 15))::BIGINT
@@ -809,9 +812,12 @@ object PipelineQueries {
        |                      THEN 1.0 ELSE -1.0 END) * x[i + 1]),
        |              (a, b) -> a + b) / ${math.sqrt(RpOutDim.toDouble)}
        |              * 1000000.0 + 0.5) / 1000000.0 AS y
-       |      FROM e CROSS JOIN range($RpOutDim) t(j))
+       |      FROM rpe CROSS JOIN range($RpOutDim) t(j))""".stripMargin
+
+  private lazy val q127Sql =
+    s"""WITH $rpProjCte
        |SELECT vec_id, j::BIGINT AS pos, y
-       |FROM p ORDER BY vec_id, pos""".stripMargin
+       |FROM rpp ORDER BY vec_id, pos""".stripMargin
 
   /** q111 MMR parameters: anchor queries, candidate pool, selection
     * size, relevance-vs-diversity tradeoff.

@@ -586,6 +586,62 @@ object TrainPrepQueries {
        |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
        |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** Q128 — recall@k of PROJECTED-space retrieval vs full-dimension
+    * truth: brute top-k over the q127 16-d JL sketches measured against
+    * brute top-k over the original 64-d embeddings — the direct quality
+    * read of the dimensionality reduction (the JL trade is 4× less
+    * vector data per distance at whatever recall this measures), graded
+    * like the LSH/IVF/PQ index families (q79/q86/q90). The oracle
+    * restates the projection (q127's shared CTE), both retrievals, and
+    * the recall arithmetic.
+    */
+  private def q128(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding",
+      inDim = PipelineQueries.RpInDim, outDim = PipelineQueries.RpOutDim)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < QuerySample), "vec_id", RecallK),
+        Similarity.topKBatch(proj, "vec_id", "proj",
+          proj.filter(col("vec_id") < QuerySample), "vec_id", RecallK),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q128Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM s),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |${PipelineQueries.rpProjCte},
+       |pp AS MATERIALIZED (SELECT vec_id, list(y ORDER BY j) AS p
+       |                    FROM rpp GROUP BY 1),
+       |qp AS (SELECT vec_id AS query_id, p AS qpv FROM pp
+       |       WHERE vec_id < $QuerySample),
+       |ps AS (SELECT qp.query_id, pp.vec_id,
+       |             round(${PipelineQueries.cosSql("pp.p", "qpv")}, 6)
+       |               AS cos_sim
+       |      FROM pp, qp),
+       |ppr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM ps),
+       |ppt AS (SELECT query_id, vec_id FROM ppr WHERE rk <= $RecallK),
+       |h AS (SELECT ppt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM ppt JOIN ext ON ppt.query_id = ext.query_id
+       |                       AND ppt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
   /** Merge rounds for the graded BPE training run. */
   private val BpeMerges = 8
 
@@ -1438,6 +1494,7 @@ object TrainPrepQueries {
     QueryDef("q90_pq_recall", q90, Some(q90Sql)),
     QueryDef("q91_bpe_encode", q91, Some(q91Sql)),
     QueryDef("q121_bpe_fertility", q121, Some(q121Sql)),
+    QueryDef("q128_rp_recall", q128, Some(q128Sql)),
     QueryDef("q92_ivfpq_recall", q92, Some(q92Sql)),
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
     QueryDef("q94_temperature_mixture", q94, Some(q94Sql)),
