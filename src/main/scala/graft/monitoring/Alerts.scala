@@ -157,4 +157,34 @@ object Alerts {
             apply(batch, lit(maxTs)), batchId, url, table)
         }
       }
+
+  /** St4/S9 — streaming CUSUM drift alarms delivered end-to-end: map
+    * [[graft.streaming.EventsStream.cusumAlerts]]'s alarm rows into the
+    * stored-alert shape above and land them through
+    * [[graft.sources.JdbcSink.streamingSink]]'s batch-keyed idempotent
+    * upsert. The alert id is a pure function of (side, key, event
+    * time), so a replayed micro-batch re-emits byte-identical rows over
+    * its prior attempt — the same exactly-once contract as the probe
+    * alerts.
+    */
+  def cusumSink(alerts: org.apache.spark.sql.Dataset[
+                  graft.streaming.EventsStream.CusumAlert],
+                alarmAt: Double, url: String, checkpoint: String,
+                table: String = "alerts")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val shaped = alerts.toDF().select(
+      concat_ws("_", lit("cusum"), col("side"), col("key"),
+        col("at_us").cast("string")).as("alert_id"),
+      lit("drift").as("alert_type"),
+      lit("warning").as("severity"),
+      lit("CUSUM Drift").as("title"),
+      concat(lit("CUSUM "), col("side"), lit(" drift on "), col("key"),
+        lit(": "), round(col("sum"), 6).cast("string"),
+        lit(s" vs threshold $alarmAt")).as("description"),
+      timestamp_micros(col("at_us")).as("alert_ts"),
+      round(col("sum"), 6).cast("double").as("metric_value"),
+      lit(alarmAt).as("threshold"),
+      lit(false).as("resolved"))
+    graft.sources.JdbcSink.streamingSink(shaped, url, table, checkpoint)
+  }
 }

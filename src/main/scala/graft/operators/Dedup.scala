@@ -654,9 +654,13 @@ object Dedup {
     * `r' = (1−d)/n + d·Σ_in r(u)/deg(u)`. Emits
     * `(id, deg, rank)` with rank rounded to 6.
     *
-    * Determinism: each node's incoming contributions fold in sorted
-    * source order (neighbor lists are near-dup-cluster-sized — the
-    * [[keepList]] bound); n rides a broadcast 1-row aggregate, never a
+    * Determinism: each incoming contribution `r(u)/deg(u)` is
+    * quantized to a 1e-12 integer BEFORE the per-node sum (the q119
+    * source-divergence trick), so the aggregate is an exact long sum —
+    * partition-order-free, map-side combinable, and with NO per-node
+    * list state (a boilerplate hub node would make an ordered
+    * collect_list fold O(cluster) rows of state; the long sum is
+    * constant-size). n rides a broadcast 1-row aggregate, never a
     * driver collect. Scale shape: the classic Pregel loop — one
     * edges⋈ranks join + one dst-keyed aggregate per round, lineage
     * truncated per round like [[connectedComponents]]; rounds are a
@@ -681,16 +685,16 @@ object Dedup {
       val contribs = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
-        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+        .select(col("dst"),
+          floor(col("r") / col("deg") * lit(1e12) + lit(0.5))
+            .cast("long").as("cq"))
       ranks = contribs
         .groupBy(col("dst"))
-        .agg(sort_array(collect_list(struct(col("src"), col("c"))))
-          .as("arr"))
+        .agg(sum(col("cq")).as("sq"))
         .crossJoin(broadcast(nn))
         .select(col("dst").as("id"),
           (lit(1.0 - damping) / col("n") + lit(damping) *
-            aggregate(transform(col("arr"), _.getField("c")),
-              lit(0.0), _ + _)).as("r"))
+            (col("sq") / lit(1e12))).as("r"))
         .localCheckpoint()
     }
     ranks.join(deg.withColumnRenamed("src", "id"), "id")

@@ -697,8 +697,7 @@ object ExtendedQueries {
     */
   private def q49(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
-      "doc_id", "text", n = 3, threshold = 0.6)
+    val pairs = SharedFrames.ngramPairs(spark, dir)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
       .orderBy("doc_id")
@@ -728,13 +727,12 @@ object ExtendedQueries {
     * a signal cluster size alone misses (see
     * [[graft.operators.Dedup.pageRank]]). The oracle unrolls all
     * $PrIters power-iteration rounds over the same pair CTE as
-    * q21/q49, with every per-node fold pinned in source order.
+    * q21/q49; per-node contributions are integer-quantized then
+    * summed, so both engines aggregate exactly, order-free.
     */
   private def q126(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    Dedup.pageRank(
-        Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
-          "doc_id", "text", n = 3, threshold = 0.6),
+    Dedup.pageRank(SharedFrames.ngramPairs(spark, dir),
         iters = PrIters, damping = PrDamping)
       .orderBy("id")
   }
@@ -742,12 +740,15 @@ object ExtendedQueries {
   private val q126Sql = {
     val d = PrDamping.toString
     val om = (1.0 - PrDamping).toString
+    // contributions are 1e-12-integer-quantized then long-summed (the
+    // q119 trick) — exact and order-free on both engines, no per-node
+    // ordered list fold
     val rounds = (1 to PrIters).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT e.dst AS id,
-         |         $om / nn.n + $d * list_reduce(
-         |           list(r${i - 1}.r / dg.deg ORDER BY e.src),
-         |           (x, y) -> x + y) AS r
+         |         $om / nn.n + $d *
+         |           (sum(floor(r${i - 1}.r / dg.deg * 1e12 + 0.5)::BIGINT)
+         |            / 1e12) AS r
          |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
          |         JOIN dg ON dg.src = e.src, nn
          |  GROUP BY e.dst, nn.n)""".stripMargin

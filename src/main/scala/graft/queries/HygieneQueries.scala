@@ -159,9 +159,7 @@ object HygieneQueries {
   private def q68(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Dedup.keepList(docs.select(col("doc_id"), col("n_chars")),
-        "doc_id", "n_chars",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.6))
+        "doc_id", "n_chars", SharedFrames.ngramPairs(spark, dir))
       .orderBy("doc_id")
   }
 

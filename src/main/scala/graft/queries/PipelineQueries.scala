@@ -800,19 +800,39 @@ object PipelineQueries {
 
   /** The q127 projection restated in SQL — `rpp(vec_id, j, y)` per
     * output dimension — shared with q128's recall oracle.
+    *
+    * The round-8 q127/q128 failure was NOT a DuckDB version gap: this
+    * fragment is `.stripMargin`ed here and interpolated into q127Sql /
+    * q128Sql which stripMargin AGAIN, and the second strip eats the
+    * first pipe of any continuation line that starts with `||` —
+    * emitting `VARCHAR | STRING_LITERAL` (the exact binder error) on
+    * EVERY DuckDB version. Shared CTE fragments must therefore never
+    * begin a line with `||` (concat operators go at line END —
+    * tools/oracle_lint.py E4 guards the emitted SQL). The sign matrix
+    * also moved out of the per-row lambda into a plain CTE so the
+    * per-row work is an indexed fold; the `list_reduce` keeps the
+    * i=0..N-1 summation order of the Spark-side
+    * [[graft.expressions.VecDot]] kernel, so the 1e-6 quantization
+    * stays bit-stable.
     */
   private[queries] lazy val rpProjCte =
-    s"""rpe AS (SELECT vec_id, embedding::DOUBLE[] AS x
+    s"""rps AS MATERIALIZED (
+       |  SELECT j, list(s ORDER BY i) AS sgn
+       |  FROM (SELECT t.j, u.i,
+       |          CASE WHEN ('0x' || substr(md5('rp:' || t.j::VARCHAR ||
+       |                  ':' || u.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+       |               THEN 1.0 ELSE -1.0 END AS s
+       |        FROM range($RpOutDim) t(j)
+       |        CROSS JOIN range($RpInDim) u(i))
+       |  GROUP BY j),
+       |rpe AS (SELECT vec_id, embedding::DOUBLE[] AS x
        |        FROM embeddings),
        |rpp AS MATERIALIZED (SELECT vec_id, j,
        |        floor(list_reduce(list_transform(range($RpInDim), i ->
-       |                (CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR
-       |                        || ':' || i::VARCHAR), 1, 15))::BIGINT
-       |                        % 2 = 0
-       |                      THEN 1.0 ELSE -1.0 END) * x[i + 1]),
+       |                sgn[i + 1] * x[i + 1]),
        |              (a, b) -> a + b) / ${math.sqrt(RpOutDim.toDouble)}
        |              * 1000000.0 + 0.5) / 1000000.0 AS y
-       |      FROM rpe CROSS JOIN range($RpOutDim) t(j))""".stripMargin
+       |      FROM rpe CROSS JOIN rps)""".stripMargin
 
   private lazy val q127Sql =
     s"""WITH $rpProjCte

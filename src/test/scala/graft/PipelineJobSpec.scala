@@ -92,6 +92,24 @@ class PipelineJobSpec extends SparkSpec {
     assert(got(1)._2 == 1L && got(1)._3 == "")
   }
 
+  test("fullVerdicts convicts tab-separated docs (space-token fallback)") {
+    // the fallback counts SPLIT-BY-SPACE tokens, same as the signal
+    // path — a tab-separated doc is ONE space-token, so too_short
+    // convicts it; a \S+ regex fallback would count 25 words and let it
+    // through with empty reasons
+    val tabDoc = (1 to 25).map(i => s"word$i").mkString("\t")
+    val corpus = Seq(
+      (1L, tabDoc),
+      (2L, "plenty of healthy diverse original text written here today now " +
+        "with more than twenty distinct tokens in a single well formed row ok")
+    ).toDF("doc_id", "text")
+    val got = CurationJob.fullVerdicts(corpus, CurationJob.DefaultRules)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(got(0)._1 == 1L && got(0)._3.contains("too_short"),
+      s"tab-separated doc must convict, got ${got.toSeq}")
+    assert(got(1)._2 == 1L && got(1)._3 == "")
+  }
+
   test("StreamingJob forks analytics + anomalies off one stream") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("graft_streamjob").toString

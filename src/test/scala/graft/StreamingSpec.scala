@@ -242,6 +242,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumSink lands drift alarms in the JDBC store (stored-alert shape)") {
+    implicit val ctx = spark.sqlContext
+    val url = "jdbc:derby:memory:cusum_sink;create=true"
+    val ck = java.nio.file.Files.createTempDirectory("graft_cusum_ck").toString
+    val in = MemoryStream[Ev]
+    val alerts = EventsStream.cusumAlerts(in.toDF(), target = 10.0,
+      slack = 1.0, alarmAt = 8.0)
+    val q = graft.monitoring.Alerts.cusumSink(alerts, alarmAt = 8.0,
+      url, ck).start()
+    try {
+      // three drifted values: hi 3 → 6 → 9 > 8 → one alarm in-batch
+      in.addData(ev(1, 10, value = 14.0), ev(2, 20, value = 14.0),
+        ev(3, 30, value = 14.0))
+      q.processAllAvailable()
+      val landed = graft.sources.JdbcSink.readTable(spark, url, "alerts")
+        .collect()
+      assert(landed.length == 1, s"expected one stored alarm: ${landed.toSeq}")
+      val r = landed.head
+      assert(r.getAs[String]("alert_id") == "cusum_hi_click_30000000")
+      assert(r.getAs[String]("alert_type") == "drift")
+      assert(r.getAs[Double]("metric_value") == 9.0)
+      assert(r.getAs[Double]("threshold") == 8.0)
+      assert(!r.getAs[Boolean]("resolved"))
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops re-deliveries of an event id across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -47,6 +47,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(rowwise == joined)
   }
 
+  test("contamination scorers drop null-text docs (never resurrect at 0,0,0)") {
+    // the q73/q80 oracle pins this with WHERE text IS NOT NULL — a
+    // null-text doc must be ABSENT from both scorers, not present at
+    // (0, 0, 0.0) like a zero-gram doc
+    val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xx the quick brown fox jumps over yy"),
+      (11L, null.asInstanceOf[String]),
+      (12L, "tiny")
+    ).toDF("doc_id", "text")
+    val joined = Curation.contaminationScore(corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val rowwise = Curation.contaminationScoreRowwise(
+        corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(joined.map(_._1) == Seq(10L, 12L), s"null-text doc leaked: $joined")
+    assert(rowwise == joined)
+  }
+
   test("contaminationScoreRowwise runs on a stream (stateless micro-batches)") {
     implicit val ctx = sess.sqlContext
     val bench = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")

@@ -69,6 +69,21 @@ def compare(spark_rows, oracle_rows, cols):
 def main(sf_dir, out_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    # The driver runs a NEWER DuckDB than this container (r8: the driver's
+    # >=1.1 binder rejected lambda SQL that 1.0.0 accepts, and this gate was
+    # blind to it). Static lint for the known version-fragile constructs
+    # runs first and fails the gate loudly — see tools/oracle_lint.py.
+    import subprocess
+    lint = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "oracle_lint.py"),
+         str(out / "oracle_sql.json")], capture_output=True, text=True)
+    sys.stdout.write(lint.stdout)
+    if lint.returncode != 0:
+        print(f"== ORACLE LINT FAILED (local duckdb {duckdb.__version__} "
+              f"may accept SQL the driver's newer DuckDB rejects)")
+        return 1
+    print(f"(local duckdb {duckdb.__version__}; driver may run newer — "
+          f"lint green)")
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
