@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CurationQueries, ExtendedQueries, HygieneQueries, PipelineQueries, QueryDef, RelationalQueries, TrainPrepQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtendedQueries, HygieneQueries, PipelineQueries, QueryDef, RelationalQueries, StatsQueries, TrainPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
       ExtendedQueries.all ++ CurationQueries.all ++ HygieneQueries.all ++
-      TrainPrepQueries.all
+      TrainPrepQueries.all ++ StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

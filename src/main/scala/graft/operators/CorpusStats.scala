@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-law diagnostics — the statistical health checks a curation
+  * pipeline runs before committing to a mixture: Zipf's rank-frequency
+  * law (a healthy natural-language corpus has slope ≈ −1; a corpus
+  * polluted by templates or spam bends the head, machine-generated
+  * boilerplate flattens the tail) and Heaps' vocabulary-growth law
+  * (V ≈ k·N^β with β ≈ 0.4–0.6; saturating growth = duplicated
+  * content, runaway growth = OCR noise / encoding damage). Both emit
+  * one diagnostic row of least-squares fit parameters.
+  *
+  * Everything is computed with exact integer aggregation: each
+  * per-point OLS contribution (x, y, xy, x², y²) is quantized to a
+  * 1e-12 integer BEFORE summation (the q119 convention), so the sums
+  * are partition-order-free and map-side combinable on any engine, and
+  * the final fit arithmetic runs over identical doubles everywhere.
+  *
+  * Scale shape: term counting is the classic one-shuffle word count
+  * with map-side combine; the fit itself runs over a BOUNDED point set
+  * (`topK` ranks for Zipf, `buckets` prefix checkpoints for Heaps), so
+  * the single-partition windows are constant-size by construction —
+  * never corpus-sized.
+  */
+object CorpusStats {
+
+  /** `floor(x·1e12 + 0.5)` as a long — the exact-sum quantizer. */
+  private def q12(c: Column): Column =
+    floor(c * lit(1e12) + lit(0.5)).cast("long")
+
+  /** Dequantize a long sum back to double. */
+  private def dq(c: Column): Column = c / lit(1e12)
+
+  /** RAW OLS fit columns over quantized sums `(n, qsx…qsyy)`: slope,
+    * intercept, r², unrounded (call sites quantize LAST, after any
+    * derived transform like `exp(intercept)` — rounding first would
+    * diverge from an oracle that transforms the raw value). Pure double
+    * arithmetic over exact integer sums — bit-identical on both
+    * engines.
+    */
+  private def fitRaw(): (Column, Column, Column) = {
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      (dq(col("qsx")), dq(col("qsy")), dq(col("qsxy")),
+        dq(col("qsxx")), dq(col("qsyy")))
+    val dxx = n * sxx - sx * sx
+    val dyy = n * syy - sy * sy
+    val dxy = n * sxy - sx * sy
+    val slope = dxy / dxx
+    val icept = (sy - slope * sx) / n
+    val r2 = (dxy * dxy) / (dxx * dyy)
+    (slope, icept, r2)
+  }
+
+  /** Quantized OLS point sums over `(x, y)` columns. */
+  private def olsSums(pts: DataFrame, x: Column, y: Column): DataFrame =
+    pts.select(q12(x).as("qx"), q12(y).as("qy"), q12(x * y).as("qxy"),
+        q12(x * x).as("qxx"), q12(y * y).as("qyy"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("qsx"),
+        sum(col("qy")).as("qsy"), sum(col("qxy")).as("qsxy"),
+        sum(col("qxx")).as("qsxx"), sum(col("qyy")).as("qsyy"))
+
+  /** Zipf rank-frequency fit: OLS of `ln(count)` against `ln(rank)`
+    * over the corpus's `topK` most frequent space-split terms (rank
+    * ties broken by term so selection and rank are total-ordered).
+    * Emits one row `(n_terms, slope, intercept, r2)`.
+    *
+    * Scale shape: one word-count shuffle (map-side combine), then a
+    * `TakeOrderedAndProject` top-K — the rank window runs over the K
+    * surviving rows only (K is a constant; the window is bounded, not
+    * corpus-sized).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
+    require(topK > 1, s"need at least 2 ranks to fit, got $topK")
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val (slope, icept, r2) = fitRaw()
+    val q6 = graft.queries.QueryDefs.q6 _
+    olsSums(ranked, log(col("rank").cast("double")),
+        log(col("cnt").cast("double")))
+      .select(col("n").as("n_terms"), q6(slope).as("zipf_slope"),
+        q6(icept).as("intercept"), q6(r2).as("r2"))
+  }
+
+  /** Heaps vocabulary-growth fit: docs are split into `buckets` equal
+    * doc-id ranges; per checkpoint b the cumulative token count N(b)
+    * and cumulative distinct-term count V(b) (a term counts at its
+    * FIRST bucket) give the points `(ln N, ln V)` for an OLS fit of
+    * `V = k·N^β`. Emits one row
+    * `(n_points, heaps_k, heaps_beta, r2)` with k = e^intercept.
+    *
+    * Scale shape: per-term min-bucket and per-bucket token counts are
+    * two one-shuffle aggregates; the cumulative window runs over
+    * `buckets` rows (a constant — never corpus-sized). Bucketing by
+    * id range keeps membership a pure function of the row, so the
+    * prefix curve is deterministic under any partitioning.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 50): DataFrame = {
+    require(buckets > 1, s"need at least 2 checkpoints, got $buckets")
+    val mx = df.agg(max(col(idCol)).cast("long").as("mx"))
+    val toks = df.filter(col(textCol).isNotNull)
+      .crossJoin(broadcast(mx))
+      // integer `div` on both engines (DuckDB `//`) — a double divide +
+      // truncating cast can land one bucket off at representation edges
+      .select(expr(s"(cast(`$idCol` as bigint) * $buckets) div (`mx` + 1)")
+          .as("b"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+    val perBucketTokens = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("nt"))
+    val perBucketNewTerms = toks.groupBy(col("term"))
+      .agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucketTokens
+      .join(perBucketNewTerms, Seq("b"), "left")
+      .select(col("b"), sum(col("nt")).over(w).as("cn"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("cv"))
+      .filter(col("cn") > 0 && col("cv") > 0)
+    val (slope, icept, r2) = fitRaw()
+    val q6 = graft.queries.QueryDefs.q6 _
+    olsSums(pts, log(col("cn").cast("double")), log(col("cv").cast("double")))
+      .select(col("n").as("n_points"), q6(exp(icept)).as("heaps_k"),
+        q6(slope).as("heaps_beta"), q6(r2).as("r2"))
+  }
+
+  /** The RAKE delimiter lexicon (Rose et al. 2010 use a stoplist plus
+    * punctuation as phrase boundaries): a fixed English function-word
+    * set. Fixed-by-contract so extraction is a pure function of the
+    * text; empty tokens (runs of spaces) are boundaries too.
+    */
+  val RakeStopwords: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "but", "of", "to", "in", "on", "for",
+    "with", "at", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "this", "that", "these", "those", "not", "no", "so",
+    "if", "then", "than", "too", "very", "can", "will", "just", "into",
+    "over", "under", "about")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * `deg(w)/freq(w)` where `freq` counts candidate occurrences and
+    * `deg` sums the lengths of the phrases containing them (CORPUS-wide
+    * statistics — the scalable reading of RAKE's per-document tables:
+    * one shared word model instead of per-doc state); a phrase scores
+    * the sum of its word scores, and each document keeps its `k`
+    * highest-scoring distinct phrases. Emits
+    * `(idCol, rank, phrase, rake_score)`.
+    *
+    * Determinism: per-word scores are quantized to 1e-12 integers
+    * before the per-phrase sum (exact, order-free); rank ties break on
+    * the phrase string. Scale shape: phrase segmentation is a per-doc
+    * window (bounded by document length), word stats are one term-keyed
+    * shuffle with map-side combine, and the score join shuffles on the
+    * term key — the same frame discipline as TF-IDF. No corpus-sized
+    * window, no broadcast of the term table.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3,
+                   stopwords: Seq[String] = RakeStopwords): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val cand = toks.filter(col("tok") =!= "" &&
+      !col("tok").isInCollection(stopwords))
+    val wRun = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val ph = cand.withColumn("pid", col("pos") - row_number().over(wRun))
+    val phrases = ph.groupBy(col("id"), col("pid"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok"))).as("phrase"))
+    val occ = ph.select(col("id"), col("pid"), col("tok"))
+      .join(phrases.select(col("id"), col("pid"), col("plen")),
+        Seq("id", "pid"))
+    val wstat = occ.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = occ.join(wstat, "tok")
+      .groupBy(col("id"), col("pid"))
+      .agg(sum(q12(col("deg") / col("freq"))).as("qs"))
+    val perPhrase = scored.join(phrases, Seq("id", "pid"))
+      .groupBy(col("id"), col("phrase"))
+      .agg(max(col("qs")).as("qs"))
+    val wTop = Window.partitionBy(col("id"))
+      .orderBy(col("qs").desc, col("phrase"))
+    perPhrase.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank").cast("long").as("rank"),
+        col("phrase"),
+        graft.queries.QueryDefs.q6(dq(col("qs"))).as("rake_score"))
+  }
+}

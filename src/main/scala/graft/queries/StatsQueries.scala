@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+import graft.sources.Tables
+
+/** Corpus-law diagnostic queries (q129+): statistical health checks over
+  * the documents table — Zipf rank-frequency slope and Heaps vocabulary
+  * growth. Both grade a single fit row; all OLS sums are
+  * integer-quantized before aggregation (the q119 convention) so both
+  * engines sum exactly, order-free.
+  */
+object StatsQueries {
+
+  /** q129 fit width: ranks entering the Zipf OLS. */
+  private val ZipfTopK = 500
+
+  /** q130 prefix checkpoints for the Heaps curve. */
+  private val HeapsBuckets = 50
+
+  /** Q129 — Zipf rank-frequency fit over the corpus's top-$ZipfTopK
+    * terms (see [[graft.operators.CorpusStats.zipfFit]]): slope ≈ −1 is
+    * healthy natural language; template/spam pollution bends the head,
+    * generated boilerplate flattens the tail.
+    */
+  private def q129(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.zipfFit(Tables.documents(spark, dir), "text", ZipfTopK)
+
+  /** Shared OLS tail: quantize `(x, y)` points named in `xe`/`ye`, sum
+    * exactly, and emit the fit row. Kept in ONE piece of SQL so every
+    * stats oracle states the identical op sequence the Spark side runs.
+    */
+  private def olsSql(ptsCte: String, xe: String, ye: String,
+                     selectList: String): String =
+    s"""$ptsCte,
+       |qv AS (SELECT floor($xe * 1e12 + 0.5)::BIGINT AS qx,
+       |              floor($ye * 1e12 + 0.5)::BIGINT AS qy,
+       |              floor($xe * $ye * 1e12 + 0.5)::BIGINT AS qxy,
+       |              floor($xe * $xe * 1e12 + 0.5)::BIGINT AS qxx,
+       |              floor($ye * $ye * 1e12 + 0.5)::BIGINT AS qyy
+       |       FROM pts),
+       |s AS (SELECT count(*)::BIGINT AS n,
+       |             sum(qx)::BIGINT AS qsx, sum(qy)::BIGINT AS qsy,
+       |             sum(qxy)::BIGINT AS qsxy, sum(qxx)::BIGINT AS qsxx,
+       |             sum(qyy)::BIGINT AS qsyy
+       |      FROM qv),
+       |f AS (SELECT n, n::DOUBLE AS nd,
+       |             qsx / 1e12 AS sx, qsy / 1e12 AS sy,
+       |             qsxy / 1e12 AS sxy, qsxx / 1e12 AS sxx,
+       |             qsyy / 1e12 AS syy
+       |      FROM s),
+       |fit AS (SELECT n,
+       |          (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
+       |          nd, sx, sy, sxx, syy, sxy
+       |        FROM f),
+       |fin AS (SELECT n, slope, (sy - slope * sx) / nd AS icept,
+       |          ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+       |            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+       |        FROM fit)
+       |SELECT $selectList FROM fin""".stripMargin
+
+  private val q129Sql = olsSql(
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+       |             FROM documents WHERE text IS NOT NULL),
+       |ct AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
+       |       ORDER BY cnt DESC, term LIMIT $ZipfTopK),
+       |pts AS (SELECT cnt,
+       |          row_number() OVER (ORDER BY cnt DESC, term) AS rank
+       |        FROM ct)""".stripMargin,
+    "ln(rank)", "ln(cnt)",
+    """n AS n_terms,
+      |       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+      |       floor(icept * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+      |       floor(r2 * 1000000.0 + 0.5) / 1000000.0 AS r2""".stripMargin)
+
+  /** Q130 — Heaps vocabulary-growth fit `V = k·N^β` over $HeapsBuckets
+    * doc-id-range prefix checkpoints (see
+    * [[graft.operators.CorpusStats.heapsFit]]): β ≈ 0.4–0.6 is healthy;
+    * saturation = duplication, runaway growth = OCR/encoding damage.
+    */
+  private def q130(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.heapsFit(Tables.documents(spark, dir), "doc_id", "text",
+      HeapsBuckets)
+
+  private val q130Sql = olsSql(
+    s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT (doc_id * $HeapsBuckets) // (mx + 1) AS b,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM documents, mx WHERE text IS NOT NULL),
+       |nt AS (SELECT b, count(*)::BIGINT AS nt FROM tok GROUP BY 1),
+       |nv AS (SELECT b, count(*)::BIGINT AS nv
+       |       FROM (SELECT term, min(b) AS b FROM tok GROUP BY 1)
+       |       GROUP BY 1),
+       |cum AS (SELECT nt.b,
+       |          sum(nt.nt) OVER (ORDER BY nt.b)::BIGINT AS cn,
+       |          sum(coalesce(nv.nv, 0)) OVER (ORDER BY nt.b)::BIGINT AS cv
+       |        FROM nt LEFT JOIN nv USING (b)),
+       |pts AS (SELECT b, cn, cv FROM cum WHERE cn > 0 AND cv > 0)""".stripMargin,
+    "ln(cn)", "ln(cv)",
+    """n AS n_points,
+      |       floor(exp(icept) * 1000000.0 + 0.5) / 1000000.0 AS heaps_k,
+      |       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS heaps_beta,
+      |       floor(r2 * 1000000.0 + 0.5) / 1000000.0 AS r2""".stripMargin)
+
+  /** q131 keywords kept per document. */
+  private val RakeK = 3
+
+  /** Q131 — RAKE keyword extraction: each document's top-$RakeK
+    * stopword-free phrases by summed `deg/freq` word score (see
+    * [[graft.operators.CorpusStats.rakeKeywords]]) — the cheap
+    * unsupervised doc-labeling step of an indexing/curation pipeline.
+    */
+  private def q131(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.rakeKeywords(Tables.documents(spark, dir), "doc_id",
+        "text", RakeK)
+      .orderBy("doc_id", "rank")
+
+  private val q131Sql = {
+    val stop = CorpusStats.RakeStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+       |              unnest(toks) AS tok FROM d),
+       |cand AS (SELECT doc_id, pos, tok FROM tk
+       |         WHERE tok != '' AND tok NOT IN ($stop)),
+       |ph AS MATERIALIZED (SELECT doc_id, pos, tok,
+       |         pos - row_number() OVER (PARTITION BY doc_id
+       |                                  ORDER BY pos) AS pid
+       |       FROM cand),
+       |phr AS MATERIALIZED (SELECT doc_id, pid, count(*)::BIGINT AS plen,
+       |         string_agg(tok, ' ' ORDER BY pos) AS phrase
+       |       FROM ph GROUP BY 1, 2),
+       |occ AS MATERIALIZED (SELECT p.doc_id, p.pid, p.tok, phr.plen
+       |       FROM ph p JOIN phr USING (doc_id, pid)),
+       |ws AS (SELECT tok, count(*)::BIGINT AS freq,
+       |              sum(plen)::BIGINT AS deg
+       |       FROM occ GROUP BY 1),
+       |sc AS (SELECT o.doc_id, o.pid,
+       |         sum(floor(ws.deg / ws.freq * 1e12 + 0.5)::BIGINT)::BIGINT
+       |           AS qs
+       |       FROM occ o JOIN ws USING (tok) GROUP BY 1, 2),
+       |ps AS (SELECT sc.doc_id, phr.phrase, max(sc.qs) AS qs
+       |       FROM sc JOIN phr USING (doc_id, pid) GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, phrase, qs, row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY qs DESC, phrase) AS rank
+       |       FROM ps)
+       |SELECT doc_id, rank::BIGINT AS rank, phrase,
+       |       floor(qs / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS rake_score
+       |FROM rk WHERE rank <= $RakeK ORDER BY doc_id, rank""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q129_zipf_fit", q129, Some(q129Sql)),
+    QueryDef("q130_heaps_fit", q130, Some(q130Sql)),
+    QueryDef("q131_rake_keywords", q131, Some(q131Sql)))
+}
