@@ -200,4 +200,72 @@ object CorpusStats {
         col("phrase"),
         graft.queries.QueryDefs.q6(dq(col("qs"))).as("rake_score"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form with a fixed discount) — the
+    * stronger LM filter next to [[Curation.stupidBackoff]]'s cheap
+    * heuristic: perplexity-style quality ranking of held-out documents
+    * under a bigram model whose backoff mass goes to CONTINUATION
+    * counts (how many contexts a word completes), the property that
+    * makes KN rank "San Francisco"-style collocations correctly where
+    * raw-frequency backoff fails.
+    *
+    * The corpus splits deterministically by id: `id % holdoutMod != 0`
+    * trains, `id % holdoutMod == 0` is scored. With seen context `w1`:
+    * `P = max(c12−D,0)/c1 + (D·N1+(w1,·)/c1)·(N1+(·,w2)/B)`; with
+    * unseen context the continuation term alone. A bigram whose `w2`
+    * was never seen as a continuation is OOV — counted, not scored.
+    * Emits `(idCol, n_bigrams, n_oov, kn_logscore)` per held-out doc
+    * with ≥1 bigram, where `kn_logscore` is the mean quantized
+    * `ln P` over scored bigrams (0.0 when every bigram is OOV).
+    *
+    * Scale shape: the model is three count tables off one bigram frame
+    * (map-side combine); scoring joins SHUFFLE on the bigram/context/
+    * continuation keys — term tables are corpus-sized and never
+    * broadcast (the q61/q87 web-scale posture). `B` rides a broadcast
+    * 1-row aggregate. Per-bigram `ln P` is quantized to a 1e-12
+    * integer before the per-doc sum — exact, order-free.
+    */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+                    holdoutMod: Int = 5,
+                    discount: Double = 0.75): DataFrame = {
+    require(holdoutMod >= 2, s"need a train/eval split, got $holdoutMod")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    def bigrams(d: DataFrame): DataFrame =
+      d.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          explode(graft.expressions.WordNGrams(
+            TextFns.tokens(col(textCol)), 2)).as("g"))
+        .select(col("id"), element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"))
+    val cb = bigrams(df.filter(col(idCol) % holdoutMod =!= 0))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = cb.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fwd"))
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("bwd"))
+    val bn = cb.agg(count(lit(1)).cast("double").as("bn"))
+    val d = lit(discount)
+    val scoredRows = bigrams(df.filter(col(idCol) % holdoutMod === 0))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(bn))
+      .withColumn("p",
+        when(col("bwd").isNull, lit(null).cast("double"))
+          .when(col("c1").isNotNull,
+            greatest(coalesce(col("c12"), lit(0L)) - d, lit(0.0)) / col("c1")
+              + d * col("fwd") / col("c1") * (col("bwd") / col("bn")))
+          .otherwise(col("bwd") / col("bn")))
+    scoredRows.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("p").isNull, lit(1))).as("n_oov"),
+        sum(q12(log(col("p")))).as("qs"),
+        count(col("p")).as("n_scored"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("n_oov"),
+        when(col("n_scored") === 0L, lit(0.0))
+          .otherwise(graft.queries.QueryDefs.q6(
+            dq(col("qs")) / col("n_scored")))
+          .as("kn_logscore"))
+  }
 }

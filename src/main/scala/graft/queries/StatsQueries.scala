@@ -152,8 +152,130 @@ object StatsQueries {
        |FROM rk WHERE rank <= $RakeK ORDER BY doc_id, rank""".stripMargin
   }
 
+  /** q132 split modulus and KN discount. */
+  private val KnMod = 5
+  private val KnD = 0.75
+
+  /** Q132 — interpolated Kneser–Ney bigram scoring of the held-out
+    * split (`doc_id % $KnMod == 0`) under a model trained on the rest
+    * (see [[graft.operators.CorpusStats.knBigramScore]]) — the
+    * perplexity-filter companion to q117's Stupid Backoff, with backoff
+    * mass on continuation counts.
+    */
+  private def q132(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.knBigramScore(Tables.documents(spark, dir), "doc_id",
+        "text", KnMod, KnD)
+      .orderBy("doc_id")
+
+  private val q132Sql =
+    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents
+       |            WHERE text IS NOT NULL AND doc_id % $KnMod != 0),
+       |tb AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+       |              unnest(toks[2:len(toks)]) AS w2 FROM tr),
+       |cb AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c12
+       |                    FROM tb GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS fwd
+       |        FROM cb GROUP BY 1),
+       |cont AS (SELECT w2, count(*)::BIGINT AS bwd FROM cb GROUP BY 1),
+       |bn AS (SELECT count(*)::DOUBLE AS bn FROM cb),
+       |ev AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |       FROM documents
+       |       WHERE text IS NOT NULL AND doc_id % $KnMod = 0),
+       |eb AS (SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS w1,
+       |              unnest(toks[2:len(toks)]) AS w2 FROM ev),
+       |sc AS (SELECT e.doc_id,
+       |         CASE WHEN cont.bwd IS NULL THEN NULL
+       |              WHEN ctx.c1 IS NOT NULL THEN
+       |                greatest(coalesce(cb.c12, 0) - $KnD, 0.0) / ctx.c1
+       |                  + $KnD * ctx.fwd / ctx.c1 * (cont.bwd / bn.bn)
+       |              ELSE cont.bwd / bn.bn END AS p
+       |       FROM eb e
+       |       LEFT JOIN cb ON cb.w1 = e.w1 AND cb.w2 = e.w2
+       |       LEFT JOIN ctx ON ctx.w1 = e.w1
+       |       LEFT JOIN cont ON cont.w2 = e.w2, bn)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |       (count(*) - count(p))::BIGINT AS n_oov,
+       |       CASE WHEN count(p) = 0 THEN 0.0
+       |            ELSE floor((sum(floor(ln(p) * 1e12 + 0.5)::BIGINT)::BIGINT
+       |                        / 1e12) / count(p) * 1000000.0 + 0.5)
+       |                 / 1000000.0 END AS kn_logscore
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** q133 embedding dimensionality and power-iteration rounds. */
+  private val PcaDim = 64
+  private val PcaIters = 10
+
+  /** Q133 — top principal component of the embedding cloud (see
+    * [[graft.operators.Similarity.pcaTopComponent]]): the anisotropy /
+    * rogue-dimension diagnostic run before cosine-based clustering or
+    * ANN indexing. The oracle recomputes the exact-integer moment sums
+    * and replays the identical quantized power iteration, unrolled.
+    */
+  private def q133(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pcaTopComponent(
+        Tables.embeddings(spark, dir), "embedding", PcaDim, PcaIters)
+      .orderBy("pos")
+
+  private val q133Sql = {
+    val d = PcaDim
+    // one power-iteration round: matvec, norm, re-quantized iterate —
+    // the same op sequence, in the same order, as the Scala driver loop
+    def round(k: Int): String =
+      s"""w$k AS (SELECT list_transform(range($d), i ->
+         |         list_reduce(list_transform(range($d), q ->
+         |             c[i + 1][q + 1] * v[q + 1]),
+         |           (a, b) -> a + b)) AS w
+         |       FROM cm, v${k - 1}),
+         |n$k AS (SELECT w,
+         |         sqrt(list_reduce(list_transform(range($d), q ->
+         |             w[q + 1] * w[q + 1]), (a, b) -> a + b)) AS nrm
+         |       FROM w$k),
+         |v$k AS (SELECT list_transform(range($d), q ->
+         |         floor(w[q + 1] / nrm * 1e12 + 0.5) / 1e12) AS v
+         |       FROM n$k)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT embedding::DOUBLE[] AS x FROM embeddings),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+       |sx AS (SELECT i,
+       |         sum(floor(x[i + 1] * 1e12 + 0.5)::BIGINT)::BIGINT AS q
+       |       FROM e CROSS JOIN range(0, $d) t(i) GROUP BY 1),
+       |mv AS (SELECT list(q / 1e12 / nn.n ORDER BY i) AS m FROM sx, nn),
+       |s2 AS MATERIALIZED (
+       |  SELECT i, j,
+       |    sum(floor(x[i + 1] * x[j + 1] * 1e12 + 0.5)::BIGINT)::BIGINT AS q
+       |  FROM e CROSS JOIN range(0, $d) t(i) CROSS JOIN range(0, $d) u(j)
+       |  GROUP BY 1, 2),
+       |cr AS (SELECT s2.i, s2.j,
+       |         s2.q / 1e12 / nn.n - mv.m[s2.i + 1] * mv.m[s2.j + 1] AS cij
+       |       FROM s2, nn, mv),
+       |cm AS MATERIALIZED (
+       |  SELECT list(row ORDER BY i) AS c FROM (
+       |    SELECT i, list(cij ORDER BY j) AS row FROM cr GROUP BY i)),
+       |v0 AS (SELECT list_transform(range($d), q -> 0.125) AS v),
+       |${(1 to PcaIters).map(round).mkString(",\n")},
+       |wf AS (SELECT list_transform(range($d), i ->
+       |         list_reduce(list_transform(range($d), q ->
+       |             c[i + 1][q + 1] * v[q + 1]),
+       |           (a, b) -> a + b)) AS w
+       |       FROM cm, v$PcaIters),
+       |lm AS (SELECT list_reduce(list_transform(range($d), i ->
+       |           v[i + 1] * w[i + 1]), (a, b) -> a + b) AS lam
+       |       FROM v$PcaIters, wf),
+       |trc AS (SELECT list_reduce(list_transform(range($d), i ->
+       |            c[i + 1][i + 1]), (a, b) -> a + b) AS tr FROM cm)
+       |SELECT k AS pos,
+       |       floor(v[k + 1] * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       |       floor(lam * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue,
+       |       floor(lam / tr * 1000000.0 + 0.5) / 1000000.0 AS var_explained
+       |FROM range(0, $d) r(k), v$PcaIters, lm, trc
+       |ORDER BY pos""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q129_zipf_fit", q129, Some(q129Sql)),
     QueryDef("q130_heaps_fit", q130, Some(q130Sql)),
-    QueryDef("q131_rake_keywords", q131, Some(q131Sql)))
+    QueryDef("q131_rake_keywords", q131, Some(q131Sql)),
+    QueryDef("q132_kn_bigram", q132, Some(q132Sql)),
+    QueryDef("q133_pca_top", q133, Some(q133Sql)))
 }

@@ -75,6 +75,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("knBigramScore: discount, continuation backoff, OOV accounting") {
+    // train (ids 1-3): bigrams (a,b) (a,c) (b,c) → c1(a)=2 fwd(a)=2,
+    // bwd(b)=1 bwd(c)=2, B=3
+    val df = Seq(
+      (0L, "a b"),   // eval: seen bigram → max(1-.75,0)/2 + .75*2/2*(1/3)
+      (5L, "z c"),   // eval: unseen context z → pure continuation 2/3
+      (10L, "x q"),  // eval: q never a continuation → OOV
+      (1L, "a b"), (2L, "a c"), (3L, "b c")).toDF("doc_id", "text")
+    val got = CorpusStats.knBigramScore(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 1L, 0L), (5L, 1L, 0L), (10L, 1L, 1L)))
+    assert(math.abs(got(0)._4 - math.log(0.375)) < 1e-5, s"${got(0)}")
+    assert(math.abs(got(1)._4 - math.log(2.0 / 3.0)) < 1e-5, s"${got(1)}")
+    assert(got(2)._4 == 0.0)
+    val again = CorpusStats.knBigramScore(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("heapsFit is a pure function of doc ids (repartition-stable)") {
     val docs = (0L until 60L)
       .map(i => (i, s"c1 c2 u${i % 17} u${i % 23}")).toDF("doc_id", "text")

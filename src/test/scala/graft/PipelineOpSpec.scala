@@ -849,6 +849,29 @@ class PipelineOpSpec extends SparkSpec {
     assert(got(1L) == ((1L, Seq(0.0, 0.0))))
   }
 
+  test("pcaTopComponent recovers a rank-1 direction exactly") {
+    // points t·(0.6, 0.8, 0, 0), t ∈ {−2,−1,1,2}: mean 0, covariance is
+    // rank-1 with eigenvector (0.6, 0.8, 0, 0) and λ = mean(t²) = 2.5
+    val emb = Seq(-2.0f, -1.0f, 1.0f, 2.0f).zipWithIndex.map {
+      case (t, i) => (i.toLong, Array(0.6f * t, 0.8f * t, 0.0f, 0.0f))
+    }
+    val got = Similarity.pcaTopComponent(
+        emb.toDF("vec_id", "embedding"), "embedding", dim = 4)
+      .orderBy("pos").as[(Long, Double, Double, Double)].collect()
+    assert(got.length == 4)
+    val loadings = got.map(_._2)
+    assert(math.abs(math.abs(loadings(0)) - 0.6) < 1e-4, loadings.toSeq)
+    assert(math.abs(math.abs(loadings(1)) - 0.8) < 1e-4)
+    assert(math.abs(loadings(2)) < 1e-4 && math.abs(loadings(3)) < 1e-4)
+    assert(math.abs(got.head._3 - 2.5) < 1e-3, s"eigenvalue ${got.head._3}")
+    assert(math.abs(got.head._4 - 1.0) < 1e-4, s"share ${got.head._4}")
+    // deterministic under repartition (exact-integer moment sums)
+    val again = Similarity.pcaTopComponent(
+        emb.toDF("vec_id", "embedding").repartition(3), "embedding", dim = 4)
+      .orderBy("pos").as[(Long, Double, Double, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("randomProject: hash-sign fold matches, norms roughly preserved") {
     import graft.expressions.Md5Hash60
     val x = Array.tabulate(8)(i => (i + 1) * 0.5f)
