@@ -643,6 +643,45 @@ object Dedup {
         when(row_number().over(w) === 1, 1L).otherwise(0L).as("keep"))
   }
 
+  /** SOFT dedup (the "duplicates aren't worthless, they're
+    * over-weighted" reading — repeated data keeps value for a few
+    * epochs, so dropping all-but-one member of a big template family
+    * throws signal away while keeping all of them over-trains on
+    * boilerplate): per near-dup cluster keep the top `⌈√size⌉`
+    * members by score instead of exactly one — sublinear retention,
+    * so a 10k-copy family keeps 100 while genuine singletons are
+    * untouched.
+    *
+    * Emits `(idCol, cluster, cluster_size, keep)`. Same shape as
+    * [[keepList]] (components → label join → per-cluster window; the
+    * size is a `count` over the SAME window partition, so no second
+    * shuffle). The √-budget is evaluated as the PURE-INTEGER predicate
+    * `(rank−1)² < size` (≡ rank ≤ ⌈√size⌉) — no float pow/ceil whose
+    * last-ulp behavior could differ between engines at exact-integer
+    * boundaries.
+    */
+  def softKeepList(docs: DataFrame, idCol: String, scoreCol: String,
+                   pairs: DataFrame,
+                   idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, idA, idB)
+    val clustered = docs
+      .join(comps, docs(idCol) === comps("id"), "left")
+      .select(docs(idCol), coalesce(col("comp"), docs(idCol)).as("cluster"),
+        docs(scoreCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    clustered
+      .select(col(idCol), col("cluster"),
+        count(lit(1)).over(wAll).as("cluster_size"),
+        row_number().over(w).cast("long").as("rk"))
+      .select(col(idCol), col("cluster"), col("cluster_size"),
+        when((col("rk") - 1L) * (col("rk") - 1L) < col("cluster_size"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** PageRank over an undirected pair graph (Page et al. 1999; power
     * iteration with damping) — the centrality read of a near-dup graph:
     * high-rank documents sit in dense duplication neighborhoods (the

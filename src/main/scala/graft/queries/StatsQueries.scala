@@ -272,10 +272,48 @@ object StatsQueries {
        |ORDER BY pos""".stripMargin
   }
 
+  /** Q134 — SOFT dedup decision: per near-dup cluster keep the top
+    * `⌈√size⌉` members by n_chars instead of exactly one (see
+    * [[graft.operators.Dedup.softKeepList]]) — sublinear retention of
+    * duplicate families (repeated data keeps value for a few epochs;
+    * hard dedup throws it away, no dedup over-trains on boilerplate).
+    * Composes over the q21 pair frame shared with q49/q68/q126.
+    */
+  private def q134(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Dedup.softKeepList(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+        SharedFrames.ngramPairs(spark, dir))
+      .orderBy("doc_id")
+  }
+
+  private val q134Sql =
+    s"""WITH RECURSIVE ${PipelineQueries.ngramPairsCte},
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE inter / (sz_a + sz_b - inter) >= 0.6),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM e
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+       |         FROM reach GROUP BY a),
+       |d AS (SELECT doc_id, coalesce(c.comp, doc_id) AS cluster, n_chars
+       |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id),
+       |rk AS (SELECT doc_id, cluster,
+       |         count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size,
+       |         row_number() OVER (PARTITION BY cluster
+       |             ORDER BY n_chars DESC, doc_id)::BIGINT AS rk
+       |       FROM d)
+       |SELECT doc_id, cluster, cluster_size,
+       |       (CASE WHEN (rk - 1) * (rk - 1) < cluster_size
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM rk ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q129_zipf_fit", q129, Some(q129Sql)),
     QueryDef("q130_heaps_fit", q130, Some(q130Sql)),
     QueryDef("q131_rake_keywords", q131, Some(q131Sql)),
     QueryDef("q132_kn_bigram", q132, Some(q132Sql)),
-    QueryDef("q133_pca_top", q133, Some(q133Sql)))
+    QueryDef("q133_pca_top", q133, Some(q133Sql)),
+    QueryDef("q134_soft_dedup", q134, Some(q134Sql)))
 }

@@ -138,6 +138,27 @@ class HygieneSpec extends SparkSpec {
       (4L, 4L, 1L))) // singleton keeps itself
   }
 
+  test("softKeepList keeps ceil(sqrt(size)) per cluster, score-ranked") {
+    // component {1..5}: ceil(sqrt 5) = 3 kept, by n_chars desc then id;
+    // component {10,11}: ceil(sqrt 2) = 2 — a bare pair keeps BOTH;
+    // singleton 20 kept
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 40L), (4L, 40L), (5L, 5L),
+      (10L, 7L), (11L, 9L), (20L, 1L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.softKeepList(docs, "doc_id", "n_chars", pairs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5L, 0L),   // rank 4 (10 chars)
+      (2L, 1L, 5L, 1L),   // rank 1 (50)
+      (3L, 1L, 5L, 1L),   // rank 2 (40, id tiebreak)
+      (4L, 1L, 5L, 1L),   // rank 3 (40)
+      (5L, 1L, 5L, 0L),   // rank 5
+      (10L, 10L, 2L, 1L),
+      (11L, 10L, 2L, 1L),
+      (20L, 20L, 1L, 1L)))
+  }
+
   test("Profile.table counts rows/nulls/distincts per column in one pass") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")), (None, Some("a"))
