@@ -695,11 +695,17 @@ object Dedup {
     *
     * Determinism: each incoming contribution `r(u)/deg(u)` is
     * quantized to a 1e-12 integer BEFORE the per-node sum (the q119
-    * source-divergence trick), so the aggregate is an exact long sum —
-    * partition-order-free, map-side combinable, and with NO per-node
-    * list state (a boilerplate hub node would make an ordered
-    * collect_list fold O(cluster) rows of state; the long sum is
-    * constant-size). n rides a broadcast 1-row aggregate, never a
+    * source-divergence trick), so the aggregate is an exact integer
+    * sum — partition-order-free, map-side combinable, and with NO
+    * per-node list state (a boilerplate hub node would make an ordered
+    * collect_list fold O(cluster) rows of state; the sum is
+    * constant-size). The sum rides a DECIMAL(38,0) accumulator: rank
+    * mass conservation (Σr ≤ 1) already bounds any node's incoming sum
+    * at ~1e12 + in-degree/2 rounding slack — far under the 64-bit
+    * ceiling — but the decimal width makes the no-overflow claim
+    * unconditional rather than an invariant a future caller could
+    * break with un-normalized ranks. n rides a broadcast 1-row
+    * aggregate, never a
     * driver collect. Scale shape: the classic Pregel loop — one
     * edges⋈ranks join + one dst-keyed aggregate per round, lineage
     * truncated per round like [[connectedComponents]]; rounds are a
@@ -729,7 +735,7 @@ object Dedup {
             .cast("long").as("cq"))
       ranks = contribs
         .groupBy(col("dst"))
-        .agg(sum(col("cq")).as("sq"))
+        .agg(sum(col("cq").cast("decimal(38,0)")).as("sq"))
         .crossJoin(broadcast(nn))
         .select(col("dst").as("id"),
           (lit(1.0 - damping) / col("n") + lit(damping) *

@@ -725,6 +725,19 @@ object Similarity {
           / lit(sqrtK))): _*).as("proj"))
   }
 
+  /** The single-scan moment aggregate behind [[pcaTopComponent]],
+    * exposed so plan guards can assert the shape directly: one corpus
+    * scan, no join, one row out carrying
+    * `[n, Σxᵢ…, Σxᵢxⱼ…] / array<double>`. Null-embedding rows are
+    * filtered BEFORE the aggregate (and not counted in n); the float →
+    * double widening happens in the cast so quantization sees the same
+    * doubles the oracle's `::DOUBLE[]` does.
+    */
+  def pcaMomentsFrame(df: DataFrame, embCol: String, dim: Int): DataFrame =
+    df.filter(col(embCol).isNotNull)
+      .select(graft.expressions.EmbedMoments.moments(
+        col(embCol).cast("array<double>"), dim).as("moments"))
+
   /** Top principal component of the embedding cloud (power iteration
     * over the covariance; Golub & Van Loan §8.2) — the whitening /
     * anisotropy read of an embedding corpus: a dominant component with
@@ -736,49 +749,42 @@ object Similarity {
     * and the λ/trace variance share are constant across rows — the q50
     * exploded-scalar grading convention).
     *
-    * Distribution: the heavy work is TWO corpus scans — per-dimension
-    * element sums and the d² raw second moments, both exact
-    * 1e-12-integer sums with map-side combine (quantized-long sums
-    * bound the corpus at ~9e6 rows per partition-free aggregate at
-    * this quantum; a 100 TB run drops to a 1e6 quantum or DECIMAL(38)
-    * accumulators — same plan shape). The d×d covariance
-    * `C = S/n − m·mᵀ` is then a MODEL (d² doubles — the IVF-centroid
-    * collect convention), and the `iters` fixed power-iteration rounds
-    * run driver-side with every fold in index order and the iterate
-    * re-quantized to 1e-12 each round, so any engine replays the exact
-    * same float sequence. Deterministic init `v₀ = 1/√d` (exact for
-    * power-of-two d).
+    * Distribution: the heavy work is ONE corpus scan — a single
+    * [[graft.expressions.EmbedMoments]] aggregate accumulates the row
+    * count, the d per-dimension sums, and the d(d+1)/2 upper-triangle
+    * raw second moments in-buffer as exact 1e-12-quantized SIGNED-128
+    * integer sums (map-side combine; no d² row fanout, no crossJoin, no
+    * 64-bit overflow ceiling — a bare long sum would silently wrap past
+    * ~9.2e6 unit-scale rows). The d×d covariance `C = S/n − m·mᵀ` is
+    * then a MODEL (d² doubles from one ~(1+d+d²/2)-element collected
+    * row — the IVF-centroid collect convention), and the `iters` fixed
+    * power-iteration rounds run driver-side with every fold in index
+    * order and the iterate re-quantized to 1e-12 each round, so any
+    * engine replays the exact same float sequence. Deterministic init
+    * `v₀ = 1/√d` (exact for power-of-two d). Null-embedding rows are
+    * excluded on BOTH sides of the grading contract (the oracle filters
+    * `embedding IS NOT NULL`), so n agrees by construction.
     */
   def pcaTopComponent(df: DataFrame, embCol: String, dim: Int,
                       iters: Int = 10): DataFrame = {
     require(dim > 0 && iters >= 1, s"bad dim=$dim iters=$iters")
     val spark = df.sparkSession
-    def q12(c: Column): Column =
-      floor(c * lit(1e12) + lit(0.5)).cast("long")
-    val mrows = df
-      .select(posexplode(col(embCol)).as(Seq("i", "xv")))
-      .groupBy(col("i"))
-      .agg(sum(q12(col("xv").cast("double"))).as("qs"),
-        count(lit(1)).as("cnt"))
-      .collect()
-    require(mrows.nonEmpty, "empty corpus")
-    val n = mrows.head.getAs[Long]("cnt").toDouble
-    val m = Array.ofDim[Double](dim)
-    mrows.foreach(r =>
-      m(r.getAs[Int]("i")) = r.getAs[Long]("qs") / 1e12 / n)
-    val ij = spark.range(0, dim.toLong).toDF("i")
-      .crossJoin(spark.range(0, dim.toLong).toDF("j"))
-    val srows = df.crossJoin(broadcast(ij))
-      .select(col("i"), col("j"),
-        q12(element_at(col(embCol), (col("i") + 1).cast("int")).cast("double")
-          * element_at(col(embCol), (col("j") + 1).cast("int")).cast("double"))
-          .as("q"))
-      .groupBy(col("i"), col("j")).agg(sum(col("q")).as("qs"))
-      .collect()
+    val a = pcaMomentsFrame(df, embCol, dim).head().getSeq[Double](0)
+    val n = a(0)
+    require(n > 0, "empty corpus")
+    val m = Array.tabulate(dim)(i => a(1 + i) / 1e12 / n)
     val c = Array.ofDim[Double](dim, dim)
-    srows.foreach { r =>
-      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
-      c(i)(j) = r.getAs[Long]("qs") / 1e12 / n - m(i) * m(j)
+    var ii = 0
+    while (ii < dim) {
+      var jj = ii
+      while (jj < dim) {
+        val s = a(1 + dim + graft.expressions.EmbedMoments.triIndex(dim, ii, jj))
+        val cij = s / 1e12 / n - m(ii) * m(jj)
+        c(ii)(jj) = cij
+        c(jj)(ii) = cij
+        jj += 1
+      }
+      ii += 1
     }
     def matVec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { i =>

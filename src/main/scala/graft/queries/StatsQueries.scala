@@ -235,15 +235,16 @@ object StatsQueries {
          |         floor(w[q + 1] / nrm * 1e12 + 0.5) / 1e12) AS v
          |       FROM n$k)""".stripMargin
     s"""WITH e AS MATERIALIZED (
-       |  SELECT embedding::DOUBLE[] AS x FROM embeddings),
+       |  SELECT embedding::DOUBLE[] AS x FROM embeddings
+       |  WHERE embedding IS NOT NULL),
        |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
        |sx AS (SELECT i,
-       |         sum(floor(x[i + 1] * 1e12 + 0.5)::BIGINT)::BIGINT AS q
+       |         sum(floor(x[i + 1] * 1e12 + 0.5)::BIGINT) AS q
        |       FROM e CROSS JOIN range(0, $d) t(i) GROUP BY 1),
        |mv AS (SELECT list(q / 1e12 / nn.n ORDER BY i) AS m FROM sx, nn),
        |s2 AS MATERIALIZED (
        |  SELECT i, j,
-       |    sum(floor(x[i + 1] * x[j + 1] * 1e12 + 0.5)::BIGINT)::BIGINT AS q
+       |    sum(floor(x[i + 1] * x[j + 1] * 1e12 + 0.5)::BIGINT) AS q
        |  FROM e CROSS JOIN range(0, $d) t(i) CROSS JOIN range(0, $d) u(j)
        |  GROUP BY 1, 2),
        |cr AS (SELECT s2.i, s2.j,
@@ -252,7 +253,8 @@ object StatsQueries {
        |cm AS MATERIALIZED (
        |  SELECT list(row ORDER BY i) AS c FROM (
        |    SELECT i, list(cij ORDER BY j) AS row FROM cr GROUP BY i)),
-       |v0 AS (SELECT list_transform(range($d), q -> 0.125) AS v),
+       |v0 AS (SELECT list_transform(range($d),
+       |         q -> ${1.0 / math.sqrt(d.toDouble)}) AS v),
        |${(1 to PcaIters).map(round).mkString(",\n")},
        |wf AS (SELECT list_transform(range($d), i ->
        |         list_reduce(list_transform(range($d), q ->
