@@ -45,21 +45,31 @@ object Bench {
     selected.foreach { q =>
       try materialize(q.spark(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = selected.map { q =>
-      val times = (1 to iters).map { _ =>
+    // Only SUCCESSFUL iterations may enter the min — an exception path
+    // returns in milliseconds and would masquerade as an 8-10× speedup in
+    // round-over-round comparison. A query whose every iteration threw is
+    // OMITTED from the JSON entirely (stderr carries the reason), so the
+    // artifact never contains a wall-time for a query that didn't execute.
+    val results = selected.flatMap { q =>
+      val times = (1 to iters).flatMap { _ =>
         // pin GC state at iteration boundaries: heap pressure accumulated
         // by earlier queries otherwise lands as pauses inside whichever
         // query runs next, and a pause spanning all iterations defeats
         // even min-of-N (observed: a 0.6 s query timing at 3.8 s)
         System.gc()
         val t0 = System.nanoTime()
-        try materialize(q.spark(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { materialize(q.spark(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      q.name -> times.min
+      if (times.isEmpty) {
+        System.err.println(s"[bench] ${q.name} omitted — all $iters iterations threw")
+        None
+      } else Some(q.name -> times.min)
     }
     // The composed end-to-end CurationJob, timed through its REAL table
     // writes (the five output parquet tables are the job's contract —

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main: measures how two headline operators scale when the
+  * SAME corpus grows k× in row count — one measured data point behind the
+  * 100 TB design claims, which otherwise rest on plan shape alone.
+  *
+  * Method: the sf-dir documents table is replicated k× IN MEMORY with
+  * remapped ids, localCheckpointed BEFORE timing (so replication cost and
+  * parquet I/O are excluded and both scales run from a materialized RDD):
+  *
+  *   - q85 shape ([[graft.operators.Curation.curationPass]]): the rowwise
+  *     signals → contamination → verdict → scrub projection. Pure narrow
+  *     path — ideal scaling is ~linear in rows.
+  *   - q22 shape ([[graft.operators.Dedup.minHashPairs]]): MinHash-banded
+  *     near-dup pairs. Every token of copy c is suffixed `_c`, so copies
+  *     of one document share NO shingles: within-copy pair structure is
+  *     identical to the original corpus and the true pair count scales
+  *     exactly ×k — the probe measures the banded-candidate path under
+  *     k× load, not an artificial quadratic duplicate blowup.
+  *
+  * Prints one JSON line:
+  * `{"probe":"scale","sf":...,"k":K,"queries":{"q22_minhash":{"x1":s,"xK":s,
+  * "ratio":r},...}}` — `ratio` ≈ K is linear scaling; ratio well below K
+  * means fixed overhead still dominates at this SF; ratio well above K
+  * flags a superlinear stage that would not survive 100 TB.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+
+    /** k× replica with remapped ids and per-copy token decorrelation,
+      * materialized (interpreted-lambda replication cost excluded from
+      * every timing below).
+      */
+    def replicate(times: Int): DataFrame = {
+      val r =
+        if (times == 1) docs
+        else docs
+          .select(col("*"),
+            explode(sequence(lit(0), lit(times - 1))).as("copy"))
+          .select((col("doc_id") * times + col("copy")).as("doc_id"),
+            col("lang"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("copy")))).as("text"))
+      val out = r.localCheckpoint()
+      out.count() // force materialization now, outside the timed window
+      out
+    }
+
+    def time(df: => DataFrame): Double =
+      (1 to iters).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val passRules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tokens") < 20),
+      "low_diversity" -> (col("distinct_ratio") < 0.35),
+      "top_heavy" -> (col("top_word_frac") > 0.15),
+      "dup_bigrams" -> (col("dup_bigram_frac") > 0.09))
+
+    // fixed benchmark side (the small broadcast model input): scaling
+    // the corpus, not the contamination lexicon, is the 100 TB shape
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    def pass(corpus: DataFrame): DataFrame =
+      graft.operators.Curation.curationPass(
+        corpus, bench, "doc_id", "text", passRules).drop("text")
+    def minhash(corpus: DataFrame): DataFrame =
+      graft.operators.Dedup.minHashPairs(
+        corpus, "doc_id", "text", n = 3, threshold = 0.6)
+
+    // untimed warmup (Bench discipline): codegen/JIT compile once, so the
+    // 1× measurement isn't first-run cost — without this the probe reads
+    // ratio < 1 and the scaling signal is pure noise
+    locally {
+      val warm = replicate(1)
+      pass(warm).write.mode("overwrite").format("noop").save()
+      minhash(warm).write.mode("overwrite").format("noop").save()
+    }
+
+    val results = Seq(1, k).map { times =>
+      val corpus = replicate(times)
+      val tPass = time(pass(corpus))
+      val tMinhash = time(minhash(corpus))
+      corpus.unpersist()
+      (times, tPass, tMinhash)
+    }
+    val (x1Pass, x1Mh) = (results.head._2, results.head._3)
+    val (xkPass, xkMh) = (results.last._2, results.last._3)
+    def j(x1: Double, xk: Double) =
+      f"""{"x1":$x1%.3f,"x$k":$xk%.3f,"ratio":${xk / x1}%.2f}"""
+    println(s"""{"probe":"scale","sf":"$sfDir","k":$k,"queries":{""" +
+      s""""q85_curation_pass":${j(x1Pass, xkPass)},""" +
+      s""""q22_minhash":${j(x1Mh, xkMh)}}}""")
+    spark.stop()
+  }
+}

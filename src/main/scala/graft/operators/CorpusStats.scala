@@ -79,6 +79,9 @@ object CorpusStats {
     require(topK > 1, s"need at least 2 ranks to fit, got $topK")
     val counts = df.filter(col(textCol).isNotNull)
       .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      // empty tokens (runs of spaces) are separator artifacts, not terms —
+      // they'd otherwise rank as a (usually top) pseudo-term and skew the fit
+      .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(topK)
     val ranked = counts.withColumn("rank",
@@ -115,6 +118,8 @@ object CorpusStats {
       .select(expr(s"(cast(`$idCol` as bigint) * $buckets) div (`mx` + 1)")
           .as("b"),
         explode(TextFns.tokens(col(textCol))).as("term"))
+      // separator artifacts are neither tokens (N) nor vocabulary (V)
+      .filter(col("term") =!= "")
     val perBucketTokens = toks.groupBy(col("b"))
       .agg(count(lit(1)).as("nt"))
     val perBucketNewTerms = toks.groupBy(col("term"))
@@ -235,8 +240,10 @@ object CorpusStats {
     def bigrams(d: DataFrame): DataFrame =
       d.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"),
+          // drop separator-artifact empty tokens BEFORE pairing, so
+          // irregular whitespace doesn't mint ("w","")/("","w") bigrams
           explode(graft.expressions.WordNGrams(
-            TextFns.tokens(col(textCol)), 2)).as("g"))
+            filter(TextFns.tokens(col(textCol)), t => t =!= ""), 2)).as("g"))
         .select(col("id"), element_at(split(col("g"), " "), 1).as("w1"),
           element_at(split(col("g"), " "), 2).as("w2"))
     val cb = bigrams(df.filter(col(idCol) % holdoutMod =!= 0))

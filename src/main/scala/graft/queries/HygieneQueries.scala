@@ -196,9 +196,11 @@ object HygieneQueries {
     val scored = emb.select(col("vec_id"),
       round(VectorFns.norm(VectorFns.toDouble(col("embedding"))), 6)
         .as("norm"))
+    // composes over q37's pair frame, shared via SharedFrames (the
+    // semantic counterpart of the q21 lexical-family share) — the banded
+    // self-join + exact-cosine verify runs once per process, not per query
     Dedup.keepList(scored, "vec_id", "norm",
-        Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-          threshold = PipelineQueries.LshPairThreshold))
+        SharedFrames.lshPairs(spark, dir))
       .orderBy("vec_id")
   }
 

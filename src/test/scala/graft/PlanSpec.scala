@@ -8,7 +8,8 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
 
 /** Physical-plan regression guards: the scale claims in the dedup
   * scaladocs — "the hot path collapses to nothing when no bucket is
@@ -77,13 +78,26 @@ class PlanSpec extends SparkSpec {
     // the shingle frame feeds the index, census and both verify sides;
     // the repartition(id) pin must manifest as ReusedExchange nodes, or
     // every consumer is re-running the shingling pipeline
-    Seq("q21_ngram_jaccard", "q22_minhash_neardup", "q37_ann_lsh_pairs")
+    Seq("q21_ngram_jaccard", "q22_minhash_neardup")
       .foreach { name =>
         val nodes = names(finalNodes(SparkEntry.queries(name)(spark, sf)))
         assert(nodes.exists(_.contains("ReusedExchange")),
           s"$name: no ReusedExchange in final plan — the shared frame is " +
             "recomputed per consumer")
       }
+    // q37 consumes the SharedFrames memo (localCheckpoint), so its
+    // consumer plan starts from the materialized RDD — the exchange
+    // reuse lives inside the one-time build; the BUILD plan keeps the
+    // pinned-frame guarantee
+    val buildNodes = names(finalNodes(Similarity.lshNearDupPairs(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", threshold = 0.4)))
+    assert(buildNodes.exists(_.contains("ReusedExchange")),
+      s"lshNearDupPairs build: no ReusedExchange — the widened embedding " +
+        s"frame is recomputed per consumer side; got $buildNodes")
+    val q37Nodes = names(finalNodes(
+      SparkEntry.queries("q37_ann_lsh_pairs")(spark, sf)))
+    assert(q37Nodes.exists(_.contains("Scan ExistingRDD")),
+      s"q37 must read the shared checkpointed pair frame; got $q37Nodes")
   }
 
   test("q34 plan: signature frame materialized once (ReusedExchange)") {

@@ -50,6 +50,18 @@ KEYWORDS = {
 }
 
 
+def blank_strings(sql):
+    """Replace string-literal CONTENTS with spaces, length-preserving.
+
+    Lambda detection must not fire on ``->`` inside a SQL string literal
+    (e.g. a regex or separator argument) — that would hard-fail the gate
+    on a perfectly valid oracle. Length preservation keeps every offset
+    valid against the original text.
+    """
+    return re.sub(r"'[^']*'",
+                  lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
+
+
 def find_lambdas(sql):
     """Yield (params, body, offset) for every single-arrow lambda.
 
@@ -57,7 +69,11 @@ def find_lambdas(sql):
     call. The body runs until a comma or close-paren at the lambda's own
     paren depth. Nested lambdas are yielded separately, each body
     annotated with the params of every enclosing lambda too.
+    String literals are blanked (length-preserving) BEFORE the scan, so a
+    ``->`` inside a literal can neither start a lambda nor hide a
+    delimiter from the body walk.
     """
+    sql = blank_strings(sql)
     out = []
     for m in re.finditer(r"(\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\b\w+)\s*->", sql):
         raw = m.group(1)
