@@ -222,31 +222,42 @@ object StatsQueries {
         Tables.embeddings(spark, dir), "embedding", PcaDim, PcaIters)
       .orderBy("pos")
 
-  private val q133Sql = {
+  // one power-iteration round: matvec, norm, re-quantized iterate —
+  // the same op sequence, in the same order, as the Scala driver loop
+  private def pcaRoundSql(k: Int): String = {
     val d = PcaDim
-    // one power-iteration round: matvec, norm, re-quantized iterate —
-    // the same op sequence, in the same order, as the Scala driver loop
-    def round(k: Int): String =
-      s"""w$k AS (SELECT list_transform(range($d), i ->
-         |         list_reduce(list_transform(range($d), q ->
-         |             c[i + 1][q + 1] * v[q + 1]),
-         |           (a, b) -> a + b)) AS w
-         |       FROM cm, v${k - 1}),
-         |n$k AS (SELECT w,
-         |         sqrt(list_reduce(list_transform(range($d), q ->
-         |             w[q + 1] * w[q + 1]), (a, b) -> a + b)) AS nrm
-         |       FROM w$k),
-         |v$k AS (SELECT list_transform(range($d), q ->
-         |         floor(w[q + 1] / nrm * 1e12 + 0.5) / 1e12) AS v
-         |       FROM n$k)""".stripMargin
-    s"""WITH e AS MATERIALIZED (
+    s"""w$k AS (SELECT list_transform(range($d), i ->
+       |         list_reduce(list_transform(range($d), q ->
+       |             c[i + 1][q + 1] * v[q + 1]),
+       |           (a, b) -> a + b)) AS w
+       |       FROM cm, v${k - 1}),
+       |n$k AS (SELECT w,
+       |         sqrt(list_reduce(list_transform(range($d), q ->
+       |             w[q + 1] * w[q + 1]), (a, b) -> a + b)) AS nrm
+       |       FROM w$k),
+       |v$k AS (SELECT list_transform(range($d), q ->
+       |         floor(w[q + 1] / nrm * 1e12 + 0.5) / 1e12) AS v
+       |       FROM n$k)""".stripMargin
+  }
+
+  /** Shared oracle model prefix: moments → mean list `mv.m` → covariance
+    * matrix `cm.c` → quantized power iteration ending at `v$PcaIters.v`.
+    * Consumed by q133 (component/eigenvalue read) and q135 (debias) so
+    * both grade the IDENTICAL model sequence. `mv` is MATERIALIZED:
+    * q135 references it from three scopes and DuckDB re-expands
+    * non-materialized CTEs per reference.
+    */
+  private lazy val pcaModelCtes: String = {
+    val d = PcaDim
+    s"""e AS MATERIALIZED (
        |  SELECT embedding::DOUBLE[] AS x FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
        |sx AS (SELECT i,
        |         sum(floor(x[i + 1] * 1e12 + 0.5)::BIGINT) AS q
        |       FROM e CROSS JOIN range(0, $d) t(i) GROUP BY 1),
-       |mv AS (SELECT list(q / 1e12 / nn.n ORDER BY i) AS m FROM sx, nn),
+       |mv AS MATERIALIZED (
+       |  SELECT list(q / 1e12 / nn.n ORDER BY i) AS m FROM sx, nn),
        |s2 AS MATERIALIZED (
        |  SELECT i, j,
        |    sum(floor(x[i + 1] * x[j + 1] * 1e12 + 0.5)::BIGINT) AS q
@@ -260,7 +271,12 @@ object StatsQueries {
        |    SELECT i, list(cij ORDER BY j) AS row FROM cr GROUP BY i)),
        |v0 AS (SELECT list_transform(range($d),
        |         q -> ${1.0 / math.sqrt(d.toDouble)}) AS v),
-       |${(1 to PcaIters).map(round).mkString(",\n")},
+       |${(1 to PcaIters).map(pcaRoundSql).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val q133Sql = {
+    val d = PcaDim
+    s"""WITH $pcaModelCtes,
        |wf AS (SELECT list_transform(range($d), i ->
        |         list_reduce(list_transform(range($d), q ->
        |             c[i + 1][q + 1] * v[q + 1]),
@@ -316,11 +332,85 @@ object StatsQueries {
        |             THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM rk ORDER BY doc_id""".stripMargin
 
+  /** Q135 — "all-but-the-top" debiasing (Mu & Viswanath 2018): mean-center
+    * and project out q133's top principal component (see
+    * [[graft.operators.Similarity.debiasTopComponent]]) — the repair step
+    * for the anisotropy q133 diagnoses, applied before cosine-based dedup
+    * / clustering / ANN. Graded element-for-element against an oracle
+    * that replays the identical model sequence (shared `pcaModelCtes`).
+    */
+  private def q135(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.debiasTopComponent(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        PcaDim, PcaIters)
+      // exploded (vec_id, pos, y) — the q127 grading convention for
+      // array-valued outputs (the driver compare sorts scalar columns)
+      .select(col("vec_id"), posexplode(col("debiased")).as(Seq("pos", "y")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("y"))
+      .orderBy("vec_id", "pos")
+
+  private lazy val q135Sql = {
+    val d = PcaDim
+    s"""WITH $pcaModelCtes,
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |mvd AS (SELECT list_reduce(list_transform(range($d), i ->
+       |            m[i + 1] * v[i + 1]), (a, b) -> a + b) AS mvdot
+       |        FROM mv, v$PcaIters),
+       |dv AS (SELECT vec_id, x,
+       |         list_reduce(list_transform(range($d), i ->
+       |             x[i + 1] * v[i + 1]), (a, b) -> a + b) - mvdot AS dot
+       |       FROM ev, v$PcaIters, mvd)
+       |SELECT vec_id, i::BIGINT AS pos,
+       |       floor(((x[i + 1] - m[i + 1]) - dot * v[i + 1])
+       |             * 1000000.0 + 0.5) / 1000000.0 AS y
+       |FROM dv, mv, v$PcaIters CROSS JOIN range(0, $d) t(i)
+       |ORDER BY vec_id, pos""".stripMargin
+  }
+
+  /** q136 hubness census width: query batch size and neighbor depth. */
+  private val HubQueries = 64
+  private val HubK = 10
+
+  /** Q136 — k-occurrence hubness census (Radovanović et al. 2010): how
+    * often each vector lands in a query's exact top-$HubK (self excluded)
+    * over the $HubQueries lowest-id query vectors (see
+    * [[graft.operators.Similarity.hubness]]) — the ANN-health companion
+    * to q133/q135: hub mass rises with the same dominant component the
+    * debias removes.
+    */
+  private def q136(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.hubness(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < HubQueries), "vec_id", HubK)
+      .orderBy("hub_rank")
+  }
+
+  private val q136Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $HubQueries),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e, q WHERE e.vec_id != q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos_sim DESC, vec_id) AS rk
+       |      FROM s),
+       |h AS (SELECT vec_id, count(*)::BIGINT AS n_hits
+       |      FROM r WHERE rk <= $HubK GROUP BY 1)
+       |SELECT vec_id, n_hits,
+       |       row_number() OVER (ORDER BY n_hits DESC, vec_id)::BIGINT
+       |         AS hub_rank
+       |FROM h ORDER BY hub_rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q129_zipf_fit", q129, Some(q129Sql)),
     QueryDef("q130_heaps_fit", q130, Some(q130Sql)),
     QueryDef("q131_rake_keywords", q131, Some(q131Sql)),
     QueryDef("q132_kn_bigram", q132, Some(q132Sql)),
     QueryDef("q133_pca_top", q133, Some(q133Sql)),
-    QueryDef("q134_soft_dedup", q134, Some(q134Sql)))
+    QueryDef("q134_soft_dedup", q134, Some(q134Sql)),
+    QueryDef("q135_debias_topcomp", q135, Some(q135Sql)),
+    QueryDef("q136_hubness", q136, Some(q136Sql)))
 }

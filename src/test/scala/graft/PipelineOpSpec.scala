@@ -872,6 +872,54 @@ class PipelineOpSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("debiasTopComponent: removes the top component, preserves the rest") {
+    // corpus t·u + s·w with u=(0.6,0.8,0,0), w=(0,0,1,0) and
+    // var(t)=2.5 ≫ var(s): the top component is u, so debiasing must
+    // zero the u-direction and keep the mean-centered w-direction.
+    // s is chosen with Σs = 0 AND Σt·s = 0 so cov(t,s) = 0 — otherwise
+    // the true top eigenvector tilts into w and the expectation is wrong
+    val pts = Seq((-2.0f, 0.1f), (-1.0f, -0.1f), (1.0f, -0.1f), (2.0f, 0.1f))
+    val emb = pts.zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, Array(0.6f * t, 0.8f * t, s, 0.0f))
+    }
+    val got = Similarity.debiasTopComponent(
+        emb.toDF("vec_id", "embedding"), "vec_id", "embedding", dim = 4)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    assert(got.length == 4)
+    got.foreach { case (_, d) =>
+      val du = d(0) * 0.6 + d(1) * 0.8
+      assert(math.abs(du) < 1e-3, s"u-component survives debiasing: $d")
+    }
+    val sMean = pts.map(_._2.toDouble).sum / pts.length
+    got.zip(pts).foreach { case ((_, d), (_, s)) =>
+      assert(math.abs(d(2) - (s - sMean)) < 1e-3, s"w-component wrong: $d")
+    }
+    // corpus-wide the debiased cloud is mean-zero in every dimension
+    val mean = got.toSeq.map(_._2).transpose.map(c => c.sum / got.length)
+    mean.foreach(mi => assert(math.abs(mi) < 1e-3, mean.toSeq))
+  }
+
+  test("hubness: k-occurrence census, self excluded, deterministic rank") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.7f, 0.7f, 0.0f, 0.0f)), // near BOTH queries — the hub
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    // k=1: both queries' single nearest (self excluded) is vector 2
+    val k1 = Similarity.hubness(emb, "vec_id", "embedding",
+        queries, "vec_id", k = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(k1 == Seq((2L, 2L, 1L)), k1)
+    // k=3 covers every non-self candidate: q0 hits {1,2,3}, q1 hits
+    // {0,2,3} → counts 2:2, 3:2, 0:1, 1:1; rank by (n_hits DESC, id)
+    val k3 = Similarity.hubness(emb, "vec_id", "embedding",
+        queries, "vec_id", k = 3)
+      .orderBy("hub_rank").as[(Long, Long, Long)].collect().toSeq
+    assert(k3 == Seq((2L, 2L, 1L), (3L, 2L, 2L), (0L, 1L, 3L), (1L, 1L, 4L)), k3)
+  }
+
   test("randomProject: hash-sign fold matches, norms roughly preserved") {
     import graft.expressions.Md5Hash60
     val x = Array.tabulate(8)(i => (i + 1) * 0.5f)
