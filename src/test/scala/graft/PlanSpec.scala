@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
       s"q37 must read the shared checkpointed pair frame; got $q37Nodes")
   }
 
+  test("q135 debias plan: pure narrow projection — no exchange, no join") {
+    // the model (mean + top component) is collected driver-side by
+    // construction; the debias itself must stay a single narrow pass so
+    // it pipelines into downstream consumers at any scale
+    val nodes = names(finalNodes(Similarity.debiasTopComponent(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", dim = 64)))
+    assert(!nodes.exists(n => n.contains("Exchange") || n.contains("Join")),
+      s"debias must be narrow (no exchange/join); got $nodes")
+    val scans = nodes.count(_.startsWith("Scan parquet"))
+    assert(scans == 1, s"debias must scan embeddings once, got $scans in $nodes")
+  }
+
+  test("q136 hubness plan: broadcast queries, rank-limited window") {
+    val emb = Tables.embeddings(spark, sf)
+    val nodes = names(finalNodes(Similarity.hubness(emb, "vec_id",
+      "embedding", emb.filter(col("vec_id") < 8), "vec_id", k = 10)))
+    assert(nodes.exists(n => n.contains("BroadcastExchange") ||
+        n.contains("BroadcastQueryStage")),
+      s"query batch must broadcast; got $nodes")
+    assert(nodes.exists(_.contains("WindowGroupLimit")),
+      s"top-k must plan as WindowGroupLimit (k-heap per query, not a " +
+        s"full sort of the fanout); got $nodes")
+  }
+
   test("q34 plan: signature frame materialized once (ReusedExchange)") {
     val nodes = names(finalNodes(SparkEntry.queries("q34_simhash_neardup")(spark, sf)))
     assert(nodes.exists(_.contains("ReusedExchange")),
