@@ -61,6 +61,35 @@ object Splits {
     df.filter(pmod(portableHash(col(idCol), salt), lit(outOf)) < keep)
   }
 
+  /** Dedup-AWARE (leakage-safe) split: hash the near-dup CLUSTER id
+    * instead of the row id, so a near-duplicate family can never
+    * straddle train/test — the contamination channel a row-hash split
+    * leaves open (a test doc's near-copy sitting in train inflates eval;
+    * the train/test overlap measured by Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §6 and Dodge et al.
+    * 2021's C4 audit). `pairs` is any near-dup pair frame — the q21
+    * lexical `SharedFrames.ngramPairs` or the q37 embedding pairs;
+    * members of one connected component share a cluster id and hence a
+    * split. Singletons are their own cluster, so their assignment is
+    * IDENTICAL to [[assign]] on the row id (same salt, same hash) — the
+    * split only moves rows that have near-dups, and label proportions
+    * hold up to cluster granularity. Emits `(idCol, cluster, split)`.
+    *
+    * Scale shape: one [[Dedup.connectedComponents]] run over the pair
+    * frame (lineage-truncated rounds; the pair frame is the expensive
+    * input and should be the shared/materialized one), a left join back
+    * on the id key, then the same narrow hash+CASE as [[assign]].
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       weights: Seq[(String, Int)] =
+                         Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                       salt: String = "split"): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+    df.join(comps, df(idCol) === comps("id"), "left")
+      .select(df(idCol), coalesce(col("comp"), df(idCol)).as("cluster"))
+      .withColumn("split", assign(col("cluster"), weights, salt))
+  }
+
   /** Deterministic STRATIFIED sample: per-stratum keep fractions (class
     * balancing — downsample the dominant language/source/label, keep the
     * rare ones whole). Same permanence guarantee as [[assign]]: a row's

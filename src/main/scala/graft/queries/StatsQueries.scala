@@ -404,6 +404,41 @@ object StatsQueries {
        |         AS hub_rank
        |FROM h ORDER BY hub_rank""".stripMargin
 
+  /** Q137 — leakage-safe train/val/test split (see
+    * [[graft.operators.Splits.leakageSafeSplit]]): the q41 hash split
+    * applied to the near-dup CLUSTER id instead of the row id, so a
+    * near-duplicate family never straddles splits — closing the
+    * train/test contamination channel q41's row-hash leaves open.
+    * Composes over the q21 pair frame shared with q49/q68/q126/q134;
+    * singletons assign exactly as q41 does (same salt + hash).
+    */
+  private def q137(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.leakageSafeSplit(
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+        SharedFrames.ngramPairs(spark, dir))
+      .orderBy("doc_id")
+
+  private val q137Sql =
+    s"""WITH RECURSIVE ${PipelineQueries.ngramPairsCte},
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE inter / (sz_a + sz_b - inter) >= 0.6),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM e
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+       |         FROM reach GROUP BY a),
+       |d AS (SELECT doc_id, coalesce(c.comp, doc_id) AS cluster
+       |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
+       |SELECT doc_id, cluster,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster,
+       |        ('0x' || substr(md5('split:' || cluster::VARCHAR), 1, 15))::BIGINT
+       |          % 100 AS b
+       |      FROM d)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q129_zipf_fit", q129, Some(q129Sql)),
     QueryDef("q130_heaps_fit", q130, Some(q130Sql)),
@@ -412,5 +447,6 @@ object StatsQueries {
     QueryDef("q133_pca_top", q133, Some(q133Sql)),
     QueryDef("q134_soft_dedup", q134, Some(q134Sql)),
     QueryDef("q135_debias_topcomp", q135, Some(q135Sql)),
-    QueryDef("q136_hubness", q136, Some(q136Sql)))
+    QueryDef("q136_hubness", q136, Some(q136Sql)),
+    QueryDef("q137_leakage_split", q137, Some(q137Sql)))
 }

@@ -250,6 +250,26 @@ class ExtendedOpSpec extends SparkSpec {
     assert(kept == kept2)
   }
 
+  test("leakageSafeSplit: near-dup families co-assigned, singletons match assign") {
+    val ids = (1L to 200L).toDF("id")
+    // two near-dup families {1,2,3} and {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Splits.leakageSafeSplit(ids, "id", pairs)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 200)
+    // family members share cluster AND split — no straddling possible
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(1L)._1 == 1L)
+    assert(Set(got(10L), got(11L)).size == 1)
+    // singletons assign exactly as the row-hash split (same salt + hash)
+    val naive = Splits.withSplit(ids, "id")
+      .as[(Long, String)].collect().toMap
+    (1L to 200L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(got(i) == ((i, naive(i))), s"singleton $i diverged")
+    }
+  }
+
   test("stratifiedSample: per-stratum rates, stable membership, default 0 drops") {
     val rows = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
     val df = rows.toDF("id", "s")
