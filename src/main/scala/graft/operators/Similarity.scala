@@ -1089,6 +1089,58 @@ object Similarity {
       .drop("__graft_rk")
   }
 
+  /** Multi-probe LSH ANN top-k (Lv et al. 2007, "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search"): the
+    * recall/cost knob on [[lshTopKBatch]] — each QUERY probes its own
+    * signature band plus every one-bit perturbation of it (rows+1
+    * probes per band), pulling in corpus vectors whose signature
+    * differs by a single bit in some band. Near neighbors missed by
+    * exact banding almost always sit one flipped hyperplane away, so
+    * candidate recall rises steeply while the CORPUS side is untouched:
+    * the corpus is banded exactly ONCE, identically to the single-probe
+    * index (same band strings, so one shared physical index serves both
+    * probe policies at cluster scale), and only the broadcast query
+    * fanout grows ×(rows+1). Same exact re-rank contract as
+    * [[lshTopKBatch]]: emits (query_id, idCol, cos_sim), per-query top
+    * k by (cos DESC, id).
+    *
+    * The probe strings are built as Bands×(rows+1) literal-indexed
+    * concat columns — all codegen'd, no interpreted HOF lambdas — then
+    * exploded on the (small, broadcast) query side only.
+    */
+  def lshMultiProbeTopKBatch(corpus: DataFrame, idCol: String,
+                             embCol: String, queries: DataFrame,
+                             qidCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rows = Bits / Bands
+    val corpusBands = bandedCols(corpus, idCol, embCol)
+    // probe set per band: p = 0 keeps the band, p >= 1 flips bit p-1
+    val probeCols = (0 until Bands).flatMap { b =>
+      (0 to rows).map { p =>
+        concat_ws("_", (lit(b) +: (0 until rows).map { r =>
+          val bit = element_at(col("sig"), b * rows + r + 1)
+          if (r == p - 1) lit(1) - bit else bit
+        }): _*)
+      }
+    }
+    val queryBands = queries
+      .withColumn("e_d", VectorFns.toDouble(col(embCol)))
+      .withColumn("sig", signature(col("e_d")))
+      .select(col(qidCol).as("query_id"), col(embCol).as("q_emb"),
+        explode(array(probeCols: _*)).as("q_band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    corpusBands
+      .join(broadcast(queryBands), col("band") === col("q_band"))
+      .select(col("query_id"), col(idCol),
+        round(VectorFns.cosine(col(embCol), col("q_emb")), 6).as("cos_sim"))
+      .groupBy(col("query_id"), col(idCol)).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
   /** Per-band fanout of a vector frame: (idCol, embCol, band) with one
     * row per signature band — shared by [[lshTopK]] and
     * [[lshTopKBatch]]. Band format matches the banded index everywhere

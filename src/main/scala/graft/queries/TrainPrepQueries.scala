@@ -427,6 +427,97 @@ object TrainPrepQueries {
        |SELECT query_id, vec_id, cos_sim FROM r WHERE rk <= $RecallK
        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
 
+  /** Q138 — multi-probe LSH ANN top-k (Lv et al. 2007; see
+    * [[graft.operators.Similarity.lshMultiProbeTopKBatch]]): each query
+    * probes its own band plus every one-bit perturbation, trading a
+    * ×(rows+1) QUERY-side fanout for steeply higher candidate recall
+    * while the corpus index stays byte-identical to q28/q79's — the
+    * standard recall/cost knob of a deployed LSH index. Oracle restates
+    * the full probe-set generation (nested perturbation lambdas over
+    * the same plane model) + candidate join + exact re-rank.
+    */
+  private def q138(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshMultiProbeTopKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < QuerySample), "vec_id", k = RecallK)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** The multi-probe candidate CTEs shared by q138 and q139: probe
+    * strings per query (p = 0 keeps the band, p ≥ 1 flips bit p−1) and
+    * the distinct candidate join against the single-probe corpus bands.
+    */
+  private lazy val mpCandSql: String = {
+    val bands = graft.operators.Similarity.Bands
+    val rows = graft.operators.Similarity.planeInts.length / bands
+    s"""qp AS (SELECT vec_id AS query_id,
+       |         unnest(flatten(list_transform(range(0, $bands), b ->
+       |           list_transform(range(0, $rows + 1), p ->
+       |             b::VARCHAR || '_' || array_to_string(
+       |               list_transform(range(0, $rows), r ->
+       |                 CASE WHEN r = p - 1
+       |                      THEN 1 - sg[b * $rows + r + 1]
+       |                      ELSE sg[b * $rows + r + 1] END), '_')))))
+       |           AS band
+       |       FROM sig WHERE vec_id < $QuerySample),
+       |cand AS (SELECT DISTINCT qp.query_id, b.vec_id
+       |         FROM bands b JOIN qp USING (band)),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |aps AS (SELECT c.query_id, c.vec_id,
+       |               round(${PipelineQueries.cosSql("ce.e", "qe")}, 6) AS cos_sim
+       |        FROM cand c JOIN e ce ON ce.vec_id = c.vec_id
+       |                    JOIN q ON q.query_id = c.query_id),
+       |apr AS (SELECT query_id, vec_id, cos_sim, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM aps)""".stripMargin
+  }
+
+  private lazy val q138Sql =
+    s"""WITH ${PipelineQueries.lshBandsSql},
+       |$mpCandSql
+       |SELECT query_id, vec_id, cos_sim FROM apr WHERE rk <= $RecallK
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
+
+  /** Q139 — multi-probe recall@k against q78's exact ground truth: the
+    * measured point on the probe-count recall/cost curve next to q79's
+    * single-probe recall (multi-probe candidates are a superset, so
+    * per-query recall is ≥ q79's by construction — the oracle grades
+    * the actual values).
+    */
+  private def q139(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        Similarity.lshMultiProbeTopKBatch(emb, "vec_id", "embedding", qs,
+          "vec_id", RecallK),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q139Sql =
+    s"""WITH ${PipelineQueries.lshBandsSql},
+       |$mpCandSql,
+       |s AS (SELECT q.query_id, e.vec_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |      FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM s),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |apt AS (SELECT query_id, vec_id FROM apr WHERE rk <= $RecallK),
+       |h AS (SELECT apt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM apt JOIN ext ON apt.query_id = ext.query_id
+       |                       AND apt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   /** Q84 — batched IVF ANN top-k: the inverted-file counterpart of
     * q78/q79's retrieval harness (see
     * [[graft.operators.Similarity.ivfTopKBatch]]) — corpus cell-assigned
@@ -1505,5 +1596,7 @@ object TrainPrepQueries {
     QueryDef("q101_bm25_topk", q101, Some(q101Sql)),
     QueryDef("q102_rrf_fusion", q102, Some(q102Sql)),
     QueryDef("q103_dsir_rowwise", q103, Some(q103Sql)),
-    QueryDef("q107_span_corrupt", q107, Some(q107Sql)))
+    QueryDef("q107_span_corrupt", q107, Some(q107Sql)),
+    QueryDef("q138_ann_mplsh_topk", q138, Some(q138Sql)),
+    QueryDef("q139_mplsh_recall", q139, Some(q139Sql)))
 }

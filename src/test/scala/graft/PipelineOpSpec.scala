@@ -872,6 +872,27 @@ class PipelineOpSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("multi-probe LSH: candidate superset of single-probe, recall never lower") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 8)
+    val k = 10
+    val exact = Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", k)
+    def recalls(approx: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+        .select(col("query_id"), col("recall"))
+        .as[(Long, Double)].collect().toMap
+    val single = recalls(
+      Similarity.lshTopKBatch(emb, "vec_id", "embedding", qs, "vec_id", k))
+    val multi = recalls(
+      Similarity.lshMultiProbeTopKBatch(emb, "vec_id", "embedding", qs, "vec_id", k))
+    assert(multi.keySet == single.keySet)
+    // the probe set contains p = 0 (the unperturbed band), so multi-probe
+    // candidates are a strict superset and per-query recall can only rise
+    single.foreach { case (q, r) =>
+      assert(multi(q) >= r, s"query $q: multi ${multi(q)} < single $r")
+    }
+  }
+
   test("debiasTopComponent: removes the top component, preserves the rest") {
     // corpus t·u + s·w with u=(0.6,0.8,0,0), w=(0,0,1,0) and
     // var(t)=2.5 ≫ var(s): the top component is u, so debiasing must
