@@ -745,7 +745,7 @@ object Similarity {
     * replays — extracting it does not change a single float of the
     * graded sequence.
     */
-  private def pcaModel(df: DataFrame, embCol: String, dim: Int, iters: Int)
+  private[graft] def pcaModel(df: DataFrame, embCol: String, dim: Int, iters: Int)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     val a = pcaMomentsFrame(df, embCol, dim).head().getSeq[Double](0)
     val n = a(0)
@@ -805,20 +805,35 @@ object Similarity {
                          dim: Int, iters: Int = 10): DataFrame = {
     require(dim > 0 && iters >= 1, s"bad dim=$dim iters=$iters")
     val (m, _, v) = pcaModel(df, embCol, dim, iters)
+    debiasWith(df, idCol, embCol, dim, m, v)
+  }
+
+  /** Apply a FROZEN debias model `(mean, component)` — the deployment
+    * split of [[debiasTopComponent]]: train the model offline on a
+    * corpus snapshot ([[pcaModel]]), apply it online to any frame with
+    * the same embedding contract, including a STREAM (the projection is
+    * stateless and narrow, so it runs unchanged per micro-batch —
+    * StreamingSpec pins stream-batch equality). Same output contract and
+    * quantization as [[debiasTopComponent]].
+    */
+  def debiasWith(df: DataFrame, idCol: String, embCol: String, dim: Int,
+                 mean: Array[Double], component: Array[Double]): DataFrame = {
+    require(mean.length == dim && component.length == dim,
+      s"model dims (${mean.length}, ${component.length}) != $dim")
     var mv = 0.0
     var i0 = 0
-    while (i0 < dim) { mv += m(i0) * v(i0); i0 += 1 }
+    while (i0 < dim) { mv += mean(i0) * component(i0); i0 += 1 }
     def q6c(c: Column): Column =
       floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
     df.filter(col(embCol).isNotNull)
       .select(col(idCol), col(embCol).cast("array<double>").as("__graft_x"))
       .withColumn("__graft_dot",
         graft.expressions.VecDot(col("__graft_x"),
-          typedlit(v.toIndexedSeq)) - lit(mv))
+          typedlit(component.toIndexedSeq)) - lit(mv))
       .select(col(idCol),
         array((0 until dim).map(i =>
-          q6c(element_at(col("__graft_x"), i + 1) - lit(m(i))
-            - col("__graft_dot") * lit(v(i)))): _*).as("debiased"))
+          q6c(element_at(col("__graft_x"), i + 1) - lit(mean(i))
+            - col("__graft_dot") * lit(component(i)))): _*).as("debiased"))
   }
 
   /** k-occurrence hubness census (Radovanović et al. 2010, JMLR, "Hubs

@@ -407,6 +407,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) == Seq(1L, 2L, 3L))
   }
 
+  test("debiasWith is stream-safe: offline model, stateless online apply") {
+    // the deployment split of q135: pcaModel trains on a STATIC corpus
+    // snapshot, debiasWith applies the frozen (mean, component) to the
+    // stream as a pure narrow projection — streamed output must equal
+    // the same vectors debiased in batch
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull).limit(64)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val dim = corpus.head._2.length
+    val (m, _, v) = Similarity.pcaModel(
+      corpus.toDF("vec_id", "embedding"), "embedding", dim, iters = 10)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.debiasWith(in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim, m, v)
+      .writeStream.format("memory").queryName("debias_st").start()
+    try {
+      in.addData(corpus.take(32)); q.processAllAvailable()
+      in.addData(corpus.drop(32)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("debias_st")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val batch = Similarity.debiasWith(corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim, m, v)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == corpus.size)
+  }
+
   test("streaming CMS: per-batch sketches sum to the batch-built sketch") {
     // CMS linearity is what makes the sketch a streaming accumulator: a
     // pipeline adds each micro-batch's bounded cell frame into a store
