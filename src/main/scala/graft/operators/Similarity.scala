@@ -1119,9 +1119,16 @@ object Similarity {
     * [[lshTopKBatch]]: emits (query_id, idCol, cos_sim), per-query top
     * k by (cos DESC, id).
     *
-    * The probe strings are built as Bands×(rows+1) literal-indexed
-    * concat columns — all codegen'd, no interpreted HOF lambdas — then
-    * exploded on the (small, broadcast) query side only.
+    * The probe strings are generated by ONE higher-order transform over
+    * a literal (band, perturbation) spec array — NOT Bands×(rows+1)
+    * unrolled concat columns: the unrolled form is a ~1300-node
+    * expression tree whose per-execution Catalyst optimization costs
+    * seconds of DRIVER time regardless of data size (measured: 2.6 s
+    * for 8 query rows at sf0.01). The HOF lambda runs interpreted, but
+    * only on the |Q|×(rows+1)×Bands query fanout — never the corpus —
+    * and it references the `sig` ATTRIBUTE (computed once per row in
+    * the projection below the Generate), so nothing heavy re-evaluates
+    * per element.
     */
   def lshMultiProbeTopKBatch(corpus: DataFrame, idCol: String,
                              embCol: String, queries: DataFrame,
@@ -1129,20 +1136,24 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val rows = Bits / Bands
     val corpusBands = bandedCols(corpus, idCol, embCol)
-    // probe set per band: p = 0 keeps the band, p >= 1 flips bit p-1
-    val probeCols = (0 until Bands).flatMap { b =>
-      (0 to rows).map { p =>
-        concat_ws("_", (lit(b) +: (0 until rows).map { r =>
-          val bit = element_at(col("sig"), b * rows + r + 1)
-          if (r == p - 1) lit(1) - bit else bit
-        }): _*)
-      }
-    }
+    // probe spec: p = 0 keeps the band, p >= 1 flips bit p-1
+    val spec = typedlit(for {
+      b <- 0 until Bands; p <- 0 to rows
+    } yield (b, p))
+    val probes = transform(spec, s => {
+      val b = s.getField("_1")
+      val p = s.getField("_2")
+      concat_ws("_", b.cast("string"),
+        array_join(transform(sequence(lit(0), lit(rows - 1)), r => {
+          val bit = element_at(col("sig"), (b * rows + r + 1).cast("int"))
+          when(r === p - 1, lit(1) - bit).otherwise(bit).cast("string")
+        }), "_"))
+    })
     val queryBands = queries
       .withColumn("e_d", VectorFns.toDouble(col(embCol)))
       .withColumn("sig", signature(col("e_d")))
       .select(col(qidCol).as("query_id"), col(embCol).as("q_emb"),
-        explode(array(probeCols: _*)).as("q_band"))
+        explode(probes).as("q_band"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
