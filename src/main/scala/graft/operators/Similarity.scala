@@ -825,15 +825,22 @@ object Similarity {
     while (i0 < dim) { mv += mean(i0) * component(i0); i0 += 1 }
     def q6c(c: Column): Column =
       floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    // the projection is ONE transform over the dimension range with the
+    // model as literal ARRAYS — not dim unrolled element columns, whose
+    // ~8·dim-node tree costs ~1 s of per-execution driver planning
+    // regardless of data size (the q138 lesson, see BASELINE.md); the
+    // interpreted lambda touches only attributes and literals, and the
+    // expensive dot product stays in the codegen'd VecDot kernel
+    val mLit = typedlit(mean.toIndexedSeq)
+    val vLit = typedlit(component.toIndexedSeq)
     df.filter(col(embCol).isNotNull)
       .select(col(idCol), col(embCol).cast("array<double>").as("__graft_x"))
       .withColumn("__graft_dot",
-        graft.expressions.VecDot(col("__graft_x"),
-          typedlit(component.toIndexedSeq)) - lit(mv))
+        graft.expressions.VecDot(col("__graft_x"), vLit) - lit(mv))
       .select(col(idCol),
-        array((0 until dim).map(i =>
-          q6c(element_at(col("__graft_x"), i + 1) - lit(mean(i))
-            - col("__graft_dot") * lit(component(i)))): _*).as("debiased"))
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          q6c(element_at(col("__graft_x"), i + 1) - element_at(mLit, i + 1)
+            - col("__graft_dot") * element_at(vLit, i + 1))).as("debiased"))
   }
 
   /** k-occurrence hubness census (Radovanović et al. 2010, JMLR, "Hubs
