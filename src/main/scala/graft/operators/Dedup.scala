@@ -392,13 +392,16 @@ object Dedup {
       bits = 60, maxHamming = maxHamming)
 
   /** Portable SimHash signatures as a partial-aggregable plan: explode
-    * tokens, take 60 conditional ±1 sums grouped by doc, pack the signs.
-    * Numerically identical to the [[simHashPortable]] expression (same
-    * md5-derived per-token hashes, same bit sums — pinned by test) but
-    * expressed as a codegen'd hash aggregate instead of interpreted
-    * higher-order folds (60 lambda evaluations per token), so map-side
-    * partial sums combine before the one shuffle on doc id — the
-    * formulation that scales, and ~2× faster at sf0.1.
+    * tokens, accumulate the 60 ±1 bit sums and pack the signs in ONE
+    * native aggregate ([[graft.expressions.SimHashPack]]). Numerically
+    * identical to the [[simHashPortable]] expression (same md5-derived
+    * per-token hashes, same bit sums, same zero-tie packing — pinned by
+    * test); map-side partials combine before the one shuffle on doc id —
+    * the formulation that scales. (Round 8 unrolled this as 60 SQL
+    * `sum(when(...))` columns to escape interpreted folds; round 11
+    * collapsed those into the kernel after measuring ~1.4 s/execution of
+    * driver-side Catalyst time just to re-optimize the ~600-node tree —
+    * see BASELINE.md.)
     *
     * Docs whose text yields no token rows (null text) keep sig 0 — the
     * empty fold of the expression formulation — via the left join back
@@ -410,14 +413,8 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(TextFns.tokens(col(textCol))).as("t"))
       .withColumn("h", TextFns.md5Hash60(col("t")))
-    val sums = (0 until 60).map(i =>
-      sum(when(call_function("shiftright", col("h"), lit(i))
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i"))
-    val packed = toks.groupBy("id").agg(sums.head, sums.tail: _*)
-      .select(col("id"),
-        (0 until 60).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sig"))
+    val packed = toks.groupBy("id")
+      .agg(graft.expressions.SimHashPack.simHashSig(col("h"), 60).as("sig"))
     df.select(col(idCol).as("id")).join(packed, Seq("id"), "left")
       .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
   }
