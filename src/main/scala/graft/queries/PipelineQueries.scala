@@ -114,6 +114,47 @@ object PipelineQueries {
         n = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** q140 containment threshold and candidate df cap. */
+  private val ContainT = 0.7
+  private val ContainDfCap = 128
+
+  /** Q140 — containment near-dup pairs (Broder 1997's
+    * `|A∩B|/min(|A|,|B|)`; see [[Dedup.containmentPairs]]): subset
+    * duplication — a doc embedded in a larger one — that q21's
+    * symmetric Jaccard misses. Candidates share ≥1 shingle with
+    * document frequency ≤ $ContainDfCap (the winnowing df-cap trade,
+    * restated verbatim in the oracle); verification is exact on the
+    * full shingle sets.
+    */
+  private def q140(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = ContainT, dfCap = ContainDfCap)
+      .orderBy("id_a", "id_b")
+
+  private val q140Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |           i -> concat_ws(' ', string_split(text, ' ')[i],
+       |                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
+       |  FROM documents),
+       |inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+       |hotg AS (SELECT g FROM (SELECT g, count(*) AS c FROM inv GROUP BY 1)
+       |         WHERE c > $ContainDfCap),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             a.sz AS sz_a, b.sz AS sz_b,
+       |             count(*)::BIGINT AS inter,
+       |             count(*) FILTER (WHERE hg.g IS NULL)::BIGINT AS inter_rare
+       |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           LEFT JOIN hotg hg ON hg.g = a.g
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / least(sz_a, sz_b), 6) AS containment
+       |FROM p
+       |WHERE inter_rare >= 1
+       |  AND inter::DOUBLE / least(sz_a, sz_b) >= $ContainT
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The q34/q35 oracle signature: DuckDB restatement of
     * [[Dedup.simHashPortable]] — per-token hashes from md5 hex digits,
     * ±1 bit sums, sign-packed 60-bit signature.
@@ -1163,6 +1204,7 @@ object PipelineQueries {
     QueryDef("q20_tokenset_dedup", q20, Some(q20Sql)),
     QueryDef("q21_ngram_jaccard", q21, Some(ngramJaccardSql)),
     QueryDef("q22_minhash_neardup", q22, Some(ngramJaccardSql)),
+    QueryDef("q140_containment_pairs", q140, Some(q140Sql)),
     QueryDef("q34_simhash_neardup", q34, Some(q34Sql)),
     QueryDef("q35_simhash_portable", q35, Some(q35Sql)),
     QueryDef("q23_text_stats", q23, Some(q23Sql)),

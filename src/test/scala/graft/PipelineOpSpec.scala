@@ -872,6 +872,28 @@ class PipelineOpSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("containmentPairs: subset dup found where Jaccard misses, cap honored") {
+    import graft.operators.Dedup
+    val small = (1 to 5).map(i => s"tok$i").mkString(" ")           // 3 shingles
+    val big = (1 to 40).map(i => s"tok$i").mkString(" ")            // 38 shingles
+    val docs = Seq((1L, small), (2L, big), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    // doc 1 ⊂ doc 2: containment = 1.0 while jaccard = 3/38 ≈ 0.08
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)), got)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5).count()
+    assert(jac == 0, "sanity: symmetric Jaccard misses the subset pair")
+    // dfCap: with every shared shingle over-cap, the pair disappears
+    // (dfCap floor is 2, so replicate the pair to push df over a cap of 2)
+    val many = (1L to 6L).map(i => (i, small)).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(many, "doc_id", "text",
+        n = 3, threshold = 0.9, dfCap = 2)
+    assert(capped.count() == 0, "all shared shingles have df 6 > cap 2")
+  }
+
   test("multi-probe LSH: candidate superset of single-probe, recall never lower") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val qs = emb.filter(col("vec_id") < 8)
