@@ -400,6 +400,63 @@ object HygieneQueries {
        |       count(DISTINCT $c)::BIGINT AS n_distinct FROM orders""".stripMargin)
     .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
 
+  /** Q141 — per-source dedup REPORT: the operational dashboard a dedup
+    * pass ships with — per source, doc count, kept count (q68's keep
+    * election over the shared q21 pair frame), duplicate rate, distinct
+    * clusters touched and the largest cluster seen. The per-source dup
+    * rate is THE data-mixing health signal: a source whose dup_rate
+    * spikes is re-crawling itself, and its effective token contribution
+    * to a training mix is `n_kept`, not `n_docs`.
+    */
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kl = Dedup.keepList(docs.select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", SharedFrames.ngramPairs(spark, dir))
+    val bySrc = docs.select(col("doc_id"), col("source")).join(kl, "doc_id")
+    val maxCluster = bySrc.groupBy(col("source"), col("cluster"))
+      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("source")).agg(max(col("cs")).as("max_cluster"))
+    bySrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        round(lit(1.0) - sum(col("keep")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .join(maxCluster, "source")
+      .orderBy("source")
+  }
+
+  private val q141Sql =
+    s"""WITH RECURSIVE ${PipelineQueries.ngramPairsCte},
+       |e0 AS (SELECT id_a AS a, id_b AS b FROM p
+       |       WHERE inter / (sz_a + sz_b - inter) >= 0.6),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |reach AS (SELECT a, b FROM e
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+       |         FROM reach GROUP BY a),
+       |d AS (SELECT doc_id, coalesce(c.comp, doc_id) AS cluster, n_chars,
+       |             source
+       |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id),
+       |k AS (SELECT doc_id, source, cluster,
+       |        (CASE WHEN row_number() OVER (PARTITION BY cluster
+       |                 ORDER BY n_chars DESC, doc_id) = 1
+       |              THEN 1 ELSE 0 END)::BIGINT AS keep
+       |      FROM d),
+       |cs AS (SELECT source, cluster, count(*)::BIGINT AS cs
+       |       FROM k GROUP BY 1, 2),
+       |mx AS (SELECT source, max(cs)::BIGINT AS max_cluster
+       |       FROM cs GROUP BY 1)
+       |SELECT k.source, count(*)::BIGINT AS n_docs,
+       |       sum(keep)::BIGINT AS n_kept,
+       |       round(1.0 - sum(keep)::DOUBLE / count(*), 6) AS dup_rate,
+       |       count(DISTINCT cluster)::BIGINT AS n_clusters,
+       |       mx.max_cluster
+       |FROM k JOIN mx USING (source)
+       |GROUP BY 1, mx.max_cluster
+       |ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q64_cross_entropy", q64, Some(q64Sql)),
     QueryDef("q65_oov_rate", q65, Some(q65Sql)),
@@ -410,5 +467,6 @@ object HygieneQueries {
     QueryDef("q70_apply_mixture", q70, Some(q70Sql)),
     QueryDef("q71_quality_verdict", q71, Some(q71Sql)),
     QueryDef("q72_table_profile", q72, Some(q72Sql)),
-    QueryDef("q99_semdedup", q99, Some(q99Sql)))
+    QueryDef("q99_semdedup", q99, Some(q99Sql)),
+    QueryDef("q141_dedup_report", q141, Some(q141Sql)))
 }

@@ -131,6 +131,35 @@ object OperatorProps extends Properties("graft.operators") {
       got == want
     }
 
+  /** Containment property: the df-capped candidate generation + exact
+    * verify must equal a plain-Scala reference that applies the SAME
+    * contract — pairs sharing at least one sub-cap shingle, containment
+    * from the FULL sets. Low-entropy token domain forces shared shingles
+    * and (at small caps) capped ones, exercising both the hit and the
+    * documented miss path.
+    */
+  property("containment pairs == reference impl under the df-cap contract") =
+    forAll(
+      Gen.listOfN(10, textGen.suchThat(_.split(" ").length >= 3)),
+      Gen.choose(2, 8)) { (texts, cap) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val shingles: Map[Long, Set[String]] = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.toMap.filter(_._2.nonEmpty)
+      val docFreq = shingles.values.flatten.groupBy(identity).view.mapValues(_.size)
+      val want = (for {
+        a <- shingles.keys; b <- shingles.keys if a < b
+        inter = shingles(a) intersect shingles(b)
+        if inter.exists(g => docFreq(g) <= cap)
+        c = inter.size.toDouble / math.min(shingles(a).size, shingles(b).size)
+        if c >= 0.5
+      } yield (a, b, math.floor(c * 1e6 + 0.5) / 1e6)).toSeq.sorted
+      val got = graft.operators.Dedup.containmentPairs(df, "id", "t",
+          n = 3, threshold = 0.5, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      got == want
+    }
+
   /** Tie-heavy as-of property: tiny key/timestamp domains force equal-ts
     * collisions on both sides, exercising the side ordering (right row
     * at the left timestamp matches) and the max-tie-id rule — checked
