@@ -310,7 +310,13 @@ object Dedup {
                            n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         TextFns.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      // isNotNull stated EXPLICITLY alongside the size guard: a consumer
+      // that explodes `sh` directly gets `isnotnull(sh)` inferred and
+      // pushed below the exchange (InferFiltersFromGenerate — the
+      // tokenFrame lesson), and without the explicit twin the exploding
+      // and non-exploding consumers' exchange subtrees differ, defeating
+      // ReusedExchange and re-running the shingle build per consumer
+      .filter(col("sh").isNotNull && size(col("sh")) > 0)
       .repartition(col("id"))
 
   /** Exact-Jaccard verification of candidate pairs against full shingle

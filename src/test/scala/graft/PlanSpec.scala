@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
       s"q37 must read the shared checkpointed pair frame; got $q37Nodes")
   }
 
+  test("q140 containment plan: one documents scan, shingle exchange reused") {
+    val nodes = names(finalNodes(
+      SparkEntry.queries("q140_containment_pairs")(spark, sf)))
+    val scans = nodes.count(_.startsWith("Scan parquet"))
+    assert(scans == 1,
+      s"containment must scan documents once (index + both verify sides " +
+        s"share the pinned shingle exchange), got $scans")
+    assert(nodes.exists(_.contains("ReusedExchange")),
+      s"pinned shingle frame not reused; got $nodes")
+    assert(!nodes.exists(n => n.contains("CartesianProduct") ||
+        n.contains("BroadcastNestedLoop")),
+      s"no all-pairs path allowed; got $nodes")
+  }
+
   test("q135 debias plan: pure narrow projection — no exchange, no join") {
     // the model (mean + top component) is collected driver-side by
     // construction; the debias itself must stay a single narrow pass so
