@@ -52,6 +52,49 @@ class SchemaCanarySpec extends SparkSpec {
     )
   }
 
+  test("canary: every table still carries the columns the registry depends on") {
+    // the queries reference these names all over the registry — a driver
+    // regeneration that renames or drops one should fail HERE with the
+    // table and column named, not as dozens of scattered AnalysisExceptions
+    val required: Map[String, Set[String]] = Map(
+      "region"     -> Set("r_regionkey", "r_name"),
+      "nation"     -> Set("n_nationkey", "n_name", "n_regionkey"),
+      "customer"   -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier"   -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part"       -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders"     -> Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem"   -> Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events"     -> Set("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents"  -> Set("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("vec_id", "embedding", "label")
+    )
+    val drifted = accessors.flatMap { case (name, acc) =>
+      val actual = acc(spark, sf).schema.fieldNames.toSet
+      val missing = required(name) -- actual
+      if (missing.isEmpty) None
+      else Some(s"$name is missing ${missing.mkString(", ")}")
+    }
+    assert(drifted.isEmpty,
+      s"TESTDATA SCHEMA DRIFT — ${drifted.mkString("; ")}. The registry " +
+        "references these columns; adapt the affected queries (new columns " +
+        "appearing is fine, this only checks the required set).")
+  }
+
+  test("canary: embedding dimension is 64 (PcaDim / LSH plane model contract)") {
+    // q133/q135 (PcaDim), the LSH plane model (128 planes x 64 dims) and
+    // the PQ subspace split all hard-assume dim = 64; a regenerated
+    // embeddings table with another width must fail HERE by name
+    val dims = graft.sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .selectExpr("size(embedding) AS d").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64),
+      s"TESTDATA SCHEMA DRIFT — embeddings.embedding dims $dims != 64; " +
+        "update PcaDim (StatsQueries), the plane model (Similarity) and " +
+        "the PQ subspace constants before anything else.")
+  }
+
   test("canary: Tables.events normalizes all three ts encodings identically") {
     def fixtureDir(fixture: String): String = {
       val dir = Files.createTempDirectory(s"graft_canary_$fixture")
