@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BmpImage, ImageFeatures, KMinValues, RollingHash, VecDot, WordNGrams}
+import graft.expressions.{BmpImage, ImageFeatures, KMinValues, MinHashSig, RollingHash, SimHashPack, SortedIntersectCount, VecDot, WordNGrams, XxHash64Array}
 
 /** Session extension point for the engine's custom Catalyst expressions —
   * the standard injection path
@@ -17,6 +17,12 @@ import graft.expressions.{BmpImage, ImageFeatures, KMinValues, RollingHash, VecD
   *   SELECT kmv_distinct(xxhash64(user_id), 64) FROM events -- KMV sketch
   *   SELECT word_ngrams(split(text, ' '), 3) FROM documents -- shingle build
   *   SELECT image_features(payload).width FROM media       -- BMP/PNG parse
+  *   SELECT doc_id, simhash_pack(xxhash64(tok), 60)        -- SimHash sig
+  *   FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+  *   GROUP BY doc_id
+  *   SELECT minhash_sig(word_ngrams(split(text,' '),3), 64) FROM documents
+  *   SELECT sorted_intersect_count(sort_array(xxhash64_array(a)),
+  *                                 sort_array(xxhash64_array(b))) FROM t
   * }}}
   *
   * `kmv_distinct(hashedLong, k)` estimates hashes as uniform on
@@ -80,6 +86,44 @@ object GraftExtensions {
             s"word_ngrams n must be an integer literal, got $other")
         }
         WordNGrams(children.head, n)
+      }),
+    (FunctionIdentifier("simhash_pack"),
+      new ExpressionInfo(classOf[SimHashPack].getName, "simhash_pack"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"simhash_pack expects (hashedLong, bits), got ${children.size} args")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_pack bits must be an integer literal, got $other")
+        }
+        SimHashPack(children.head, bits).toAggregateExpression()
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"minhash_sig expects (shingleArray, numHashes), got ${children.size} args")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an integer literal, got $other")
+        }
+        MinHashSig(children.head, n)
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"sorted_intersect_count expects 2 arguments, got ${children.size}")
+        SortedIntersectCount(children.head, children(1))
+      }),
+    (FunctionIdentifier("xxhash64_array"),
+      new ExpressionInfo(classOf[XxHash64Array].getName, "xxhash64_array"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"xxhash64_array expects 1 argument, got ${children.size}")
+        XxHash64Array(children.head)
       }),
     (FunctionIdentifier("bmp_image"),
       new ExpressionInfo(classOf[BmpImage].getName, "bmp_image"),

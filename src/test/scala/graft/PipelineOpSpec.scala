@@ -301,6 +301,31 @@ class PipelineOpSpec extends SparkSpec {
     assert(r.getInt(1) == 1 && r.getInt(2) == 3)
   }
 
+  test("simhash_pack / minhash_sig / sorted_intersect_count from SQL text") {
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zz yy"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_docs_v")
+    // SQL-text SimHash signatures must equal the operator-path fast sigs
+    val sqlSigs = spark.sql(
+      """SELECT doc_id, simhash_pack(xxhash64(tok), 64) AS sig
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM ext_docs_v)
+        |GROUP BY doc_id""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    val apiSigs = spark.table("ext_docs_v")
+      .select(col("doc_id"), graft.operators.Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sqlSigs == apiSigs)
+    assert(sqlSigs(1L) == sqlSigs(2L) && sqlSigs(1L) != sqlSigs(3L))
+    // minhash_sig + two-pointer intersection, pure SQL text
+    val r = spark.sql(
+      """SELECT size(minhash_sig(word_ngrams(split('a b c d', ' '), 2), 64)) AS w,
+        |       sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) AS i,
+        |       xxhash64_array(array('x')) AS h""".stripMargin).collect().head
+    assert(r.getInt(0) == 64)
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[Long](2).head == spark.sql("SELECT xxhash64('x')").collect().head.getLong(0))
+  }
+
   test("SortedIntersectCount: two-pointer merge semantics vs reference intersect") {
     val cases = Seq(
       (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), 2),  // plain overlap
