@@ -97,7 +97,11 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"simhash_pack bits must be an integer literal, got $other")
         }
-        SimHashPack(children.head, bits).toAggregateExpression()
+        // returned UNWRAPPED: the analyzer's ResolveFunctions wraps a bare
+        // AggregateFunction in AggregateExpression itself, wiring through
+        // any DISTINCT/FILTER the SQL carried — pre-wrapping here would
+        // bypass that and fail `simhash_pack(DISTINCT x, 60)` analysis
+        SimHashPack(children.head, bits)
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

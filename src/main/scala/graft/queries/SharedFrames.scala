@@ -25,12 +25,14 @@ import graft.sources.Tables
   * differently-graded) candidate generation than LSH banding — sharing
   * would change its semantics, not just its cost.
   *
-  * Each memo key includes the Spark application id so a frame never
-  * leaks across sessions (ScalaTest suites start and stop their own),
-  * and entries belonging to other (stopped) applications are EVICTED on
-  * every lookup — only one SparkSession is live per JVM here, so keys
-  * from a different appId are dead weight holding checkpointed RDDs
-  * whose context is gone.
+  * Each memo entry records the SparkContext it was checkpointed under so
+  * a frame never leaks across contexts (ScalaTest suites start and stop
+  * their own), and entries from OTHER contexts are evicted on every
+  * lookup. This is safe precisely because Spark enforces a single live
+  * SparkContext per JVM: a memoized context that differs from the
+  * caller's is necessarily stopped, so eviction only ever drops frames
+  * whose RDDs are already unusable — concurrent SparkSessions (which
+  * share the one live context) never thrash-evict each other.
   * [[org.apache.spark.sql.Dataset.localCheckpoint]] materializes each
   * frame eagerly at first use and truncates lineage, so every consumer's
   * plan starts from the materialized RDD. At cluster scale the same role
@@ -39,16 +41,17 @@ import graft.sources.Tables
   * for that shared intermediate table.
   */
 object SharedFrames {
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (org.apache.spark.SparkContext, DataFrame)]
 
   private def cached(spark: SparkSession, frame: String, dir: String)
                     (build: => DataFrame): DataFrame = {
-    val appId = spark.sparkContext.applicationId
-    // session-scoped eviction: drop frames checkpointed under a previous
-    // (now-stopped) SparkContext — their RDDs are unusable and pinned
-    memo.keys.filter(_._1 != appId).foreach(memo.remove)
-    memo.getOrElseUpdate((appId, frame, dir), build.localCheckpoint())
+    val sc = spark.sparkContext
+    // context-scoped eviction: a memoized context that is not the
+    // caller's is necessarily STOPPED (one live SparkContext per JVM),
+    // so these entries pin checkpointed RDDs that can never be read again
+    memo.filterInPlace { case (_, (ctx, _)) => ctx eq sc }
+    memo.getOrElseUpdate((frame, dir), (sc, build.localCheckpoint()))._2
   }
 
   /** The q21 near-dup pair frame (word 3-grams, Jaccard ≥ 0.6) for

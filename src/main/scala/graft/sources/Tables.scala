@@ -42,8 +42,12 @@ object Tables {
         // same ns→us conversion DuckDB applies
         raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType =>
-        // micros, not UTC-adjusted: under the pinned UTC session TZ the
-        // NTZ→TZ cast is an exact relabeling (no wall-clock shift)
+        // micros, not UTC-adjusted: under a UTC session TZ the NTZ→TZ
+        // cast is an exact relabeling (no wall-clock shift). Pin the TZ
+        // here — like nanosAsLong above, an externally-built session
+        // (the driver's) may not have set it, and a non-UTC session
+        // would silently shift every timestamp in this branch.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _: TimestampType =>
         raw

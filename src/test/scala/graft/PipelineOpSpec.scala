@@ -316,6 +316,17 @@ class PipelineOpSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sqlSigs == apiSigs)
     assert(sqlSigs(1L) == sqlSigs(2L) && sqlSigs(1L) != sqlSigs(3L))
+    // the builder returns the AggregateFunction UNWRAPPED, so the
+    // analyzer's own DISTINCT/FILTER wiring applies: a duplicated token
+    // stream under DISTINCT must pack to the same signature as the
+    // deduplicated stream (tokens vote once each)
+    val distinctSigs = spark.sql(
+      """SELECT doc_id, simhash_pack(DISTINCT xxhash64(tok), 64) AS sig
+        |FROM (SELECT doc_id, explode(split(concat(text, ' ', text), ' ')) AS tok
+        |      FROM ext_docs_v)
+        |GROUP BY doc_id""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    assert(distinctSigs == sqlSigs)
     // minhash_sig + two-pointer intersection, pure SQL text
     val r = spark.sql(
       """SELECT size(minhash_sig(word_ngrams(split('a b c d', ' '), 2), 64)) AS w,
