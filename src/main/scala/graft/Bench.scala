@@ -48,8 +48,11 @@ object Bench {
     // Only SUCCESSFUL iterations may enter the min — an exception path
     // returns in milliseconds and would masquerade as an 8-10× speedup in
     // round-over-round comparison. A query whose every iteration threw is
-    // OMITTED from the JSON entirely (stderr carries the reason), so the
-    // artifact never contains a wall-time for a query that didn't execute.
+    // OMITTED from the JSON entirely (stderr carries the reason) and
+    // recorded by name in the artifact's `broken` array, so the artifact
+    // never contains a wall-time for a query that didn't execute but a
+    // round-over-round diff still sees WHAT didn't execute.
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.flatMap { q =>
       val times = (1 to iters).flatMap { _ =>
         // pin GC state at iteration boundaries: heap pressure accumulated
@@ -68,6 +71,7 @@ object Bench {
       }
       if (times.isEmpty) {
         System.err.println(s"[bench] ${q.name} omitted — all $iters iterations threw")
+        broken += q.name
         None
       } else Some(q.name -> times.min)
     }
@@ -102,7 +106,20 @@ object Bench {
     val qs = jobbed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = jobbed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val brokenJson = broken.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"broken":$brokenJson,"sf":"$sfDir"}"""
+    println(line)
+    // The same JSON also lands in a FILE (default `bench_queries.json` in
+    // the working dir, overridable via SPARK_GRAFT_BENCH_OUT): the
+    // driver's BENCH_r{N}.json artifact is a raw stdout tail whose
+    // per-query map survives only by luck of tail length — the file is
+    // the machine-readable record that makes round-over-round diffing a
+    // one-liner instead of a stdout scrape.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
+    java.nio.file.Files.write(outPath,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
