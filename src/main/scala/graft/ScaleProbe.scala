@@ -146,13 +146,44 @@ object ScaleProbe {
     val tLshKWide = time(lsh(embK, 12))
     emb1.unpersist(); embK.unpersist()
 
+    // Connected-components probe (q49 shape — the iterative min-label +
+    // pointer-doubling loop that q49/q68/q99/q126/q134/q137/q141 and the
+    // CurationJob keep-list stage all ride). The pair frame is built by
+    // the banded MinHash path (the 100 TB candidate generator) UNTIMED
+    // and materialized, so the timing isolates the CC loop itself: edge
+    // mirroring, the per-round join+aggregate, doubling self-join, and
+    // convergence check. Copies are shingle-disjoint, so the k× graph is
+    // k disjoint isomorphic copies of the 1× graph: component structure
+    // and round count are identical by construction, and the ideal
+    // ratio is ~k (per-round work linear in edges) minus the fixed
+    // per-round scheduling floor that dominates at this SF.
+    def ccPairs(corpus: DataFrame): DataFrame = {
+      val p = minhash(corpus)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      p.count() // materialize outside the timed window
+      p
+    }
+    def cc(pairs: DataFrame): DataFrame =
+      graft.operators.Dedup.connectedComponents(pairs)
+    val corpus1 = replicate(1)
+    val pairs1 = ccPairs(corpus1)
+    cc(pairs1).write.mode("overwrite").format("noop").save() // warmup
+    val tCc1 = time(cc(pairs1))
+    val corpusK = replicate(k)
+    val pairsK = ccPairs(corpusK)
+    val tCcK = time(cc(pairsK))
+    corpus1.unpersist(); corpusK.unpersist()
+    pairs1.unpersist(); pairsK.unpersist()
+
     def j(x1: Double, xk: Double) =
       f"""{"x1":$x1%.3f,"x$k":$xk%.3f,"ratio":${xk / x1}%.2f}"""
     println(s"""{"probe":"scale","sf":"$sfDir","k":$k,"queries":{""" +
       s""""q85_curation_pass":${j(x1Pass, xkPass)},""" +
       s""""q22_minhash":${j(x1Mh, xkMh)},""" +
       s""""q37_lsh_pairs":${j(tLsh1, tLshK)},""" +
-      f""""q37_lsh_pairs_rows12":{"x$k":$tLshKWide%.3f,"ratio_vs_x1_rows8":${tLshKWide / tLsh1}%.2f}}}""")
+      f""""q37_lsh_pairs_rows12":{"x$k":$tLshKWide%.3f,"ratio_vs_x1_rows8":${tLshKWide / tLsh1}%.2f},""" +
+      s""""q49_connected_components":${j(tCc1, tCcK)}}}""")
     spark.stop()
   }
 }
