@@ -82,10 +82,24 @@ object Bench {
     // temp dir that is deleted afterwards.
     val jobbed = if (only.forall(_.contains("curation_job"))) {
       // only SUCCESSFUL runs enter the min — a crashed run's (short)
-      // elapsed time must not masquerade as a performance improvement
-      val jobTimes = (1 to iters).flatMap { _ =>
+      // elapsed time must not masquerade as a performance improvement.
+      // min-of-5 (vs the queries' min-of-3) and a pinnable temp base:
+      // this is the one entry timed through REAL table writes, and its
+      // recorded band was the widest in the suite (7.0-9.5 s) — write-
+      // path noise (page-cache state, dirty-page writeback) needs more
+      // samples to find the floor, and SPARK_GRAFT_BENCH_TMP lets a
+      // deployment pin the writes to a known filesystem instead of
+      // whatever java.io.tmpdir happens to be.
+      val jobIters = math.max(iters, 5)
+      val tmpBase = sys.env.get("SPARK_GRAFT_BENCH_TMP")
+        .map(java.nio.file.Paths.get(_))
+      tmpBase.foreach(java.nio.file.Files.createDirectories(_))
+      val jobTimes = (1 to jobIters).flatMap { _ =>
         System.gc()
-        val out = java.nio.file.Files.createTempDirectory("graft_bench_job")
+        val out = tmpBase match {
+          case Some(b) => java.nio.file.Files.createTempDirectory(b, "graft_bench_job")
+          case None => java.nio.file.Files.createTempDirectory("graft_bench_job")
+        }
         val t0 = System.nanoTime()
         val ok =
           try { graft.pipelines.CurationJob.run(spark, sfDir, out.toString); true }

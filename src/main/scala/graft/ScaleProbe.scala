@@ -144,6 +144,12 @@ object ScaleProbe {
     val embK = replicateEmb(k)
     val tLshK = time(lsh(embK, 8))
     val tLshKWide = time(lsh(embK, 12))
+    // the auto-sized default (rowsPerBand = 0): at 1× the occupancy
+    // formula lands on the graded 8 bits (so tLsh1 IS the auto 1×
+    // time); at k× it must widen itself enough that the run stays
+    // ≤ 2× the 1× time — the acceptance bar for the default being
+    // safe to leave unset at growing corpus sizes
+    val tLshKAuto = time(lsh(embK, 0))
     emb1.unpersist(); embK.unpersist()
 
     // Connected-components probe (q49 shape — the iterative min-label +
@@ -176,6 +182,29 @@ object ScaleProbe {
     corpus1.unpersist(); corpusK.unpersist()
     pairs1.unpersist(); pairsK.unpersist()
 
+    // BPE trainer batching probe (VERDICT r11 #5): the trainer's scale
+    // ceiling is the per-round driver scheduling floor — merges=64 at
+    // batch=1 is 64 sequential census jobs; batch=8 applies up to 8
+    // symbol-disjoint merges per census (~8× fewer rounds). Measured on
+    // the 1× corpus (the loop cost is round-count-bound, not data-bound,
+    // at this SF); merges/sec is the honest unit because batch=8 may
+    // finish a round short when candidates overlap.
+    val bpeDocs = replicate(1)
+    val bpeMerges = 64
+    def bpeRun(batch: Int): Unit =
+      graft.operators.Curation.bpeWordSymbols(bpeDocs, "text", bpeMerges, batch)
+        .write.mode("overwrite").format("noop").save()
+    bpeRun(8) // untimed warmup (codegen + word-census JIT)
+    def bpeTime(batch: Int): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      bpeRun(batch)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tBpe1 = bpeTime(1)
+    val tBpe8 = bpeTime(8)
+    bpeDocs.unpersist()
+
     def j(x1: Double, xk: Double) =
       f"""{"x1":$x1%.3f,"x$k":$xk%.3f,"ratio":${xk / x1}%.2f}"""
     println(s"""{"probe":"scale","sf":"$sfDir","k":$k,"queries":{""" +
@@ -183,7 +212,11 @@ object ScaleProbe {
       s""""q22_minhash":${j(x1Mh, xkMh)},""" +
       s""""q37_lsh_pairs":${j(tLsh1, tLshK)},""" +
       f""""q37_lsh_pairs_rows12":{"x$k":$tLshKWide%.3f,"ratio_vs_x1_rows8":${tLshKWide / tLsh1}%.2f},""" +
-      s""""q49_connected_components":${j(tCc1, tCcK)}}}""")
+      f""""q37_lsh_pairs_auto":{"x$k":$tLshKAuto%.3f,"ratio_vs_x1":${tLshKAuto / tLsh1}%.2f},""" +
+      s""""q49_connected_components":${j(tCc1, tCcK)},""" +
+      f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
+      f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
+      f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")
     spark.stop()
   }
 }

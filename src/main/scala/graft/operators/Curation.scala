@@ -1304,23 +1304,38 @@ object Curation {
     *
     * Distribution shape, per round: one pair-count aggregate over the
     * distinct-word frame (map-side combine; [[bpePairCounts]]' census)
-    * with a `limit(1)` argmax COLLECTED to the driver — the merge
+    * with a top-k argmax COLLECTED to the driver — the merge
     * table is the MODEL being trained (a few strings per round, like
     * [[graft.operators.Similarity]]'s collected centroid model), never
     * data — then one narrow compiled pass
     * ([[graft.expressions.BpeMergePair]]) fusing the pair in-row. The
     * word frame is `localCheckpoint`ed per round so lineage does not
-    * restack N aggregates. Rounds are inherently sequential (each
-    * argmax depends on the previous fusion — this is the algorithm,
-    * not a Spark limitation); production trainers batch non-adjacent
-    * merges per round, a policy change that would ride the same loop.
+    * restack N aggregates.
+    *
+    * `batch` is the SCALE knob for the driver-coordinated loop: rounds
+    * are sequential (each argmax depends on the previous fusion — the
+    * algorithm, not a Spark limitation), so a 32k-merge production
+    * vocabulary at `batch = 1` means 32k job launches whose ~0.15 s
+    * scheduling floor alone is ~80 minutes. `batch = m` applies up to
+    * m merges per census — the standard production-trainer trick:
+    * candidates are accepted from the top-4m census in rank order,
+    * greedily SKIPPING any whose symbols overlap an already-accepted
+    * merge of the same batch (overlapping merges are the ones whose
+    * counts the earlier fusion invalidates; disjoint ones are
+    * unaffected). `batch = 1` is EXACTLY Sennrich's sequential
+    * algorithm (the graded q88/q91/q121 configuration — bit-identical
+    * oracles); `batch > 1` is a documented policy deviation: a skipped
+    * overlapping candidate can differ from what a sequential recount
+    * would have picked, trading argmax fidelity for ~m× fewer rounds
+    * (measured ≥5× merges/sec at merges=64, batch=8 — BASELINE.md).
     *
     * Stops early if no pair remains (every word fused to one symbol).
     * Single-character words never enter pair counting but keep their
     * symbol in the vocabulary, like the real trainer's word census.
     */
-  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame =
-    bpeWordSymbols(df, textCol, merges)
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+               batch: Int = 1): DataFrame =
+    bpeWordSymbols(df, textCol, merges, batch)
       .select(explode(col("syms")).as("symbol"), col("wc"))
       .groupBy("symbol").agg(sum(col("wc")).as("n_occurrences"))
 
@@ -1331,8 +1346,9 @@ object Curation {
     * both application surfaces.
     */
   private[graft] def bpeWordSymbols(df: DataFrame, textCol: String,
-                                    merges: Int): DataFrame = {
+                                    merges: Int, batch: Int = 1): DataFrame = {
     require(merges >= 0, s"merges must be >= 0, got $merges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var words = df
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -1340,28 +1356,48 @@ object Curation {
         regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
         col("wc"))
       .localCheckpoint()
-    var round = 0
+    var done = 0
     var exhausted = false
-    while (round < merges && !exhausted) {
-      val top = words
+    while (done < merges && !exhausted) {
+      val want = math.min(batch, merges - done)
+      // top-4·want census headroom: skipped overlapping candidates cost
+      // census rows, not extra jobs. want = 1 reads only the top row —
+      // exactly the sequential algorithm's argmax.
+      val census = words
         .select(explode(graft.expressions.WordNGrams(col("syms"), 2)).as("pair"),
           col("wc"))
         .groupBy("pair").agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1)
+        .limit(if (want == 1) 1 else want * 4)
         .collect()
-      if (top.isEmpty) exhausted = true
+      if (census.isEmpty) exhausted = true
       else {
-        // symbols never contain spaces (words are space-split), so the
-        // space-joined pair splits back unambiguously
-        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        // greedy rank-order acceptance, skipping candidates that share a
+        // symbol (incl. the fused name) with an accepted merge of this
+        // batch — their counts are the ones the earlier fusion changes
+        val dirty = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = census.iterator
+        while (accepted.size < want && it.hasNext) {
+          // symbols never contain spaces (words are space-split), so the
+          // space-joined pair splits back unambiguously
+          val Array(a, b) = it.next().getString(0).split(" ", 2)
+          if (!dirty(a) && !dirty(b) && !dirty(a + b)) {
+            accepted += ((a, b))
+            dirty ++= Seq(a, b, a + b)
+          }
+        }
+        // one narrow compiled pass applies the whole batch, fusing in
+        // rank order (disjoint merges commute; the order only pins
+        // determinism)
+        val fused = accepted.foldLeft(col("syms")) { case (c, (a, b)) =>
+          graft.expressions.BpeMergePair(c, a, b)
+        }
         words = words
-          .select(col("w"),
-            graft.expressions.BpeMergePair(col("syms"), a, b).as("syms"),
-            col("wc"))
+          .select(col("w"), fused.as("syms"), col("wc"))
           .localCheckpoint()
+        done += accepted.size
       }
-      round += 1
     }
     words
   }
@@ -1377,8 +1413,8 @@ object Curation {
     * broadcast; the join key is exactly the frame's grouping key).
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                merges: Int): DataFrame = {
-    val segmented = bpeWordSymbols(df, textCol, merges)
+                merges: Int, batch: Int = 1): DataFrame = {
+    val segmented = bpeWordSymbols(df, textCol, merges, batch)
       .select(col("w"), col("syms"))
     df.select(col(idCol),
         posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
@@ -1404,8 +1440,8 @@ object Curation {
     * vocabulary join [[bpeEncode]] pays, then one stratum aggregate.
     */
   def bpeFertility(df: DataFrame, strataCol: String, textCol: String,
-                   merges: Int): DataFrame = {
-    val segmented = bpeWordSymbols(df, textCol, merges)
+                   merges: Int, batch: Int = 1): DataFrame = {
+    val segmented = bpeWordSymbols(df, textCol, merges, batch)
       .select(col("w"), size(col("syms")).cast("long").as("__graft_ns"),
         length(col("w")).cast("long").as("__graft_nc"))
     df.select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("w"))

