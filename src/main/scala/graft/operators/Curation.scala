@@ -297,6 +297,69 @@ object Curation {
           .as("sb_logscore"))
   }
 
+  /** RHO-loss-style excess-loss selection (Mindermann et al. 2022,
+    * "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt" — select points whose training loss
+    * exceeds their loss under a model trained on clean holdout data:
+    * high excess = learnable signal, low excess = noise the reference
+    * model already explains or memorized boilerplate): per document,
+    * `ce_train` = unigram cross-entropy under the SELF-corpus
+    * distribution (the [[crossEntropy]] score — the "current model"
+    * proxy) and `ce_ref` = cross-entropy under a REFERENCE model's
+    * add-1-smoothed unigram distribution
+    * `p(t) = (C_ref(t)+1)/(N_ref+V_ref)` (the [[stupidBackoff]]
+    * unigram-floor convention, so corpus terms unseen in the reference
+    * stay defined); the top `m` documents by
+    * `excess = ce_train − ce_ref` are selected. Emits
+    * `(idCol, n_tokens, ce_train, ce_ref, excess)`, ordered by excess
+    * descending (ties by id).
+    *
+    * Scale shape: ONE tokenize into the (doc, term) count frame pinned
+    * behind a `repartition(term)`; the self-corpus term counts are a
+    * window on that exchange and the reference counts a LEFT JOIN on
+    * the same term key (reference n-gram tables are web-scale — the
+    * [[stupidBackoff]] argument — so they shuffle-join, never
+    * broadcast); N/V ride one broadcast 1-row aggregate. Both
+    * entropies fold term-sorted per doc (the [[crossEntropy]] float
+    * discipline), and the final top-m is a TakeOrderedAndProject —
+    * no corpus-sized sort.
+    */
+  def rhoSelection(df: DataFrame, idCol: String, textCol: String,
+                   refModel: DataFrame, refTextCol: String,
+                   m: Int = 100): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val tf = df
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+      .repartition(col("term"))
+    val total = tf.agg(sum(col("c")).cast("double").as("tt"))
+    val refUni = refModel
+      .select(explode(TextFns.tokens(col(refTextCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cm"))
+    val refNv = refUni.agg(sum(col("cm")).cast("double").as("nm"),
+      count(lit(1)).cast("double").as("vm"))
+    tf.withColumn("ct", sum(col("c")).over(Window.partitionBy(col("term"))))
+      .join(refUni, Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(refNv))
+      .select(col(idCol), col("c"),
+        struct(col("term"),
+          (col("c") * log(col("ct") / col("tt"))).as("tr"),
+          (col("c") * log((coalesce(col("cm"), lit(0L)) + 1)
+            / (col("nm") + col("vm")))).as("rf")).as("s"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        sort_array(collect_list(col("s"))).as("arr"))
+      .select(col(idCol), col("n_tokens"),
+        round(-aggregate(transform(col("arr"), x => x.getField("tr")),
+          lit(0.0), (acc, x) => acc + x) / col("n_tokens"), 6).as("ce_train"),
+        round(-aggregate(transform(col("arr"), x => x.getField("rf")),
+          lit(0.0), (acc, x) => acc + x) / col("n_tokens"), 6).as("ce_ref"))
+      .withColumn("excess", round(col("ce_train") - col("ce_ref"), 6))
+      .orderBy(col("excess").desc, col(idCol))
+      .limit(m)
+  }
+
   /** Out-of-vocabulary rate per document against a (bounded) vocabulary
     * — the coverage check run after tokenizer training: emits
     * `(idCol, n_tokens, n_oov, oov_rate)`. Composes [[encode]] (OOV
@@ -979,6 +1042,90 @@ object Curation {
         round(col("scaled") / col("z"), 6).as("target_share"),
         round((col("scaled") / col("z")) * col("total_tokens")
           / col("n_tokens"), 6).as("weight"))
+  }
+
+  /** EPOCH-CAPPED token-budget allocation — exact WATER-FILLING of a
+    * training-token budget over strata under per-stratum repetition
+    * caps (the constraint every published data recipe carries:
+    * Muennighoff et al. 2023 "Scaling Data-Constrained LMs" shows
+    * value decays past ~4 epochs; LLaMA/The Pile cap upsampling per
+    * source): target shares come from [[temperatureWeights]]' `p^α`
+    * rule, but a small stratum whose boosted share demands more than
+    * `cap` epochs of its own tokens is CLAMPED at `cap · n_s`, and the
+    * excess budget re-flows to the uncapped strata in proportion to
+    * their weights — recursively, since the re-flow can push the next
+    * stratum over ITS cap. Solved in closed form, not by iteration:
+    * strata capped by water-filling are exactly a PREFIX of the
+    * `cap·n_s / w_s` ascending order (the order the rising water level
+    * reaches each cap), so one sort + prefix/suffix running sums
+    * decide the capped set, and the two re-flow scalars (budget left,
+    * weight mass left) are order-pinned folds. Emits per stratum:
+    * `(strataCol, n_tokens, target_share, cap_tokens, alloc_tokens,
+    * epochs, capped)`; if the budget exceeds the total cap mass, every
+    * stratum caps and the residual budget is deliberately left
+    * unspent (the caller's signal to go find more data).
+    *
+    * Scale shape: one keyed aggregate collapses the corpus to the
+    * strata frame — everything after is strata-sized (sources/
+    * languages are dozens, never corpus-scale): two single-partition
+    * window scans over it and two broadcast one-row folds. Float
+    * discipline: every cross-stratum sum is either a running window
+    * sum (frame-order-pinned) or a sorted-fold (stratum-order-pinned);
+    * `cap · n_s` and the budget are exact products of integers with
+    * short-binary constants; only the emitted columns round.
+    */
+  def epochCapAllocation(df: DataFrame, strataCol: String,
+                         tokensCol: Column, alpha: Double = 0.5,
+                         cap: Double = 1.5,
+                         budgetFrac: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(cap > 0.0, s"cap must be positive, got $cap")
+    require(budgetFrac > 0.0, s"budgetFrac must be positive, got $budgetFrac")
+    val stats = df.groupBy(col(strataCol)).agg(sum(tokensCol).as("n_tokens"))
+    val total = stats.agg(sum(col("n_tokens")).as("tt"))
+    val scored = stats.crossJoin(broadcast(total))
+      .withColumn("w", pow(col("n_tokens") / col("tt"), lit(alpha)))
+      .withColumn("c", col("n_tokens") * lit(cap))
+      .withColumn("b", col("tt") * lit(budgetFrac))
+      // the order the rising water level hits each cap
+      .withColumn("r", col("c") / col("w"))
+    val wAsc = Window.orderBy(col("r"), col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy(col("r").desc, col(strataCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = scored
+      // exclusive prefix of cap mass / inclusive suffix of weight mass
+      .withColumn("pc", sum(col("c")).over(wAsc) - col("c"))
+      .withColumn("wr", sum(col("w")).over(wDesc))
+      // water level at this stratum, all earlier strata capped
+      .withColumn("want", col("w") * (col("b") - col("pc")) / col("wr"))
+      .withColumn("flag", when(col("want") > col("c"), 1L).otherwise(0L))
+      // capped set = maximal prefix where the level still tops the cap
+      .withColumn("capped", min(col("flag")).over(wAsc) === 1L)
+    val reflow = flagged.agg(
+        sort_array(collect_list(struct(col(strataCol).as("k"),
+          when(col("capped"), col("c")).otherwise(lit(0.0)).as("cc"),
+          when(col("capped"), lit(0.0)).otherwise(col("w")).as("wu"))))
+          .as("arr"))
+      .select(
+        aggregate(transform(col("arr"), x => x.getField("cc")),
+          lit(0.0), (acc, x) => acc + x).as("c_capped"),
+        aggregate(transform(col("arr"), x => x.getField("wu")),
+          lit(0.0), (acc, x) => acc + x).as("w_uncapped"))
+    val z = flagged.agg(
+        sort_array(collect_list(struct(col(strataCol).as("k"),
+          col("w").as("wz")))).as("arr"))
+      .select(aggregate(transform(col("arr"), x => x.getField("wz")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    flagged.crossJoin(broadcast(reflow)).crossJoin(broadcast(z))
+      .withColumn("alloc", when(col("capped"), col("c"))
+        .otherwise(col("w") * (col("b") - col("c_capped")) / col("w_uncapped")))
+      .select(col(strataCol), col("n_tokens"),
+        round(col("w") / col("z"), 6).as("target_share"),
+        round(col("c"), 6).as("cap_tokens"),
+        round(col("alloc"), 6).as("alloc_tokens"),
+        round(col("alloc") / col("n_tokens"), 6).as("epochs"),
+        col("capped"))
   }
 
   /** EXECUTE a domain mixture: expand each document into

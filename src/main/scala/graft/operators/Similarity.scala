@@ -357,6 +357,66 @@ object Similarity {
           .otherwise(lit(0L)).as("code"))
   }
 
+  /** SQ8 asymmetric ANN top-k — retrieval straight off the
+    * [[scalarQuantize]] index (IVF-SQ8's flat base case, the fourth
+    * index family next to LSH / IVF / PQ): database vectors live as
+    * int8 codes, queries stay float, and each candidate scores
+    * `cos(q, recon(codes))` where `recon_i = mn_i + code_i·(mx_i-mn_i)/255`
+    * — the asymmetric-distance convention (query unquantized) that
+    * keeps SQ8 recall near-exact while the resident index is 4× smaller
+    * than float32. Emits `(query_id, idCol, cos_sim)`, k rows per query.
+    *
+    * Scale shape: the per-dimension [min, max] model is DIM-sized (64
+    * pairs) regardless of corpus scale — a bounded model fetch like
+    * [[pqCodebook]]'s, inlined as literals so quantize→reconstruct is
+    * ONE narrow whole-stage-codegen pass over the corpus (no stats
+    * join, no shuffle); then [[topKBatch]]'s broadcast-query fanout and
+    * rank-limited window (WindowGroupLimit k-heap). Quantization and
+    * reconstruction are pure double arithmetic with one fixed
+    * association order, so a DuckDB restatement of the same model is
+    * bit-identical — recall against [[topKBatch]] is gradable exactly.
+    */
+  def sq8TopKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                   queries: DataFrame, qidCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val statRows = corpus
+      .select(posexplode(col(embCol)).as(Seq("p", "vf")))
+      .select(col("p"), col("vf").cast("double").as("v"))
+      .groupBy("p").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect()
+    require(statRows.nonEmpty, "corpus must be non-empty")
+    val dim = statRows.length
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    statRows.foreach { r =>
+      mn(r.getInt(0)) = r.getDouble(1); mx(r.getInt(0)) = r.getDouble(2)
+    }
+    val mnLit = typedlit(mn.toIndexedSeq)
+    val mxLit = typedlit(mx.toIndexedSeq)
+    // quantize-then-reconstruct in one indexed transform: constant
+    // dimensions (mx == mn) pin to mn, everything else round-trips
+    // through the 0..255 code exactly as scalarQuantize writes it
+    def recon(e: Column): Column = transform(e, (x, i) => {
+      val m = element_at(mnLit, i + 1)
+      val hi = element_at(mxLit, i + 1)
+      when(hi > m,
+        m + floor((x.cast("double") - m) * lit(255.0) / (hi - m) + lit(0.5))
+          * (hi - m) / lit(255.0))
+        .otherwise(m)
+    })
+    val q = queries.select(col(qidCol).as("query_id"), col(embCol).as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    corpus.select(col(idCol), recon(col(embCol)).as("r_emb"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        round(VectorFns.cosine(col("r_emb"), col("q_emb")), 6).as("cos_sim"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
   // ------------------------------------------------- product quantization
 
   /** PQ geometry: 8 subspaces of 8 dims over the 64-dim embeddings, 16

@@ -1564,6 +1564,222 @@ object TrainPrepQueries {
        |         AS target_text
        |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Q142 — recall@k of SQ8 (int8 scalar-quantized) asymmetric
+    * retrieval against q78's brute-force ground truth — the q79/q86/q90
+    * evaluation applied to the fourth index family (see
+    * [[graft.operators.Similarity.sq8TopKBatch]]): how much exact
+    * recall a 4×-compressed flat index keeps. The oracle restates the
+    * per-dimension [min, max] model, the quantize→reconstruct round
+    * trip, both top-k re-ranks, and the recall arithmetic.
+    */
+  private def q142(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < QuerySample)
+    Similarity.recallAtK(
+        Similarity.topKBatch(emb, "vec_id", "embedding", qs, "vec_id", RecallK),
+        Similarity.sq8TopKBatch(emb, "vec_id", "embedding", qs, "vec_id",
+          RecallK),
+        "query_id", "vec_id")
+      .orderBy("query_id")
+  }
+
+  private lazy val q142Sql =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |x AS (SELECT vec_id, i AS pos, embedding[i + 1]::DOUBLE AS v
+       |      FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+       |sa AS (SELECT list(mn ORDER BY pos) AS mn,
+       |              list(mx ORDER BY pos) AS mx FROM st),
+       |r AS (SELECT e.vec_id, list_transform(range(0, 64), i ->
+       |        CASE WHEN sa.mx[i + 1] > sa.mn[i + 1]
+       |             THEN sa.mn[i + 1]
+       |                  + floor((e.e[i + 1] - sa.mn[i + 1]) * 255.0
+       |                          / (sa.mx[i + 1] - sa.mn[i + 1]) + 0.5)
+       |                    * (sa.mx[i + 1] - sa.mn[i + 1]) / 255.0
+       |             ELSE sa.mn[i + 1] END) AS re
+       |      FROM e, sa),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM e
+       |      WHERE vec_id < $QuerySample),
+       |sx AS (SELECT q.query_id, e.vec_id,
+       |              round(${PipelineQueries.cosSql("e.e", "qe")}, 6) AS cos_sim
+       |       FROM e, q),
+       |exr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM sx),
+       |ext AS (SELECT query_id, vec_id FROM exr WHERE rk <= $RecallK),
+       |aps AS (SELECT q.query_id, r.vec_id,
+       |              round(${PipelineQueries.cosSql("r.re", "qe")}, 6) AS cos_sim
+       |        FROM r, q),
+       |apr AS (SELECT query_id, vec_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |        FROM aps),
+       |apt AS (SELECT query_id, vec_id FROM apr WHERE rk <= $RecallK),
+       |h AS (SELECT apt.query_id, count(*)::BIGINT AS n_hit
+       |      FROM apt JOIN ext ON apt.query_id = ext.query_id
+       |                       AND apt.vec_id = ext.vec_id
+       |      GROUP BY 1),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ext
+       |      GROUP BY 1)
+       |SELECT t.query_id, t.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |       round(coalesce(h.n_hit, 0) / t.n_exact, 6) AS recall
+       |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
+  /** Q143 — content-defined-chunking duplicate census: per document,
+    * how many of its CDC chunks (boundary after every token whose
+    * portable hash ≡ 0 mod 8) already occurred earlier in the corpus,
+    * and what token fraction they cover (see
+    * [[graft.operators.Dedup.cdcChunkStats]]). The oracle restates the
+    * boundary rule, the running-sum chunk ids, chunk hashing, and the
+    * first-occurrence rank.
+    */
+  private def q143(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q143Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS t,
+      |               unnest(toks) AS tok
+      |        FROM d),
+      |f AS (SELECT doc_id, t, tok,
+      |             CASE WHEN ('0x' || substr(md5('cdc:' || tok), 1, 15))
+      |                       ::BIGINT % 8 = 0
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM tok),
+      |c AS (SELECT doc_id, t, tok,
+      |             sum(brk) OVER (PARTITION BY doc_id ORDER BY t
+      |                            ROWS UNBOUNDED PRECEDING) - brk AS chunk
+      |      FROM f),
+      |ch AS (SELECT doc_id, chunk, count(*)::BIGINT AS c_len,
+      |              md5(string_agg(tok, ' ' ORDER BY t)) AS h
+      |       FROM c GROUP BY 1, 2),
+      |m AS (SELECT *, row_number() OVER (PARTITION BY h
+      |               ORDER BY doc_id, chunk) AS rn
+      |      FROM ch)
+      |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      |       sum(c_len)::BIGINT AS n_tokens,
+      |       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+      |       sum(CASE WHEN rn > 1 THEN c_len ELSE 0 END)::BIGINT AS dup_tokens,
+      |       round(sum(CASE WHEN rn > 1 THEN c_len ELSE 0 END)
+      |             / sum(c_len), 6) AS dup_frac
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The RHO selection size. */
+  private val RhoM = 100
+
+  /** Q144 — RHO-loss-style excess-loss selection: the top documents by
+    * `ce_train − ce_ref`, where ce_train scores under the self-corpus
+    * unigram distribution and ce_ref under the src0 reference model's
+    * add-1-smoothed distribution (see
+    * [[graft.operators.Curation.rhoSelection]]). The oracle restates
+    * both entropies with term-order-pinned folds and the top-m cut.
+    */
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.rhoSelection(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", m = RhoM)
+      .orderBy(col("excess").desc, col("doc_id"))
+  }
+
+  private val q144Sql =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS c
+       |            FROM (SELECT doc_id, unnest(string_split(text, ' '))
+       |                           AS term
+       |                  FROM documents)
+       |            GROUP BY 1, 2),
+       |tot AS (SELECT sum(c)::DOUBLE AS tt FROM tf),
+       |ct AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY 1),
+       |ru AS (SELECT term, count(*)::BIGINT AS cm
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS term
+       |             FROM documents WHERE source = 'src0')
+       |       GROUP BY 1),
+       |nv AS (SELECT sum(cm)::DOUBLE AS nm, count(*)::DOUBLE AS vm FROM ru),
+       |s AS (SELECT tf.doc_id, tf.term, tf.c,
+       |             tf.c * ln(ct.ct / tot.tt) AS tr,
+       |             tf.c * ln((coalesce(ru.cm, 0) + 1) / (nv.nm + nv.vm))
+       |               AS rf
+       |      FROM tf JOIN ct USING (term)
+       |               LEFT JOIN ru USING (term), tot, nv),
+       |a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+       |             list(tr ORDER BY term) AS atr,
+       |             list(rf ORDER BY term) AS arf
+       |      FROM s GROUP BY 1),
+       |f AS (SELECT doc_id, n_tokens,
+       |             round(-list_reduce(atr, (u, v) -> u + v) / n_tokens, 6)
+       |               AS ce_train,
+       |             round(-list_reduce(arf, (u, v) -> u + v) / n_tokens, 6)
+       |               AS ce_ref
+       |      FROM a)
+       |SELECT doc_id, n_tokens, ce_train, ce_ref,
+       |       round(ce_train - ce_ref, 6) AS excess
+       |FROM f ORDER BY excess DESC, doc_id LIMIT $RhoM""".stripMargin
+
+  /** Q145 — epoch-capped token-budget water-filling over sources:
+    * temperature-flattened target shares, per-source repetition caps,
+    * and the exact closed-form re-flow of over-cap budget (see
+    * [[graft.operators.Curation.epochCapAllocation]]). The oracle
+    * restates the cap-hit ordering, the prefix/suffix running sums,
+    * the capped-prefix rule, and the order-pinned re-flow folds.
+    */
+  private def q145(spark: SparkSession, dir: String): DataFrame =
+    Curation.epochCapAllocation(Tables.documents(spark, dir), "source",
+        TextFns.tokenCount(col("text")))
+      .orderBy("source")
+
+  private val q145Sql =
+    """WITH s AS (SELECT source,
+      |             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      |           FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
+      |sc AS (SELECT source, n_tokens,
+      |              pow(n_tokens / tt, 0.5) AS w,
+      |              n_tokens * 1.5 AS c,
+      |              tt * 1.0 AS b,
+      |              (n_tokens * 1.5) / pow(n_tokens / tt, 0.5) AS r
+      |       FROM s, tot),
+      |f AS (SELECT *,
+      |        sum(c) OVER (ORDER BY r, source
+      |                     ROWS UNBOUNDED PRECEDING) - c AS pc,
+      |        sum(w) OVER (ORDER BY r DESC, source DESC
+      |                     ROWS UNBOUNDED PRECEDING) AS wr
+      |      FROM sc),
+      |g AS (SELECT *, CASE WHEN w * (b - pc) / wr > c THEN 1 ELSE 0 END
+      |               AS flag
+      |      FROM f),
+      |i AS (SELECT *, min(flag) OVER (ORDER BY r, source
+      |                                ROWS UNBOUNDED PRECEDING) = 1
+      |               AS capped
+      |      FROM g),
+      |rf AS (SELECT
+      |         list_reduce(list_transform(
+      |           list(struct_pack(k := source,
+      |                cc := CASE WHEN capped THEN c ELSE 0.0 END)
+      |                ORDER BY source), x -> x.cc), (u, v) -> u + v)
+      |           AS c_capped,
+      |         list_reduce(list_transform(
+      |           list(struct_pack(k := source,
+      |                wu := CASE WHEN capped THEN 0.0 ELSE w END)
+      |                ORDER BY source), x -> x.wu), (u, v) -> u + v)
+      |           AS w_uncapped,
+      |         list_reduce(list_transform(
+      |           list(struct_pack(k := source, wz := w)
+      |                ORDER BY source), x -> x.wz), (u, v) -> u + v) AS z
+      |       FROM i),
+      |j AS (SELECT i.*, rf.z,
+      |             CASE WHEN capped THEN c
+      |                  ELSE w * (b - rf.c_capped) / rf.w_uncapped END
+      |               AS alloc
+      |      FROM i, rf)
+      |SELECT source, n_tokens,
+      |       round(w / z, 6) AS target_share,
+      |       round(c, 6) AS cap_tokens,
+      |       round(alloc, 6) AS alloc_tokens,
+      |       round(alloc / n_tokens, 6) AS epochs,
+      |       capped
+      |FROM j ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1598,5 +1814,9 @@ object TrainPrepQueries {
     QueryDef("q103_dsir_rowwise", q103, Some(q103Sql)),
     QueryDef("q107_span_corrupt", q107, Some(q107Sql)),
     QueryDef("q138_ann_mplsh_topk", q138, Some(q138Sql)),
-    QueryDef("q139_mplsh_recall", q139, Some(q139Sql)))
+    QueryDef("q139_mplsh_recall", q139, Some(q139Sql)),
+    QueryDef("q142_sq8_recall", q142, Some(q142Sql)),
+    QueryDef("q143_cdc_chunk_dedup", q143, Some(q143Sql)),
+    QueryDef("q144_rho_selection", q144, Some(q144Sql)),
+    QueryDef("q145_epoch_fill", q145, Some(q145Sql)))
 }

@@ -564,4 +564,48 @@ class PlanSpec extends SparkSpec {
       s"shard assignment must shuffle once on the shard key, got $exchanges " +
         s"in ${names(nodes)}")
   }
+
+  test("q142 sq8 plan: one corpus pass per side, WindowGroupLimit k-heap") {
+    // the [min,max] model is collected before the plan is built, so the
+    // retrieval plan itself must be topKBatch-shaped: corpus scan +
+    // broadcast queries + rank-limited window — no stats join
+    val nodes = finalNodes(SparkEntry.queries("q142_sq8_recall")(spark, sf))
+    val ns = names(nodes)
+    assert(ns.exists(_.contains("WindowGroupLimit")),
+      s"per-query top-k must plan as WindowGroupLimit; got $ns")
+    assert(!ns.exists(n => n.contains("NestedLoop") && !n.contains("Broadcast")),
+      s"only broadcast query fanout allowed; got $ns")
+    assert(!ns.exists(_.contains("SortMergeJoin")),
+      s"no shuffled join belongs in the sq8 retrieval plan; got $ns")
+  }
+
+  test("q143 cdc plan: one documents scan, chunk ids stay in the id shuffle") {
+    val nodes = finalNodes(SparkEntry.queries("q143_cdc_chunk_dedup")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"CDC census must tokenize documents once, got ${dataScans.size}")
+    assert(!names(nodes).exists(_.contains("Join")),
+      s"chunking + dup marking are windows/aggregates, never a join; " +
+        s"got ${names(nodes)}")
+  }
+
+  test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
+    // the q64 discipline, doubled: corpus tf feeds the term window AND
+    // the grand total; the reference term counts feed the model join AND
+    // the N/V aggregate — each pair must share one tokenize
+    val nodes = finalNodes(SparkEntry.queries("q144_rho_selection")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size <= 2,
+      s"corpus + reference: at most two tokenizing scans, got " +
+        s"${dataScans.size}")
+    assert(names(nodes).count(_.contains("ReusedExchange")) >= 2,
+      s"both the corpus-total and reference-N/V branches must reuse their " +
+        s"pinned exchanges; got ${names(nodes)}")
+  }
 }

@@ -755,4 +755,145 @@ class TrainPrepSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)                  // pure function of ids
     assert(a.exists(_._1 == 1L))                // +1000 log-weight always wins
   }
+
+  // --------------------------------------------------------- sq8TopKBatch
+
+  test("sq8TopKBatch: 0/1 vectors round-trip exactly, self is top-1") {
+    // values 0 and 1 quantize to codes 0 and 255 and reconstruct
+    // EXACTLY, so the SQ8 scores equal the float scores bit-for-bit
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 1f)),
+      (3L, Seq(1f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopKBatch(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 2), "vec_id", k = 2)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._3).toSeq).toMap
+    assert(got(0L).head == ((0L, 0L, 1.0)))     // self at cos exactly 1
+    assert(got(1L).head == ((1L, 1L, 1.0)))
+    assert(got(0L)(1)._2 == 3L)                 // shared-axis neighbor next
+  }
+
+  test("sq8TopKBatch handles constant dimensions and full recall here") {
+    // dim 2 constant across the corpus (mx == mn) must not divide by 0
+    val corpus = Seq(
+      (0L, Seq(0.9f, 0.1f, 5f)),
+      (1L, Seq(0.1f, 0.9f, 5f)),
+      (2L, Seq(0.85f, 0.2f, 5f)),
+      (3L, Seq(0.15f, 0.8f, 5f))
+    ).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 2)
+    val exact = Similarity.topKBatch(corpus, "vec_id", "embedding",
+      qs, "vec_id", k = 2)
+    val sq8 = Similarity.sq8TopKBatch(corpus, "vec_id", "embedding",
+      qs, "vec_id", k = 2)
+    val rec = Similarity.recallAtK(exact, sq8, "query_id", "vec_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rec.length == 2)
+    rec.foreach { case (_, nExact, nHit, recall) =>
+      assert(nExact == 2L && nHit == 2L && recall == 1.0)
+    }
+  }
+
+  // -------------------------------------------------------- cdcChunkStats
+
+  test("cdcChunkStats: exact copy is all-dup; a shifted copy realigns") {
+    val base = (1 to 60).map(i => s"w${i * 7 % 23}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),            // original: owns every chunk
+      (2L, "zzz " + base),   // shifted: every chunk after break 1 realigns
+      (3L, base)             // exact copy: every chunk is a duplicate
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val Array(a, b, c) = got
+    assert(a._4 == 0L && a._6 == 0.0)           // original owns its chunks
+    // CDC guarantee: boundaries depend only on content, so the copy with
+    // one token prepended shares every chunk except its first
+    assert(b._4 == b._2 - 1)
+    assert(c._4 == c._2 && c._6 == 1.0)         // exact copy fully dup
+    assert(a._3 == 60L && b._3 == 61L && c._3 == 60L)
+  }
+
+  test("cdcChunkStats token totals partition into chunks") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = Dedup.cdcChunkStats(docs, "doc_id", "text")
+    val bad = got.filter(col("dup_tokens") > col("n_tokens") ||
+      col("n_dup_chunks") > col("n_chunks")).count()
+    assert(bad == 0L)
+    val totalToks = got.agg(sum("n_tokens")).as[Long].head()
+    val expected = docs.select(sum(TextFns.tokenCount(col("text"))))
+      .as[Long].head()
+    assert(totalToks == expected)
+  }
+
+  // --------------------------------------------------------- rhoSelection
+
+  test("rhoSelection: equal train-CE docs rank by reference coverage") {
+    // X and Y have IDENTICAL self-corpus statistics (every term occurs
+    // exactly twice corpus-wide), so ce_train(X) == ce_train(Y) and the
+    // excess ranking is decided purely by ce_ref: the reference knows
+    // alpha/beta (cheap) and has never seen qqq/www (add-1 floor).
+    val ref = Seq(
+      (100L, "alpha beta alpha beta alpha beta")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta"),                       // covered by the reference
+      (2L, "qqq www"),                          // unseen by the reference
+      (3L, "alpha beta qqq www")                // balances corpus counts
+    ).toDF("doc_id", "text")
+    val got = Curation.rhoSelection(corpus, "doc_id", "text", ref, "text",
+        m = 5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == byId(2L)._3)          // identical ce_train
+    assert(byId(1L)._4 < byId(2L)._4)           // ref-covered is cheaper
+    assert(byId(1L)._5 > byId(2L)._5)           // so its excess ranks higher
+    // ce_ref floor check: -(2·ln((0+1)/(6+2)))/2 = ln 8 for the unseen doc
+    assert(math.abs(byId(2L)._4 - math.log(8.0)) < 1e-6)
+    val top = Curation.rhoSelection(corpus, "doc_id", "text", ref, "text",
+      m = 1).as[(Long, Long, Double, Double, Double)].collect()
+    assert(top.length == 1 && top.head._1 == 1L)
+  }
+
+  // --------------------------------------------- epochCapAllocation
+
+  test("epochCapAllocation caps the boosted small source and re-flows") {
+    val docs =
+      ((1 to 10).map(i => (i.toLong, "big", ("t " * 1000).trim)) :+
+        (99L, "small", ("t " * 100).trim))
+        .toDF("doc_id", "source", "text")
+    val got = Curation.epochCapAllocation(docs, "source",
+        TextFns.tokenCount(col("text")), alpha = 0.5, cap = 1.5,
+        budgetFrac = 1.0)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double, Double, Boolean)].collect()
+    val byName = got.map(r => r._1 -> r).toMap
+    val small = byName("small")
+    val big = byName("big")
+    // temperature-boosted small share wants ~918 tokens, cap is 150
+    assert(small._7 && small._5 == 150.0 && small._6 == 1.5)
+    // the only uncapped source absorbs the full remaining budget exactly
+    assert(!big._7 && big._5 == 10100.0 - 150.0)
+    assert(math.abs(small._5 + big._5 - 10100.0) < 1e-6)
+  }
+
+  test("epochCapAllocation: everything caps when the budget exceeds caps") {
+    val docs = Seq(
+      (1L, "a", ("t " * 100).trim),
+      (2L, "b", ("t " * 100).trim)
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.epochCapAllocation(docs, "source",
+        TextFns.tokenCount(col("text")), alpha = 0.5, cap = 1.5,
+        budgetFrac = 2.0)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double, Double, Boolean)].collect()
+    got.foreach { r =>
+      assert(r._7, s"${r._1} should cap")       // both strata pinned at cap
+      assert(r._5 == 150.0 && r._6 == 1.5)
+    }
+  }
 }
