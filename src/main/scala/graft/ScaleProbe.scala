@@ -179,8 +179,37 @@ object ScaleProbe {
     val corpusK = replicate(k)
     val pairsK = ccPairs(corpusK)
     val tCcK = time(cc(pairsK))
-    corpus1.unpersist(); corpusK.unpersist()
     pairs1.unpersist(); pairsK.unpersist()
+
+    // BM25 probe (q101 shape): the retrieval family's SHUFFLE path — the
+    // per-term df and per-doc dl windows ride one term-keyed exchange
+    // over the whole corpus, so their cost scales with corpus tokens
+    // regardless of the query sample. The query side stays FIXED (the
+    // 1× corpus's first ids — the 100 TB shape: eval queries don't grow
+    // with the crawl); replicated copies' suffixed tokens never match
+    // the queries, so the match join stays 1×-sized and the timing
+    // isolates the scaling of the corpus-side statistics windows.
+    val bmQueries = corpus1.filter(col("doc_id") < 10)
+    def bm25(corpus: DataFrame): DataFrame =
+      graft.functions.Bm25.topK(corpus, "doc_id", "text",
+        bmQueries, "doc_id", "text", k = 5)
+    bm25(corpus1).write.mode("overwrite").format("noop").save() // warmup
+    val tBm1 = time(bm25(corpus1))
+    val tBmK = time(bm25(corpusK))
+
+    // Winnowing-overlap probe (q116 shape): the df-capped inverted-index
+    // self-join — the candidate generator whose dfCap²/2 bucket bound is
+    // the scale claim. Copies are fingerprint-disjoint (suffixed
+    // tokens), so buckets never inflate across copies and the true pair
+    // structure scales exactly ×k; a superlinear ratio here would mean
+    // the cap is NOT bounding the join fanout as designed.
+    def winnow(corpus: DataFrame): DataFrame =
+      graft.operators.Dedup.winnowOverlap(corpus, "doc_id", "text",
+        k = 3, w = 4, dfCap = 20, minShared = 2)
+    winnow(corpus1).write.mode("overwrite").format("noop").save() // warmup
+    val tWin1 = time(winnow(corpus1))
+    val tWinK = time(winnow(corpusK))
+    corpus1.unpersist(); corpusK.unpersist()
 
     // BPE trainer batching probe (VERDICT r11 #5): the trainer's scale
     // ceiling is the per-round driver scheduling floor — merges=64 at
@@ -214,6 +243,8 @@ object ScaleProbe {
       f""""q37_lsh_pairs_rows12":{"x$k":$tLshKWide%.3f,"ratio_vs_x1_rows8":${tLshKWide / tLsh1}%.2f},""" +
       f""""q37_lsh_pairs_auto":{"x$k":$tLshKAuto%.3f,"ratio_vs_x1":${tLshKAuto / tLsh1}%.2f},""" +
       s""""q49_connected_components":${j(tCc1, tCcK)},""" +
+      s""""q101_bm25":${j(tBm1, tBmK)},""" +
+      s""""q116_winnow_overlap":${j(tWin1, tWinK)},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")
