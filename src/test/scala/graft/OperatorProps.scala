@@ -397,4 +397,124 @@ object OperatorProps extends Properties("graft.operators") {
         .as[(String, Long)].collect().toSeq
       got == want
     }
+
+  /** Plain-Scala restatement of [[TextFns.md5Hash60]] (first 15 md5 hex
+    * digits as a long) for reference implementations below.
+    */
+  private def md5Hash60Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private val cdcDocGen: Gen[List[String]] =
+    Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")))
+
+  property("cdcChunkStats == reference chunker on random corpora") =
+    forAll(Gen.listOfN(4, cdcDocGen)) { docTokens =>
+      val docs = docTokens.zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.mkString(" ")) }
+      // reference: chunk ends AFTER a token whose hash % 8 == 0
+      val refChunks = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").toList
+        val chunks = scala.collection.mutable.ListBuffer.empty[List[String]]
+        var cur = scala.collection.mutable.ListBuffer.empty[String]
+        toks.foreach { t =>
+          cur += t
+          if (md5Hash60Ref("cdc:" + t) % 8 == 0) {
+            chunks += cur.toList; cur = scala.collection.mutable.ListBuffer.empty
+          }
+        }
+        if (cur.nonEmpty) chunks += cur.toList
+        chunks.toList.zipWithIndex.map { case (c, ci) => (id, ci, c) }
+      }
+      val firstOcc = refChunks.groupBy(_._3).view
+        .mapValues(_.map(t => (t._1, t._2)).min).toMap
+      val want = refChunks.groupBy(_._1).view.mapValues { cs =>
+        val dup = cs.filterNot(c => firstOcc(c._3) == ((c._1, c._2)))
+        (cs.size.toLong, cs.map(_._3.size).sum.toLong,
+          dup.size.toLong, dup.map(_._3.size).sum.toLong)
+      }.toMap
+      val got = graft.operators.Dedup.cdcChunkStats(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+      got.length == want.size && got.forall { case (id, nc, nt, ndc, dt, _) =>
+        want(id) == ((nc, nt, ndc, dt))
+      }
+    }
+
+  private val strataGen: Gen[List[(String, Long)]] =
+    Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(10L, 5000L)).map(_.zipWithIndex.map {
+        case (tok, i) => (s"s$i", tok)
+      }))
+
+  property("epochCapAllocation: caps respected, budget conserved") =
+    forAll(strataGen) { strata =>
+      val df = strata.toDF("source", "n")
+      val got = graft.operators.Curation.epochCapAllocation(
+          df, "source", col("n"), alpha = 0.5, cap = 1.5, budgetFrac = 1.0)
+        .as[(String, Long, Double, Double, Double, Double, Boolean)]
+        .collect()
+      val budget = strata.map(_._2).sum.toDouble
+      val eps = 1e-5 * strata.size
+      val capsOk = got.forall { case (_, n, _, capT, alloc, _, capped) =>
+        capT == 1.5 * n && alloc <= capT + eps &&
+          (!capped || math.abs(alloc - capT) <= eps)
+      }
+      val anyUncapped = got.exists(!_._7)
+      // with an uncapped stratum left, the re-flow spends the budget
+      // exactly; all-capped leaves the residual unspent by design
+      val sumOk =
+        if (anyUncapped) math.abs(got.map(_._5).sum - budget) <= eps
+        else got.map(_._5).sum <= budget + eps
+      capsOk && sumOk
+    }
+
+  private val rhoCorpusGen: Gen[List[(Long, String)]] =
+    Gen.choose(3, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.nonEmptyListOf(
+        Gen.oneOf("red", "green", "blue", "cyan", "teal")).map(_.mkString(" ")))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+
+  property("rhoSelection ce_train column == crossEntropy on the corpus") =
+    forAll(rhoCorpusGen) { rows =>
+      val corpus = rows.toDF("doc_id", "text")
+      val ref = rows.take(1).toDF("doc_id", "text")
+      val rho = graft.operators.Curation.rhoSelection(
+          corpus, "doc_id", "text", ref, "text", m = rows.size)
+        .select(col("doc_id"), col("ce_train"))
+        .as[(Long, Double)].collect().toMap
+      val ce = graft.operators.Curation.crossEntropy(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("cross_entropy"))
+        .as[(Long, Double)].collect().toMap
+      rho.keySet == ce.keySet && rho.forall { case (id, v) => ce(id) == v }
+    }
+
+  private val vecGen: Gen[List[IndexedSeq[Float]]] =
+    Gen.choose(4, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(16,
+        Gen.choose(-1.0f, 1.0f)).map(_.toIndexedSeq)))
+
+  property("sq8TopKBatch cosines within quantization error of exact") =
+    forAll(vecGen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val n = vecs.size
+      val exact = graft.operators.Similarity.topKBatch(
+          df, "vec_id", "embedding", df, "vec_id", k = n)
+        .withColumnRenamed("cos_sim", "cos_exact")
+      val sq8 = graft.operators.Similarity.sq8TopKBatch(
+          df, "vec_id", "embedding", df, "vec_id", k = n)
+      val joined = sq8.join(exact, Seq("query_id", "vec_id"))
+        .select(col("cos_sim"), col("cos_exact"))
+        .as[(Double, Double)].collect()
+      // per-dim code resolution is (mx-mn)/255 ≤ 2/255; 16 dims of
+      // worst-case half-step error stay well inside 0.1 cosine even for
+      // short vectors
+      joined.nonEmpty && joined.forall { case (a, b) => math.abs(a - b) < 0.1 }
+    }
 }
