@@ -357,6 +357,58 @@ object Similarity {
           .otherwise(lit(0L)).as("code"))
   }
 
+  /** Feature-hashed document embeddings — the hashing-trick bridge
+    * (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    * Multitask Learning") from raw text to the engine's dense-vector
+    * surface: every token lands in dimension `h(t) mod dim` with a
+    * ±1 sign from the next hash bit (the unbiasing trick — collisions
+    * cancel in expectation instead of accumulating), per-dimension
+    * sums are L2-normalized, and the result is a `dim`-wide
+    * `array<double>` column the WHOLE similarity family (topK, LSH,
+    * IVF, PQ, SQ8, k-means, SemDeDup, MMR, kNN…) consumes with no
+    * trained model and no vocabulary — the classic no-training
+    * baseline embedding at any corpus scale.
+    *
+    * Determinism: the per-dimension accumulators are INTEGER token
+    * counts (±1 per occurrence), so the only float ops are one sqrt
+    * and `dim` divisions per document — bit-reproducible cross-engine
+    * with no fold-order pinning needed (integer sums commute exactly).
+    * The norm uses exact integer squares; all-cancelled (or empty)
+    * documents emit the zero vector rather than dividing by zero.
+    * Emits `(idCol, embedding)`, one row per non-null-text document.
+    *
+    * Scale shape: one tokenize → one (id, dim) keyed aggregate with
+    * map-side combine → one per-doc assembly whose collect_list is
+    * bounded by `dim` (64 entries), independent of document length or
+    * corpus size. No joins, no broadcast, nothing collected.
+    */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+                dim: Int = Dim): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val dims = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(graft.functions.TextFns.tokens(
+        col(textCol))).as("tok"))
+      .select(col(idCol), graft.functions.TextFns.md5Hash60(
+        concat(lit("he:"), col("tok"))).as("h"))
+      // sign bit via INTEGER div — a double division would lose bits
+      // above 2^53 on the 60-bit hash
+      .select(col(idCol), (col("h") % dim).cast("int").as("j"),
+        when(expr(s"h div $dim") % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col(idCol), col("j")).agg(sum(col("s")).as("v"))
+    dims
+      .groupBy(col(idCol)).agg(
+        sum(col("v") * col("v")).as("n2"),
+        map_from_entries(collect_list(struct(col("j"), col("v"))))
+          .as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i => {
+          val vj = coalesce(element_at(col("m"), i.cast("int")), lit(0L))
+          when(col("n2") > 0,
+            round(vj / sqrt(col("n2")), 6)).otherwise(lit(0.0))
+        }).as("embedding"))
+  }
+
   /** SQ8 asymmetric ANN top-k — retrieval straight off the
     * [[scalarQuantize]] index (IVF-SQ8's flat base case, the fourth
     * index family next to LSH / IVF / PQ): database vectors live as

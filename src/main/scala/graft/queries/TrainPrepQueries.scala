@@ -1780,6 +1780,80 @@ object TrainPrepQueries {
       |       capped
       |FROM j ORDER BY source""".stripMargin
 
+  /** Shared hash-embedding CTE prefix (q146/q147): tokens → signed
+    * hashed dimensions → integer per-dim sums → zero-filled grid →
+    * L2-normalized 64-wide vectors, all from exact integer sums.
+    */
+  private val hashEmbedCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE text IS NOT NULL),
+      |hv AS (SELECT doc_id,
+      |              ('0x' || substr(md5('he:' || tok), 1, 15))::BIGINT AS h
+      |       FROM tok),
+      |dm AS (SELECT doc_id, (h % 64)::INT AS j,
+      |              CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |       FROM hv),
+      |dv AS (SELECT doc_id, j, sum(s)::BIGINT AS v FROM dm GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT doc_id FROM tok),
+      |fill AS (SELECT g.doc_id, r.i::INT AS j, coalesce(dv.v, 0)::BIGINT AS v
+      |         FROM grid g CROSS JOIN range(0, 64) r(i)
+      |         LEFT JOIN dv ON dv.doc_id = g.doc_id AND dv.j = r.i),
+      |nn AS (SELECT doc_id, sum(v * v)::BIGINT AS n2 FROM fill GROUP BY 1),
+      |he AS (SELECT f.doc_id,
+      |              list(CASE WHEN n2 > 0 THEN round(f.v / sqrt(n2), 6)
+      |                        ELSE 0.0 END ORDER BY f.j) AS embedding
+      |       FROM fill f JOIN nn USING (doc_id)
+      |       GROUP BY f.doc_id)""".stripMargin
+
+  /** Q146 — feature-hashed document embeddings (the hashing-trick
+    * text→vector bridge; see
+    * [[graft.operators.Similarity.hashEmbed]]): every document becomes
+    * a 64-wide L2-normalized signed-hash vector with no trained model.
+    * The oracle restates the hash, the sign bit, the integer sums and
+    * the normalization.
+    */
+  private def q146(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hashEmbed(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val"))
+      .orderBy("doc_id", "pos")
+
+  private val q146Sql =
+    s"""WITH $hashEmbedCte
+       |SELECT doc_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |       unnest(embedding) AS val
+       |FROM he ORDER BY doc_id, pos""".stripMargin
+
+  /** Q147 — exact cosine retrieval OVER the hashed embeddings: q78's
+    * batched brute-force top-k with q146's vectors as both corpus and
+    * query sides — the end-to-end demonstration that the text corpus
+    * reaches the dense similarity surface without any trained model
+    * (near-dup docs surface as high-cosine neighbors in hashed space).
+    */
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.hashEmbed(Tables.documents(spark, dir),
+      "doc_id", "text")
+    Similarity.topKBatch(emb, "doc_id", "embedding",
+        emb.filter(col("doc_id") < QuerySample), "doc_id", k = RecallK)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("doc_id"))
+  }
+
+  private lazy val q147Sql =
+    s"""WITH $hashEmbedCte,
+       |e AS MATERIALIZED (SELECT doc_id, embedding AS e FROM he),
+       |q AS (SELECT doc_id AS query_id, e AS qe FROM e
+       |      WHERE doc_id < $QuerySample),
+       |s AS (SELECT q.query_id, e.doc_id,
+       |             round(${PipelineQueries.cosSql("e.e", "qe")}, 6)
+       |               AS cos_sim
+       |      FROM e, q),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos_sim DESC, doc_id) AS rk
+       |      FROM s)
+       |SELECT query_id, doc_id, cos_sim FROM r WHERE rk <= $RecallK
+       |ORDER BY query_id, cos_sim DESC, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
@@ -1818,5 +1892,7 @@ object TrainPrepQueries {
     QueryDef("q142_sq8_recall", q142, Some(q142Sql)),
     QueryDef("q143_cdc_chunk_dedup", q143, Some(q143Sql)),
     QueryDef("q144_rho_selection", q144, Some(q144Sql)),
-    QueryDef("q145_epoch_fill", q145, Some(q145Sql)))
+    QueryDef("q145_epoch_fill", q145, Some(q145Sql)),
+    QueryDef("q146_hash_embed", q146, Some(q146Sql)),
+    QueryDef("q147_hash_embed_topk", q147, Some(q147Sql)))
 }

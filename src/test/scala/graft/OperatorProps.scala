@@ -517,4 +517,30 @@ object OperatorProps extends Properties("graft.operators") {
       // short vectors
       joined.nonEmpty && joined.forall { case (a, b) => math.abs(a - b) < 0.1 }
     }
+
+  property("hashEmbed == reference feature hashing on random corpora") =
+    forAll(Gen.listOfN(3, Gen.nonEmptyListOf(
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val dim = 64
+      val want = docs.map { case (id, text) =>
+        val v = new Array[Long](dim)
+        text.split(" ").foreach { t =>
+          val h = md5Hash60Ref("he:" + t)
+          val s = if ((h / dim) % 2 == 0) 1L else -1L
+          v((h % dim).toInt) += s
+        }
+        val n2 = v.map(x => x * x).sum
+        id -> v.map(x =>
+          if (n2 > 0)
+            BigDecimal(x / math.sqrt(n2.toDouble))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else 0.0).toSeq
+      }.toMap
+      val got = graft.operators.Similarity.hashEmbed(
+          docs.toDF("doc_id", "text"), "doc_id", "text", dim)
+        .as[(Long, Seq[Double])].collect().toMap
+      got.keySet == want.keySet &&
+        got.forall { case (id, v) => want(id) == v }
+    }
 }

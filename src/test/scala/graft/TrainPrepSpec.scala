@@ -859,6 +859,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(top.length == 1 && top.head._1 == 1L)
   }
 
+  // ------------------------------------------------------------ hashEmbed
+
+  test("hashEmbed: unit norm, identical text -> identical vectors") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // same text
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Similarity.hashEmbed(docs, "doc_id", "text")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == got(2L))
+    got.values.foreach { v =>
+      assert(v.length == 64)
+      val n = v.map(x => x * x).sum
+      // rounded-per-element unit norm: 64 dims of round-6 error
+      assert(math.abs(n - 1.0) < 1e-4, s"norm^2 $n")
+    }
+    // identical docs are exact cosine-1 neighbors in hashed space
+    val top = graft.operators.Similarity.topKBatch(
+        graft.operators.Similarity.hashEmbed(docs, "doc_id", "text"),
+        "doc_id", "embedding",
+        graft.operators.Similarity.hashEmbed(
+          docs.filter(col("doc_id") === 1), "doc_id", "text"),
+        "doc_id", k = 2)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(top.take(2).map(_._2).toSet == Set(1L, 2L))
+    assert(top.take(2).forall(_._3 == 1.0))
+  }
+
   // --------------------------------------------- epochCapAllocation
 
   test("epochCapAllocation caps the boosted small source and re-flows") {
