@@ -170,6 +170,64 @@ object CorpusStats {
     * term key — the same frame discipline as TF-IDF. No corpus-sized
     * window, no broadcast of the term table.
     */
+  /** Per-stratum DISTINCTIVE terms by informed-Dirichlet log-odds
+    * z-score (Monroe, Colaresi & Quinn 2008, "Fightin' Words" §3.4 —
+    * the corpus-comparison statistic that fixes both raw-ratio noise
+    * on rare words and tf-idf's blindness to the comparison corpus):
+    * for stratum s and term w with in-stratum count `y_sw`, rest-of-
+    * corpus count `y_rw`, stratum/rest token totals `n_s`/`n_r`, and a
+    * Dirichlet prior `a` per term (`a0 = a·V` total),
+    * `δ = ln((y_sw+a)/(n_s+a0−y_sw−a)) − ln((y_rw+a)/(n_r+a0−y_rw−a))`
+    * with variance `≈ 1/(y_sw+a) + 1/(y_rw+a)`; the emitted `z`
+    * is `δ/√var`. Top `topK` positive-z terms per stratum — the "what
+    * makes this source different" dashboard a mixture designer reads
+    * next to [[graft.operators.Curation.sourceProfile]]. Emits
+    * `(strataCol, term, c, z)`.
+    *
+    * Scale shape: ONE tokenize into the (stratum, term) count frame
+    * pinned behind `repartition(term)`; corpus-wide term counts via a
+    * window on that exchange, stratum totals and the (N, V) scalars
+    * via aggregates of the SAME frame (ReusedExchange — the
+    * [[graft.operators.Curation.crossEntropy]] discipline; the term
+    * frame of a web corpus is billions of rows and never broadcasts —
+    * only the stratum-total and 1-row scalar frames do). Per-term math
+    * is pure per-row double arithmetic from exact integer counts — no
+    * cross-row float accumulation anywhere — and the per-stratum top-k
+    * is a rank-limited window (WindowGroupLimit k-heap).
+    */
+  def logOddsTerms(df: DataFrame, strataCol: String, textCol: String,
+                   topK: Int = 5, prior: Double = 0.01): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(prior > 0.0, s"prior must be positive, got $prior")
+    val tf = df
+      .select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(strataCol), col("term")).agg(count(lit(1)).as("c"))
+      .repartition(col("term"))
+    val withCw = tf.withColumn("cw",
+      sum(col("c")).over(Window.partitionBy(col("term"))))
+    val strataTotals = tf.groupBy(col(strataCol)).agg(sum(col("c")).as("ns"))
+    val nv = tf.agg(sum(col("c")).as("nt"),
+      count_distinct(col("term")).as("v"))
+    val a = lit(prior)
+    val a0 = lit(prior) * col("v")
+    val ysw = col("c")
+    val yrw = col("cw") - col("c")
+    val nr = col("nt") - col("ns")
+    val delta =
+      log((ysw + a) / (col("ns") + a0 - ysw - a)) -
+        log((yrw + a) / (nr + a0 - yrw - a))
+    val z = delta / sqrt(lit(1.0) / (ysw + a) + lit(1.0) / (yrw + a))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("z").desc, col("term"))
+    withCw
+      .join(broadcast(strataTotals), strataCol)
+      .crossJoin(broadcast(nv))
+      .select(col(strataCol), col("term"), col("c"), round(z, 6).as("z"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= topK)
+      .drop("__graft_rk")
+  }
+
   def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3,
                    stopwords: Seq[String] = RakeStopwords): DataFrame = {

@@ -652,6 +652,76 @@ object Curation {
           .as("containment"))
   }
 
+  /** KMV-SKETCH source-overlap estimates — the 100 TB path for
+    * [[sourceOverlap]]'s exact matrix (Beyer et al. 2007, "On synopses
+    * for distinct-value estimation", the k-minimum-values synopsis;
+    * Dasgupta et al.'s theta-sketch framing of the same estimator):
+    * instead of self-joining the full per-source content-key frames —
+    * whose shared-key join moves one row per distinct key pair at web
+    * scale — each source keeps only its `k` SMALLEST portable key
+    * hashes, and every pair's union/Jaccard is estimated from the two
+    * k-sized synopses alone. For the merged sketch's m ≤ k smallest
+    * values with K-th minimum `kth`: `union_est = (m−1)·2⁶⁰/kth` when
+    * the merge saturates (m = k; the classic KMV estimator on the
+    * uniform 60-bit hash space), EXACT m when it doesn't (fewer than k
+    * distinct keys total — the sketch has seen everything); `jaccard ≈
+    * |both-sides ∩ merged-top-m| / m` (the min-wise property: each of
+    * the m smallest union hashes is a uniform sample of the union).
+    * Emits `(source_a, source_b, merged, n_common, jaccard_est,
+    * union_est)` for ordered pairs a < b.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the distinct on
+    * (source, key-hash) — one shuffle, same as [[sourceOverlap]]'s
+    * first step; the per-source k-cut is a rank-limited window
+    * (WindowGroupLimit — constant per-task state), and everything
+    * after runs on S·k rows (sources × sketch size — thousands, not
+    * billions). Exactly the decomposition a deployed pipeline uses:
+    * sketches maintained per source as data arrives, pairwise
+    * estimates on demand without touching the corpus.
+    *
+    * Determinism: ranks and counts are integer; the two estimator
+    * divisions are single double ops from exact integers — the whole
+    * algorithm restates in portable SQL and is graded bit-for-bit
+    * (the [[graft.expressions.KMinValues]]/q40 convention, extended
+    * from cardinality to pairwise overlap).
+    */
+  def sourceOverlapSketch(df: DataFrame, strataCol: String,
+                          keyExpr: Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"sketch size must be at least 2, got $k")
+    val hv = TextFns.md5Hash60(concat(lit("kmvso:"), keyExpr))
+    val keys = df.select(col(strataCol).as("src"), hv.as("hv")).distinct()
+    val wS = Window.partitionBy(col("src")).orderBy(col("hv"))
+    val sk = keys
+      .withColumn("__graft_rk", row_number().over(wS))
+      .filter(col("__graft_rk") <= k)
+      .select(col("src"), col("hv"))
+    val srcs = sk.select(col("src")).distinct()
+    val pairFrame = srcs.select(col("src").as("sa"))
+      .crossJoin(broadcast(srcs.select(col("src").as("sb"))))
+      .filter(col("sa") < col("sb"))
+    val left = pairFrame
+      .join(sk.select(col("src").as("sa"), col("hv")), "sa")
+    val right = pairFrame
+      .join(sk.select(col("src").as("sb"), col("hv")), "sb")
+    val wP = Window.partitionBy(col("sa"), col("sb")).orderBy(col("hv"))
+    val merged = left.select(col("sa"), col("sb"), col("hv"))
+      .union(right.select(col("sa"), col("sb"), col("hv")))
+      .groupBy(col("sa"), col("sb"), col("hv"))
+      .agg(count(lit(1)).as("nsides"))
+      .withColumn("__graft_rk", row_number().over(wP))
+      .filter(col("__graft_rk") <= k)
+    merged.groupBy(col("sa"), col("sb")).agg(
+        count(lit(1)).as("merged"),
+        max(col("hv")).as("kth"),
+        sum(when(col("nsides") === 2, 1L).otherwise(0L)).as("n_common"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("merged"), col("n_common"),
+        round(col("n_common") / col("merged"), 6).as("jaccard_est"),
+        round(when(col("merged") < k, col("merged").cast("double"))
+          .otherwise((col("merged") - 1) * lit(1.152921504606846976e18)
+            / col("kth")), 6).as("union_est"))
+  }
+
   /** Jensen–Shannon divergence matrix between the strata's unigram
     * distributions — the "which sources are statistically redundant"
     * diagnostic behind mixture design (JSD is the symmetric, bounded

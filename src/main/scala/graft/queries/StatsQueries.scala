@@ -439,6 +439,42 @@ object StatsQueries {
        |      FROM d)
        |ORDER BY doc_id""".stripMargin
 
+  /** Q148 — per-source distinctive terms by informed-Dirichlet log-odds
+    * z-score (see [[graft.operators.CorpusStats.logOddsTerms]]): the
+    * "what makes this source different" dashboard, rare-word-robust
+    * where raw ratios are not and comparison-aware where tf-idf is
+    * not. The oracle restates the prior, both odds, the variance and
+    * the per-source rounded-z rank cut.
+    */
+  private def q148(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.logOddsTerms(Tables.documents(spark, dir), "source", "text")
+      .orderBy(col("source"), col("z").desc, col("term"))
+
+  private val q148Sql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT source, term, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+      |cw AS (SELECT source, term, c,
+      |              (sum(c) OVER (PARTITION BY term))::BIGINT AS cw
+      |       FROM tf),
+      |st AS (SELECT source, sum(c)::BIGINT AS ns FROM tf GROUP BY 1),
+      |nv AS (SELECT sum(c)::BIGINT AS nt,
+      |              count(DISTINCT term)::BIGINT AS v FROM tf),
+      |x AS (SELECT cw.source, cw.term, cw.c,
+      |             round((ln((cw.c + 0.01)
+      |                       / (st.ns + 0.01 * nv.v - cw.c - 0.01))
+      |                    - ln((cw.cw - cw.c + 0.01)
+      |                         / (nv.nt - st.ns + 0.01 * nv.v
+      |                            - (cw.cw - cw.c) - 0.01)))
+      |                   / sqrt(1.0 / (cw.c + 0.01)
+      |                          + 1.0 / (cw.cw - cw.c + 0.01)), 6) AS z
+      |      FROM cw JOIN st USING (source), nv),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |               ORDER BY z DESC, term) AS rk
+      |      FROM x)
+      |SELECT source, term, c, z FROM r WHERE rk <= 5
+      |ORDER BY source, z DESC, term""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q129_zipf_fit", q129, Some(q129Sql)),
     QueryDef("q130_heaps_fit", q130, Some(q130Sql)),
@@ -448,5 +484,6 @@ object StatsQueries {
     QueryDef("q134_soft_dedup", q134, Some(q134Sql)),
     QueryDef("q135_debias_topcomp", q135, Some(q135Sql)),
     QueryDef("q136_hubness", q136, Some(q136Sql)),
-    QueryDef("q137_leakage_split", q137, Some(q137Sql)))
+    QueryDef("q137_leakage_split", q137, Some(q137Sql)),
+    QueryDef("q148_log_odds_terms", q148, Some(q148Sql)))
 }

@@ -395,6 +395,55 @@ object TrainPrepQueries {
       |WHERE a.source != b.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Q149 — KMV-sketch source-overlap estimates: the bounded-synopsis
+    * scale path for q82's exact overlap matrix (see
+    * [[graft.operators.Curation.sourceOverlapSketch]]); per-source
+    * 64-value sketches of the same content keys, pairwise
+    * union/Jaccard from the synopses alone. The oracle restates the
+    * sketch cut, the pair merge, and both estimators.
+    */
+  private def q149(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceOverlapSketch(Tables.documents(spark, dir), "source",
+        TextFns.tokenSetKey(col("text")))
+      .orderBy("source_a", "source_b")
+
+  private val q149Sql =
+    """WITH f AS (SELECT DISTINCT source AS src,
+      |             ('0x' || substr(md5('kmvso:' || array_to_string(
+      |               list_sort(list_distinct(list_filter(
+      |                 string_split_regex(lower(text), '\s+'),
+      |                 t -> t != ''))), ' ')), 1, 15))::BIGINT AS hv
+      |           FROM documents),
+      |sk AS (SELECT src, hv FROM (
+      |         SELECT src, hv,
+      |                row_number() OVER (PARTITION BY src ORDER BY hv) AS rk
+      |         FROM f)
+      |       WHERE rk <= 64),
+      |srcs AS (SELECT DISTINCT src FROM sk),
+      |pr AS (SELECT a.src AS sa, b.src AS sb
+      |       FROM srcs a CROSS JOIN srcs b WHERE a.src < b.src),
+      |u AS (SELECT pr.sa, pr.sb, s.hv FROM pr JOIN sk s ON s.src = pr.sa
+      |      UNION ALL
+      |      SELECT pr.sa, pr.sb, s.hv FROM pr JOIN sk s ON s.src = pr.sb),
+      |g AS (SELECT sa, sb, hv, count(*)::BIGINT AS nsides
+      |      FROM u GROUP BY 1, 2, 3),
+      |m AS (SELECT * FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY sa, sb
+      |                  ORDER BY hv) AS rk
+      |        FROM g)
+      |      WHERE rk <= 64),
+      |agg AS (SELECT sa, sb, count(*)::BIGINT AS merged,
+      |               max(hv)::BIGINT AS kth,
+      |               sum(CASE WHEN nsides = 2 THEN 1 ELSE 0 END)::BIGINT
+      |                 AS n_common
+      |        FROM m GROUP BY 1, 2)
+      |SELECT sa AS source_a, sb AS source_b, merged, n_common,
+      |       round(n_common / merged, 6) AS jaccard_est,
+      |       round(CASE WHEN merged < 64 THEN merged::DOUBLE
+      |                  ELSE (merged - 1) * 1.152921504606846976e18 / kth
+      |             END, 6) AS union_est
+      |FROM agg ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------- batched top-k
 
   /** Query sample for the retrieval eval: the lowest-id vectors. */
@@ -1894,5 +1943,6 @@ object TrainPrepQueries {
     QueryDef("q144_rho_selection", q144, Some(q144Sql)),
     QueryDef("q145_epoch_fill", q145, Some(q145Sql)),
     QueryDef("q146_hash_embed", q146, Some(q146Sql)),
-    QueryDef("q147_hash_embed_topk", q147, Some(q147Sql)))
+    QueryDef("q147_hash_embed_topk", q147, Some(q147Sql)),
+    QueryDef("q149_source_overlap_sketch", q149, Some(q149Sql)))
 }

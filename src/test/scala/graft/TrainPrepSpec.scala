@@ -888,6 +888,64 @@ class TrainPrepSpec extends SparkSpec {
     assert(top.take(2).forall(_._3 == 1.0))
   }
 
+  // ------------------------------------------------------ logOddsTerms
+
+  test("logOddsTerms surfaces the source-exclusive term first") {
+    val docs = Seq(
+      (1L, "a", "zebra common words here common words"),
+      (2L, "a", "zebra common words more common stuff"),
+      (3L, "b", "common words here common words stuff"),
+      (4L, "b", "common words more okay common stuff")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.CorpusStats.logOddsTerms(
+        docs, "source", "text", topK = 3)
+      .as[(String, String, Long, Double)].collect()
+    val aTop = got.filter(_._1 == "a").maxBy(_._4)
+    assert(aTop._2 == "zebra")       // a-exclusive term is most distinctive
+    assert(aTop._4 > 0.0)
+    // shared terms never outrank the exclusive one for source a
+    val aZ = got.filter(_._1 == "a").map(r => r._2 -> r._4).toMap
+    aZ.filterNot(_._1 == "zebra").values.foreach(z => assert(z < aTop._4))
+  }
+
+  // ------------------------------------------------ sourceOverlapSketch
+
+  test("sourceOverlapSketch: identical=1, disjoint=0, small unions exact") {
+    def mk(src: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"$src$i", src, s"key$i distinct content $i"))
+    // a == b (same 30 keys), c disjoint — all under the 64 sketch cut,
+    // so every estimate is exact
+    val docs = (mk("a", 0, 30).map(t => (t._1, "a", t._3)) ++
+        mk("b", 0, 30).map(t => (t._1, "b", t._3)) ++
+        mk("c", 100, 130).map(t => (t._1, "c", t._3)))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Curation.sourceOverlapSketch(
+        docs, "source", TextFns.tokenSetKey(col("text")))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab._3 == 30L && ab._4 == 30L && ab._5 == 1.0 && ab._6 == 30.0)
+    val ac = got(("a", "c"))
+    assert(ac._4 == 0L && ac._5 == 0.0 && ac._6 == 60.0)
+  }
+
+  test("sourceOverlapSketch estimate tracks true overlap at saturation") {
+    // 300 keys per source, 100 shared: true Jaccard 100/500 = 0.2; the
+    // 64-value synopsis must land in a loose but honest band
+    def doc(i: Int) = s"unique payload number $i content word$i"
+    val a = (0 until 300).map(i => (i.toLong, "a", doc(i)))
+    val b = (0 until 300).map(i => (1000L + i, "b", doc(i + 200)))
+    val got = graft.operators.Curation.sourceOverlapSketch(
+        (a ++ b).toDF("doc_id", "source", "text"),
+        "source", TextFns.tokenSetKey(col("text")))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r._3 == 64L)                       // saturated merge
+    assert(r._5 > 0.05 && r._5 < 0.45, s"jaccard_est ${r._5}")
+    assert(r._6 > 250.0 && r._6 < 1000.0, s"union_est ${r._6} (true 500)")
+  }
+
   // --------------------------------------------- epochCapAllocation
 
   test("epochCapAllocation caps the boosted small source and re-flows") {
