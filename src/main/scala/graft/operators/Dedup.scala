@@ -900,23 +900,7 @@ object Dedup {
     */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
                     divisor: Int = 8): DataFrame = {
-    require(divisor > 0, s"divisor must be positive, got $divisor")
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("t", "tok")))
-    val flagged = toks.withColumn("brk",
-      when(pmod(TextFns.md5Hash60(concat(lit("cdc:"), col("tok"))),
-        lit(divisor.toLong)) === 0, 1L).otherwise(0L))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("t"))
-    val chunks = flagged
-      // boundary closes the chunk AFTER its token: chunk id = breaks
-      // strictly before this position
-      .withColumn("chunk", sum(col("brk")).over(wDoc) - col("brk"))
-      .groupBy(col("id"), col("chunk"))
-      .agg(count(lit(1)).as("c_len"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("t"), col("tok")))),
-          s => s.getField("tok")))).as("ch"))
+    val chunks = cdcChunks(df, idCol, textCol, divisor)
     val wCh = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ch")).orderBy(col("id"), col("chunk"))
     chunks
@@ -929,5 +913,71 @@ object Dedup {
       .select(col("id").as(idCol), col("n_chunks"), col("n_tokens"),
         col("n_dup_chunks"), col("dup_tokens"),
         round(col("dup_tokens") / col("n_tokens"), 6).as("dup_frac"))
+  }
+
+  /** EXCISE duplicate CDC chunks — the apply step behind
+    * [[cdcChunkStats]]' census, and the cheap-at-scale sibling of
+    * n-gram span excision (`Curation.exciseDuplicateSpans`): every
+    * chunk occurrence other than the corpus-wide first (in (doc,
+    * chunk) order) is dropped and each document is reassembled from
+    * its surviving chunks — exactly one copy of every repeated chunk
+    * survives. Same excision policy as span excision, at chunk instead
+    * of n-gram granularity: no per-position coverage frame, no
+    * position distinct — the per-token cost is one hash and one window
+    * row, which is why storage dedup runs CDC and not shingling. Emits
+    * `(idCol, n_tokens, n_removed, kept_text)` for every document
+    * (kept_text = surviving chunks in order, '' if everything went).
+    *
+    * Scale shape: [[cdcChunkStats]]' two windows plus ONE per-doc
+    * reassembly aggregate whose sorted collect is bounded by the
+    * document's own chunk list — the chunk-hash shuffle moves chunk
+    * text exactly once (to its first-occurrence decision), never
+    * pairwise.
+    */
+  def exciseDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
+                            divisor: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, divisor)
+    val wCh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ch")).orderBy(col("id"), col("chunk"))
+    chunks
+      .withColumn("rn", row_number().over(wCh))
+      .groupBy(col("id")).agg(
+        sum(col("c_len")).as("n_tokens"),
+        sum(when(col("rn") > 1, col("c_len")).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk"),
+            when(col("rn") === 1, col("txt")).otherwise(lit(""))
+              .as("piece")))),
+          s => s.getField("piece"))).as("joined"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_removed"),
+        // dropped chunks leave empty pieces behind; collapse the runs
+        // of separators they turn into
+        trim(regexp_replace(col("joined"), " +", " ")).as("kept_text"))
+  }
+
+  /** The shared CDC chunk frame of [[cdcChunkStats]] and
+    * [[exciseDuplicateChunks]]: one row per (id, chunk) with its token
+    * count, reassembled text and content hash. Boundary falls AFTER
+    * every token whose portable hash ≡ 0 (mod `divisor`); the chunk id
+    * is the count of breaks strictly before the position.
+    */
+  private def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                        divisor: Int): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("t", "tok")))
+    val flagged = toks.withColumn("brk",
+      when(pmod(TextFns.md5Hash60(concat(lit("cdc:"), col("tok"))),
+        lit(divisor.toLong)) === 0, 1L).otherwise(0L))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("t"))
+    flagged
+      .withColumn("chunk", sum(col("brk")).over(wDoc) - col("brk"))
+      .groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("c_len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          s => s.getField("tok"))).as("txt"))
+      .withColumn("ch", md5(col("txt")))
   }
 }

@@ -1715,6 +1715,50 @@ object TrainPrepQueries {
       |             / sum(c_len), 6) AS dup_frac
       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Q150 — duplicate-CHUNK excision: q143's census applied — every CDC
+    * chunk occurrence after the corpus-wide first is dropped and each
+    * document reassembled from its surviving chunks (see
+    * [[graft.operators.Dedup.exciseDuplicateChunks]]; q93's policy at
+    * chunk granularity, one hash + one window row per token instead of
+    * n per-position coverage rows). The oracle restates chunking,
+    * first-occurrence ranks, and the reassembly with its
+    * collapsed-separator convention.
+    */
+  private def q150(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDuplicateChunks(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q150Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS t,
+      |               unnest(toks) AS tok
+      |        FROM d),
+      |f AS (SELECT doc_id, t, tok,
+      |             CASE WHEN ('0x' || substr(md5('cdc:' || tok), 1, 15))
+      |                       ::BIGINT % 8 = 0
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM tok),
+      |c AS (SELECT doc_id, t, tok,
+      |             sum(brk) OVER (PARTITION BY doc_id ORDER BY t
+      |                            ROWS UNBOUNDED PRECEDING) - brk AS chunk
+      |      FROM f),
+      |ch AS (SELECT doc_id, chunk, count(*)::BIGINT AS c_len,
+      |              string_agg(tok, ' ' ORDER BY t) AS txt
+      |       FROM c GROUP BY 1, 2),
+      |h AS (SELECT *, md5(txt) AS h FROM ch),
+      |m AS (SELECT *, row_number() OVER (PARTITION BY h
+      |               ORDER BY doc_id, chunk) AS rn
+      |      FROM h)
+      |SELECT doc_id, sum(c_len)::BIGINT AS n_tokens,
+      |       sum(CASE WHEN rn > 1 THEN c_len ELSE 0 END)::BIGINT
+      |         AS n_removed,
+      |       trim(regexp_replace(string_agg(
+      |         CASE WHEN rn = 1 THEN txt ELSE '' END, ' ' ORDER BY chunk),
+      |         ' +', ' ', 'g')) AS kept_text
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The RHO selection size. */
   private val RhoM = 100
 
@@ -1944,5 +1988,6 @@ object TrainPrepQueries {
     QueryDef("q145_epoch_fill", q145, Some(q145Sql)),
     QueryDef("q146_hash_embed", q146, Some(q146Sql)),
     QueryDef("q147_hash_embed_topk", q147, Some(q147Sql)),
-    QueryDef("q149_source_overlap_sketch", q149, Some(q149Sql)))
+    QueryDef("q149_source_overlap_sketch", q149, Some(q149Sql)),
+    QueryDef("q150_cdc_excision", q150, Some(q150Sql)))
 }

@@ -818,6 +818,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(a._3 == 60L && b._3 == 61L && c._3 == 60L)
   }
 
+  test("exciseDuplicateChunks keeps exactly one copy of every chunk") {
+    val base = (1 to 60).map(i => s"w${i * 7 % 23}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "zzz " + base),
+      (3L, base)
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseDuplicateChunks(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    val Array(a, b, c) = got
+    assert(a._3 == 0L && a._4 == base)          // original untouched
+    assert(c._3 == c._2 && c._4 == "")          // exact copy fully excised
+    // the shifted copy keeps only its first (distinct) chunk
+    assert(b._4.startsWith("zzz"))
+    assert(b._2 - b._3 == b._4.split(" ").length)
+    // census and excision agree on every removed count
+    val census = Dedup.cdcChunkStats(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Double)].collect()
+    got.zip(census).foreach { case ((_, nt, rm, _), (_, _, nt2, _, dup, _)) =>
+      assert(nt == nt2 && rm == dup)
+    }
+  }
+
   test("cdcChunkStats token totals partition into chunks") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val got = Dedup.cdcChunkStats(docs, "doc_id", "text")
