@@ -209,6 +209,26 @@ object ScaleProbe {
     winnow(corpus1).write.mode("overwrite").format("noop").save() // warmup
     val tWin1 = time(winnow(corpus1))
     val tWinK = time(winnow(corpusK))
+
+    // CDC census probe (q143 shape): one doc-keyed running-sum window +
+    // one chunk-hash first-occurrence window. Copies are token-suffixed
+    // (disjoint chunk hashes), so the chunk-hash partitions never
+    // inflate and the ideal is ~linear in tokens — a superlinear ratio
+    // would implicate the chunk-hash window's partition skew handling.
+    def cdc(corpus: DataFrame): DataFrame =
+      graft.operators.Dedup.cdcChunkStats(corpus, "doc_id", "text")
+    cdc(corpus1).write.mode("overwrite").format("noop").save() // warmup
+    val tCdc1 = time(cdc(corpus1))
+    val tCdcK = time(cdc(corpusK))
+
+    // hash-embed probe (q146 shape): tokenize + one (id, dim) keyed
+    // aggregate + dim-bounded assembly — the narrowest keyed shape in
+    // the repo; ideal ~linear.
+    def hashEmbed(corpus: DataFrame): DataFrame =
+      graft.operators.Similarity.hashEmbed(corpus, "doc_id", "text")
+    hashEmbed(corpus1).write.mode("overwrite").format("noop").save()
+    val tHe1 = time(hashEmbed(corpus1))
+    val tHeK = time(hashEmbed(corpusK))
     corpus1.unpersist(); corpusK.unpersist()
 
     // BPE trainer batching probe (VERDICT r11 #5): the trainer's scale
@@ -245,6 +265,8 @@ object ScaleProbe {
       s""""q49_connected_components":${j(tCc1, tCcK)},""" +
       s""""q101_bm25":${j(tBm1, tBmK)},""" +
       s""""q116_winnow_overlap":${j(tWin1, tWinK)},""" +
+      s""""q143_cdc_census":${j(tCdc1, tCdcK)},""" +
+      s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")

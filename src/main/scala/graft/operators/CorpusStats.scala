@@ -199,7 +199,14 @@ object CorpusStats {
                    topK: Int = 5, prior: Double = 0.01): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(prior > 0.0, s"prior must be positive, got $prior")
+    // the isNotNull is semantically redundant for the window/scalar
+    // branches but plan-critical: the stratum-totals broadcast join
+    // infers exactly this predicate under ITS copy of the subtree, and
+    // the asymmetric pushed filter would otherwise defeat
+    // ReusedExchange and re-tokenize the corpus per consumer (the
+    // tokenFrame trap — see Curation.tokenFrame's scaladoc)
     val tf = df
+      .filter(col(strataCol).isNotNull)
       .select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("term"))
       .groupBy(col(strataCol), col("term")).agg(count(lit(1)).as("c"))
       .repartition(col("term"))

@@ -409,6 +409,23 @@ object Similarity {
         }).as("embedding"))
   }
 
+  /** STREAM-SAFE rowwise twin of [[hashEmbed]] (the q103/q80/q83
+    * convention): per-document feature hashing as one compiled kernel
+    * ([[graft.expressions.HashEmbedVec]]) in a narrow projection — no
+    * aggregate, no shuffle, no state — so the same embedding runs
+    * inside a Structured Streaming micro-batch. Output contract and
+    * arithmetic are IDENTICAL to the batch operator (integer dimension
+    * sums commute; property-tested equal), which also makes this the
+    * cheaper plan for plain batch use: the batch path's (id, dim)
+    * shuffle exists only to demonstrate the aggregate shape and is not
+    * needed when each document's tokens already sit in one row.
+    */
+  def hashEmbedRowwise(df: DataFrame, idCol: String, textCol: String,
+                       dim: Int = Dim): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.expressions.HashEmbedVec(
+        graft.functions.TextFns.tokens(col(textCol)), dim).as("embedding"))
+
   /** SQ8 asymmetric ANN top-k — retrieval straight off the
     * [[scalarQuantize]] index (IVF-SQ8's flat base case, the fourth
     * index family next to LSH / IVF / PQ): database vectors live as

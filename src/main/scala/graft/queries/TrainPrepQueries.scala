@@ -1918,6 +1918,21 @@ object TrainPrepQueries {
        |       unnest(embedding) AS val
        |FROM he ORDER BY doc_id, pos""".stripMargin
 
+  /** Q151 — the stream-safe ROWWISE twin of q146 (see
+    * [[graft.operators.Similarity.hashEmbedRowwise]]; the q80/q83
+    * convention): one compiled [[graft.expressions.HashEmbedVec]]
+    * kernel per row, no aggregate — graded by the SAME oracle as q146,
+    * which is the whole point: identical output from a narrow
+    * stream-runnable projection.
+    */
+  private def q151(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hashEmbedRowwise(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val"))
+      .orderBy("doc_id", "pos")
+
   /** Q147 — exact cosine retrieval OVER the hashed embeddings: q78's
     * batched brute-force top-k with q146's vectors as both corpus and
     * query sides — the end-to-end demonstration that the text corpus
@@ -1989,5 +2004,6 @@ object TrainPrepQueries {
     QueryDef("q146_hash_embed", q146, Some(q146Sql)),
     QueryDef("q147_hash_embed_topk", q147, Some(q147Sql)),
     QueryDef("q149_source_overlap_sketch", q149, Some(q149Sql)),
-    QueryDef("q150_cdc_excision", q150, Some(q150Sql)))
+    QueryDef("q150_cdc_excision", q150, Some(q150Sql)),
+    QueryDef("q151_hash_embed_rowwise", q151, Some(q146Sql)))
 }

@@ -592,6 +592,48 @@ class PlanSpec extends SparkSpec {
         s"got ${names(nodes)}")
   }
 
+  test("q146 hash-embed plan: one scan, no join, two keyed aggregates") {
+    val nodes = finalNodes(SparkEntry.queries("q146_hash_embed")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"hash-embed must tokenize documents once, got ${dataScans.size}")
+    assert(!names(nodes).exists(_.contains("Join")),
+      s"hashing-trick embedding is aggregate-only; got ${names(nodes)}")
+  }
+
+  test("q148 log-odds plan: one tokenizing scan, pinned term exchange reused") {
+    // the q64/q144 discipline on three consumers: the corpus-count
+    // window, the stratum totals and the (N, V) scalars must all ride
+    // one tokenize
+    val nodes = finalNodes(SparkEntry.queries("q148_log_odds_terms")(spark, sf))
+    val dataScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(dataScans.size == 1,
+      s"expected a single tokenizing scan, got ${dataScans.size}")
+    assert(names(nodes).count(_.contains("ReusedExchange")) >= 2,
+      s"stratum-total and N/V branches must reuse the pinned term " +
+        s"exchange; got ${names(nodes)}")
+  }
+
+  test("q149 sketch plan: corpus touched by the distinct only, no corpus join") {
+    // everything after the (source, hv) distinct runs on S·k synopsis
+    // rows; the pair joins must all be against broadcast (tiny) sides
+    val nodes = finalNodes(
+      SparkEntry.queries("q149_source_overlap_sketch")(spark, sf))
+    val ns = names(nodes)
+    val smj = ns.count(_.contains("SortMergeJoin"))
+    assert(smj == 0,
+      s"pair estimation must never shuffle-join corpus-sized frames; " +
+        s"got $smj SortMergeJoins in $ns")
+    assert(ns.exists(_.contains("WindowGroupLimit")),
+      s"the per-source k-cut must plan as WindowGroupLimit; got $ns")
+  }
+
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
     // the q64 discipline, doubled: corpus tf feeds the term window AND
     // the grand total; the reference term counts feed the model join AND

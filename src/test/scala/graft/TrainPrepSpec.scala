@@ -912,6 +912,42 @@ class TrainPrepSpec extends SparkSpec {
     assert(top.take(2).forall(_._3 == 1.0))
   }
 
+  test("hashEmbedRowwise kernel equals the batch aggregate on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val batch = graft.operators.Similarity.hashEmbed(
+        docs, "doc_id", "text")
+      .as[(Long, Seq[Double])].collect().toMap
+    val row = graft.operators.Similarity.hashEmbedRowwise(
+        docs, "doc_id", "text")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(row.keySet == batch.keySet)
+    row.foreach { case (id, v) => assert(batch(id) == v, s"doc $id") }
+  }
+
+  test("hashEmbedRowwise runs inside a streaming micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Similarity.hashEmbedRowwise(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("he_stream").start()
+    try {
+      in.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      q.processAllAvailable()
+      in.addData((3L, "alpha beta gamma"))
+      q.processAllAvailable()
+      val got = spark.table("he_stream")
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(got.keySet == Set(1L, 2L, 3L))
+      assert(got(1L) == got(3L))                // pure function of content
+      val want = graft.operators.Similarity.hashEmbed(
+          Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Seq[Double])].collect().head._2
+      assert(got(1L) == want)                   // batch == stream
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------ logOddsTerms
 
   test("logOddsTerms surfaces the source-exclusive term first") {
