@@ -60,12 +60,64 @@ object NearDupStream {
     val bucketKey = concat_ws(":",
       (col("band") +: (0 until rows).map(r =>
         element_at(col("sig"), col("band") * rows + r + 1))): _*)
-    docs.withWatermark("ts", watermark)
+    val keyed = docs.withWatermark("ts", watermark)
       .withColumn("sig",
         graft.expressions.MinHashSig(TextFns.shingles(col("text"), n), 64))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .select(col("doc_id"), col("ts"), bucketKey.as("bucket"))
       .as[(Long, java.sql.Timestamp, String)]
+    bucketCandidates(keyed, retentionUs, maxBucket)
+  }
+
+  /** SEMANTIC streaming near-dup candidates — the same bucket-state
+    * machinery keyed by the random-hyperplane LSH bands of each
+    * document's FEATURE-HASHED embedding
+    * (`Similarity.hashEmbedRowwise`'s kernel + the batch index's exact
+    * plane model and graded 16×8-bit banding): two documents collide
+    * when some 8-bit signature band matches, i.e. when their hashed
+    * embeddings point the same way across 8 shared hyperplanes — the
+    * ingest-time twin of the batch semantic pair path (q37/q69's
+    * `lshNearDupPairs` at the graded `rowsPerBand = 8`), with no
+    * trained model anywhere in the loop: raw text → embedding →
+    * signature → bucket is three compiled kernels inside the
+    * micro-batch projection. Same candidate (not verdict) contract and
+    * state bounds as [[candidates]]; verify downstream with exact
+    * cosine against the store.
+    */
+  def semanticCandidates(docs: DataFrame,
+                         watermark: String = "10 minutes",
+                         retentionUs: Long = 3600000000L,
+                         maxBucket: Int = 64): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.operators.Similarity.Bands
+    val rows = 128 / bands
+    val bucketKey = concat_ws(":",
+      (col("band") +: (0 until rows).map(r =>
+        element_at(col("sig"), col("band") * rows + r + 1))): _*)
+    val keyed = docs.withWatermark("ts", watermark)
+      .withColumn("e_d", graft.expressions.HashEmbedVec(
+        TextFns.tokens(col("text")), 64))
+      .withColumn("sig", graft.operators.Similarity.signature(col("e_d")))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(col("doc_id"), col("ts"), bucketKey.as("bucket"))
+      .as[(Long, java.sql.Timestamp, String)]
+    bucketCandidates(keyed, retentionUs, maxBucket)
+  }
+
+  /** The shared per-bucket candidate state machine of [[candidates]]
+    * and [[semanticCandidates]]: rows keyed (doc_id, ts, bucket); every
+    * arrival emits a pair against each current member of its bucket,
+    * joins the member list (capped at `maxBucket`, oldest out), and the
+    * bucket expires by event-time timeout `retentionUs` past its last
+    * activity.
+    */
+  private[streaming] def bucketCandidates(
+      keyed: Dataset[(Long, java.sql.Timestamp, String)],
+      retentionUs: Long, maxBucket: Int): Dataset[NearDupCandidate] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
       .groupByKey(_._3)
       .flatMapGroupsWithState[NearDupBucketState, NearDupCandidate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

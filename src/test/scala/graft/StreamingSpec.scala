@@ -357,6 +357,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SEMANTIC near-dup: hashed-embedding bands collide across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.NearDupStream.semanticCandidates(df)
+      .writeStream.format("memory").queryName("semdup_st")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      in.addData((1L, new Timestamp(100000L), base))
+      q.processAllAvailable()
+      // an exact copy shares EVERY band (identical embedding -> identical
+      // signature); arriving in a later batch it must collide with state
+      in.addData((2L, new Timestamp(200000L), base))
+      q.processAllAvailable()
+      val pairs = spark.table("semdup_st")
+        .select($"doc_id", $"prior_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((2L, 1L)), s"identical doc missed: $pairs")
+    } finally q.stop()
+  }
+
   test("scrub is stream-safe: stateless narrow pass over micro-batches") {
     // the curation scrub is a pure projection, so it composes onto a
     // stream with no state, watermark, or output-mode constraints —
