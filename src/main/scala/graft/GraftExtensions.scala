@@ -142,6 +142,19 @@ object GraftExtensions {
         require(children.size == 1,
           s"image_features expects 1 argument, got ${children.size}")
         ImageFeatures(children.head)
+      }),
+    (FunctionIdentifier("hash_embed_vec"),
+      new ExpressionInfo(classOf[graft.expressions.HashEmbedVec].getName,
+        "hash_embed_vec"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"hash_embed_vec expects (tokenArray, dim), got ${children.size} args")
+        val dim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hash_embed_vec dim must be an integer literal, got $other")
+        }
+        graft.expressions.HashEmbedVec(children.head, dim)
       }))
 
   /** Register into an existing session's function registry. */

@@ -337,6 +337,21 @@ class PipelineOpSpec extends SparkSpec {
     assert(r.getSeq[Long](2).head == spark.sql("SELECT xxhash64('x')").collect().head.getLong(0))
   }
 
+  test("hash_embed_vec from SQL text equals the operator path") {
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("he_docs_v")
+    val sqlEmb = spark.sql(
+      """SELECT doc_id, hash_embed_vec(split(text, ' '), 64) AS embedding
+        |FROM he_docs_v""".stripMargin)
+      .as[(Long, Seq[Double])].collect().toMap
+    val apiEmb = graft.operators.Similarity.hashEmbedRowwise(
+        spark.table("he_docs_v"), "doc_id", "text")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(sqlEmb == apiEmb)
+    assert(sqlEmb(1L).map(x => x * x).sum > 0.99)
+  }
+
   test("SortedIntersectCount: two-pointer merge semantics vs reference intersect") {
     val cases = Seq(
       (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), 2),  // plain overlap
