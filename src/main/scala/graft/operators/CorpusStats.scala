@@ -340,4 +340,87 @@ object CorpusStats {
             dq(col("qs")) / col("n_scored")))
           .as("kn_logscore"))
   }
+
+  /** Interpolated Kneser–Ney TRIGRAM scoring — [[knBigramScore]]'s
+    * recursion carried one order higher (Chen & Goodman 1999 §3, the
+    * full interpolated form):
+    * `P(w₃|w₁w₂) = max(c₁₂₃−D,0)/c₁₂ + D·N₁₊(w₁w₂·)/c₁₂ · P(w₃|w₂)`,
+    * where the backoff `P(w₃|w₂)` is built from CONTINUATION counts of
+    * the trigram table (`N₁₊(·w₂w₃)` — in how many distinct left
+    * contexts was (w₂,w₃) seen), and ITS backoff is the continuation
+    * unigram `N₁₊(·w₃)/|distinct (w₂,w₃)|` — the "how novel is this
+    * word's context use" distribution that makes KN beat raw-count
+    * backoff. Unseen (w₁,w₂) context falls to the middle level, unseen
+    * w₂ context to the unigram; w₃ never seen as ANY continuation is
+    * OOV (scored null, counted). Emits
+    * `(idCol, n_trigrams, n_oov, kn3_logscore)` per eval-split doc
+    * (docs shorter than 3 tokens have no position and are absent).
+    *
+    * Scale shape: the model tables are n-gram-table-sized and NEVER
+    * broadcast — the eval position stream left-joins them on the
+    * trigram/bigram/context/word keys (five key shuffles, the
+    * [[knBigramScore]]/stupidBackoff distributed-lookup shape); the
+    * one broadcast is the 1-row type-count total. Float discipline:
+    * per-position p is pure per-row double math from exact integer
+    * counts; per-doc sums ride the q12 integer quantization (order-
+    * free, map-side combinable); one rounded division at the end.
+    */
+  def knTrigramScore(df: DataFrame, idCol: String, textCol: String,
+                     holdoutMod: Int = 5,
+                     discount: Double = 0.75): DataFrame = {
+    require(holdoutMod >= 2, s"need a train/eval split, got $holdoutMod")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    def trigrams(d: DataFrame): DataFrame =
+      d.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          explode(graft.expressions.WordNGrams(
+            filter(TextFns.tokens(col(textCol)), t => t =!= ""), 3)).as("g"))
+        .select(col("id"),
+          element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"),
+          element_at(split(col("g"), " "), 3).as("w3"))
+    val ct = trigrams(df.filter(col(idCol) % holdoutMod =!= 0))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+    // top-level context: token count and distinct-continuation fanout
+    val ctx12 = ct.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12t"), count(lit(1)).as("fwd12"))
+    // middle level: (w2, w3) continuation counts from trigram TYPES
+    val contBi = ct.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cbi"))
+    val midCtx = contBi.groupBy(col("w2"))
+      .agg(sum(col("cbi")).as("n_mid"), count(lit(1)).as("fwd_mid"))
+    // unigram continuation from bigram TYPES
+    val contUni = contBi.groupBy(col("w3")).agg(count(lit(1)).as("cuni"))
+    val bn = contBi.agg(count(lit(1)).cast("double").as("bn"))
+    val d = lit(discount)
+    val pUni = col("cuni") / col("bn")
+    val pMid = when(col("n_mid").isNotNull,
+        greatest(coalesce(col("cbi"), lit(0L)) - d, lit(0.0)) / col("n_mid")
+          + d * col("fwd_mid") / col("n_mid") * pUni)
+      .otherwise(pUni)
+    val scoredRows = trigrams(df.filter(col(idCol) % holdoutMod === 0))
+      .join(ct, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(contBi, Seq("w2", "w3"), "left")
+      .join(midCtx, Seq("w2"), "left")
+      .join(contUni, Seq("w3"), "left")
+      .crossJoin(broadcast(bn))
+      .withColumn("p",
+        when(col("cuni").isNull, lit(null).cast("double"))
+          .when(col("c12t").isNotNull,
+            greatest(coalesce(col("c123"), lit(0L)) - d, lit(0.0)) / col("c12t")
+              + d * col("fwd12") / col("c12t") * pMid)
+          .otherwise(pMid))
+    scoredRows.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(when(col("p").isNull, lit(1))).as("n_oov"),
+        sum(q12(log(col("p")))).as("qs"),
+        count(col("p")).as("n_scored"))
+      .select(col("id").as(idCol), col("n_trigrams"), col("n_oov"),
+        when(col("n_scored") === 0L, lit(0.0))
+          .otherwise(graft.queries.QueryDefs.q6(
+            dq(col("qs")) / col("n_scored")))
+          .as("kn3_logscore"))
+  }
 }

@@ -439,6 +439,76 @@ object StatsQueries {
        |      FROM d)
        |ORDER BY doc_id""".stripMargin
 
+  /** Q152 — interpolated Kneser–Ney TRIGRAM scoring (see
+    * [[graft.operators.CorpusStats.knTrigramScore]]): q132's recursion
+    * one order higher — trigram ML head, continuation-count middle,
+    * continuation-unigram floor, each level discount-interpolated. The
+    * oracle restates all three levels, the five model joins and the
+    * q12-quantized order-free per-doc fold.
+    */
+  private def q152(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.knTrigramScore(Tables.documents(spark, dir),
+        "doc_id", "text", holdoutMod = KnMod, discount = KnD)
+      .orderBy("doc_id")
+
+  private val q152Sql =
+    s"""WITH tr AS (SELECT doc_id,
+       |              list_filter(string_split(text, ' '), t -> t != '')
+       |                AS toks
+       |            FROM documents
+       |            WHERE text IS NOT NULL AND doc_id % $KnMod != 0),
+       |t3 AS (SELECT unnest(toks[1:len(toks) - 2]) AS w1,
+       |              unnest(toks[2:len(toks) - 1]) AS w2,
+       |              unnest(toks[3:len(toks)]) AS w3 FROM tr),
+       |ct AS MATERIALIZED (SELECT w1, w2, w3, count(*)::BIGINT AS c123
+       |                    FROM t3 GROUP BY 1, 2, 3),
+       |ctx AS (SELECT w1, w2, sum(c123)::BIGINT AS c12t,
+       |               count(*)::BIGINT AS fwd12
+       |        FROM ct GROUP BY 1, 2),
+       |cbi AS MATERIALIZED (SELECT w2, w3, count(*)::BIGINT AS cbi
+       |                     FROM ct GROUP BY 1, 2),
+       |mid AS (SELECT w2, sum(cbi)::BIGINT AS n_mid,
+       |               count(*)::BIGINT AS fwd_mid
+       |        FROM cbi GROUP BY 1),
+       |cu AS (SELECT w3, count(*)::BIGINT AS cuni FROM cbi GROUP BY 1),
+       |bn AS (SELECT count(*)::DOUBLE AS bn FROM cbi),
+       |ev AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |       FROM documents
+       |       WHERE text IS NOT NULL AND doc_id % $KnMod = 0),
+       |e3 AS (SELECT doc_id, unnest(toks[1:len(toks) - 2]) AS w1,
+       |              unnest(toks[2:len(toks) - 1]) AS w2,
+       |              unnest(toks[3:len(toks)]) AS w3 FROM ev),
+       |sc AS (SELECT e.doc_id,
+       |         CASE WHEN cu.cuni IS NULL THEN NULL
+       |              WHEN ctx.c12t IS NOT NULL THEN
+       |                greatest(coalesce(ct.c123, 0) - $KnD, 0.0) / ctx.c12t
+       |                  + $KnD * ctx.fwd12 / ctx.c12t *
+       |                    (CASE WHEN mid.n_mid IS NOT NULL THEN
+       |                       greatest(coalesce(cbi.cbi, 0) - $KnD, 0.0)
+       |                         / mid.n_mid
+       |                         + $KnD * mid.fwd_mid / mid.n_mid
+       |                           * (cu.cuni / bn.bn)
+       |                     ELSE cu.cuni / bn.bn END)
+       |              WHEN mid.n_mid IS NOT NULL THEN
+       |                greatest(coalesce(cbi.cbi, 0) - $KnD, 0.0) / mid.n_mid
+       |                  + $KnD * mid.fwd_mid / mid.n_mid * (cu.cuni / bn.bn)
+       |              ELSE cu.cuni / bn.bn END AS p
+       |       FROM e3 e
+       |       LEFT JOIN ct ON ct.w1 = e.w1 AND ct.w2 = e.w2
+       |                   AND ct.w3 = e.w3
+       |       LEFT JOIN ctx ON ctx.w1 = e.w1 AND ctx.w2 = e.w2
+       |       LEFT JOIN cbi ON cbi.w2 = e.w2 AND cbi.w3 = e.w3
+       |       LEFT JOIN mid ON mid.w2 = e.w2
+       |       LEFT JOIN cu ON cu.w3 = e.w3, bn)
+       |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+       |       (count(*) - count(p))::BIGINT AS n_oov,
+       |       CASE WHEN count(p) = 0 THEN 0.0
+       |            ELSE floor((sum(floor(ln(p) * 1e12 + 0.5)::BIGINT)::BIGINT
+       |                        / 1e12) / count(p) * 1000000.0 + 0.5)
+       |                 / 1000000.0 END AS kn3_logscore
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Q148 — per-source distinctive terms by informed-Dirichlet log-odds
     * z-score (see [[graft.operators.CorpusStats.logOddsTerms]]): the
     * "what makes this source different" dashboard, rare-word-robust
@@ -485,5 +555,6 @@ object StatsQueries {
     QueryDef("q135_debias_topcomp", q135, Some(q135Sql)),
     QueryDef("q136_hubness", q136, Some(q136Sql)),
     QueryDef("q137_leakage_split", q137, Some(q137Sql)),
-    QueryDef("q148_log_odds_terms", q148, Some(q148Sql)))
+    QueryDef("q148_log_odds_terms", q148, Some(q148Sql)),
+    QueryDef("q152_kn_trigram", q152, Some(q152Sql)))
 }

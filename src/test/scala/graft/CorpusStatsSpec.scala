@@ -95,6 +95,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("knTrigramScore: three-level interpolation, hand-computed") {
+    // train (ids 1-3): trigrams (a,b,c)×2, (a,b,d)×1 →
+    // ctx(a,b): c12t=3 fwd12=2; types (b,c),(b,d) → mid(b): n=2 fwd=2;
+    // cu(c)=cu(d)=1, B=2
+    val df = Seq(
+      (0L, "a b c"),   // full head: max(2-.75,0)/3 + .75*2/3*(pMid=0.5) = 2/3
+      (5L, "z b c"),   // unseen (z,b) context → middle level: 0.5
+      (10L, "z y c"),  // unseen y context too → continuation unigram: 0.5
+      (15L, "a b q"),  // q never a continuation anywhere → OOV
+      (1L, "a b c"), (2L, "a b d"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = CorpusStats.knTrigramScore(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 1L, 0L), (5L, 1L, 0L), (10L, 1L, 0L), (15L, 1L, 1L)))
+    assert(math.abs(got(0)._4 - math.log(2.0 / 3.0)) < 1e-5, s"${got(0)}")
+    assert(math.abs(got(1)._4 - math.log(0.5)) < 1e-5, s"${got(1)}")
+    assert(math.abs(got(2)._4 - math.log(0.5)) < 1e-5, s"${got(2)}")
+    assert(got(3)._4 == 0.0)
+    val again = CorpusStats.knTrigramScore(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("heapsFit is a pure function of doc ids (repartition-stable)") {
     val docs = (0L until 60L)
       .map(i => (i, s"c1 c2 u${i % 17} u${i % 23}")).toDF("doc_id", "text")
