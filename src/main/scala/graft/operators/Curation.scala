@@ -328,6 +328,18 @@ object Curation {
                    refModel: DataFrame, refTextCol: String,
                    m: Int = 100): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
+    rhoScores(df, idCol, textCol, refModel, refTextCol)
+      .orderBy(col("excess").desc, col(idCol))
+      .limit(m)
+  }
+
+  /** The full per-document excess-loss frame behind [[rhoSelection]]
+    * (no top-m cut): `(idCol, n_tokens, ce_train, ce_ref, excess)` for
+    * every tokenizable document. Shared by the selection (rank + limit)
+    * and the [[doremiMixture]] per-stratum rollup.
+    */
+  def rhoScores(df: DataFrame, idCol: String, textCol: String,
+                refModel: DataFrame, refTextCol: String): DataFrame = {
     val tf = df
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
@@ -356,8 +368,51 @@ object Curation {
         round(-aggregate(transform(col("arr"), x => x.getField("rf")),
           lit(0.0), (acc, x) => acc + x) / col("n_tokens"), 6).as("ce_ref"))
       .withColumn("excess", round(col("ce_train") - col("ce_ref"), 6))
-      .orderBy(col("excess").desc, col(idCol))
-      .limit(m)
+  }
+
+  /** DoReMi-style mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * the Group-DRO inner loop: raise the weight of domains whose
+    * EXCESS loss over a reference model is largest, since that is
+    * where the most learnable signal lives; one multiplicative-weights
+    * round captures the update rule, iterating it is the same plan in
+    * a loop): per stratum, the mean [[rhoScores]] excess and the
+    * reweighted `w'_s ∝ uniform · exp(η · mean_excess_s)`. Emits
+    * `(strataCol, n_docs, mean_excess, weight)` — directly consumable
+    * by [[applyMixture]], next to [[mixtureWeights]] (hand-written
+    * targets) and [[temperatureWeights]] (size-derived targets) as the
+    * third, LOSS-derived way to set a mixture.
+    *
+    * Float discipline: each doc's excess is already quantized to 1e-6
+    * by [[rhoScores]]' rounding, so `excess · 1e6` is an exact integer
+    * — per-stratum sums are INTEGER (order-free, map-side combinable),
+    * the exp/normalize math runs per stratum row, and the normalizer
+    * folds in stratum order (the [[temperatureWeights]] convention).
+    * Scale shape: [[rhoScores]] plus one id-keyed join to the stratum
+    * column and one stratum rollup — strata frames are tiny by
+    * definition, the corpus-sized stages are all inside [[rhoScores]].
+    */
+  def doremiMixture(df: DataFrame, idCol: String, strataCol: String,
+                    textCol: String, refModel: DataFrame,
+                    refTextCol: String, eta: Double = 1.0): DataFrame = {
+    require(eta > 0.0, s"eta must be positive, got $eta")
+    val scores = rhoScores(df, idCol, textCol, refModel, refTextCol)
+      .join(df.select(col(idCol), col(strataCol)), idCol)
+    val perStratum = scores.groupBy(col(strataCol)).agg(
+        count(lit(1)).as("n_docs"),
+        // exact: excess is round-6, so excess*1e6 is integer-valued
+        sum(floor(col("excess") * lit(1e6) + lit(0.5)).cast("long")).as("eq"))
+      .withColumn("mean_excess",
+        round(col("eq") / lit(1e6) / col("n_docs"), 6))
+      .withColumn("ew", exp(lit(eta) * col("mean_excess")))
+    val z = perStratum.agg(
+        sort_array(collect_list(struct(col(strataCol).as("k"),
+          col("ew").as("w")))).as("arr"))
+      .select(aggregate(transform(col("arr"), x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    perStratum.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"), col("mean_excess"),
+        round(col("ew") / col("z"), 6).as("weight"))
   }
 
   /** Out-of-vocabulary rate per document against a (bounded) vocabulary

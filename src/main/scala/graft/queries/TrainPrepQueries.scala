@@ -1776,38 +1776,80 @@ object TrainPrepQueries {
       .orderBy(col("excess").desc, col("doc_id"))
   }
 
-  private val q144Sql =
-    s"""WITH tf AS (SELECT doc_id, term, count(*) AS c
-       |            FROM (SELECT doc_id, unnest(string_split(text, ' '))
-       |                           AS term
-       |                  FROM documents)
-       |            GROUP BY 1, 2),
-       |tot AS (SELECT sum(c)::DOUBLE AS tt FROM tf),
-       |ct AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY 1),
-       |ru AS (SELECT term, count(*)::BIGINT AS cm
-       |       FROM (SELECT unnest(string_split(text, ' ')) AS term
-       |             FROM documents WHERE source = 'src0')
-       |       GROUP BY 1),
-       |nv AS (SELECT sum(cm)::DOUBLE AS nm, count(*)::DOUBLE AS vm FROM ru),
-       |s AS (SELECT tf.doc_id, tf.term, tf.c,
-       |             tf.c * ln(ct.ct / tot.tt) AS tr,
-       |             tf.c * ln((coalesce(ru.cm, 0) + 1) / (nv.nm + nv.vm))
-       |               AS rf
-       |      FROM tf JOIN ct USING (term)
-       |               LEFT JOIN ru USING (term), tot, nv),
-       |a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-       |             list(tr ORDER BY term) AS atr,
-       |             list(rf ORDER BY term) AS arf
-       |      FROM s GROUP BY 1),
-       |f AS (SELECT doc_id, n_tokens,
-       |             round(-list_reduce(atr, (u, v) -> u + v) / n_tokens, 6)
-       |               AS ce_train,
-       |             round(-list_reduce(arf, (u, v) -> u + v) / n_tokens, 6)
-       |               AS ce_ref
-       |      FROM a)
-       |SELECT doc_id, n_tokens, ce_train, ce_ref,
-       |       round(ce_train - ce_ref, 6) AS excess
-       |FROM f ORDER BY excess DESC, doc_id LIMIT $RhoM""".stripMargin
+  /** The RHO scoring CTE prefix shared by q144 and q153: per-doc
+    * ce_train / ce_ref / excess against the src0 reference model.
+    */
+  private val rhoCte =
+    """tf AS (SELECT doc_id, term, count(*) AS c
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' '))
+      |                           AS term
+      |                  FROM documents)
+      |            GROUP BY 1, 2),
+      |tot AS (SELECT sum(c)::DOUBLE AS tt FROM tf),
+      |ct AS (SELECT term, sum(c)::BIGINT AS ct FROM tf GROUP BY 1),
+      |ru AS (SELECT term, count(*)::BIGINT AS cm
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |             FROM documents WHERE source = 'src0')
+      |       GROUP BY 1),
+      |nv AS (SELECT sum(cm)::DOUBLE AS nm, count(*)::DOUBLE AS vm FROM ru),
+      |s AS (SELECT tf.doc_id, tf.term, tf.c,
+      |             tf.c * ln(ct.ct / tot.tt) AS tr,
+      |             tf.c * ln((coalesce(ru.cm, 0) + 1) / (nv.nm + nv.vm))
+      |               AS rf
+      |      FROM tf JOIN ct USING (term)
+      |               LEFT JOIN ru USING (term), tot, nv),
+      |a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |             list(tr ORDER BY term) AS atr,
+      |             list(rf ORDER BY term) AS arf
+      |      FROM s GROUP BY 1),
+      |f AS (SELECT doc_id, n_tokens,
+      |             round(-list_reduce(atr, (u, v) -> u + v) / n_tokens, 6)
+      |               AS ce_train,
+      |             round(-list_reduce(arf, (u, v) -> u + v) / n_tokens, 6)
+      |               AS ce_ref
+      |      FROM a),
+      |x AS (SELECT doc_id, n_tokens, ce_train, ce_ref,
+      |             round(ce_train - ce_ref, 6) AS excess
+      |      FROM f)""".stripMargin
+
+  private lazy val q144Sql =
+    s"""WITH $rhoCte
+       |SELECT doc_id, n_tokens, ce_train, ce_ref, excess
+       |FROM x ORDER BY excess DESC, doc_id LIMIT $RhoM""".stripMargin
+
+  /** Q153 — DoReMi-style mixture reweighting (see
+    * [[graft.operators.Curation.doremiMixture]]): per-source mean
+    * excess loss over the src0 reference model, one
+    * multiplicative-weights round over uniform priors. The oracle
+    * restates the scoring CTE, the integer-quantized per-source sums,
+    * and the stratum-order-pinned normalizer fold.
+    */
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.doremiMixture(docs, "doc_id", "source", "text",
+        docs.filter(col("source") === "src0"), "text")
+      .orderBy("source")
+  }
+
+  private lazy val q153Sql =
+    s"""WITH $rhoCte,
+       |g AS (SELECT d.source, x.excess
+       |      FROM x JOIN documents d USING (doc_id)),
+       |ps AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |              sum(floor(excess * 1e6 + 0.5)::BIGINT)::BIGINT AS eq
+       |       FROM g GROUP BY 1),
+       |m AS (SELECT source, n_docs,
+       |             round(eq / 1e6 / n_docs, 6) AS mean_excess
+       |      FROM ps),
+       |e AS (SELECT source, n_docs, mean_excess,
+       |             exp(1.0 * mean_excess) AS ew
+       |      FROM m),
+       |z AS (SELECT list_reduce(list_transform(
+       |        list(struct_pack(k := source, w := ew) ORDER BY source),
+       |        x -> x.w), (u, v) -> u + v) AS z FROM e)
+       |SELECT source, n_docs, mean_excess,
+       |       round(ew / z.z, 6) AS weight
+       |FROM e, z ORDER BY source""".stripMargin
 
   /** Q145 — epoch-capped token-budget water-filling over sources:
     * temperature-flattened target shares, per-source repetition caps,
@@ -2005,5 +2047,6 @@ object TrainPrepQueries {
     QueryDef("q147_hash_embed_topk", q147, Some(q147Sql)),
     QueryDef("q149_source_overlap_sketch", q149, Some(q149Sql)),
     QueryDef("q150_cdc_excision", q150, Some(q150Sql)),
-    QueryDef("q151_hash_embed_rowwise", q151, Some(q146Sql)))
+    QueryDef("q151_hash_embed_rowwise", q151, Some(q146Sql)),
+    QueryDef("q153_doremi_mixture", q153, Some(q153Sql)))
 }

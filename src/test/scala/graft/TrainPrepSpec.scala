@@ -968,6 +968,27 @@ class TrainPrepSpec extends SparkSpec {
     aZ.filterNot(_._1 == "zebra").values.foreach(z => assert(z < aTop._4))
   }
 
+  // ------------------------------------------------------ doremiMixture
+
+  test("doremiMixture upweights the source the reference explains cheaply") {
+    val ref = Seq((100L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "covered", "alpha beta"),            // low ce_ref → high excess
+      (2L, "noise", "qqq www"),                 // floor ce_ref → low excess
+      (3L, "covered", "alpha beta qqq www")     // balances corpus counts
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.doremiMixture(docs, "doc_id", "source", "text",
+        ref, "text")
+      .orderBy("source")
+      .as[(String, Long, Double, Double)].collect()
+    val byName = got.map(r => r._1 -> r).toMap
+    assert(byName("covered")._2 == 2L && byName("noise")._2 == 1L)
+    assert(byName("covered")._3 > byName("noise")._3)  // mean excess
+    assert(byName("covered")._4 > byName("noise")._4)  // MW weight
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)   // normalized
+  }
+
   // ------------------------------------------------ sourceOverlapSketch
 
   test("sourceOverlapSketch: identical=1, disjoint=0, small unions exact") {
