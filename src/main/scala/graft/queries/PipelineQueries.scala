@@ -415,13 +415,19 @@ object PipelineQueries {
     * per-vector signatures, and the banded buckets — the full LSH model
     * restated in SQL.
     */
-  private[queries] lazy val lshBandsSql: String = {
-    val bands = Similarity.Bands
-    val rows = Similarity.planeInts.length / bands
+  /** The signature/banding CTEs over an ALREADY-DEFINED `e(vec_id, e)`
+    * CTE — shared by [[lshBandsSql]] (embeddings table, graded 16×8
+    * banding) and the hash-embedded documents variant (q154,
+    * TrainPrepQueries — 10×12 banding, the measured wide-band knob for
+    * correlated vectors). `rows` need not divide 128: trailing bits
+    * beyond `bands·rows` are unused, mirroring `lshNearDupPairs`.
+    */
+  private[queries] def lshSigSql(rows: Int = Similarity.planeInts.length
+        / Similarity.Bands,
+      bands: Int = Similarity.Bands): String = {
     val planeLit = Similarity.planeInts
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""pm AS (SELECT $planeLit AS m),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |sig AS (SELECT vec_id, list_transform(m, p ->
        |          CASE WHEN list_reduce(list_transform(list_zip(e, p),
        |              s -> struct_extract(s,1) * (struct_extract(s,2)/1000.0 - 0.5)),
@@ -431,6 +437,10 @@ object PipelineQueries {
        |           b -> b::VARCHAR || '_' || array_to_string(sg[b*$rows+1 : b*$rows+$rows], '_'))) AS band
        |          FROM sig)""".stripMargin
   }
+
+  private[queries] lazy val lshBandsSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${lshSigSql()}""".stripMargin
 
   private lazy val q28Sql: String =
     s"""WITH $lshBandsSql,

@@ -1919,7 +1919,7 @@ object TrainPrepQueries {
     * hashed dimensions → integer per-dim sums → zero-filled grid →
     * L2-normalized 64-wide vectors, all from exact integer sums.
     */
-  private val hashEmbedCte =
+  private[queries] val hashEmbedCte =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |        FROM documents WHERE text IS NOT NULL),
       |hv AS (SELECT doc_id,
@@ -1974,6 +1974,60 @@ object TrainPrepQueries {
         posexplode(col("embedding")).as(Seq("pos", "val")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val"))
       .orderBy("doc_id", "pos")
+
+  /** q154 semantic-text pair threshold: hashed embeddings of
+    * reordered/duplicated-word copies keep cosine near 1; unrelated
+    * word-salad docs sit far lower.
+    */
+  private val SemTextThreshold = 0.8
+
+  /** Q154 — batch SEMANTIC TEXT near-dup pairs: the q37 banded-LSH
+    * pair path run over q146's feature-hashed document embeddings —
+    * raw text in, verified high-cosine near-dup pairs out, with no
+    * trained model anywhere (the batch twin of
+    * `NearDupStream.semanticCandidates`, and the semantic complement
+    * to q21's lexical Jaccard pairs: bag-of-words cosine is robust to
+    * token reordering that shingle Jaccard punishes). Graded
+    * end-to-end: the oracle restates embedding, plane signatures,
+    * banding, the candidate join and the exact re-verification.
+    *
+    * Band width: hashed embeddings of a SHARED-VOCABULARY corpus are
+    * strongly correlated (every doc leans toward the common term
+    * direction), so the graded 8-bit banding saturates its buckets —
+    * measured 19.9 s at sf0.1 vs ~1 s at 12-bit bands on identical
+    * output. Exactly the documented `rowsPerBand ~ log₂(n)` knob
+    * (BASELINE.md), pinned here at the wide setting the degenerate
+    * workload needs; the oracle restates the 10×12 banding.
+    */
+  private def q154(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(
+        Similarity.hashEmbedRowwise(Tables.documents(spark, dir),
+          "doc_id", "text"),
+        "doc_id", "embedding", threshold = SemTextThreshold,
+        rowsPerBand = 12)
+      .orderBy("id_a", "id_b")
+
+  private lazy val q154Sql =
+    s"""WITH $hashEmbedCte,
+       |e AS (SELECT doc_id AS vec_id, embedding AS e FROM he),
+       |${PipelineQueries.lshSigSql(rows = 12, bands = 10)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band
+       |                      AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_reduce(list_transform(e, x -> x*x),
+       |             (x,y) -> x + y)) AS nm
+       |      FROM e),
+       |p AS (SELECT id_a, id_b,
+       |        list_reduce(list_transform(list_zip(a.e, b.e),
+       |            s -> struct_extract(s,1) * struct_extract(s,2)),
+       |            (x,y) -> x + y)
+       |          / (a.nm * b.nm) AS cs
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |                JOIN n b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p
+       |WHERE cs >= $SemTextThreshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Q147 — exact cosine retrieval OVER the hashed embeddings: q78's
     * batched brute-force top-k with q146's vectors as both corpus and
@@ -2048,5 +2102,6 @@ object TrainPrepQueries {
     QueryDef("q149_source_overlap_sketch", q149, Some(q149Sql)),
     QueryDef("q150_cdc_excision", q150, Some(q150Sql)),
     QueryDef("q151_hash_embed_rowwise", q151, Some(q146Sql)),
-    QueryDef("q153_doremi_mixture", q153, Some(q153Sql)))
+    QueryDef("q153_doremi_mixture", q153, Some(q153Sql)),
+    QueryDef("q154_semantic_text_pairs", q154, Some(q154Sql)))
 }
