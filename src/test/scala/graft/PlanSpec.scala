@@ -634,6 +634,16 @@ class PlanSpec extends SparkSpec {
       s"the per-source k-cut must plan as WindowGroupLimit; got $ns")
   }
 
+  test("q154 semantic-text pairs plan: banded equi-join, no nested loop") {
+    val nodes = names(
+      finalNodes(SparkEntry.queries("q154_semantic_text_pairs")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"candidates must come from the band equi-join, never all-pairs; " +
+        s"got $nodes")
+    assert(nodes.exists(_.contains("Join")),
+      s"the banded candidate join must exist; got $nodes")
+  }
+
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
     // the q64 discipline, doubled: corpus tf feeds the term window AND
     // the grand total; the reference term counts feed the model join AND
