@@ -24,6 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `byte_mean` is null — pixel data sits behind DEFLATE, and this
   *    engine does not ship a decompressor (the seam where a full codec
   *    library would plug in).
+  *  - **JPEG** (SOI `FF D8`): a real marker-segment walk per ITU-T T.81 —
+  *    fill bytes skipped, standalone markers (TEM, RSTn) stepped over,
+  *    every other segment skipped by its declared big-endian length —
+  *    until a frame header (SOFn, `C0–CF` minus DHT/JPG/DAC) yields
+  *    height/width (big-endian at payload offsets 1/3) and the component
+  *    count as channels. The walk is offset-independent: APP/COM
+  *    segments of any length before the SOF parse identically (real
+  *    crawled JPEGs carry variable EXIF/comment blocks). `byte_mean` is
+  *    null — pixel data sits behind entropy coding, the same codec seam
+  *    as PNG. A stream that ends (or hits SOS/EOI) before any SOF, or
+  *    whose marker structure is corrupt, decodes to null.
   *
   * Anything else decodes to null (unrecognized payload), never throws —
   * corrupt media must not kill a 100 TB scan. The parse is one compiled
@@ -57,6 +68,9 @@ case class ImageFeatures(child: Expression) extends UnaryExpression {
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
@@ -96,6 +110,42 @@ case class ImageFeatures(child: Expression) extends UnaryExpression {
       }
       new GenericInternalRow(Array[Any](
         UTF8String.fromString("png"), width, height, channels, null))
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk the marker stream to the first frame header (SOFn).
+      // Every branch is bounds-checked; malformed streams return null.
+      var i = 2
+      var out: GenericInternalRow = null
+      var done = false
+      while (!done && i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) done = true // lost marker sync: corrupt
+        else {
+          var j = i + 1 // skip optional 0xFF fill bytes before the code
+          while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+          if (j >= b.length) done = true
+          else {
+            val m = b(j) & 0xff
+            if (m >= 0xc0 && m <= 0xcf &&
+                m != 0xc4 && m != 0xc8 && m != 0xcc) { // SOFn frame header
+              if (j + 8 < b.length) {
+                val height = be16(b, j + 4)
+                val width = be16(b, j + 6)
+                val nc = b(j + 8) & 0xff
+                val channels: Any = if (nc >= 1 && nc <= 4) nc else null
+                out = new GenericInternalRow(Array[Any](
+                  UTF8String.fromString("jpeg"), width, height, channels, null))
+              }
+              done = true
+            } else if (m == 0xda || m == 0xd9) done = true // SOS/EOI, no SOF
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 1 // TEM/RSTn
+            else if (j + 2 >= b.length) done = true
+            else {
+              val len = be16(b, j + 1) // segment length includes its 2 bytes
+              if (len < 2) done = true else i = j + 1 + len
+            }
+          }
+        }
+      }
+      out
     } else null
   }
 

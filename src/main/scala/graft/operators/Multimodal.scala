@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.expressions.{BmpImage, ImageFeatures}
+import graft.expressions.{BmpImage, ImageFeatures, JfifImage}
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with a typed metadata struct, plus synthesize / decode / frame-sample
@@ -42,6 +42,15 @@ object Multimodal {
     */
   def packBmp(df: DataFrame, idCol: String, textCol: String): DataFrame =
     packed(df, idCol, BmpImage(col(textCol)), "image/bmp")
+
+  /** Pack a text column's bytes into a REAL JPEG/JFIF container
+    * ([[graft.expressions.JfifImage]]: spec-correct marker stream with a
+    * payload-dependent COM segment, baseline SOF0, FF-stuffed entropy
+    * bytes) — the synthesis side for the format real crawls are made of.
+    * Purely narrow, codegen'd.
+    */
+  def packJfif(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    packed(df, idCol, JfifImage(col(textCol)), "image/jpeg")
 
   private def packed(df: DataFrame, idCol: String, payload: Column,
                      format: String): DataFrame =

@@ -1109,6 +1109,36 @@ object PipelineQueries {
       |         / (h * 24.0) AS byte_mean
       |FROM b ORDER BY id""".stripMargin
 
+  /** Q155 — JPEG metadata decode: pack each document into a REAL
+    * JPEG/JFIF container ([[graft.operators.Multimodal.packJfif]] — the
+    * COM segment's length varies with the payload, so SOF0 sits at a
+    * different offset per row) and run the marker-walk decode
+    * ([[graft.expressions.ImageFeatures]]). Graded columns are the frame
+    * header fields (dims + channels); `byte_mean` is structurally null
+    * for entropy-coded formats (the documented codec seam) and is
+    * excluded — a null double crosses the pyarrow/pandas driver boundary
+    * as None-vs-NaN and would hash-mismatch on typing alone.
+    */
+  private def q155(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packJfif(Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.decodeImageFeatures(packed, "doc_id")
+      .select("id", "format", "width", "height", "channels")
+      .orderBy("id")
+  }
+
+  /** The oracle restates the SOF0 fields from first principles over the
+    * source text — width is the fixed synthesis constant, height the
+    * ⌈bytes/width⌉ formula, channels the fixed 3-component layout. Spark
+    * must walk its own marker stream (past the per-row variable-length
+    * COM segment) back to exactly these values for the hash to match.
+    */
+  private val q155Sql =
+    """SELECT doc_id AS id, 'jpeg' AS format, 16 AS width,
+      |       greatest((octet_length(encode(text)) + 15) // 16, 1)::INTEGER
+      |         AS height,
+      |       3 AS channels
+      |FROM documents ORDER BY id""".stripMargin
+
   /** Q32 — frame sampling: slice each payload into 4 fixed-width binary
     * frames; grade the per-frame byte length and md5.
     */
@@ -1228,6 +1258,7 @@ object PipelineQueries {
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),
     QueryDef("q31_multimodal_features", q31, Some(q31Sql)),
+    QueryDef("q155_jpeg_features", q155, Some(q155Sql)),
     QueryDef("q32_frame_sample", q32, Some(q32Sql)),
     QueryDef("q104_image_neardup", q104, Some(q104Sql)),
     QueryDef("q106_audio_frames", q106, Some(q106Sql)),

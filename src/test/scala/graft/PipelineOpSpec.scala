@@ -708,6 +708,70 @@ class PipelineOpSpec extends SparkSpec {
     assert(r.getDouble(5) == (97 + 98 + 99) / 24.0) // padding counted
   }
 
+  test("packJfif emits a marker stream the stock JDK JPEG reader parses") {
+    // texts chosen so the COM segment length (bytes mod 13) differs per
+    // row — SOF0 sits at a different offset in each payload
+    val df = Seq((1L, "abc"), (2L, "x" * 100), (3L, "y" * 37)).toDF("id", "t")
+    val rows = Multimodal.packJfif(df, "id", "t").orderBy("id").collect()
+    rows.zip(Seq(1, 7, 3)).foreach { case (r, expectH) =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(r.getStruct(2).getAs[String]("format") == "image/jpeg")
+      // header-only read: the JDK reader walks the marker stream to SOF0
+      // without touching the (synthetic) entropy data
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "JDK found no reader for the payload")
+      val reader = readers.next()
+      reader.setInput(iis)
+      assert(reader.getFormatName.toLowerCase.contains("jpeg"))
+      assert(reader.getWidth(0) == 16 && reader.getHeight(0) == expectH)
+      reader.dispose()
+    }
+  }
+
+  test("decodeImageFeatures: JPEG marker walk to SOF0 across COM offsets") {
+    val df = Seq((1L, "abc"), (2L, "x" * 100), (3L, "ÿ" * 5)).toDF("id", "t")
+    val rows = Multimodal.decodeImageFeatures(
+      Multimodal.packJfif(df, "id", "t"), "id").orderBy("id").collect()
+    // "ÿ"*5 is 10 UTF-8 bytes (C3 BF each) -> height 1; exercises
+    // the FF-stuffing path in synthesis without breaking the walk
+    rows.zip(Seq(1, 7, 1)).foreach { case (r, expectH) =>
+      assert(r.getString(1) == "jpeg")
+      assert(r.getInt(2) == 16 && r.getInt(3) == expectH)
+      assert(r.getInt(4) == 3)   // 3 components
+      assert(r.isNullAt(5))      // entropy-coded pixels -> no byte stats
+    }
+  }
+
+  test("JPEG walk robustness: truncation, no-SOF, lost sync, SOF2, RSTn") {
+    import graft.expressions.ImageFeatures
+    val full = Multimodal.packJfif(
+        Seq((1L, "hello world")).toDF("id", "t"), "id", "t")
+      .collect().head.getAs[Array[Byte]]("payload")
+    def one(b: Array[Byte]) = Seq(Tuple1(b)).toDF("p")
+      .select(ImageFeatures(col("p")).as("f")).collect().head
+    val sofAt = full.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(sofAt > 2)
+    // truncated before SOF completes -> null, never throws
+    assert(one(full.take(sofAt + 4)).isNullAt(0))
+    // SOI alone -> null
+    assert(one(Array(0xff.toByte, 0xd8.toByte)).isNullAt(0))
+    // lost marker sync (non-FF where a marker must start) -> null
+    val bad = full.clone(); bad(2) = 0x00
+    assert(one(bad).isNullAt(0))
+    // progressive SOF2 parses identically (same SOFn payload layout)
+    val prog = full.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val progRow = one(prog).getStruct(0)
+    assert(progRow.getString(0) == "jpeg" && progRow.getInt(1) == 16)
+    // standalone RSTn + TEM markers before SOF are stepped over
+    val injected = full.take(2) ++
+      Array(0xff.toByte, 0xd0.toByte, 0xff.toByte, 0x01.toByte) ++
+      full.drop(2)
+    val rstRow = one(injected).getStruct(0)
+    assert(rstRow.getString(0) == "jpeg" && rstRow.getInt(1) == 16)
+  }
+
   test("decodeImageFeatures: PNG IHDR parse; unknown bytes decode null") {
     // hand-built PNG prefix: signature + IHDR length/type + 37x19,
     // bit depth 8, color type 6 (RGBA)
