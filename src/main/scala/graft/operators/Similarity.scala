@@ -638,15 +638,19 @@ object Similarity {
     * banding-curve recall cost of fewer, more selective bands
     * (`bands = ⌊128 / rowsPerBand⌋`, remainder signature bits unused).
     *
-    * The DEFAULT (`rowsPerBand = 0`) AUTO-SIZES: one cheap `count()`
-    * of the corpus, then `clamp(⌈log₂(n/8)⌉, 8, 20)` — the width that
-    * holds expected bucket occupancy at the measured design points
-    * (~8/bucket), reproducing both measured probe configs (2k → 8,
-    * 20k → 12; BASELINE.md). Floor 8 keeps small corpora at the graded
-    * band plan; cap 20 keeps ≥ 6 bands of recall. Graded callers
-    * (q37/q69 via SharedFrames) PIN `rowsPerBand = 8` explicitly — the
-    * oracles restate that configuration bit-for-bit and must not move
-    * if testdata cardinality changes.
+    * The DEFAULT (`rowsPerBand = 0`) AUTO-SIZES from two cheap driver
+    * aggregates: the corpus count (the [[autoRowsPerBand]] occupancy
+    * floor, `clamp(⌈log₂(n/8)⌉, 8, 20)`) and the measured per-plane bit
+    * biases ([[planeAgreeProbs]] → [[biasAwareRowsPerBand]]), which
+    * widen past the floor when the corpus polarizes the hash planes —
+    * the q154 shared-vocabulary regime, where occupancy-only sizing
+    * saturates its buckets at ANY corpus size. On unbiased data the two
+    * agree and both measured probe configs (2k → 8, 20k → 12;
+    * BASELINE.md) are reproduced. Floor 8 keeps small corpora at the
+    * graded band plan; cap 20 keeps ≥ 6 bands of recall. Graded
+    * callers (q37/q69 via SharedFrames) PIN `rowsPerBand = 8`
+    * explicitly — the oracles restate that configuration bit-for-bit
+    * and must not move if testdata cardinality changes.
     */
   /** The auto-sizing curve behind `rowsPerBand = 0`: the band width
     * holding expected bucket occupancy at ~8 vectors
@@ -664,13 +668,69 @@ object Similarity {
     math.min(20, math.max(8, auto))
   }
 
+  /** Expected bucket occupancy the auto curves size for (~8 agreeing
+    * mates per row per band — the calibration point of the measured
+    * 2k→8 / 20k→12 probe configs). */
+  private[graft] val AutoOccupancyTarget = 8.0
+
+  /** Per-plane AGREEMENT probabilities measured on the corpus — the
+    * bias-aware half of band auto-sizing. One bounded aggregate (128
+    * partial-combining `avg`s over the signature bits, collected as a
+    * single row) yields each plane's bit bias `p_i`; two independent
+    * rows agree on plane i with probability `p_i² + (1-p_i)²` — exactly
+    * ½ for an unbiased plane, approaching 1 as the corpus polarizes the
+    * plane. Shared-vocabulary hashed embeddings are the measured
+    * offender: every document leans toward the common-term direction,
+    * many planes sit far from ½, and occupancy-only sizing (which
+    * assumes ½ per bit) under-widths the bands into the saturated
+    * regime (q154: 19.9 s → 6.3 s for identical output at 12 bits).
+    */
+  private[graft] def planeAgreeProbs(df: DataFrame, embCol: String): IndexedSeq[Double] = {
+    val aggs = (0 until Bits).map(i =>
+      avg(element_at(col("sig"), i + 1)).as(s"b$i"))
+    val row = df
+      .select(signature(VectorFns.toDouble(col(embCol))).as("sig"))
+      .agg(aggs.head, aggs.tail: _*).collect().head
+    (0 until Bits).map { i =>
+      val p = if (row.isNullAt(i)) 0.5 else row.getDouble(i)
+      p * p + (1.0 - p) * (1.0 - p)
+    }
+  }
+
+  /** Bias-aware band width: the smallest width in [[autoRowsPerBand]]'s
+    * occupancy floor .. 20 whose every band holds expected agreeing
+    * mates per row — `n · ∏_{i∈band}(p_i² + (1-p_i)²)` under a
+    * per-plane independence model — at or under the calibrated
+    * [[AutoOccupancyTarget]]. With unbiased planes the product is
+    * `2^-w` and the rule REDUCES to the occupancy curve (both measured
+    * design points reproduced bit-for-bit); with measured bias it
+    * widens until the hottest band's expected occupancy is back at
+    * target. Independence UNDERestimates collisions when planes
+    * correlate (they do, mildly, on shared-vocab corpora), so the
+    * chosen width is a floor, not an exact fix — the cap at 20 keeps
+    * ≥ 6 bands of banding-curve recall either way.
+    */
+  def biasAwareRowsPerBand(n: Long, agree: IndexedSeq[Double]): Int = {
+    require(n >= 1, s"corpus size must be >= 1, got $n")
+    require(agree.length == Bits,
+      s"need $Bits per-plane agreement probs, got ${agree.length}")
+    val floor = autoRowsPerBand(n)
+    (floor to 20).find { w =>
+      val bands = Bits / w
+      (0 until bands).forall { b =>
+        n * (b * w until (b + 1) * w).map(agree).product <= AutoOccupancyTarget
+      }
+    }.getOrElse(20)
+  }
+
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                       threshold: Double, rowsPerBand: Int = 0): DataFrame = {
     require(rowsPerBand == 0 || (rowsPerBand >= 1 && rowsPerBand <= Bits),
       s"rowsPerBand must be 0 (auto) or in [1, $Bits], got $rowsPerBand")
     val rows =
       if (rowsPerBand > 0) rowsPerBand
-      else autoRowsPerBand(math.max(df.count(), 1L))
+      else biasAwareRowsPerBand(math.max(df.count(), 1L),
+        planeAgreeProbs(df, embCol))
     val bands = Bits / rows
     val base = df
       .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))

@@ -1997,7 +1997,13 @@ object TrainPrepQueries {
     * measured 19.9 s at sf0.1 vs ~1 s at 12-bit bands on identical
     * output. Exactly the documented `rowsPerBand ~ log₂(n)` knob
     * (BASELINE.md), pinned here at the wide setting the degenerate
-    * workload needs; the oracle restates the 10×12 banding.
+    * workload needs; the oracle restates the 10×12 banding. The pin is
+    * DRIFT-GUARDED: PipelineOpSpec's "q154 drift guard" asserts the
+    * bias-aware auto sizing
+    * ([[graft.operators.Similarity.biasAwareRowsPerBand]]) measured on
+    * this corpus resolves ≥ 12 bits, so a testdata or hash-embedding
+    * change that invalidates the pinned width fails loudly instead of
+    * silently re-entering the saturated regime.
     */
   private def q154(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(

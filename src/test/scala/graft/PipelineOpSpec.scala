@@ -648,6 +648,40 @@ class PipelineOpSpec extends SparkSpec {
     assert(auto == pinned)
   }
 
+  test("biasAwareRowsPerBand: occupancy curve unbiased; widens under bias") {
+    // unbiased planes (agree prob exactly 1/2): reduces to the occupancy
+    // curve at every design point — the calibrated landmarks hold
+    val unbiased = IndexedSeq.fill(128)(0.5)
+    for (n <- Seq(1L, 1000L, 2000L, 20000L, 1000000L, 100000000L))
+      assert(Similarity.biasAwareRowsPerBand(n, unbiased) ==
+        Similarity.autoRowsPerBand(n), s"diverged at n=$n")
+    // polarized planes (bit bias 0.8 -> agree 0.68) widen past the floor
+    val biased = IndexedSeq.fill(128)(0.8 * 0.8 + 0.2 * 0.2)
+    assert(Similarity.biasAwareRowsPerBand(2000L, biased) > 8)
+    // degenerate planes (every row agrees) hit the recall cap, no loop
+    assert(Similarity.biasAwareRowsPerBand(2000L, IndexedSeq.fill(128)(1.0)) == 20)
+    // and the width never sits below the occupancy floor
+    assert(Similarity.biasAwareRowsPerBand(1000000L, unbiased) >= 17)
+  }
+
+  test("q154 drift guard: bias-aware auto resolves >= 12 bits on documents") {
+    // q154 pins rowsPerBand = 12 (the oracle restates the 10x12 banding).
+    // This guard asserts the MEASURED auto sizing on the same corpus
+    // resolves at least that wide — if testdata or the hash-embedding
+    // drifts enough that auto would choose narrower, the pinned 12 is no
+    // longer the documented-safe width and this fails loudly instead of
+    // q154 silently re-entering the saturated 19.9 s regime.
+    val emb = Similarity.hashEmbedRowwise(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    val n = math.max(emb.count(), 1L)
+    val agree = Similarity.planeAgreeProbs(emb, "embedding")
+    // shared-vocabulary corpus: hash planes are measurably polarized
+    assert(agree.count(a => a > 0.55) > 32,
+      s"expected polarized planes, got ${agree.count(_ > 0.55)} above 0.55")
+    val w = Similarity.biasAwareRowsPerBand(n, agree)
+    assert(w >= 12, s"auto resolved $w bits; q154's pinned 12 is now stale")
+  }
+
   // -------------------------------------------------------- sessionization
 
   test("Sessionize.assign splits on gap > threshold with tie-break") {
