@@ -152,6 +152,24 @@ object ScaleProbe {
     val tLshKAuto = time(lsh(embK, 0))
     emb1.unpersist(); embK.unpersist()
 
+    // ×k2 (default ×100) auto-curve design point: the next decade of the
+    // band-width rule. At 200k rolled vectors the occupancy curve
+    // resolves 15 bits; the probe times BOTH the auto default and the
+    // ×10-good fixed 12 bits — auto validating means auto ≤ fixed-12
+    // (the fixed width's occupancy n/2^12 ≈ 49 is past its design point
+    // and its pair step has begun its superlinear onset) and the
+    // auto time growing ≈ linearly (≤ ~2× the row growth) vs the ×k
+    // auto time. Resolved widths printed so BASELINE.md records curve
+    // points, not just seconds.
+    val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "100").toInt
+    val embK2 = replicateEmb(k2)
+    val nK2 = math.max(embK2.count(), 1L)
+    val autoWidthK2 = graft.operators.Similarity.biasAwareRowsPerBand(nK2,
+      graft.operators.Similarity.planeAgreeProbs(embK2, "embedding"))
+    val tLshK2Auto = time(lsh(embK2, 0))
+    val tLshK2Fixed12 = time(lsh(embK2, 12))
+    embK2.unpersist()
+
     // Connected-components probe (q49 shape — the iterative min-label +
     // pointer-doubling loop that q49/q68/q99/q126/q134/q137/q141 and the
     // CurationJob keep-list stage all ride). The pair frame is built by
@@ -231,6 +249,54 @@ object ScaleProbe {
     val tHeK = time(hashEmbed(corpusK))
     corpus1.unpersist(); corpusK.unpersist()
 
+    // CurationJob ×k probe: the composed five-table pipeline (verdict →
+    // dedup keep list → decontaminate → mixture → sharded/packed layout,
+    // REAL table writes) — every stage has an individual scale point;
+    // this measures their composition. Decorated replicas are written as
+    // a documents.parquet under a temp sf-dir so the job's declared-
+    // schema read path runs unchanged; the benchmark cut (doc_id <
+    // benchCut after ×k id remapping) scales proportionally. Replica
+    // write + read happen OUTSIDE the timed window.
+    def jobCorpusDir(times: Int): java.nio.file.Path = {
+      val base = java.nio.file.Files.createTempDirectory("graft_scale_job_src")
+      val src = graft.sources.Tables.documents(spark, sfDir)
+      val rep =
+        if (times == 1) src
+        else src
+          .select(col("*"),
+            explode(sequence(lit(0), lit(times - 1))).as("copy"))
+          .select((col("doc_id") * times + col("copy")).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("copy")))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+      rep.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      base
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    def timeJob(dir: java.nio.file.Path): Double =
+      (1 to iters).map { _ =>
+        System.gc()
+        val out = java.nio.file.Files.createTempDirectory("graft_scale_job_out")
+        val t0 = System.nanoTime()
+        graft.pipelines.CurationJob.run(spark, dir.toString, out.toString)
+        val dt = (System.nanoTime() - t0) / 1e9
+        rmTree(out)
+        dt
+      }.min
+    val jobDir1 = jobCorpusDir(1)
+    graft.pipelines.CurationJob.run(spark, jobDir1.toString, // untimed warmup
+      java.nio.file.Files.createTempDirectory("graft_scale_job_warm").toString)
+    val tJob1 = timeJob(jobDir1)
+    val jobDirK = jobCorpusDir(k)
+    val tJobK = timeJob(jobDirK)
+    rmTree(jobDir1); rmTree(jobDirK)
+
     // BPE trainer batching probe (VERDICT r11 #5): the trainer's scale
     // ceiling is the per-round driver scheduling floor — merges=64 at
     // batch=1 is 64 sequential census jobs; batch=8 applies up to 8
@@ -262,6 +328,10 @@ object ScaleProbe {
       s""""q37_lsh_pairs":${j(tLsh1, tLshK)},""" +
       f""""q37_lsh_pairs_rows12":{"x$k":$tLshKWide%.3f,"ratio_vs_x1_rows8":${tLshKWide / tLsh1}%.2f},""" +
       f""""q37_lsh_pairs_auto":{"x$k":$tLshKAuto%.3f,"ratio_vs_x1":${tLshKAuto / tLsh1}%.2f},""" +
+      f""""q37_lsh_pairs_x$k2":{"auto_sec":$tLshK2Auto%.3f,"auto_width":$autoWidthK2,""" +
+      f""""fixed12_sec":$tLshK2Fixed12%.3f,"auto_vs_fixed12":${tLshK2Auto / tLshK2Fixed12}%.2f,""" +
+      f""""auto_ratio_vs_x$k":${tLshK2Auto / tLshKAuto}%.2f,"rows":$nK2},""" +
+      f""""curation_job":{"x1":$tJob1%.3f,"x$k":$tJobK%.3f,"ratio":${tJobK / tJob1}%.2f},""" +
       s""""q49_connected_components":${j(tCc1, tCcK)},""" +
       s""""q101_bm25":${j(tBm1, tBmK)},""" +
       s""""q116_winnow_overlap":${j(tWin1, tWinK)},""" +

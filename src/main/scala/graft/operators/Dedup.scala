@@ -249,10 +249,33 @@ object Dedup {
     * pre-filtered (or routed via [[minHashPairs]], whose banding caps
     * collision probability); the salt bounds the damage when it is not.
     */
-  private[graft] def candidatePairs(index: DataFrame, keyCols: Seq[String],
+  private[graft] def candidatePairs(rawIndex: DataFrame, keyCols: Seq[String],
                                     cap: Int = HotBucketCap,
-                                    hotSplit: Int = HotSplitDefault): DataFrame = {
+                                    hotSplit: Int = HotSplitDefault,
+                                    dropOver: Int = 0): DataFrame = {
     val keys = keyCols.map(col)
+    // Boilerplate-bucket DROP (`dropOver` > 0): buckets larger than
+    // `dropOver` are excluded from candidate generation entirely — the
+    // documented 100 TB mitigation for template skew, where a corpus-scale
+    // boilerplate bucket's O(bucket²) candidates are (a) quadratic work no
+    // salt can shrink (salting spreads it; only dropping removes it) and
+    // (b) overwhelmingly verifier-rejected, because docs sharing ONLY
+    // boilerplate sit far below any near-dup threshold. Recall trade,
+    // quantified: a TRUE pair is lost only if every bucket it shares is
+    // dropped — under banding a J-similar pair collides in
+    // ~bands·J^rowsPerBand independent bands, so losing all of them
+    // requires template content to dominate the pair's entire signature,
+    // i.e. the pair IS the boilerplate. Off (0) by default: exact paths
+    // keep the spill-safe salted enumeration below.
+    val index =
+      if (dropOver <= 0) rawIndex
+      else {
+        val dropKeys = rawIndex.groupBy(keys: _*)
+          .agg(count(lit(1)).as("__graft_bn"))
+          .filter(col("__graft_bn") > dropOver)
+          .select(keys: _*)
+        rawIndex.join(broadcast(dropKeys), keyCols, "left_anti")
+      }
     val hotKeys = index.groupBy(keys: _*)
       .agg(count(lit(1)).as("__graft_bn"))
       .filter(col("__graft_bn") > cap)
@@ -393,9 +416,18 @@ object Dedup {
     * (band index, band hash) — O(docs × bands) rows of constant width —
     * then candidates are verified exactly (array_intersect on the two
     * shingle sets), so output ⊆ [[ngramJaccardPairs]] output.
+    *
+    * `hotBucketDrop` (0 = off) excludes band buckets larger than the
+    * given size from candidate generation — the template-skew relief
+    * valve (see [[candidatePairs]]' dropOver): a corpus-scale
+    * boilerplate bucket generates O(bucket²) verifier-rejected
+    * candidates that salting can only spread, not remove. Measured in
+    * the skew probe (BASELINE.md skew section).
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   threshold: Double, bands: Int = 32): DataFrame = {
+                   threshold: Double, bands: Int = 32,
+                   hotBucketDrop: Int = 0,
+                   hotBucketCap: Int = HotBucketCap): DataFrame = {
     val rowsPerBand = 64 / bands
     val sh = shingleFrame(df, idCol, textCol, n)
     // signatures in-row via the codegen'd kernel — no explode, no keyed
@@ -407,7 +439,32 @@ object Dedup {
         b => xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    verifiedJaccard(candidatePairs(banded, Seq("band", "bh")), sh, threshold)
+    verifiedJaccard(
+      candidatePairs(banded, Seq("band", "bh"), cap = hotBucketCap,
+        dropOver = hotBucketDrop),
+      sh, threshold)
+  }
+
+  /** Band-bucket census over [[minHashPairs]]' banded index: how many
+    * (band, band-hash) buckets exceed `over` rows — the same count whose
+    * broadcast routes buckets into the salted hot path. Exposed
+    * package-private so the skew probe can PRINT the engagement evidence
+    * (hot buckets existed) rather than asserting it from code reading.
+    */
+  private[graft] def minHashBandCensus(df: DataFrame, idCol: String,
+                                       textCol: String, n: Int,
+                                       over: Int, bands: Int = 32): Long = {
+    val rowsPerBand = 64 / bands
+    val sig = shingleFrame(df, idCol, textCol, n).select(col("id"),
+      graft.expressions.MinHashSig(col("sh"), 64).as("sig"))
+    sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > over)
+      .count()
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.

@@ -119,6 +119,40 @@ class PipelineOpSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("minHashPairs hotBucketDrop: boilerplate buckets out, recall trade real") {
+    // 12 docs sharing a template head with unique tails (mutual J far
+    // below threshold) + one genuine near-dup pair with NO template
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi" // 16 tokens: dominates signatures
+    val docs = ((0L until 12L).map(i =>
+        (i, s"$template u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")) ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again today"),
+      (21L, "the quick brown fox jumps over the lazy dog again tomorrow")))
+      .toDF("id", "t")
+    val full = canon(Dedup.minHashPairs(docs, "id", "t", 3, 0.5).collect())
+    // template docs sit below threshold (J ~ 0.41): only (20, 21) is true
+    assert(full == Seq((20L, 21L)))
+    // dropping buckets > 2 removes every multi-doc template bucket from
+    // candidate generation; output is UNCHANGED — dropped candidates were
+    // all verifier-rejected, and the clean pair rides size-2 buckets
+    val dropped = canon(
+      Dedup.minHashPairs(docs, "id", "t", 3, 0.5, hotBucketDrop = 2).collect())
+    assert(dropped == full)
+    // the recall trade is real: near-IDENTICAL template docs (true
+    // pairs) live almost entirely in the one all-docs bucket per band;
+    // dropping those buckets loses the pairs — documented boilerplate
+    // semantics, not a silent no-op
+    val big = template + " rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six" // 30 tokens; 1-token tails deviate
+    val twins = (0L until 12L).map(i => (i, s"$big tail$i")).toDF("id", "t")
+    val kept = Dedup.minHashPairs(twins, "id", "t", 3, 0.5).count()
+    assert(kept > 0)
+    val gone = Dedup.minHashPairs(twins, "id", "t", 3, 0.5, hotBucketDrop = 4).count()
+    assert(gone == 0)
+  }
+
   test("minHash kernel, aggregate, and array-fold formulations all agree") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s")).toDF("id", "t")
     val sh = df.select(col("id"), TextFns.shingles(col("t"), 3).as("sh"))
