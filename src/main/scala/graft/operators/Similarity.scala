@@ -754,6 +754,74 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** MULTI-PROBE banded LSH pairs (Lv et al. 2007, "Multi-probe LSH",
+    * applied to the pair path): wide bands control candidate volume —
+    * the measured corpus-size/bias knob — but pay banding-curve recall
+    * for pairs hugging the threshold (skew probe, BASELINE.md: at 11
+    * bits a cos≈0.84 hot cluster kept only ~0.57 of its pairs). This
+    * variant recovers that recall WITHOUT narrowing: each vector probes
+    * its exact band buckets plus every 1-bit-flipped neighbor bucket,
+    * so a pair is a candidate when some band differs in ≤ 1 plane —
+    * per-band collision `p^w + w·p^(w-1)(1-p)` instead of `p^w` (at
+    * p = 0.82, w = 11: 0.37 vs 0.10 — pair recall 0.994 vs 0.71 over
+    * 11 bands).
+    *
+    * Scale shape: the probe side carries `bands·(w+1)` constant-width
+    * rows per vector (the ×(w+1) factor is the probe trade — still
+    * O(n), never O(n²)), the index side stays at `bands`; candidates
+    * come from one equi-join probe-key = index-key and every emitted
+    * pair is exact-cosine verified, so output ⊆ the brute-force pairs
+    * and recall is the only approximation. Output matches
+    * [[lshNearDupPairs]]' schema and is a SUPERSET of its pairs at the
+    * same width (the exact key is among the probes).
+    */
+  def lshNearDupPairsMultiProbe(df: DataFrame, idCol: String, embCol: String,
+                                threshold: Double, rowsPerBand: Int,
+                                flips: Int = 1): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= Bits,
+      s"rowsPerBand must be in [1, $Bits], got $rowsPerBand")
+    require(flips == 0 || flips == 1,
+      s"flips must be 0 (exact only) or 1 (single-plane probes), got $flips")
+    val rows = rowsPerBand
+    val bands = Bits / rows
+    val base = df
+      .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))
+      .repartition(col("id"))
+    val sig = base.withColumn("sig", signature(col("e_d")))
+    def bandBits(b: Column): Column =
+      transform(sequence(lit(0), lit(rows - 1)), r =>
+        element_at(col("sig"), b * rows + r + 1))
+    def keyOf(b: Column, bits: Column): Column =
+      concat_ws("_", b.cast("string"),
+        array_join(transform(bits, x => x.cast("string")), "_"))
+    val index = sig.select(col("id").as("id_b"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        keyOf(b, bandBits(b)))).as("key"))
+    val probeKeys = transform(sequence(lit(0), lit(bands - 1)), b => {
+      val exact = array(keyOf(b, bandBits(b)))
+      if (flips == 0) exact
+      else concat(exact,
+        transform(sequence(lit(0), lit(rows - 1)), j =>
+          keyOf(b, zip_with(bandBits(b), sequence(lit(0), lit(rows - 1)),
+            (x, i) => when(i === j, lit(1) - x).otherwise(x)))))
+    })
+    val probes = sig.select(col("id").as("id_a"),
+      explode(flatten(probeKeys)).as("key"))
+    val cand = probes.join(index, "key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = base.withColumn("n", VectorFns.norm(col("e_d")))
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
+        col("n").as("n_a")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("e_d").as("e_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("cos_sim",
+        VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): embedding-space
     * near-duplicate removal bounded by a coarse k-means partition — the

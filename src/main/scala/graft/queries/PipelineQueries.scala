@@ -995,6 +995,54 @@ object PipelineQueries {
        |WHERE cs >= $LshPairThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q156's wide-band multi-probe configuration: 12-bit bands (the
+    * regime where single-probe recall sags near the threshold —
+    * BASELINE.md skew section) recovered by 1-plane probes. */
+  private val MpPairRows = 12
+  private val MpPairBands = 10
+
+  /** Q156 — MULTI-PROBE banded LSH pairs at a WIDE band width: the
+    * recall-repair twin of q37 (see
+    * [[graft.operators.Similarity.lshNearDupPairsMultiProbe]]). Graded
+    * end-to-end: the oracle restates the plane signatures and admits a
+    * candidate when some 12-bit band differs in ≤ 1 plane — exactly the
+    * 1-bit-flip probe set — then verifies the exact cosine.
+    */
+  private def q156(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairsMultiProbe(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = LshPairThreshold, rowsPerBand = MpPairRows)
+      .orderBy("id_a", "id_b")
+
+  /** The oracle enumerates all pairs and keeps those whose best band
+    * Hamming distance is ≤ 1 — the flip-probe candidate set stated
+    * declaratively (the all-pairs form is the oracle's prerogative at
+    * sf0.01; the engine side joins probe keys and never goes O(n²)).
+    */
+  private lazy val q156Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${lshSigSql(rows = MpPairRows, bands = MpPairBands)},
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |         WHERE list_min(list_transform(range(0, $MpPairBands), bb ->
+       |             list_reduce(list_transform(
+       |                 list_zip(a.sg[bb*$MpPairRows+1 : bb*$MpPairRows+$MpPairRows],
+       |                          b.sg[bb*$MpPairRows+1 : bb*$MpPairRows+$MpPairRows]),
+       |                 s -> CASE WHEN struct_extract(s,1) != struct_extract(s,2)
+       |                      THEN 1 ELSE 0 END), (x,y) -> x + y))) <= 1),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_reduce(list_transform(e, x -> x*x), (x,y) -> x + y)) AS nm
+       |      FROM e),
+       |p AS (SELECT id_a, id_b,
+       |        list_reduce(list_transform(list_zip(a.e, b.e),
+       |            s -> struct_extract(s,1) * struct_extract(s,2)), (x,y) -> x + y)
+       |          / (a.nm * b.nm) AS cs
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |                JOIN n b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p
+       |WHERE cs >= $LshPairThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   private[queries] val IvfCentroids = 32
   private[queries] val IvfProbes = 4
 
@@ -1254,6 +1302,7 @@ object PipelineQueries {
     QueryDef("q27_cosine_pairs", q27, Some(q27Sql)),
     QueryDef("q28_ann_lsh_topk", q28, Some(q28Sql)),
     QueryDef("q37_ann_lsh_pairs", q37, Some(q37Sql)),
+    QueryDef("q156_mplsh_pairs", q156, Some(q156Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),

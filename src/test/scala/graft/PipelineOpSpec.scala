@@ -682,6 +682,39 @@ class PipelineOpSpec extends SparkSpec {
     assert(auto == pinned)
   }
 
+  test("lshNearDupPairsMultiProbe: superset at same width, recall repaired") {
+    // real corpus embeddings: hashed documents (the polarized regime
+    // where wide bands lose near-threshold pairs)
+    val emb = Similarity.hashEmbedRowwise(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pairSet(Similarity.lshNearDupPairs(
+      emb, "doc_id", "embedding", threshold = 0.8, rowsPerBand = 12))
+    val multi = pairSet(Similarity.lshNearDupPairsMultiProbe(
+      emb, "doc_id", "embedding", threshold = 0.8, rowsPerBand = 12))
+    // exact keys are among the probes: multi-probe can only add pairs
+    assert(single.subsetOf(multi),
+      s"multi-probe lost ${(single -- multi).size} single-probe pairs")
+    // flips = 0 degenerates to exactly the single-probe candidate set
+    val exactOnly = pairSet(Similarity.lshNearDupPairsMultiProbe(
+      emb, "doc_id", "embedding", threshold = 0.8, rowsPerBand = 12,
+      flips = 0))
+    assert(exactOnly == single)
+    // and every emitted cosine is the true cosine (verify is exact):
+    // multi-probe output against the brute-force pairs at the threshold
+    val brute = pairSet(Similarity.nearDupPairs(
+      emb, "doc_id", "embedding", threshold = 0.8))
+    assert(multi.subsetOf(brute))
+    val recallSingle = single.size.toDouble / brute.size
+    val recallMulti = multi.size.toDouble / brute.size
+    info(f"recall at 12-bit bands: single $recallSingle%.3f -> " +
+      f"multi-probe $recallMulti%.3f (brute ${brute.size} pairs)")
+    assert(recallMulti >= recallSingle)
+    assert(recallMulti >= 0.95,
+      f"multi-probe recall $recallMulti%.3f below 0.95 on the corpus")
+  }
+
   test("biasAwareRowsPerBand: occupancy curve unbiased; widens under bias") {
     // unbiased planes (agree prob exactly 1/2): reduces to the occupancy
     // curve at every design point — the calibrated landmarks hold
