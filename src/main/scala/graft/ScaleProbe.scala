@@ -165,7 +165,7 @@ object ScaleProbe {
     val embK2 = replicateEmb(k2)
     val nK2 = math.max(embK2.count(), 1L)
     val autoWidthK2 = graft.operators.Similarity.biasAwareRowsPerBand(nK2,
-      graft.operators.Similarity.planeAgreeProbs(embK2, "embedding"))
+      graft.operators.Similarity.planeAgreeProbs(embK2, "embedding", nK2))
     val tLshK2Auto = time(lsh(embK2, 0))
     val tLshK2Fixed12 = time(lsh(embK2, 12))
     embK2.unpersist()

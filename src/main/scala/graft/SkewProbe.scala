@@ -154,9 +154,11 @@ object SkewProbe {
     val lshBenign = time(lsh(emb, 8))
     val lshSkew = time(lsh(clustered, 8))
     val lshSkewAuto = time(lsh(clustered, 0))
+    val nClustered = math.max(clustered.count(), 1L)
     val autoWidth = graft.operators.Similarity.biasAwareRowsPerBand(
-      math.max(clustered.count(), 1L),
-      graft.operators.Similarity.planeAgreeProbs(clustered, "embedding"))
+      nClustered,
+      graft.operators.Similarity.planeAgreeProbs(clustered, "embedding",
+        nClustered))
     val lshPairs8 = lsh(clustered, 8).select("id_a", "id_b")
       .as[(Long, Long)].collect().toSet
     val lshPairsAuto = lsh(clustered, 0).select("id_a", "id_b")

@@ -685,10 +685,28 @@ object Similarity {
     * assumes ½ per bit) under-widths the bands into the saturated
     * regime (q154: 19.9 s → 6.3 s for identical output at 12 bits).
     */
-  private[graft] def planeAgreeProbs(df: DataFrame, embCol: String): IndexedSeq[Double] = {
+  /** Target sample size for the bias measurement: at 16k rows each
+    * plane bias carries a standard error of ~0.004 — far inside the
+    * resolution the width decision needs (a whole bit of width moves
+    * the per-band product by 2×). */
+  private[graft] val AgreeProbSampleTarget = 16384L
+
+  private[graft] def planeAgreeProbs(df: DataFrame, embCol: String,
+                                     n: Long = 0L): IndexedSeq[Double] = {
+    // above ~2× the sample target, estimate from a CONTENT-HASH sample:
+    // deterministic under task retries and row order (a seeded `rand`
+    // is neither), filtered BEFORE the signature kernel so the 128-
+    // plane projection runs only on the sample — the auto default must
+    // not cost a full corpus pass twice (measured: the unsampled bias
+    // pass alone pushed the ×10 probe's auto ratio past its ≤2× bar)
+    val every =
+      if (n > 2 * AgreeProbSampleTarget) n / AgreeProbSampleTarget else 1L
+    val src =
+      if (every <= 1L) df
+      else df.filter(pmod(xxhash64(col(embCol)), lit(every)) === 0)
     val aggs = (0 until Bits).map(i =>
       avg(element_at(col("sig"), i + 1)).as(s"b$i"))
-    val row = df
+    val row = src
       .select(signature(VectorFns.toDouble(col(embCol))).as("sig"))
       .agg(aggs.head, aggs.tail: _*).collect().head
     (0 until Bits).map { i =>
@@ -729,8 +747,10 @@ object Similarity {
       s"rowsPerBand must be 0 (auto) or in [1, $Bits], got $rowsPerBand")
     val rows =
       if (rowsPerBand > 0) rowsPerBand
-      else biasAwareRowsPerBand(math.max(df.count(), 1L),
-        planeAgreeProbs(df, embCol))
+      else {
+        val n = math.max(df.count(), 1L)
+        biasAwareRowsPerBand(n, planeAgreeProbs(df, embCol, n))
+      }
     val bands = Bits / rows
     val base = df
       .select(col(idCol).as("id"), VectorFns.toDouble(col(embCol)).as("e_d"))
