@@ -163,6 +163,17 @@ object SkewProbe {
       .as[(Long, Long)].collect().toSet
     val lshPairsAuto = lsh(clustered, 0).select("id_a", "id_b")
       .as[(Long, Long)].collect().toSet
+    // the recall repair at the auto width: wide bands for candidate
+    // volume + 1-plane flip probes for the near-threshold pairs the
+    // widening loses (q156's operator, measured ON the skew workload)
+    def mp(corpus: DataFrame): DataFrame =
+      graft.operators.Similarity.lshNearDupPairsMultiProbe(
+        corpus, "vec_id", "embedding", threshold = 0.8,
+        rowsPerBand = autoWidth)
+    mp(clustered).write.mode("overwrite").format("noop").save() // warmup
+    val lshSkewMp = time(mp(clustered))
+    val lshPairsMp = mp(clustered).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
 
     // ------------------------------------------------------- q49 cc star
     val nNodes = 20000L
@@ -228,7 +239,10 @@ object SkewProbe {
       f""""skew_auto":$lshSkewAuto%.3f,"auto_vs_benign":${lshSkewAuto / lshBenign}%.2f,""" +
       s""""auto_width":$autoWidth,"pairs_rows8":${lshPairs8.size},""" +
       s""""pairs_auto":${lshPairsAuto.size},""" +
-      s""""pairs_common":${(lshPairs8 intersect lshPairsAuto).size}},""" +
+      s""""pairs_common":${(lshPairs8 intersect lshPairsAuto).size},""" +
+      f""""skew_multiprobe":$lshSkewMp%.3f,""" +
+      s""""pairs_multiprobe":${lshPairsMp.size},""" +
+      s""""pairs_mp_vs_rows8":${(lshPairs8 intersect lshPairsMp).size}},""" +
       s""""q49_connected_components":{${j2(ccBenign, ccSkew)}},""" +
       s""""q101_bm25":{${j2(bmBenign, bmSkew)}},""" +
       s""""q116_winnow_overlap":{${j2(winBenign, winSkew)}}}}""")
