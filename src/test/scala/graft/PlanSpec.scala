@@ -644,6 +644,32 @@ class PlanSpec extends SparkSpec {
       s"the banded candidate join must exist; got $nodes")
   }
 
+  test("q155 jpeg plan: narrow codegen'd parse — no join, sort-only exchange") {
+    // pack + marker-walk decode is one projection over one scan; the
+    // only exchange allowed is the final presentation sort's range
+    // partitioning
+    val nodes = finalNodes(SparkEntry.queries("q155_jpeg_features")(spark, sf))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")),
+      s"jpeg decode must not join: $ns")
+    assert(ns.count(_.startsWith("Scan parquet")) == 1,
+      s"one documents scan: $ns")
+    assert(nodes.count(n => n.nodeName.contains("Exchange") &&
+        !n.nodeName.contains("Reused")) <= 1,
+      s"only the output sort may exchange: $ns")
+  }
+
+  test("q156 multi-probe plan: probe-key equi-join only, no nested loop") {
+    // candidates come from the probe-key = index-key equi-join (the
+    // oracle's all-pairs form is its prerogative, never the engine's)
+    val nodes = names(
+      finalNodes(SparkEntry.queries("q156_mplsh_pairs")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"multi-probe candidates must come from the key equi-join: $nodes")
+    assert(nodes.exists(_.contains("Join")),
+      s"the probe-key join must exist; got $nodes")
+  }
+
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
     // the q64 discipline, doubled: corpus tf feeds the term window AND
     // the grand total; the reference term counts feed the model join AND
