@@ -543,4 +543,51 @@ object OperatorProps extends Properties("graft.operators") {
       got.keySet == want.keySet &&
         got.forall { case (id, v) => want(id) == v }
     }
+
+  private val mmTextGen: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+    Gen.identifier.map(_.take(8)),
+    Gen.oneOf("naïve", "日本語", "ÿ", "résumé", "mixed123")))
+    .map(_.mkString(" "))
+
+  property("JfifImage round-trips through the marker walk on any text") =
+    forAll(Gen.listOfN(12, mmTextGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val rows = graft.operators.Multimodal.decodeImageFeatures(
+          graft.operators.Multimodal.packJfif(
+            docs.toDF("id", "t"), "id", "t"), "id")
+        .orderBy("id").collect()
+      rows.zip(docs).forall { case (r, (_, t)) =>
+        val n = t.getBytes("UTF-8").length
+        val expectH = math.max((n + 15) / 16, 1)
+        r.getString(1) == "jpeg" && r.getInt(2) == 16 &&
+          r.getInt(3) == expectH && r.getInt(4) == 3 && r.isNullAt(5)
+      }
+    }
+
+  property("minHashPairs with hotBucketDrop is a subset of the full output") =
+    forAll(Gen.listOfN(14, mmTextGen), Gen.choose(2, 12)) { (texts, drop) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      def pairs(d: Int) = graft.operators.Dedup
+        .minHashPairs(docs, "id", "t", n = 2, threshold = 0.3,
+          hotBucketDrop = d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      pairs(drop).subsetOf(pairs(0))
+    }
+
+  property("multi-probe pairs ⊇ single-probe at the same width; flips=0 ==") =
+    forAll(Gen.listOfN(24,
+      Gen.listOfN(16, Gen.choose(-1.0f, 1.0f)))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "e")
+      def ps(f: => org.apache.spark.sql.DataFrame) =
+        f.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val single = ps(graft.operators.Similarity.lshNearDupPairs(
+        df, "id", "e", threshold = 0.5, rowsPerBand = 16))
+      val multi = ps(graft.operators.Similarity.lshNearDupPairsMultiProbe(
+        df, "id", "e", threshold = 0.5, rowsPerBand = 16))
+      val exact = ps(graft.operators.Similarity.lshNearDupPairsMultiProbe(
+        df, "id", "e", threshold = 0.5, rowsPerBand = 16, flips = 0))
+      single.subsetOf(multi) && exact == single
+    }
 }
