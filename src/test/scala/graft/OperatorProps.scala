@@ -590,4 +590,29 @@ object OperatorProps extends Properties("graft.operators") {
         df, "id", "e", threshold = 0.5, rowsPerBand = 16, flips = 0))
       single.subsetOf(multi) && exact == single
     }
+
+  property("ImageFeatures never throws: arbitrary bytes decode null or typed") =
+    forAll(Gen.listOfN(10, Gen.oneOf(
+      // pure fuzz, and adversarial prefixes of each recognized format:
+      // a JPEG SOI / PNG signature / BMP magic followed by random bytes
+      Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray),
+      Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte))
+        .map(t => Array(0xff.toByte, 0xd8.toByte) ++ t),
+      Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte))
+        .map(t => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+          0x0a) ++ t),
+      Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte))
+        .map(t => Array[Byte]('B', 'M') ++ t)))) { payloads =>
+      val rows = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("id", "payload")
+        .select(col("id"),
+          graft.expressions.ImageFeatures(col("payload")).as("f"))
+        .collect()
+      rows.forall { r =>
+        r.isNullAt(1) || {
+          val fmt = r.getStruct(1).getString(0)
+          fmt == "bmp" || fmt == "png" || fmt == "jpeg"
+        }
+      }
+    }
 }

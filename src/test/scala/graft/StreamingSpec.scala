@@ -378,6 +378,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lexical near-dup candidate recall vs batch q22 pairs") {
+    // the lexical twin of the semantic SLO below: the batch answer is
+    // q22's verified MinHash pairs (J >= 0.6); the stream's (32-band,
+    // 2-row) banding catches a J >= 0.6 pair per band w.p. ~J^2, so
+    // across 32 chances candidate recall should be ~1.0 minus
+    // hot-bucket eviction losses
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val verified = graft.operators.Dedup.minHashPairs(
+        corpus, "doc_id", "text", n = 3, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(verified.nonEmpty, "batch ground truth is empty")
+    val docs = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.NearDupStream.candidates(df)
+      .writeStream.format("memory").queryName("lexdup_recall")
+      .outputMode("append").start()
+    try {
+      docs.grouped(125).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map { case (id, t) =>
+          (id, new Timestamp(1000000L + i * 1000L), t) })
+        q.processAllAvailable()
+      }
+      val cands = spark.table("lexdup_recall")
+        .select($"doc_id", $"prior_id").as[(Long, Long)].collect()
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val recalled = verified.count(cands.contains)
+      val recall = recalled.toDouble / verified.size
+      info(f"lexical stream candidate recall: $recall%.3f " +
+        s"($recalled of ${verified.size} verified pairs)")
+      assert(recall >= 0.85,
+        f"lexical stream recall $recall%.3f below the 0.85 floor " +
+          s"(recalled $recalled of ${verified.size})")
+    } finally q.stop()
+  }
+
   test("streaming semantic near-dup candidate recall vs batch q154 pairs") {
     // q154 defines the batch answer on the documents corpus: hashed
     // embeddings -> banded LSH -> exact-cosine-verified pairs (>= 0.8).
