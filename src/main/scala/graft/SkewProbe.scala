@@ -217,6 +217,47 @@ object SkewProbe {
     val bmBenign = time(bm25(benign, bmQueriesBenign))
     val bmSkew = time(bm25(bmHot, bmQueriesHot))
 
+    // -------------------------------------- q21 prefix filter (lexical)
+    // the EXACT pair path under the template: the prefix order is
+    // xxhash64 (its scaladoc: cheaper than the classic rarity order
+    // "until bucket skew actually bites") — a template shingle with a
+    // globally small hash lands in most hot docs' prefixes, so this
+    // measures exactly where that trade starts to bite; the exact
+    // operator may not drop buckets (dropping breaks exactness), so
+    // the in-place mitigations are the cap/salt path and, if measured
+    // superlinear, the rarity (df-ascending) prefix order
+    def ngram(corpus: DataFrame, rarity: Boolean = false): DataFrame =
+      graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.6, rarityOrder = rarity)
+    ngram(benign).write.mode("overwrite").format("noop").save() // warmup
+    val ngBenign = time(ngram(benign))
+    val ngSkew = time(ngram(templated))
+    // the named fix: classic PPJoin rarity (df-ascending) prefix order —
+    // boilerplate shingles sort last and never form prefix buckets;
+    // output is exact under any consistent order (equality printed)
+    val ngSkewRarity = time(ngram(templated, rarity = true))
+    val ngPairsSkew = ngram(templated).count()
+    val ngPairsRarity = ngram(templated, rarity = true).count()
+
+    // ------------------------------------------- q99 semdedup hot cell
+    // the cell-bounded family's skew exposure: a 50% hot cluster lands
+    // in ONE k-means cell, whose within-cell enumeration is O(cell²) —
+    // the measured cost of the paper's per-cluster-all-pairs design
+    // when the clustering collapses
+    def sem(corpus: DataFrame, maxCell: Int = 0): DataFrame =
+      graft.operators.Similarity.semDedup(
+        corpus, "vec_id", "embedding", threshold = 0.8, maxCell = maxCell)
+    sem(emb).write.mode("overwrite").format("noop").save() // warmup
+    val semBenign = time(sem(emb))
+    val semSkew = time(sem(clustered))
+    // the named fix: plane-bit sub-split of over-bound cells (the cell
+    // bound applied recursively); keep-count delta printed — the split
+    // can only separate, never wrongly merge
+    val semSkewSplit = time(sem(clustered, maxCell = 256))
+    val semKeeps = sem(clustered).filter(col("keep") === 1L).count()
+    val semKeepsSplit = sem(clustered, maxCell = 256)
+      .filter(col("keep") === 1L).count()
+
     // ---------------------------------------------------- q116 winnowing
     def winnow(corpus: DataFrame): DataFrame =
       graft.operators.Dedup.winnowOverlap(corpus, "doc_id", "text",
@@ -243,6 +284,13 @@ object SkewProbe {
       f""""skew_multiprobe":$lshSkewMp%.3f,""" +
       s""""pairs_multiprobe":${lshPairsMp.size},""" +
       s""""pairs_mp_vs_rows8":${(lshPairs8 intersect lshPairsMp).size}},""" +
+      s""""q21_ngram_prefix":{${j2(ngBenign, ngSkew)},""" +
+      f""""skew_rarity":$ngSkewRarity%.3f,"rarity_vs_benign":${ngSkewRarity / ngBenign}%.2f,""" +
+      s""""pairs_skew":$ngPairsSkew,"pairs_rarity":$ngPairsRarity,""" +
+      s""""rarity_output_identical":${ngPairsSkew == ngPairsRarity}},""" +
+      s""""q99_semdedup":{${j2(semBenign, semSkew)},""" +
+      f""""skew_split256":$semSkewSplit%.3f,"split_vs_benign":${semSkewSplit / semBenign}%.2f,""" +
+      s""""keeps_skew":$semKeeps,"keeps_split":$semKeepsSplit},""" +
       s""""q49_connected_components":{${j2(ccBenign, ccSkew)}},""" +
       s""""q101_bm25":{${j2(bmBenign, bmSkew)}},""" +
       s""""q116_winnow_overlap":{${j2(winBenign, winSkew)}}}}""")

@@ -120,15 +120,51 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        hotBucketCap: Int = HotBucketCap): DataFrame = {
+                        hotBucketCap: Int = HotBucketCap,
+                        rarityOrder: Boolean = false): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol, n)
     // hash + sort + prefix-slice in one compiled pass per row — the
     // codegen'd kernel (incl. the round-before-ceil prefix-length
     // subtlety; see its scaladoc) replacing an interpreted
     // transform/array_sort/transform/slice HOF chain
-    val prefix = sh.select(col("id"),
-      explode(graft.expressions.HashPrefixGrams(col("sh"), threshold)).as("g"))
+    val prefix =
+      if (!rarityOrder)
+        sh.select(col("id"),
+          explode(graft.expressions.HashPrefixGrams(col("sh"), threshold)).as("g"))
+      else rarityPrefix(sh, threshold)
     verifiedJaccard(candidatePairs(prefix, Seq("g"), hotBucketCap), sh, threshold)
+  }
+
+  /** The classic PPJoin RARITY prefix (ascending document frequency,
+    * ties by hash then gram): the template-skew fix the hash-order
+    * scaladoc reserves for "when bucket skew actually bites" — and the
+    * skew probe measured it biting (4.4× under a 50%-template corpus;
+    * BASELINE.md round-13). Under df-ascending order a corpus-scale
+    * boilerplate shingle sorts LAST, so it enters a document's prefix
+    * only when the prefix must cover nearly the whole set — hot buckets
+    * cannot form from common content. Any consistent global total order
+    * keeps the prefix filter EXACT (Chaudhuri et al.), so output is
+    * identical to the hash-order path (probe-verified); the price is
+    * the classic one: a df aggregate (partial, map-side combined), one
+    * df join on the shingle key, and a per-doc re-sort — two extra
+    * corpus exchanges the hash order avoids, which is why hash order
+    * stays the default for benign corpora.
+    */
+  private def rarityPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val ranked = inv.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        col("__df"), xxhash64(col("g")).as("__h"), col("g")))).as("o"))
+    // prefix length |s| − ⌈t·|s|⌉ + 1 with the SAME round-before-ceil
+    // contract as the hash-order kernel (see HashPrefixGrams)
+    val len = size(col("o"))
+    val need = ceil(round(lit(threshold) * len, 9)).cast("int")
+    val m = greatest(least(len - need + 1, len), lit(0))
+    ranked.select(col("id"),
+      explode(transform(slice(col("o"), lit(1), m),
+        s => s.getField("g"))).as("g"))
   }
 
   /** Containment near-dup PAIRS — Broder (1997)'s containment

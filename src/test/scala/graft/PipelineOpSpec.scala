@@ -119,6 +119,58 @@ class PipelineOpSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("rarity-order prefix: identical output, template kept out of prefixes") {
+    // the prefix filter is exact under ANY consistent global order —
+    // rarity (df asc) must reproduce the hash-order output bit-for-bit
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hash = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    val rare = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6,
+      rarityOrder = true))
+    assert(hash.nonEmpty && rare == hash)
+    // and on a templated corpus the template shingles stay out of the
+    // prefixes: a corpus-wide common head forms NO bucket over df 2
+    val template = "alpha beta gamma delta epsilon zeta eta theta"
+    val tpl = ((0L until 10L).map(i =>
+      (i, s"$template u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))).toDF("id", "t")
+    val hashT = canon(Dedup.ngramJaccardPairs(tpl, "id", "t", 3, 0.6))
+    val rareT = canon(Dedup.ngramJaccardPairs(tpl, "id", "t", 3, 0.6,
+      rarityOrder = true))
+    assert(rareT == hashT) // exactness under skew too
+  }
+
+  test("semDedup maxCell: high bound is a no-op; low bound splits, never pairs wrong") {
+    val rnd = new scala.util.Random(11)
+    // one tight-ish cluster + spread vectors, all in few cells
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val vecs = (0L until 40L).map { i =>
+      if (i % 2 == 0)
+        (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+      else (i, Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def keeps(maxCell: Int) = Similarity.semDedup(
+        df, "vec_id", "embedding", threshold = 0.9, nCells = 4,
+        maxCell = maxCell)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val unsplit = keeps(0)
+    // a bound larger than any cell changes nothing
+    assert(keeps(1000) == unsplit)
+    // an aggressive bound may only SPLIT clusters (more keeps, fewer
+    // merges) — it can never produce a pair/merge the unsplit run
+    // lacked, so every split-run cluster is within one unsplit cluster
+    val split = keeps(4)
+    assert(split.map(_._1) == unsplit.map(_._1))
+    assert(split.count(_._3 == 1L) >= unsplit.count(_._3 == 1L))
+    val unsplitCluster = unsplit.map(r => r._1 -> r._2).toMap
+    val byCluster = split.groupBy(_._2).values
+    assert(byCluster.forall(ms => ms.map(m => unsplitCluster(m._1)).distinct.size == 1),
+      "a split-run cluster merged docs the unsplit run kept apart")
+  }
+
   test("minHashPairs hotBucketDrop: boilerplate buckets out, recall trade real") {
     // 12 docs sharing a template head with unique tails (mutual J far
     // below threshold) + one genuine near-dup pair with NO template
