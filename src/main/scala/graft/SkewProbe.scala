@@ -257,6 +257,31 @@ object SkewProbe {
     val semKeeps = sem(clustered).filter(col("keep") === 1L).count()
     val semKeepsSplit = sem(clustered, maxCell = 256)
       .filter(col("keep") === 1L).count()
+    // crossover point (env-gated — adds minutes): at probe scale the
+    // split's fixed cost exceeds its ~2× candidate savings (plane
+    // concentration limits how evenly a tight cluster splits); its
+    // regime is cells ≳ 10⁴ where C(cell,2) verification dominates.
+    // ×5 replica → 10k vectors, 5k-member hot cell: unsplit pays
+    // ~C(5k,2) = 12.5M exact cosines, split ≥3 bits caps sub-cells.
+    val bigCell = sys.env.get("SPARK_GRAFT_SKEW_BIGCELL").exists(_ == "1")
+    val (semBig, semBigSplit) =
+      if (!bigCell) (0.0, 0.0)
+      else {
+        val embBig = materialize(emb
+          .select(col("*"), explode(sequence(lit(0), lit(4))).as("copy"))
+          .select((col("vec_id") * 5 + col("copy")).as("vec_id"),
+            col("embedding")))
+        val clusteredBig = materialize(embBig.select(col("vec_id"),
+          when(col("vec_id") % 2 === 0,
+            zip_with(tLit,
+              transform(noise, x =>
+                x / sqrt(aggregate(noise, lit(0.0), (a, x2) => a + x2 * x2))),
+              (t, nn) => (t + lit(beta) * nn).cast("float")))
+            .otherwise(col("embedding")).as("embedding")))
+        val a = time(sem(clusteredBig), n = 1)
+        val b = time(sem(clusteredBig, maxCell = 256), n = 1)
+        (a, b)
+      }
 
     // ---------------------------------------------------- q116 winnowing
     def winnow(corpus: DataFrame): DataFrame =
@@ -290,7 +315,11 @@ object SkewProbe {
       s""""rarity_output_identical":${ngPairsSkew == ngPairsRarity}},""" +
       s""""q99_semdedup":{${j2(semBenign, semSkew)},""" +
       f""""skew_split256":$semSkewSplit%.3f,"split_vs_benign":${semSkewSplit / semBenign}%.2f,""" +
-      s""""keeps_skew":$semKeeps,"keeps_split":$semKeepsSplit},""" +
+      s""""keeps_skew":$semKeeps,"keeps_split":$semKeepsSplit""" +
+      (if (semBig > 0.0)
+        f""","bigcell_x5":$semBig%.3f,"bigcell_x5_split":$semBigSplit%.3f,""" +
+          f""""bigcell_split_speedup":${semBig / semBigSplit}%.2f"""
+       else "") + "}," +
       s""""q49_connected_components":{${j2(ccBenign, ccSkew)}},""" +
       s""""q101_bm25":{${j2(bmBenign, bmSkew)}},""" +
       s""""q116_winnow_overlap":{${j2(winBenign, winSkew)}}}}""")
