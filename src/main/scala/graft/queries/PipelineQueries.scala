@@ -104,6 +104,20 @@ object PipelineQueries {
         n = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** Q157 — the RARITY-ORDER (df-ascending) prefix filter, q21's
+    * template-skew twin (see [[graft.operators.Dedup.ngramJaccardPairs]]
+    * `rarityOrder` and BASELINE.md's round-13 skew section: skewed run
+    * 6.2 → 2.5 s for identical output). The prefix filter is exact
+    * under ANY consistent global order, so this grades against the SAME
+    * exact-Jaccard oracle as q21/q22 — equality is the deterministic
+    * expected outcome, making the alternate order's exactness an
+    * oracle-checked fact rather than a code-reading claim.
+    */
+  private def q157(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, rarityOrder = true)
+      .orderBy("id_a", "id_b")
+
   /** Q22 — MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
     * Graded against the same exact SQL as Q21: the LSH candidates are
     * re-checked with true Jaccard, so equality with the exact answer is
@@ -1291,6 +1305,7 @@ object PipelineQueries {
     QueryDef("q19_exact_dedup", q19, Some(q19Sql)),
     QueryDef("q20_tokenset_dedup", q20, Some(q20Sql)),
     QueryDef("q21_ngram_jaccard", q21, Some(ngramJaccardSql)),
+    QueryDef("q157_prefix_rarity", q157, Some(ngramJaccardSql)),
     QueryDef("q22_minhash_neardup", q22, Some(ngramJaccardSql)),
     QueryDef("q140_containment_pairs", q140, Some(q140Sql)),
     QueryDef("q34_simhash_neardup", q34, Some(q34Sql)),
