@@ -670,6 +670,16 @@ class PlanSpec extends SparkSpec {
       s"the probe-key join must exist; got $nodes")
   }
 
+  test("q157 rarity-prefix plan: df join is an equi-join, no nested loop") {
+    // the rarity order pays a df aggregate + shingle-keyed equi-join —
+    // never a broadcast of the corpus-sized df table, never all-pairs
+    val nodes = finalNodes(SparkEntry.queries("q157_prefix_rarity")(spark, sf))
+    val ns = names(nodes)
+    assert(!ns.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"rarity prefix must stay equi-join only: $ns")
+    assert(ns.exists(_.contains("Join")), s"the df join must exist: $ns")
+  }
+
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
     // the q64 discipline, doubled: corpus tf feeds the term window AND
     // the grand total; the reference term counts feed the model join AND
