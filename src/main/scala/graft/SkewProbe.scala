@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   *     is the named fix (resolved width + runtime + pair-recall overlap
   *     all printed — wider bands trade banding-curve recall near the
   *     threshold, quantified rather than hidden).
+  *   - q21 shape (exact PPJoin prefix pairs) under the same template:
+  *     the hash-order prefix's documented trade measured biting, with
+  *     the classic RARITY (df-ascending) order as the exact fix
+  *     (output equality printed — any consistent global order keeps
+  *     the prefix filter exact).
+  *   - q99 shape (SemDeDup) under the hot cluster: the collapsed-cell
+  *     O(cell²) cost, with the plane-bit sub-split measured at probe
+  *     scale AND (env `SPARK_GRAFT_SKEW_BIGCELL=1`) at the ×5 replica
+  *     where the quadratic term crosses over and the split wins.
   *   - q49 shape (connected components) under a GIANT STAR: one hub
   *     label covers 50% of nodes (hot dst key in the propagate join, hot
   *     comp key in the doubling join) vs same-size disjoint 4-cliques.

@@ -767,6 +767,35 @@ class PipelineOpSpec extends SparkSpec {
       f"multi-probe recall $recallMulti%.3f below 0.95 on the corpus")
   }
 
+  test("nearDupPairsAuto: widens AND multi-probes on the polarized corpus") {
+    val emb = Similarity.hashEmbedRowwise(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+    // the width decision the composite makes internally (drift-guard
+    // already pins >= 12 on this corpus, i.e. the multi-probe branch)
+    val n = math.max(emb.count(), 1L)
+    val volumeW = Similarity.biasAwareRowsPerBand(n,
+      Similarity.planeAgreeProbs(emb, "embedding", n))
+    assert(volumeW > 8,
+      s"fixture no longer polarized (w=$volumeW); test needs a new corpus")
+    // the recall constraint caps the volume knob: at threshold 0.8 the
+    // widest 1-flip width holding 0.9 banding recall is 12 (this corpus
+    // measured 0.811 recall at the uncapped 17 — the failure that
+    // forced the cap into the composite)
+    val w = math.min(volumeW, Similarity.recallCapRowsPerBand(0.8, 0.9))
+    assert(w > 8 && w <= 12, s"composite width $w outside the expected band")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = pairSet(Similarity.nearDupPairsAuto(
+      emb, "doc_id", "embedding", threshold = 0.8))
+    val brute = pairSet(Similarity.nearDupPairs(
+      emb, "doc_id", "embedding", threshold = 0.8))
+    assert(auto.subsetOf(brute)) // exact verify: never a wrong pair
+    val recall = auto.size.toDouble / brute.size
+    info(f"auto (width $w + multi-probe) recall vs brute: $recall%.3f")
+    assert(recall >= 0.95,
+      f"auto recall $recall%.3f below 0.95 — probing failed to repair the widening")
+  }
+
   test("biasAwareRowsPerBand: occupancy curve unbiased; widens under bias") {
     // unbiased planes (agree prob exactly 1/2): reduces to the occupancy
     // curve at every design point — the calibrated landmarks hold
