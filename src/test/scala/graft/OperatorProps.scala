@@ -591,6 +591,39 @@ object OperatorProps extends Properties("graft.operators") {
       single.subsetOf(multi) && exact == single
     }
 
+  property("rarity-order prefix == hash-order prefix on random corpora") =
+    forAll(Gen.listOfN(12, mmTextGen)) { texts =>
+      // the prefix filter is exact under ANY consistent global order —
+      // both orders must produce identical verified pairs on arbitrary
+      // (template-free and template-heavy alike) inputs
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      def pairs(rarity: Boolean) = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "id", "t", n = 2, threshold = 0.4,
+          rarityOrder = rarity)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      pairs(rarity = false) == pairs(rarity = true)
+    }
+
+  property("recallCapRowsPerBand: landmarks, monotone in threshold and target") =
+    Prop {
+      val f = graft.operators.Similarity.recallCapRowsPerBand _
+      // the measured design point: threshold 0.8, target 0.9 -> 12 bits
+      // (uncapped 17 measured 0.811 recall; capped 12 measured 0.995)
+      f(0.8, 0.9) == 12 &&
+        // higher-cosine thresholds admit wider bands, looser targets too
+        f(0.95, 0.9) >= f(0.8, 0.9) &&
+        f(0.8, 0.5) >= f(0.8, 0.9) &&
+        f(0.8, 0.99) <= f(0.8, 0.9) &&
+        // floors: a brutal target or low threshold falls back to 8
+        f(0.3, 0.99) == 8 &&
+        // and the result always stays in the band-width domain
+        Seq(0.4, 0.6, 0.8, 0.9, 0.99).forall { t =>
+          val w = f(t, 0.9); w >= 8 && w <= 20
+        }
+    }
+
   property("ImageFeatures never throws: arbitrary bytes decode null or typed") =
     forAll(Gen.listOfN(10, Gen.oneOf(
       // pure fuzz, and adversarial prefixes of each recognized format:
