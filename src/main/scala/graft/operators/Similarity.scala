@@ -842,6 +842,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** CLUSTER-BALANCED mixture weights — the no-metadata counterpart to
+    * source/language mixtures (q59/q94): when the corpus has no usable
+    * provenance strata (one giant crawl dump), balance over SEMANTIC
+    * cells instead. Every document is assigned to its max-cosine cell
+    * over `k` seeded centroids (the [[kMeansCentroids]] iters=0
+    * seeding — first k rows by id — and the same in-row argmax as
+    * [[kMeansStep]]/[[ivfTopK]]: ties to the lowest centroid id, no
+    * join, no row blowup), then
+    * [[graft.operators.Curation.temperatureWeights]] runs over the
+    * cells: natural token share, `p^α`-flattened target share, and the
+    * up/down-sampling weight per cell, directly consumable by
+    * `applyMixture`. Scale shape: one narrow argmax pass (centroids are
+    * a k-row literal) + the tiny strata aggregate — nothing grows with
+    * the corpus but the one keyed count.
+    */
+  def clusterMixtureWeights(corpus: DataFrame, idCol: String, embCol: String,
+                            tokensCol: Column, k: Int,
+                            alpha: Double): DataFrame = {
+    require(k >= 1, s"need at least one cell, got $k")
+    val cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toIndexedSeq))
+      .toIndexedSeq
+    val centArr = typedlit(cents)
+    val cell = element_at(array_sort(transform(centArr, c => struct(
+      (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
+      c.getField("_1").as("cent")))), 1).getField("cent")
+    Curation.temperatureWeights(
+      corpus.withColumn("cell", cell), "cell", tokensCol, alpha)
+  }
+
   /** The near-dup pair path with BOTH auto knobs engaged — the
     * composite the round-13 measurements argue for: band width sizes
     * itself from the corpus count and the measured plane biases

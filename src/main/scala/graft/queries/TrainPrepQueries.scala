@@ -2064,7 +2064,63 @@ object TrainPrepQueries {
        |SELECT query_id, doc_id, cos_sim FROM r WHERE rk <= $RecallK
        |ORDER BY query_id, cos_sim DESC, doc_id""".stripMargin
 
+  /** q158 cell count and temperature (the q94 mT5/XLM-R α). */
+  private val ClusterMixCells = 8
+
+  /** Q158 — CLUSTER-BALANCED mixture weights: the no-metadata mixture.
+    * When provenance strata don't exist (one crawl dump), balance over
+    * SEMANTIC cells: hashed embeddings (q146's no-model bridge) →
+    * max-cosine cell over the first-[[ClusterMixCells]] seeded
+    * centroids (the q50 seeding, q33's argmax, ties to the lowest
+    * centroid id) → q94's temperature mixture over cells (see
+    * [[graft.operators.Similarity.clusterMixtureWeights]]). Raw text
+    * in, per-cell sampling weights out, no trained model and no
+    * metadata anywhere — graded end-to-end with every stage restated.
+    */
+  private def q158(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        graft.expressions.HashEmbedVec(
+          TextFns.tokens(col("text")), 64).as("embedding"))
+    Similarity.clusterMixtureWeights(corpus, "doc_id", "embedding",
+        TextFns.tokenCount(col("text")), k = ClusterMixCells,
+        alpha = MixAlpha)
+      .orderBy("cell")
+  }
+
+  private lazy val q158Sql =
+    s"""WITH $hashEmbedCte,
+       |e AS MATERIALIZED (SELECT doc_id, embedding AS e FROM he),
+       |c AS (SELECT doc_id AS cent, e AS ce FROM e
+       |      WHERE doc_id IN (SELECT doc_id FROM e ORDER BY doc_id
+       |                       LIMIT $ClusterMixCells)),
+       |aff AS (SELECT e.doc_id, c.cent,
+       |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+       |        FROM e, c),
+       |cell AS (SELECT doc_id, cent AS cell FROM (
+       |           SELECT doc_id, cent, row_number() OVER (
+       |             PARTITION BY doc_id ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS nt
+       |      FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT cell, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
+       |      FROM cell JOIN d USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
+       |sc AS (SELECT s.cell, s.n_docs, s.n_tokens, tot.tt,
+       |              s.n_tokens / tot.tt AS share,
+       |              pow(s.n_tokens / tot.tt, $MixAlpha) AS scaled
+       |       FROM s, tot),
+       |z AS (SELECT list_reduce(list(scaled ORDER BY cell),
+       |             (u, v) -> u + v) AS z FROM sc)
+       |SELECT cell, n_docs::BIGINT AS n_docs, n_tokens,
+       |       round(share, 6) AS natural_share,
+       |       round(scaled / z.z, 6) AS target_share,
+       |       round((scaled / z.z) * tt / n_tokens, 6) AS weight
+       |FROM sc, z ORDER BY cell""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q158_cluster_mixture", q158, Some(q158Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

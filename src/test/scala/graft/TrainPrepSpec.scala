@@ -1049,6 +1049,42 @@ class TrainPrepSpec extends SparkSpec {
     assert(math.abs(small._5 + big._5 - 10100.0) < 1e-6)
   }
 
+  test("clusterMixtureWeights: vocab clusters separate; mixture conserves") {
+    // two token-disjoint vocabularies -> hashed embeddings point along
+    // two directions; seeds (first k=2 ids) are one doc of each, so the
+    // argmax cells recover the vocabulary split exactly
+    val docs = (
+      (0L until 6L).map(i => (i, ("alpha beta gamma delta " * 5).trim)) ++
+      (6L until 10L).map(i => (i, ("omega psi chi phi upsilon " * 8).trim)))
+      .toDF("doc_id", "text")
+    // seed convention needs one doc of EACH vocab in the first k ids:
+    // remap doc 6..9 -> 1,7,8,9 by using ids 0 and 1 as the two seeds
+    val fixed = docs.withColumn("doc_id",
+      when(col("doc_id") === 6L, 1L)
+        .when(col("doc_id") === 1L, 6L)
+        .otherwise(col("doc_id")))
+    val corpus = fixed.select(col("doc_id"), col("text"),
+      graft.expressions.HashEmbedVec(
+        TextFns.tokens(col("text")), 64).as("embedding"))
+    val got = Similarity.clusterMixtureWeights(corpus, "doc_id", "embedding",
+        TextFns.tokenCount(col("text")), k = 2, alpha = 0.7)
+      .orderBy("cell")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L))      // both seed cells live
+    assert(got.map(_._2).sum == 10L)                // every doc assigned
+    val totalTokens = got.map(_._3).sum
+    assert(totalTokens == 6L * 20 + 4L * 40)
+    // the alpha-vocab cell holds the six alpha docs (seed 0), the
+    // omega cell the four omega docs (seed 1, formerly doc 6)
+    assert(got.find(_._1 == 0L).get._2 == 6L)
+    assert(got.find(_._1 == 1L).get._2 == 4L)
+    // shares normalize and the weight is the exact mixture identity
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-5)
+    got.foreach { r =>
+      assert(math.abs(r._6 - r._5 * totalTokens / r._3) < 1e-5)
+    }
+  }
+
   test("epochCapAllocation: everything caps when the budget exceeds caps") {
     val docs = Seq(
       (1L, "a", ("t " * 100).trim),
