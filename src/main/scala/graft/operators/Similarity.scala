@@ -859,7 +859,19 @@ object Similarity {
     */
   def clusterMixtureWeights(corpus: DataFrame, idCol: String, embCol: String,
                             tokensCol: Column, k: Int,
-                            alpha: Double): DataFrame = {
+                            alpha: Double): DataFrame =
+    Curation.temperatureWeights(
+      clusterAssign(corpus, idCol, embCol, k), "cell", tokensCol, alpha)
+
+  /** The cell-assignment half of [[clusterMixtureWeights]], exposed so
+    * the mixture EXECUTION (`applyMixture` keyed by cell — q159) runs
+    * over the same assignment the weights were derived from: the
+    * corpus plus a `cell` column (max-cosine over the first-k seeded
+    * centroids, ties to the lowest centroid id, in-row argmax over a
+    * k-row literal — no join, no shuffle).
+    */
+  def clusterAssign(corpus: DataFrame, idCol: String, embCol: String,
+                    k: Int): DataFrame = {
     require(k >= 1, s"need at least one cell, got $k")
     val cents = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), col(embCol)).collect()
@@ -870,8 +882,7 @@ object Similarity {
     val cell = element_at(array_sort(transform(centArr, c => struct(
       (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
       c.getField("_1").as("cent")))), 1).getField("cent")
-    Curation.temperatureWeights(
-      corpus.withColumn("cell", cell), "cell", tokensCol, alpha)
+    corpus.withColumn("cell", cell)
   }
 
   /** The near-dup pair path with BOTH auto knobs engaged — the

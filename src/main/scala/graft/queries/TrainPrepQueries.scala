@@ -2089,8 +2089,10 @@ object TrainPrepQueries {
       .orderBy("cell")
   }
 
-  private lazy val q158Sql =
-    s"""WITH $hashEmbedCte,
+  /** The shared cell-assignment + temperature-stats CTE block of the
+    * cluster-mixture pair (q158 weights, q159 execution). */
+  private lazy val clusterMixCte =
+    s"""$hashEmbedCte,
        |e AS MATERIALIZED (SELECT doc_id, embedding AS e FROM he),
        |c AS (SELECT doc_id AS cent, e AS ce FROM e
        |      WHERE doc_id IN (SELECT doc_id FROM e ORDER BY doc_id
@@ -2098,7 +2100,7 @@ object TrainPrepQueries {
        |aff AS (SELECT e.doc_id, c.cent,
        |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
        |        FROM e, c),
-       |cell AS (SELECT doc_id, cent AS cell FROM (
+       |cell AS MATERIALIZED (SELECT doc_id, cent AS cell FROM (
        |           SELECT doc_id, cent, row_number() OVER (
        |             PARTITION BY doc_id ORDER BY (0.0 - cs), cent) AS rn
        |           FROM aff) WHERE rn = 1),
@@ -2107,20 +2109,65 @@ object TrainPrepQueries {
        |s AS (SELECT cell, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
        |      FROM cell JOIN d USING (doc_id) GROUP BY 1),
        |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
-       |sc AS (SELECT s.cell, s.n_docs, s.n_tokens, tot.tt,
+       |sc AS MATERIALIZED (SELECT s.cell, s.n_docs, s.n_tokens, tot.tt,
        |              s.n_tokens / tot.tt AS share,
        |              pow(s.n_tokens / tot.tt, $MixAlpha) AS scaled
        |       FROM s, tot),
        |z AS (SELECT list_reduce(list(scaled ORDER BY cell),
-       |             (u, v) -> u + v) AS z FROM sc)
+       |             (u, v) -> u + v) AS z FROM sc)""".stripMargin
+
+  private lazy val q158Sql =
+    s"""WITH $clusterMixCte
        |SELECT cell, n_docs::BIGINT AS n_docs, n_tokens,
        |       round(share, 6) AS natural_share,
        |       round(scaled / z.z, 6) AS target_share,
        |       round((scaled / z.z) * tt / n_tokens, 6) AS weight
        |FROM sc, z ORDER BY cell""".stripMargin
 
+  /** Q159 — cluster-mixture EXECUTION: q158's per-cell temperature
+    * weights applied to the corpus through `applyMixture` over the SAME
+    * cell assignment ([[graft.operators.Similarity.clusterAssign]]) —
+    * each doc becomes `floor(w) + Bernoulli(frac(w))` copies with the
+    * draw a pure function of doc_id (q70's convention), so the
+    * cluster-resampled corpus is graded row-for-row. Together q158/q159
+    * close the no-metadata mixture end to end: raw text → semantic
+    * cells → derived weights → materialized training mix.
+    */
+  private def q159(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        graft.expressions.HashEmbedVec(
+          TextFns.tokens(col("text")), 64).as("embedding"))
+    val assigned = Similarity.clusterAssign(
+      corpus, "doc_id", "embedding", k = ClusterMixCells)
+    Curation.applyMixture(
+        assigned.select(col("doc_id"), col("cell")), "doc_id", "cell",
+        Curation.temperatureWeights(assigned, "cell",
+          TextFns.tokenCount(col("text")), MixAlpha))
+      .select(col("doc_id"), col("cell"), col("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  private lazy val q159Sql =
+    s"""WITH $clusterMixCte,
+       |w AS (SELECT sc.cell,
+       |             round((scaled / z.z) * tt / n_tokens, 6) AS w
+       |      FROM sc, z),
+       |r AS (SELECT cell.doc_id, cell.cell,
+       |        (floor(w.w)
+       |         + CASE WHEN (('0x' || substr(md5('mix:' ||
+       |                       cell.doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+       |                      + 0.5) / 1.152921504606846976e18
+       |                     < w.w - floor(w.w)
+       |                THEN 1 ELSE 0 END)::BIGINT AS reps
+       |      FROM cell JOIN w USING (cell))
+       |SELECT doc_id, cell, unnest(range(reps)) AS copy
+       |FROM r WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q158_cluster_mixture", q158, Some(q158Sql)),
+    QueryDef("q159_cluster_mixture_apply", q159, Some(q159Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),
