@@ -871,9 +871,21 @@ object Similarity {
     * k-row literal — no join, no shuffle).
     */
   def clusterAssign(corpus: DataFrame, idCol: String, embCol: String,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    clusterRoute(corpus, corpus, idCol, embCol, k)
+
+  /** STREAM-SAFE cell routing: the [[clusterAssign]] argmax with seeds
+    * collected from a separate BATCH seed corpus, applied to any frame —
+    * including a Structured Streaming micro-batch (the projection is a
+    * k-row-literal argmax: no shuffle, no state, no collect on the
+    * routed frame). Ingest-time semantic routing for the cluster
+    * mixture: route arriving documents to their cell, then apply the
+    * batch-derived q158 weights as a broadcast join downstream.
+    */
+  def clusterRoute(df: DataFrame, seedCorpus: DataFrame, idCol: String,
+                   embCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need at least one cell, got $k")
-    val cents = corpus.orderBy(col(idCol)).limit(k)
+    val cents = seedCorpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), col(embCol)).collect()
       .map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toIndexedSeq))
@@ -882,7 +894,7 @@ object Similarity {
     val cell = element_at(array_sort(transform(centArr, c => struct(
       (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
       c.getField("_1").as("cent")))), 1).getField("cent")
-    corpus.withColumn("cell", cell)
+    df.withColumn("cell", cell)
   }
 
   /** The near-dup pair path with BOTH auto knobs engaged — the

@@ -680,6 +680,25 @@ class PlanSpec extends SparkSpec {
     assert(ns.exists(_.contains("Join")), s"the df join must exist: $ns")
   }
 
+  test("q158/q159 cluster-mixture plans: in-row argmax, broadcast weights only") {
+    // the cell assignment is a k-row-literal argmax — nothing may grow
+    // with the corpus but the strata aggregate (q158) and the broadcast
+    // weights join + copy fanout (q159). The BroadcastNestedLoopJoins
+    // in these plans are temperatureWeights' single-row scalar crosses
+    // (total tokens, order-pinned normalizer) — broadcast by
+    // construction; what must never appear is an UNBROADCAST nested
+    // loop / cartesian or a shuffled corpus-side join
+    for (name <- Seq("q158_cluster_mixture", "q159_cluster_mixture_apply")) {
+      val ns = names(finalNodes(SparkEntry.queries(name)(spark, sf)))
+      assert(!ns.exists(n =>
+          (n.contains("NestedLoop") && !n.contains("Broadcast")) ||
+            n.contains("Cartesian")),
+        s"$name must not build corpus-growing joins: $ns")
+      assert(!ns.exists(_.contains("SortMergeJoin")),
+        s"$name: any join must be broadcast, got $ns")
+    }
+  }
+
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
     // the q64 discipline, doubled: corpus tf feeds the term window AND
     // the grand total; the reference term counts feed the model join AND

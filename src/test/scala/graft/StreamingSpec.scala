@@ -465,6 +465,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clusterAssign is stream-safe: in-row argmax over micro-batches") {
+    // the cluster-mixture's assignment stage is a literal-centroid
+    // argmax — no shuffle, no state — so incoming documents can be
+    // routed to their semantic cell at ingest time (the weights from
+    // the batch q158 then apply as a broadcast join downstream)
+    implicit val ctx = spark.sqlContext
+    val batchCorpus = graft.sources.Tables.documents(spark, sf)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text",
+        graft.expressions.HashEmbedVec(
+          graft.functions.TextFns.tokens($"text"), 64).as("embedding"))
+    val expected = graft.operators.Similarity
+      .clusterAssign(batchCorpus, "doc_id", "embedding", k = 8)
+      .select($"doc_id", $"cell").as[(Long, Long)].collect().toMap
+    // the same centroids drive the stream: capture the assignment
+    // EXPRESSION by applying clusterAssign to the streaming frame —
+    // the seeds are collected from the batch corpus, the argmax is a
+    // pure projection, so the plan is fully stream-compatible
+    val docs = batchCorpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).take(100)
+    val in = MemoryStream[(Long, String)]
+    val streamed = in.toDF().toDF("doc_id", "text")
+      .select($"doc_id", graft.expressions.HashEmbedVec(
+        graft.functions.TextFns.tokens($"text"), 64).as("embedding"))
+    val qs = graft.operators.Similarity
+      .clusterRoute(streamed, batchCorpus, "doc_id", "embedding", k = 8)
+      .select($"doc_id", $"cell")
+      .writeStream.format("memory").queryName("cellroute_st")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(50)); qs.processAllAvailable()
+      in.addData(docs.drop(50)); qs.processAllAvailable()
+      val got = spark.table("cellroute_st").as[(Long, Long)].collect().toMap
+      assert(got.size == 100)
+      got.foreach { case (id, cell) => assert(cell == expected(id),
+        s"doc $id routed to $cell, batch says ${expected(id)}") }
+    } finally qs.stop()
+  }
+
   test("scrub is stream-safe: stateless narrow pass over micro-batches") {
     // the curation scrub is a pure projection, so it composes onto a
     // stream with no state, watermark, or output-mode constraints —
