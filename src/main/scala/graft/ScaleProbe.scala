@@ -290,8 +290,11 @@ object ScaleProbe {
         dt
       }.min
     val jobDir1 = jobCorpusDir(1)
-    graft.pipelines.CurationJob.run(spark, jobDir1.toString, // untimed warmup
-      java.nio.file.Files.createTempDirectory("graft_scale_job_warm").toString)
+    val jobWarmOut = // untimed warmup; its output tree is deleted like
+      java.nio.file.Files.createTempDirectory("graft_scale_job_warm")
+    graft.pipelines.CurationJob.run(spark, jobDir1.toString, // the timed ones'
+      jobWarmOut.toString)
+    rmTree(jobWarmOut)
     val tJob1 = timeJob(jobDir1)
     val jobDirK = jobCorpusDir(k)
     val tJobK = timeJob(jobDirK)

@@ -303,20 +303,31 @@ object Dedup {
     // requires template content to dominate the pair's entire signature,
     // i.e. the pair IS the boilerplate. Off (0) by default: exact paths
     // keep the spill-safe salted enumeration below.
-    val index =
-      if (dropOver <= 0) rawIndex
-      else {
-        val dropKeys = rawIndex.groupBy(keys: _*)
-          .agg(count(lit(1)).as("__graft_bn"))
-          .filter(col("__graft_bn") > dropOver)
-          .select(keys: _*)
-        rawIndex.join(broadcast(dropKeys), keyCols, "left_anti")
-      }
-    val hotKeys = index.groupBy(keys: _*)
+    // ONE bucket census serves both decisions (dropping removes whole
+    // buckets, so a bucket's post-drop count equals its raw count): the
+    // two consumers share the census aggregate's exchange subtree
+    // (ReusedExchange), instead of the drop path paying a second full
+    // groupBy immediately before the cap path's identical aggregate.
+    val census = rawIndex.groupBy(keys: _*)
       .agg(count(lit(1)).as("__graft_bn"))
-      .filter(col("__graft_bn") > cap)
+    val dropLim = if (dropOver > 0) dropOver.toLong else Long.MaxValue
+    // keys excluded from the small path: dropped (bn > dropLim) OR hot
+    // (bn > cap). Size bound: ≤ |index| / min(cap, dropLim) rows — safe
+    // to broadcast when that floor is `cap` (the always-on path), but a
+    // small `dropOver` on a large index makes the set O(n/dropOver), so
+    // the drop regime leaves the join strategy to AQE (runtime-sized
+    // broadcast or shuffled anti-join) instead of hinting an unbounded
+    // broadcast.
+    val smallExclude = census
+      .filter(col("__graft_bn") > math.min(cap.toLong, dropLim))
       .select(keys: _*)
-    val smallPairs = index.join(broadcast(hotKeys), keyCols, "left_anti")
+    val smallExcludeHinted =
+      if (dropOver > 0 && dropOver < cap) smallExclude
+      else broadcast(smallExclude)
+    val hotKeys = census
+      .filter(col("__graft_bn") > cap && col("__graft_bn") <= dropLim)
+      .select(keys: _*)
+    val smallPairs = rawIndex.join(smallExcludeHinted, keyCols, "left_anti")
       .groupBy(keys: _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -327,7 +338,8 @@ object Dedup {
               element_at(col("ids"), i + 1).as("id_a"),
               element_at(col("ids"), j + 1).as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-    val hot = index.join(broadcast(hotKeys), keyCols, "left_semi")
+    // hot keys are ≤ |index| / cap rows by construction — broadcast-safe
+    val hot = rawIndex.join(broadcast(hotKeys), keyCols, "left_semi")
       .select((keys :+ col("id")): _*)
     smallPairs.unionByName(saltedHotPairs(hot, keyCols, hotSplit)).distinct()
   }

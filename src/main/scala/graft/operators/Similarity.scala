@@ -170,10 +170,7 @@ object Similarity {
     // [[kMeansCentroids]]-trained model to tighten the cells (the
     // assignment plumbing is identical either way)
     val cents = centroids.map(_.toArray).getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).cast("long"), col(embCol)).collect()
-        .map(r => (r.getLong(0),
-          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+      seedCentroids(corpus, idCol, embCol, nCentroids))
     val centArr = typedlit(cents.toIndexedSeq) // array<struct<_1:long,_2:array<float>>>
     // per-row centroid ranking: sort struct(-cos, cent_id) ascending ==
     // cos descending with centroid-id tie-break (same order the windowed
@@ -214,10 +211,7 @@ object Similarity {
       : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val cents = centroids.map(_.toArray).getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).cast("long"), col(embCol)).collect()
-        .map(r => (r.getLong(0),
-          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+      seedCentroids(corpus, idCol, embCol, nCentroids))
     val centArr = typedlit(cents.toIndexedSeq)
     def rankedCells: Column = array_sort(transform(centArr, c =>
       struct(
@@ -591,6 +585,21 @@ object Similarity {
       .drop("__graft_rk")
   }
 
+  /** The deterministic lowest-id seed fetch every untrained quantizer
+    * default shares (IVF, SemDeDup, prototypicality, k-means init): a
+    * bounded k-row collect, widened to double BEFORE collecting so
+    * float-typed (embeddings table) and double-typed (hash-embed)
+    * columns both seed — then narrowed to the stored-quantizer float
+    * type (float values round-trip the widening exactly).
+    */
+  private def seedCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                            k: Int): Array[(Long, IndexedSeq[Float])] =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), VectorFns.toDouble(col(embCol)))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).map(_.toFloat).toIndexedSeq))
+
   /** Train the IVF coarse quantizer in-engine: lowest-id seeds (the same
     * deterministic init [[ivfTopK]] defaults to), then `iters` k-means
     * steps. Each step collects k×dim doubles — a model fetch, like the
@@ -602,11 +611,7 @@ object Similarity {
     */
   def kMeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
                       k: Int, iters: Int): IndexedSeq[(Long, IndexedSeq[Float])] = {
-    var cents = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long"), col(embCol)).collect()
-      .map(r => (r.getLong(0),
-        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
-      .toIndexedSeq
+    var cents = seedCentroids(corpus, idCol, embCol, k).toIndexedSeq
     for (_ <- 1 to iters) {
       val updated = kMeansStep(corpus, idCol, embCol, cents)
         .select(col("cell"), col("centroid")).collect()
@@ -858,10 +863,12 @@ object Similarity {
     * the corpus but the one keyed count.
     */
   def clusterMixtureWeights(corpus: DataFrame, idCol: String, embCol: String,
-                            tokensCol: Column, k: Int,
-                            alpha: Double): DataFrame =
+                            tokensCol: Column, k: Int, alpha: Double,
+                            centroids: Option[Seq[(Long, IndexedSeq[Double])]] =
+                              None): DataFrame =
     Curation.temperatureWeights(
-      clusterAssign(corpus, idCol, embCol, k), "cell", tokensCol, alpha)
+      clusterAssign(corpus, idCol, embCol, k, centroids), "cell", tokensCol,
+      alpha)
 
   /** The cell-assignment half of [[clusterMixtureWeights]], exposed so
     * the mixture EXECUTION (`applyMixture` keyed by cell — q159) runs
@@ -870,9 +877,10 @@ object Similarity {
     * centroids, ties to the lowest centroid id, in-row argmax over a
     * k-row literal — no join, no shuffle).
     */
-  def clusterAssign(corpus: DataFrame, idCol: String, embCol: String,
-                    k: Int): DataFrame =
-    clusterRoute(corpus, corpus, idCol, embCol, k)
+  def clusterAssign(corpus: DataFrame, idCol: String, embCol: String, k: Int,
+                    centroids: Option[Seq[(Long, IndexedSeq[Double])]] = None)
+      : DataFrame =
+    clusterRoute(corpus, corpus, idCol, embCol, k, centroids)
 
   /** STREAM-SAFE cell routing: the [[clusterAssign]] argmax with seeds
     * collected from a separate BATCH seed corpus, applied to any frame —
@@ -883,13 +891,22 @@ object Similarity {
     * batch-derived q158 weights as a broadcast join downstream.
     */
   def clusterRoute(df: DataFrame, seedCorpus: DataFrame, idCol: String,
-                   embCol: String, k: Int): DataFrame = {
+                   embCol: String, k: Int,
+                   centroids: Option[Seq[(Long, IndexedSeq[Double])]] = None)
+      : DataFrame = {
     require(k >= 1, s"need at least one cell, got $k")
-    val cents = seedCorpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long"), col(embCol)).collect()
-      .map(r => (r.getLong(0),
-        r.getAs[scala.collection.Seq[Double]](1).toIndexedSeq))
-      .toIndexedSeq
+    // seeds are widened to double BEFORE the bounded collect, so the
+    // routing accepts both float-typed (embeddings table) and
+    // double-typed (hash-embed) columns like its siblings; a trained
+    // model ([[kMeansCentroids]], widened driver-side) may replace the
+    // first-k seeds — the same Option convention as [[semDedup]]
+    val cents = centroids.map(_.toIndexedSeq).getOrElse(
+      seedCorpus.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long"), VectorFns.toDouble(col(embCol)))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]](1).toIndexedSeq))
+        .toIndexedSeq)
     val centArr = typedlit(cents)
     val cell = element_at(array_sort(transform(centArr, c => struct(
       (lit(0.0) - VectorFns.cosine(col(embCol), c.getField("_2"))).as("neg_cos"),
@@ -915,8 +932,21 @@ object Similarity {
     val n = math.max(df.count(), 1L)
     val volumeW = biasAwareRowsPerBand(n, planeAgreeProbs(df, embCol, n))
     val w = math.min(volumeW, recallCapRowsPerBand(threshold, recallTarget))
-    if (w <= 8) lshNearDupPairs(df, idCol, embCol, threshold, rowsPerBand = 8)
-    else lshNearDupPairsMultiProbe(df, idCol, embCol, threshold, rowsPerBand = w)
+    // the floor branch validates against the curve of the plan it
+    // actually runs: the recall cap models 1-flip probing, but narrow
+    // corpora take the PLAIN banded plan — when the no-probe curve at
+    // 8 bits already meets the target (dense banding: 16 bands), probing
+    // would only add candidate volume; when it misses (low thresholds /
+    // strict targets — the f(0.3, 0.99) regime), probe AT the floor so
+    // the caller's recallTarget is honored as far as the width range
+    // allows instead of silently shipping the weaker plain curve
+    if (w <= 8) {
+      if (bandingRecall(threshold, 8, flips = 0) >= recallTarget)
+        lshNearDupPairs(df, idCol, embCol, threshold, rowsPerBand = 8)
+      else
+        lshNearDupPairsMultiProbe(df, idCol, embCol, threshold, rowsPerBand = 8)
+    } else
+      lshNearDupPairsMultiProbe(df, idCol, embCol, threshold, rowsPerBand = w)
   }
 
   /** The RECALL constraint on band width, closed-form: the widest width
@@ -938,12 +968,23 @@ object Similarity {
       s"threshold must be in (0, 1], got $threshold")
     require(target > 0.0 && target < 1.0,
       s"recall target must be in (0, 1), got $target")
+    (8 to 20).reverse.find(bandingRecall(threshold, _, flips = 1) >= target)
+      .getOrElse(8)
+  }
+
+  /** Predicted banding-curve recall for a pair AT the threshold cosine:
+    * per-band collision `p^w` plain, `p^w + w·p^(w-1)(1-p)` under 1-flip
+    * probing, `p = 1 − arccos(θ)/π`, over `⌊128/w⌋` bands. Pairs above
+    * the threshold only do better (p grows with cosine), so this bounds
+    * the worst admissible pair — the shared model behind
+    * [[recallCapRowsPerBand]] and [[nearDupPairsAuto]]'s floor branch.
+    */
+  private[graft] def bandingRecall(threshold: Double, w: Int,
+                                   flips: Int): Double = {
     val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
-    (8 to 20).reverse.find { w =>
-      val bands = Bits / w
-      val perBand = math.pow(p, w) + w * math.pow(p, w - 1) * (1.0 - p)
-      1.0 - math.pow(1.0 - perBand, bands) >= target
-    }.getOrElse(8)
+    val perBand = math.pow(p, w) +
+      (if (flips >= 1) w * math.pow(p, w - 1) * (1.0 - p) else 0.0)
+    1.0 - math.pow(1.0 - perBand, Bits / w)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -979,10 +1020,7 @@ object Similarity {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val cents = centroids.map(_.toArray).getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).cast("long"), col(embCol)).collect()
-        .map(r => (r.getLong(0),
-          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+      seedCentroids(corpus, idCol, embCol, nCells))
     val centArr = typedlit(cents.toIndexedSeq)
     val ranked = array_sort(transform(centArr, c =>
       struct(
@@ -1079,10 +1117,7 @@ object Similarity {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
     val cents = centroids.map(_.toArray).getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).cast("long"), col(embCol)).collect()
-        .map(r => (r.getLong(0),
-          r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq)))
+      seedCentroids(corpus, idCol, embCol, nCells))
     val centArr = typedlit(cents.toIndexedSeq)
     val ranked = array_sort(transform(centArr, c =>
       struct(

@@ -796,6 +796,38 @@ class PipelineOpSpec extends SparkSpec {
       f"auto recall $recall%.3f below 0.95 — probing failed to repair the widening")
   }
 
+  test("nearDupPairsAuto floor branch: probes at 8 when the plain curve misses") {
+    // unpolarized random corpus -> volume width = the 8-bit floor; the
+    // branch taken then depends on the NO-probe curve at 8 bits (the
+    // plan that actually runs), not the probed curve the cap models
+    val rnd = new scala.util.Random(11)
+    val df = (0L to 199L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // theta 0.9, target 0.9: plain 16x8 banding predicts ~0.996 -> the
+    // plain plan is kept (bit-identical to the pinned 8-bit path)
+    assert(Similarity.bandingRecall(0.9, 8, flips = 0) >= 0.9)
+    assert(pairSet(Similarity.nearDupPairsAuto(df, "vec_id", "embedding",
+      threshold = 0.9, recallTarget = 0.9)) ==
+      pairSet(Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.9,
+        rowsPerBand = 8)))
+    // theta 0.4, target 0.99: even probed 8-bit banding cannot hold the
+    // target (the f(0.3, 0.99)-style fallback regime) and the plain
+    // curve sits far lower still -> the floor now PROBES instead of
+    // silently shipping the weaker plain plan (ADVICE round-13)
+    assert(Similarity.bandingRecall(0.4, 8, flips = 0) < 0.99)
+    assert(Similarity.recallCapRowsPerBand(0.4, 0.99) == 8)
+    val autoLow = pairSet(Similarity.nearDupPairsAuto(df, "vec_id",
+      "embedding", threshold = 0.4, recallTarget = 0.99))
+    assert(autoLow == pairSet(Similarity.lshNearDupPairsMultiProbe(df,
+      "vec_id", "embedding", threshold = 0.4, rowsPerBand = 8)))
+    // the probed floor dominates the plain floor it replaced
+    assert(pairSet(Similarity.lshNearDupPairs(df, "vec_id", "embedding",
+      0.4, rowsPerBand = 8)).subsetOf(autoLow))
+  }
+
   test("biasAwareRowsPerBand: occupancy curve unbiased; widens under bias") {
     // unbiased planes (agree prob exactly 1/2): reduces to the occupancy
     // curve at every design point — the calibrated landmarks hold

@@ -1085,6 +1085,25 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("clusterRoute: float-typed embedding columns route like doubles") {
+    // the routing family's seed collect widens to double first, so the
+    // embeddings table's native array<float> is accepted exactly like
+    // the hash-embed array<double> its siblings take (ADVICE round-13)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val viaFloat = Similarity.clusterAssign(emb, "vec_id", "embedding", k = 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val dbl = emb.select(col("vec_id"),
+      graft.functions.VectorFns.toDouble(col("embedding")).as("embedding"))
+    val viaDouble = Similarity.clusterAssign(dbl, "vec_id", "embedding", k = 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // identical assignment: VecDot widens elementwise either way, and
+    // the collected seeds are the same doubles
+    assert(viaFloat == viaDouble && viaFloat.nonEmpty)
+    assert(viaFloat.values.toSet.subsetOf(
+      viaFloat.keySet.toSeq.sorted.take(4).toSet))
+  }
+
   test("epochCapAllocation: everything caps when the budget exceeds caps") {
     val docs = Seq(
       (1L, "a", ("t " * 100).trim),
