@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
-  * prints the one-line JSON contract the driver parses.
+  * prints the JSON contract the driver parses — once in full precision
+  * (also written to `bench_queries.json`), then once compacted as the
+  * FINAL line so the driver's 2000-char stdout tail captures a complete
+  * parseable map.
   *
   * Timing honesty: results are materialized through the `noop` sink, not
   * `count()` — counting lets Catalyst eliminate ORDER BY and prune every
@@ -126,14 +129,36 @@ object Bench {
     println(line)
     // The same JSON also lands in a FILE (default `bench_queries.json` in
     // the working dir, overridable via SPARK_GRAFT_BENCH_OUT): the
-    // driver's BENCH_r{N}.json artifact is a raw stdout tail whose
-    // per-query map survives only by luck of tail length — the file is
-    // the machine-readable record that makes round-over-round diffing a
-    // one-liner instead of a stdout scrape.
+    // machine-readable full-precision record that makes round-over-round
+    // diffing a one-liner instead of a stdout scrape.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
     java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver's BENCH_r{N}.json artifact keeps only the LAST ~2000
+    // chars of stdout; the full per-query line above (~6 KB at 160
+    // queries) gets head-truncated there, leaving the artifact's
+    // `parsed` field null (VERDICT r13 #8). So the FINAL stdout line is
+    // a compact restatement of the same map — qNN short keys, values
+    // rounded to 2 decimals, full-precision total — sized to survive
+    // the tail together with sbt's closing [success] line, so the
+    // driver artifact parses without the bench_queries.json companion.
+    def shortVal(v: Double, decimals: Int): String =
+      BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+    val shortNames = jobbed.map { case (k, _) =>
+      k -> (if (k.startsWith("q")) k.takeWhile(_ != '_') else k) }.toMap
+    val useShort = shortNames.values.toSet.size == shortNames.size
+    def compactAt(decimals: Int): String = {
+      val cqs = jobbed.map { case (k, v) =>
+        "\"" + (if (useShort) shortNames(k) else k) + "\":" +
+          shortVal(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$cqs,"broken":$brokenJson,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
+    }
+    val compact = Seq(compactAt(2), compactAt(1))
+      .find(_.length <= 1850).getOrElse(compactAt(0))
+    println(compact)
     spark.stop()
   }
 }
