@@ -1023,8 +1023,8 @@ object PipelineQueries {
     * 1-bit-flip probe set — then verifies the exact cosine.
     */
   private def q156(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairsMultiProbe(
-        Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.lshNearDupPairsMultiProbeFromSig(
+        SharedFrames.embSignatures(spark, dir),
         threshold = LshPairThreshold, rowsPerBand = MpPairRows)
       .orderBy("id_a", "id_b")
 

@@ -64,10 +64,41 @@ object SharedFrames {
         "doc_id", "text", n = 3, threshold = 0.6)
     }
 
+  /** The plane-SIGNATURE frame of `dir`'s embeddings table —
+    * `(id, e_d, sig, n)`, see
+    * [[graft.operators.Similarity.signatureFrame]] — materialized once
+    * per Spark application. The 128-plane projection is the dominant
+    * narrow cost of every banded consumer, and q37 (8-bit bands, via
+    * [[lshPairs]]) and q156 (12-bit multi-probe) each paid it
+    * independently; sharing it is the single-process stand-in for a
+    * cluster pipeline writing the signature table once per dedup run.
+    */
+  def embSignatures(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, "embSignatures", dir) {
+      Similarity.signatureFrame(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+    }
+
+  /** The plane-signature frame of `dir`'s documents table under the
+    * no-model HASH embedding (q146's bridge) — the [[embSignatures]]
+    * twin for the semantic TEXT pair family: q154 (pinned 12-bit bands)
+    * and q160 (the nearDupPairsAuto composite, which resolves the same
+    * width on this corpus — its drift guard pins that) band one shared
+    * tokenize + hash-embed + signature materialization.
+    */
+  def hashEmbSignatures(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, "hashEmbSignatures", dir) {
+      Similarity.signatureFrame(
+        Similarity.hashEmbedRowwise(
+          Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id", "embedding")
+    }
+
   /** The q37 LSH-banded embedding near-dup pair frame (signature bands →
     * candidate pairs → exact cosine ≥ the registry threshold) for `dir`'s
     * embeddings table, materialized once per Spark application. Consumed
-    * by q37 (graded output) and q69 (semantic keep-list composition).
+    * by q37 (graded output) and q69 (semantic keep-list composition);
+    * builds from the shared [[embSignatures]] frame.
     */
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, "lshPairs", dir) {
@@ -75,8 +106,7 @@ object SharedFrames {
       // q37/q69 oracles restate this band plan bit-for-bit, so the
       // graded output must not move with testdata cardinality the way
       // the auto-sized default (rowsPerBand = 0) deliberately does
-      Similarity.lshNearDupPairs(
-        Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Similarity.lshNearDupPairsFromSig(embSignatures(spark, dir),
         threshold = PipelineQueries.LshPairThreshold, rowsPerBand = 8)
     }
 }

@@ -2006,11 +2006,9 @@ object TrainPrepQueries {
     * silently re-entering the saturated regime.
     */
   private def q154(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(
-        Similarity.hashEmbedRowwise(Tables.documents(spark, dir),
-          "doc_id", "text"),
-        "doc_id", "embedding", threshold = SemTextThreshold,
-        rowsPerBand = 12)
+    Similarity.lshNearDupPairsFromSig(
+        graft.queries.SharedFrames.hashEmbSignatures(spark, dir),
+        threshold = SemTextThreshold, rowsPerBand = 12)
       .orderBy("id_a", "id_b")
 
   private lazy val q154Sql =

@@ -642,6 +642,10 @@ class PlanSpec extends SparkSpec {
         s"got $nodes")
     assert(nodes.exists(_.contains("Join")),
       s"the banded candidate join must exist; got $nodes")
+    // the tokenize + hash-embed + 128-plane signature pass is the shared
+    // checkpointed frame (hashEmbSignatures) — read back, not re-derived
+    assert(nodes.exists(_.contains("Scan ExistingRDD")),
+      s"q154 must read the shared signature frame; got $nodes")
   }
 
   test("q155 jpeg plan: narrow codegen'd parse — no join, sort-only exchange") {
@@ -668,6 +672,10 @@ class PlanSpec extends SparkSpec {
       s"multi-probe candidates must come from the key equi-join: $nodes")
     assert(nodes.exists(_.contains("Join")),
       s"the probe-key join must exist; got $nodes")
+    // the 128-plane signature pass is the shared checkpointed frame
+    // (embSignatures, also feeding q37/q69) — read back, not re-derived
+    assert(nodes.exists(_.contains("Scan ExistingRDD")),
+      s"q156 must read the shared signature frame; got $nodes")
   }
 
   test("q157 rarity-prefix plan: df join is an equi-join, no nested loop") {

@@ -59,4 +59,33 @@ class SharedFramesSpec extends SparkSpec {
     val b = SharedFrames.ngramPairs(spark, sf)
     assert(a eq b)
   }
+
+  test("embSignatures: memoized; q156-from-shared equals the direct build") {
+    val a = SharedFrames.embSignatures(spark, sf)
+    assert(a eq SharedFrames.embSignatures(spark, sf))
+    // the multi-probe consumer built from the shared frame is
+    // row-identical to banding the corpus directly at the same width
+    val shared = Similarity.lshNearDupPairsMultiProbeFromSig(a,
+        threshold = 0.4, rowsPerBand = 12)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val direct = Similarity.lshNearDupPairsMultiProbe(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        threshold = 0.4, rowsPerBand = 12)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(shared == direct)
+  }
+
+  test("hashEmbSignatures: memoized; q154-from-shared equals direct build") {
+    val a = SharedFrames.hashEmbSignatures(spark, sf)
+    assert(a eq SharedFrames.hashEmbSignatures(spark, sf))
+    val shared = Similarity.lshNearDupPairsFromSig(a,
+        threshold = 0.8, rowsPerBand = 12)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val direct = Similarity.lshNearDupPairs(
+        Similarity.hashEmbedRowwise(
+          Tables.documents(spark, sf), "doc_id", "text"),
+        "doc_id", "embedding", threshold = 0.8, rowsPerBand = 12)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(shared == direct)
+  }
 }
