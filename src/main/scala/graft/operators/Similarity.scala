@@ -983,6 +983,49 @@ object Similarity {
       lshNearDupPairsMultiProbe(df, idCol, embCol, threshold, rowsPerBand = w)
   }
 
+  /** [[nearDupPairsAuto]] from a pre-built [[signatureFrame]]: both auto
+    * knobs resolve FROM the frame — the count is a cheap pass over the
+    * checkpointed RDD, and the plane biases average the already-computed
+    * `sig` column ([[planeAgreeProbsFromSig]]) instead of re-running the
+    * projection on a sample — so the graded composite (q160) shares one
+    * signature materialization with its pinned sibling (q154).
+    */
+  def nearDupPairsAutoFromSig(sigF: DataFrame, threshold: Double,
+                              recallTarget: Double = 0.9): DataFrame = {
+    val n = math.max(sigF.count(), 1L)
+    val volumeW = biasAwareRowsPerBand(n, planeAgreeProbsFromSig(sigF, n))
+    val w = math.min(volumeW, recallCapRowsPerBand(threshold, recallTarget))
+    if (w <= 8) {
+      if (bandingRecall(threshold, 8, flips = 0) >= recallTarget)
+        lshNearDupPairsFromSig(sigF, threshold, rowsPerBand = 8)
+      else
+        lshNearDupPairsMultiProbeFromSig(sigF, threshold, rowsPerBand = 8)
+    } else
+      lshNearDupPairsMultiProbeFromSig(sigF, threshold, rowsPerBand = w)
+  }
+
+  /** [[planeAgreeProbs]] over a pre-built [[signatureFrame]]: the same
+    * content-hash sampling rule (keyed on the widened embedding — the
+    * sample set may differ from the raw-column variant's, which is why
+    * width pins carry their own drift guards) but the 128-plane
+    * projection is READ from the frame's `sig` column, not recomputed.
+    */
+  private[graft] def planeAgreeProbsFromSig(sigF: DataFrame,
+                                            n: Long): IndexedSeq[Double] = {
+    val every =
+      if (n > 2 * AgreeProbSampleTarget) n / AgreeProbSampleTarget else 1L
+    val src =
+      if (every <= 1L) sigF
+      else sigF.filter(pmod(xxhash64(col("e_d")), lit(every)) === 0)
+    val aggs = (0 until Bits).map(i =>
+      avg(element_at(col("sig"), i + 1)).as(s"b$i"))
+    val row = src.agg(aggs.head, aggs.tail: _*).collect().head
+    (0 until Bits).map { i =>
+      val p = if (row.isNullAt(i)) 0.5 else row.getDouble(i)
+      p * p + (1.0 - p) * (1.0 - p)
+    }
+  }
+
   /** The RECALL constraint on band width, closed-form: the widest width
     * in [8, 20] whose predicted banding-curve recall AT THE THRESHOLD
     * cosine — per-band collision `p^w + w·p^(w-1)(1-p)` under 1-plane

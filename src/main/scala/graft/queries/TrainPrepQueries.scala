@@ -2033,6 +2033,62 @@ object TrainPrepQueries {
        |WHERE cs >= $SemTextThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q160's RESOLVED configuration on this corpus: the volume knob
+    * (bias-aware width, drift-guarded ≥ 12 — the q154 pin's guard) is
+    * capped by the recall constraint (widest 1-flip width holding 0.9
+    * banding recall at θ = 0.8 is 12), so the composite lands on 12-bit
+    * bands with multi-probe engaged at every graded/benched SF (at
+    * sf0.1 the occupancy floor alone is 13, capped back to 12).
+    * PipelineOpSpec's "q160 drift guard" asserts this resolution — a
+    * testdata or hash-embedding change that moves it fails loudly
+    * instead of silently diverging from the oracle's restatement.
+    */
+  private[queries] val AutoPairRows = 12
+  private[queries] val AutoPairBands = 10
+
+  /** Q160 — the DEPLOYMENT-DEFAULT composite
+    * [[graft.operators.Similarity.nearDupPairsAutoFromSig]] graded
+    * end-to-end (VERDICT r13 #2): corpus count + measured plane biases
+    * size the band width, the recall cap bounds it, and the resolved
+    * width (> 8) engages 1-flip multi-probe — the oracle restates the
+    * resolved 10×12 banding with the ≤ 1-differing-plane candidate rule
+    * (q156's declarative probe-set form) over the hash-embed CTE, then
+    * verifies the exact cosine. Shares [[SharedFrames.hashEmbSignatures]]
+    * with q154.
+    */
+  private def q160(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsAutoFromSig(
+        graft.queries.SharedFrames.hashEmbSignatures(spark, dir),
+        threshold = SemTextThreshold, recallTarget = 0.9)
+      .orderBy("id_a", "id_b")
+
+  private lazy val q160Sql =
+    s"""WITH $hashEmbedCte,
+       |e AS (SELECT doc_id AS vec_id, embedding AS e FROM he),
+       |${PipelineQueries.lshSigSql(rows = AutoPairRows, bands = AutoPairBands)},
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |         WHERE list_min(list_transform(range(0, $AutoPairBands), bb ->
+       |             list_reduce(list_transform(
+       |                 list_zip(a.sg[bb*$AutoPairRows+1 : bb*$AutoPairRows+$AutoPairRows],
+       |                          b.sg[bb*$AutoPairRows+1 : bb*$AutoPairRows+$AutoPairRows]),
+       |                 s -> CASE WHEN struct_extract(s,1) != struct_extract(s,2)
+       |                      THEN 1 ELSE 0 END), (x,y) -> x + y))) <= 1),
+       |n AS (SELECT vec_id, e,
+       |        sqrt(list_reduce(list_transform(e, x -> x*x),
+       |             (x,y) -> x + y)) AS nm
+       |      FROM e),
+       |p AS (SELECT id_a, id_b,
+       |        list_reduce(list_transform(list_zip(a.e, b.e),
+       |            s -> struct_extract(s,1) * struct_extract(s,2)),
+       |            (x,y) -> x + y)
+       |          / (a.nm * b.nm) AS cs
+       |      FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |                JOIN n b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p
+       |WHERE cs >= $SemTextThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Q147 — exact cosine retrieval OVER the hashed embeddings: q78's
     * batched brute-force top-k with q146's vectors as both corpus and
     * query sides — the end-to-end demonstration that the text corpus
@@ -2217,5 +2273,6 @@ object TrainPrepQueries {
     QueryDef("q150_cdc_excision", q150, Some(q150Sql)),
     QueryDef("q151_hash_embed_rowwise", q151, Some(q146Sql)),
     QueryDef("q153_doremi_mixture", q153, Some(q153Sql)),
-    QueryDef("q154_semantic_text_pairs", q154, Some(q154Sql)))
+    QueryDef("q154_semantic_text_pairs", q154, Some(q154Sql)),
+    QueryDef("q160_neardup_auto", q160, Some(q160Sql)))
 }

@@ -862,6 +862,29 @@ class PipelineOpSpec extends SparkSpec {
     assert(w >= 12, s"auto resolved $w bits; q154's pinned 12 is now stale")
   }
 
+  test("q160 drift guard: the composite resolves 12-bit multi-probe") {
+    // q160's oracle restates 10x12 banding + 1-flip probes; this guard
+    // asserts the FromSig resolution (count + sig-column biases + the
+    // theta=0.8/0.9 recall cap) lands exactly there on this corpus, and
+    // that the composite's output IS the 12-bit multi-probe output —
+    // the strongest "multi-probe engaged" evidence a plan can't fake
+    val sigF = graft.queries.SharedFrames.hashEmbSignatures(spark, sf)
+    val n = math.max(sigF.count(), 1L)
+    val volumeW = Similarity.biasAwareRowsPerBand(n,
+      Similarity.planeAgreeProbsFromSig(sigF, n))
+    assert(volumeW >= 12,
+      s"FromSig volume knob resolved $volumeW; q160's oracle 12 is stale")
+    assert(Similarity.recallCapRowsPerBand(0.8, 0.9) == 12)
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = pairSet(Similarity.nearDupPairsAutoFromSig(sigF,
+      threshold = 0.8, recallTarget = 0.9))
+    val pinned = pairSet(Similarity.lshNearDupPairsMultiProbeFromSig(sigF,
+      threshold = 0.8, rowsPerBand = 12))
+    assert(auto == pinned,
+      "composite output diverged from the pinned 12-bit multi-probe plan")
+  }
+
   // -------------------------------------------------------- sessionization
 
   test("Sessionize.assign splits on gap > threshold with tie-break") {

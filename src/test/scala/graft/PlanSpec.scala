@@ -678,6 +678,21 @@ class PlanSpec extends SparkSpec {
       s"q156 must read the shared signature frame; got $nodes")
   }
 
+  test("q160 auto-composite plan: probe-key equi-join, shared sig frame") {
+    // the deployment default resolves 12-bit multi-probe on this corpus
+    // (drift guard pins the resolution); its plan must look like q156's:
+    // candidates from the probe-key equi-join, never all-pairs, reading
+    // the shared signature frame back instead of re-deriving it
+    val nodes = names(
+      finalNodes(SparkEntry.queries("q160_neardup_auto")(spark, sf)))
+    assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"auto-composite candidates must come from the key equi-join: $nodes")
+    assert(nodes.exists(_.contains("Join")),
+      s"the probe-key join must exist; got $nodes")
+    assert(nodes.exists(_.contains("Scan ExistingRDD")),
+      s"q160 must read the shared signature frame; got $nodes")
+  }
+
   test("q157 rarity-prefix plan: df join is an equi-join, no nested loop") {
     // the rarity order pays a df aggregate + shingle-keyed equi-join —
     // never a broadcast of the corpus-sized df table, never all-pairs
