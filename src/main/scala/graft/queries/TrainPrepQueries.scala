@@ -2143,6 +2143,22 @@ object TrainPrepQueries {
       .orderBy("cell")
   }
 
+  /** The temperature-stats CTE tail shared by every cluster-mixture
+    * oracle (q158/q159/q161) — expects a `cell(doc_id, cell)` CTE from
+    * whichever assignment precedes it. */
+  private lazy val clusterMixStatsTail =
+    s"""d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS nt
+       |      FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT cell, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
+       |      FROM cell JOIN d USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
+       |sc AS MATERIALIZED (SELECT s.cell, s.n_docs, s.n_tokens, tot.tt,
+       |              s.n_tokens / tot.tt AS share,
+       |              pow(s.n_tokens / tot.tt, $MixAlpha) AS scaled
+       |       FROM s, tot),
+       |z AS (SELECT list_reduce(list(scaled ORDER BY cell),
+       |             (u, v) -> u + v) AS z FROM sc)""".stripMargin
+
   /** The shared cell-assignment + temperature-stats CTE block of the
     * cluster-mixture pair (q158 weights, q159 execution). */
   private lazy val clusterMixCte =
@@ -2158,17 +2174,7 @@ object TrainPrepQueries {
        |           SELECT doc_id, cent, row_number() OVER (
        |             PARTITION BY doc_id ORDER BY (0.0 - cs), cent) AS rn
        |           FROM aff) WHERE rn = 1),
-       |d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS nt
-       |      FROM documents WHERE text IS NOT NULL),
-       |s AS (SELECT cell, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
-       |      FROM cell JOIN d USING (doc_id) GROUP BY 1),
-       |tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM s),
-       |sc AS MATERIALIZED (SELECT s.cell, s.n_docs, s.n_tokens, tot.tt,
-       |              s.n_tokens / tot.tt AS share,
-       |              pow(s.n_tokens / tot.tt, $MixAlpha) AS scaled
-       |       FROM s, tot),
-       |z AS (SELECT list_reduce(list(scaled ORDER BY cell),
-       |             (u, v) -> u + v) AS z FROM sc)""".stripMargin
+       |$clusterMixStatsTail""".stripMargin
 
   private lazy val q158Sql =
     s"""WITH $clusterMixCte
@@ -2226,9 +2232,97 @@ object TrainPrepQueries {
        |SELECT doc_id, cell, unnest(range(reps)) AS copy
        |FROM r WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
 
+  /** q161's training depth: two spherical k-means update steps over the
+    * seeds — enough for the strata to move off the seed-order artifact
+    * (the r13 verdict's critique of q158's iters=0 cells) while keeping
+    * the oracle's step chain readable. */
+  private val ClusterMixIters = 2
+
+  /** The k-means training chain restated in SQL: `c0` = the lowest-id
+    * seeds narrowed through FLOAT (the engine's stored-quantizer type —
+    * [[graft.operators.Similarity.kMeansCentroids]] collects doubles and
+    * narrows to float, so the oracle applies the identical `::FLOAT`
+    * rounding before the `::DOUBLE` widening the literal gets), then per
+    * step: in-row argmax assignment (ties to the lowest centroid id),
+    * per-(cell, pos) mean rounded to 6 then float-narrowed, empty cells
+    * keeping their previous centroid (the trainer's getOrElse).
+    */
+  private def kmIterCtes(iters: Int): String = {
+    val seed =
+      s"""c0 AS MATERIALIZED (SELECT doc_id AS cent,
+         |        list_transform(e, x -> (x::FLOAT)::DOUBLE) AS ce FROM e
+         |      WHERE doc_id IN (SELECT doc_id FROM e ORDER BY doc_id
+         |                       LIMIT $ClusterMixCells))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""aff$i AS (SELECT e.doc_id, c.cent,
+         |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+         |        FROM e, c${i - 1} c),
+         |cell$i AS MATERIALIZED (SELECT doc_id, cent AS cell FROM (
+         |           SELECT doc_id, cent, row_number() OVER (
+         |             PARTITION BY doc_id ORDER BY (0.0 - cs), cent) AS rn
+         |           FROM aff$i) WHERE rn = 1),
+         |m$i AS (SELECT cell, t.i AS pos,
+         |               (round(avg(e.e[t.i + 1]), 6)::FLOAT)::DOUBLE AS m
+         |        FROM cell$i JOIN e USING (doc_id)
+         |             CROSS JOIN range(0, 64) t(i)
+         |        GROUP BY 1, 2),
+         |s$i AS (SELECT cell, list(m ORDER BY pos) AS ce FROM m$i
+         |        GROUP BY 1),
+         |c$i AS MATERIALIZED (SELECT c.cent, coalesce(s.ce, c.ce) AS ce
+         |        FROM c${i - 1} c LEFT JOIN s$i s ON s.cell = c.cent)"""
+        .stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** Q161 — the TRAINED-centroid cluster mixture (VERDICT r13 #7):
+    * q158's sibling with the quantizer trained in-engine
+    * ([[graft.operators.Similarity.kMeansCentroids]], 2 spherical
+    * k-means steps from the lowest-id seeds) so the no-metadata
+    * mixture's strata are data-shaped cells, not seed-order artifacts.
+    * The oracle restates the WHOLE training chain (the q50 step
+    * convention, iterated with MATERIALIZED CTEs) plus the final
+    * assignment and temperature stats — model embedded declaratively,
+    * nothing fetched from the engine.
+    */
+  private def q161(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        graft.expressions.HashEmbedVec(
+          TextFns.tokens(col("text")), 64).as("embedding"))
+    val cents = Similarity.kMeansCentroids(corpus, "doc_id", "embedding",
+      k = ClusterMixCells, iters = ClusterMixIters)
+    Similarity.clusterMixtureWeights(corpus, "doc_id", "embedding",
+        TextFns.tokenCount(col("text")), k = ClusterMixCells,
+        alpha = MixAlpha,
+        centroids = Some(cents.map { case (id, v) =>
+          (id, v.map(_.toDouble): IndexedSeq[Double]) }))
+      .orderBy("cell")
+  }
+
+  private lazy val q161Sql =
+    s"""WITH $hashEmbedCte,
+       |e AS MATERIALIZED (SELECT doc_id, embedding AS e FROM he),
+       |${kmIterCtes(ClusterMixIters)},
+       |aff AS (SELECT e.doc_id, c.cent,
+       |               ${PipelineQueries.cosSql("e.e", "c.ce")} AS cs
+       |        FROM e, c$ClusterMixIters c),
+       |cell AS MATERIALIZED (SELECT doc_id, cent AS cell FROM (
+       |           SELECT doc_id, cent, row_number() OVER (
+       |             PARTITION BY doc_id ORDER BY (0.0 - cs), cent) AS rn
+       |           FROM aff) WHERE rn = 1),
+       |$clusterMixStatsTail
+       |SELECT cell, n_docs::BIGINT AS n_docs, n_tokens,
+       |       round(share, 6) AS natural_share,
+       |       round(scaled / z.z, 6) AS target_share,
+       |       round((scaled / z.z) * tt / n_tokens, 6) AS weight
+       |FROM sc, z ORDER BY cell""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q158_cluster_mixture", q158, Some(q158Sql)),
     QueryDef("q159_cluster_mixture_apply", q159, Some(q159Sql)),
+    QueryDef("q161_cluster_mixture_trained", q161, Some(q161Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

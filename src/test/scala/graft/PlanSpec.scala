@@ -711,7 +711,8 @@ class PlanSpec extends SparkSpec {
     // (total tokens, order-pinned normalizer) — broadcast by
     // construction; what must never appear is an UNBROADCAST nested
     // loop / cartesian or a shuffled corpus-side join
-    for (name <- Seq("q158_cluster_mixture", "q159_cluster_mixture_apply")) {
+    for (name <- Seq("q158_cluster_mixture", "q159_cluster_mixture_apply",
+        "q161_cluster_mixture_trained")) {
       val ns = names(finalNodes(SparkEntry.queries(name)(spark, sf)))
       assert(!ns.exists(n =>
           (n.contains("NestedLoop") && !n.contains("Broadcast")) ||
