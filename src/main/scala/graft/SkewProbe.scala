@@ -263,8 +263,14 @@ object SkewProbe {
     // bound applied recursively); keep-count delta printed — the split
     // can only separate, never wrongly merge
     val semSkewSplit = time(sem(clustered, maxCell = 256))
+    // the census-driven AUTO (-1): at probe scale the hot cell (~1k)
+    // sits BELOW the crossover floor, so auto must stay off and run at
+    // unsplit speed (plus one collapsed census)
+    val semSkewAuto = time(sem(clustered, maxCell = -1))
     val semKeeps = sem(clustered).filter(col("keep") === 1L).count()
     val semKeepsSplit = sem(clustered, maxCell = 256)
+      .filter(col("keep") === 1L).count()
+    val semKeepsAuto = sem(clustered, maxCell = -1)
       .filter(col("keep") === 1L).count()
     // crossover point (env-gated — adds minutes): at probe scale the
     // split's fixed cost exceeds its ~2× candidate savings (plane
@@ -273,8 +279,8 @@ object SkewProbe {
     // ×5 replica → 10k vectors, 5k-member hot cell: unsplit pays
     // ~C(5k,2) = 12.5M exact cosines, split ≥3 bits caps sub-cells.
     val bigCell = sys.env.get("SPARK_GRAFT_SKEW_BIGCELL").exists(_ == "1")
-    val (semBig, semBigSplit) =
-      if (!bigCell) (0.0, 0.0)
+    val (semBig, semBigSplit, semBigAuto) =
+      if (!bigCell) (0.0, 0.0, 0.0)
       else {
         val embBig = materialize(emb
           .select(col("*"), explode(sequence(lit(0), lit(4))).as("copy"))
@@ -289,8 +295,64 @@ object SkewProbe {
             .otherwise(col("embedding")).as("embedding")))
         val a = time(sem(clusteredBig), n = 1)
         val b = time(sem(clusteredBig, maxCell = 256), n = 1)
-        (a, b)
+        // the ~5k-member hot cell sits PAST the crossover floor: the
+        // census-driven auto must engage and land near the split time
+        val c = time(sem(clusteredBig, maxCell = -1), n = 1)
+        (a, b, c)
       }
+
+    // ------------------------------------------- composed CurationJob
+    // the job-level skew row (VERDICT r13 #3): the composed pipeline's
+    // dedup stage now census-chooses its prefix order
+    // (ngramJaccardPairsAuto), so the 50%-template corpus must run
+    // near-benign instead of paying the measured 4.4x hash-order tax.
+    // Benign = the sf dir itself; skew = the same docs templated, same
+    // size, written as a real parquet corpus (the job reads tables).
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    val fullDocs = graft.sources.Tables.documents(spark, sfDir)
+    val skewJobFrame = fullDocs.select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(SkewProbe.Template), lit(" "),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 40))))
+        .otherwise(col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val skewJobDir = java.nio.file.Files.createTempDirectory("graft_skewjob")
+    skewJobFrame.write.mode("overwrite")
+      .parquet(s"$skewJobDir/documents.parquet")
+    def timedJob(dir: String): (Double, Map[String, Long]) = {
+      var counts = Map.empty[String, Long]
+      val t = (1 to iters).map { _ =>
+        System.gc()
+        val out = java.nio.file.Files.createTempDirectory("graft_skewjob_out")
+        val t0 = System.nanoTime()
+        counts = graft.pipelines.CurationJob.run(spark, dir, out.toString)
+        val dt = (System.nanoTime() - t0) / 1e9
+        rmTree(out)
+        dt
+      }.min
+      (t, counts)
+    }
+    { // untimed warmup
+      val out = java.nio.file.Files.createTempDirectory("graft_skewjob_warm")
+      graft.pipelines.CurationJob.run(spark, sfDir, out.toString)
+      rmTree(out)
+    }
+    val (jobBenign, jobBenignCounts) = timedJob(sfDir)
+    val (jobSkew, jobSkewCounts) = timedJob(skewJobDir.toString)
+    rmTree(skewJobDir)
+    // the census decision the job made on each corpus (reported so the
+    // ratio names its mechanism): sampled hot-shingle share vs the
+    // engage threshold
+    val shareBenign = graft.operators.Dedup
+      .hotShingleShare(fullDocs, "doc_id", "text", n = 3)._1
+    val shareSkew = graft.operators.Dedup
+      .hotShingleShare(skewJobFrame, "doc_id", "text", n = 3)._1
 
     // ---------------------------------------------------- q116 winnowing
     def winnow(corpus: DataFrame): DataFrame =
@@ -324,14 +386,26 @@ object SkewProbe {
       s""""rarity_output_identical":${ngPairsSkew == ngPairsRarity}},""" +
       s""""q99_semdedup":{${j2(semBenign, semSkew)},""" +
       f""""skew_split256":$semSkewSplit%.3f,"split_vs_benign":${semSkewSplit / semBenign}%.2f,""" +
-      s""""keeps_skew":$semKeeps,"keeps_split":$semKeepsSplit""" +
+      f""""skew_auto":$semSkewAuto%.3f,"auto_vs_skew":${semSkewAuto / semSkew}%.2f,""" +
+      s""""keeps_skew":$semKeeps,"keeps_split":$semKeepsSplit,""" +
+      s""""auto_output_identical":${semKeepsAuto == semKeeps}""" +
       (if (semBig > 0.0)
         f""","bigcell_x5":$semBig%.3f,"bigcell_x5_split":$semBigSplit%.3f,""" +
-          f""""bigcell_split_speedup":${semBig / semBigSplit}%.2f"""
+          f""""bigcell_split_speedup":${semBig / semBigSplit}%.2f,""" +
+          f""""bigcell_x5_auto":$semBigAuto%.3f,""" +
+          f""""bigcell_auto_speedup":${semBig / semBigAuto}%.2f"""
        else "") + "}," +
       s""""q49_connected_components":{${j2(ccBenign, ccSkew)}},""" +
       s""""q101_bm25":{${j2(bmBenign, bmSkew)}},""" +
-      s""""q116_winnow_overlap":{${j2(winBenign, winSkew)}}}}""")
+      s""""q116_winnow_overlap":{${j2(winBenign, winSkew)}},""" +
+      s""""curation_job":{${j2(jobBenign, jobSkew)},""" +
+      f""""hot_share_benign":$shareBenign%.4f,"hot_share_skew":$shareSkew%.4f,""" +
+      s""""rarity_benign":${shareBenign > graft.operators.Dedup.RarityEngageShare},""" +
+      s""""rarity_skew":${shareSkew > graft.operators.Dedup.RarityEngageShare},""" +
+      s""""rows_benign":${jobBenignCounts.getOrElse("corpus_clean", 0L)},""" +
+      s""""rows_skew":${jobSkewCounts.getOrElse("corpus_clean", 0L)},""" +
+      s""""shards_benign":${jobBenignCounts.getOrElse("train_shards", 0L)},""" +
+      s""""shards_skew":${jobSkewCounts.getOrElse("train_shards", 0L)}}}}""")
     spark.stop()
   }
 }

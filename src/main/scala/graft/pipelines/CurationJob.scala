@@ -96,10 +96,13 @@ object CurationJob {
     try {
       val kept = scored.filter(col("keep") === 1L)
 
-      // 2. near-dup keep list over the quality survivors
+      // 2. near-dup keep list over the quality survivors — prefix order
+      // census-chosen (ngramJaccardPairsAuto): template-skewed corpora
+      // engage the rarity order measured 2.5x faster there, benign ones
+      // keep hash order; the pair output is exact under either
       val keepList = Dedup.keepList(
         kept.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
-        Dedup.ngramJaccardPairs(kept, "doc_id", "text",
+        Dedup.ngramJaccardPairsAuto(kept, "doc_id", "text",
           n = 3, threshold = 0.6)).cache()
       try {
         val deduped = kept.join(

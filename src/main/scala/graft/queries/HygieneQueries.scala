@@ -251,7 +251,10 @@ object HygieneQueries {
     */
   private def q99(spark: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        threshold = PipelineQueries.LshPairThreshold, nCells = SemCells)
+        threshold = PipelineQueries.LshPairThreshold, nCells = SemCells,
+        // PINNED off (not the census-driven auto default): the oracle
+        // restates the unsplit within-cell enumeration bit-for-bit
+        maxCell = 0)
       .orderBy("vec_id")
 
   private val q99Sql =

@@ -159,6 +159,9 @@ class PipelineOpSpec extends SparkSpec {
     val unsplit = keeps(0)
     // a bound larger than any cell changes nothing
     assert(keeps(1000) == unsplit)
+    // the census-driven AUTO default stays OFF below the measured
+    // crossover (every cell here is far under SemDedupSplitFloor)
+    assert(keeps(-1) == unsplit)
     // an aggressive bound may only SPLIT clusters (more keeps, fewer
     // merges) — it can never produce a pair/merge the unsplit run
     // lacked, so every split-run cluster is within one unsplit cluster

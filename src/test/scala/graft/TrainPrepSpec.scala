@@ -1085,6 +1085,38 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPairsAuto: census engages rarity on templates only") {
+    val template = (1 to 14).map(i => s"boiler$i").mkString(" ")
+    def own(i: Long) = (0 to 25).map(j => s"w${i}_$j").mkString(" ")
+    // 50% of docs share a template head (the skew-probe corpus shape)
+    val skewed = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) s"$template ${own(i)}" else own(i)))
+      .toDF("doc_id", "text")
+    // benign: every doc all-unique tokens
+    val benign = (0L until 40L).map(i => (i, own(i))).toDF("doc_id", "text")
+    val (shareSkew, _) = Dedup.hotShingleShare(skewed, "doc_id", "text", 3)
+    val (shareBenign, _) = Dedup.hotShingleShare(benign, "doc_id", "text", 3)
+    assert(shareSkew > Dedup.RarityEngageShare,
+      f"template corpus share $shareSkew%.3f must engage rarity")
+    assert(shareBenign < Dedup.RarityEngageShare,
+      f"unique corpus share $shareBenign%.3f must stay on hash order")
+    // either order is exact: the auto path's output equals BOTH pinned
+    // orders on both corpora
+    def pairs(df: org.apache.spark.sql.DataFrame, rarity: Boolean) =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.6,
+          rarityOrder = rarity)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    def auto(df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairsAuto(df, "doc_id", "text", n = 3,
+          threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    assert(auto(skewed) == pairs(skewed, rarity = true))
+    assert(auto(benign) == pairs(benign, rarity = false))
+    assert(pairs(skewed, rarity = true) == pairs(skewed, rarity = false))
+  }
+
   test("clusterRoute: float-typed embedding columns route like doubles") {
     // the routing family's seed collect widens to double first, so the
     // embeddings table's native array<float> is accepted exactly like
