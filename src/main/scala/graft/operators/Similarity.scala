@@ -818,9 +818,12 @@ object Similarity {
     * p = 0.82, w = 11: 0.37 vs 0.10 — pair recall 0.994 vs 0.71 over
     * 11 bands).
     *
-    * Scale shape: the probe side carries `bands·(w+1)` constant-width
-    * rows per vector (the ×(w+1) factor is the probe trade — still
-    * O(n), never O(n²)), the index side stays at `bands`; candidates
+    * Scale shape: the probe side carries `bands·(1 + zeros)` constant-
+    * width rows per vector — only a vector's ZERO planes are flipped
+    * (E ≈ w/2 per band; the 0-side of any 1-plane-differing pair meets
+    * the 1-side's exact key, so the candidate set is the full ≤1-flip
+    * set, discovered once instead of twice), still O(n), never
+    * O(n²) — the index side stays at `bands`; candidates
     * come from one equi-join probe-key = index-key and every emitted
     * pair is exact-cosine verified, so output ⊆ the brute-force pairs
     * and recall is the only approximation. Output matches
@@ -856,19 +859,56 @@ object Similarity {
     val index = sig.select(col("id").as("id_b"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         keyOf(b, bandBits(b)))).as("key"))
-    val probeKeys = transform(sequence(lit(0), lit(bands - 1)), b => {
-      val exact = array(keyOf(b, bandBits(b)))
-      if (flips == 0) exact
-      else concat(exact,
-        transform(sequence(lit(0), lit(rows - 1)), j =>
-          keyOf(b, zip_with(bandBits(b), sequence(lit(0), lit(rows - 1)),
-            (x, i) => when(i === j, lit(1) - x).otherwise(x)))))
-    })
-    val probes = sig.select(col("id").as("id_a"),
-      explode(flatten(probeKeys)).as("key"))
-    val cand = probes.join(index, "key")
+    // Candidates come from TWO joins whose raw volumes are each kept
+    // minimal, then union-distinct:
+    //  - SAME-bucket pairs: the index self-joined with `id_a < id_b`
+    //    pushed into the join (each unordered pair emitted once).
+    //  - CROSS-bucket pairs (the probe repair): only the ZERO planes
+    //    are flipped — a pair differing in exactly one plane of a band
+    //    has a 0 on one side and a 1 on the other, so the 0-side
+    //    flipping its 0 meets the 1-side's EXACT key; the full
+    //    ≤1-differing-plane candidate set (the set the oracle restates)
+    //    is covered with E[w/2] probe keys per band instead of w, each
+    //    cross pair discovered from one direction and canonicalized
+    //    with least/greatest (a `<` filter would drop pairs whose
+    //    prober is the larger id — caught by the oracle).
+    // The first cut probed exact+flipped keys from both sides under
+    // one `<` filter; splitting the joins halves the probe rows AND
+    // stops the exact part double-emitting (measured 14.8 s → see
+    // BASELINE round-14 for the landed number on the q160 corpus).
+    val exactCand = index.select(col("id_b").as("id_a"), col("key"))
+      .join(index, "key")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val cand =
+      if (flips == 0) exactCand
+      else {
+        val flipKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+          filter(
+            transform(sequence(lit(0), lit(rows - 1)), j =>
+              when(element_at(col("sig"), b * rows + j + 1) === 0,
+                keyOf(b, zip_with(bandBits(b), sequence(lit(0), lit(rows - 1)),
+                  (x, i) => when(i === j, lit(1) - x).otherwise(x))))),
+            x => x.isNotNull))
+        val probes = sig.select(col("id").as("id_a"),
+          explode(flatten(flipKeys)).as("key"))
+        val probeCand = probes.join(index, "key")
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+        exactCand.unionByName(probeCand)
+      }
+    // Dedup AFTER the verify, not before: a pair colliding in k bands
+    // rides the raw candidate stream k times, but verification is a
+    // broadcast/keyed join + one dot product — map-side work in the
+    // same stage — while a pre-verify distinct is a FULL shuffle of the
+    // raw stream (measured dominating the whole query: ~10 s of a 19 s
+    // run at 18.8M raw / 8.9M distinct candidates). Verifying the raw
+    // stream and dropping duplicates among the (orders-of-magnitude
+    // smaller, threshold-surviving) verified pairs does strictly less
+    // shuffling at every duplication factor, and the rounded cosine is
+    // a pure function of the pair, so the late distinct collapses the
+    // k copies to the identical single row.
     val withNorm = sigF.select(col("id"), col("e_d"), col("n"))
     cand
       .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
@@ -879,6 +919,7 @@ object Similarity {
         VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      .distinct()
   }
 
   /** CLUSTER-BALANCED mixture weights — the no-metadata counterpart to
