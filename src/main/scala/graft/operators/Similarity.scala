@@ -794,8 +794,27 @@ object Similarity {
           concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
             element_at(col("sig"), b * rows + r + 1)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // Same-bucket candidates from a streamed sort-merge SELF-JOIN with
+    // `id_a < id_b` pushed into the join, deduped AFTER the exact
+    // verify (the multi-probe lesson, measured on the same corpus:
+    // [[Dedup.candidatePairs]]' bucket census + collect_set buffering +
+    // pre-verify distinct cost 7.3 s where the join formulation costs
+    // 1.6 s at the heavy-tail ~700 occupancy of the hash-embed corpus;
+    // the verify is a keyed join + one dot product, so distinct-ing the
+    // threshold survivors shuffles strictly less at every band-
+    // duplication factor). Bucket-size control here is the band-width
+    // knob itself (auto-sizing holds expected occupancy ~8; a
+    // pathological bucket streams through the merge without buffering —
+    // a straggler, never an OOM). The LEXICAL family keeps
+    // candidatePairs: shingle document frequency is uncontrolled there,
+    // which is exactly what its hot-bucket salting exists for.
+    val left = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+    val right = banded.select(col("id").as("id_b"), col("band"), col("bh"))
+    val cand = left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
     val withNorm = sigF.select(col("id"), col("e_d"), col("n"))
-    Dedup.candidatePairs(banded.select("id", "band", "bh"), Seq("band", "bh"))
+    cand
       .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
         col("n").as("n_a")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("e_d").as("e_b"),
@@ -804,6 +823,7 @@ object Similarity {
         VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      .distinct()
   }
 
   /** MULTI-PROBE banded LSH pairs (Lv et al. 2007, "Multi-probe LSH",
