@@ -788,12 +788,19 @@ object Similarity {
                                             rowsPerBand: Int): DataFrame = {
     val rows = rowsPerBand
     val bands = Bits / rows
+    // bucket key PACKED into one long — `(band+1)·2^w + bits` — instead
+    // of an underscore-joined string: the key is pure join/shuffle
+    // currency (the oracles restate candidates by comparing bit SLICES,
+    // never key encodings), and 8-byte numeric comparisons beat 25-40
+    // byte string comparisons through every sort/merge/exchange of the
+    // candidate joins
     val banded = sigF
-      .select(col("id"), posexplode(
+      .select(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat_ws("_", Seq(b) ++ (0 until rows).map(r =>
-            element_at(col("sig"), b * rows + r + 1)): _*))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+          aggregate(sequence(lit(0), lit(rows - 1)),
+            b.cast("long") + lit(1L),
+            (a, r) => a * 2 + element_at(col("sig"), b * rows + r + 1))))
+        .as("key"))
     // Same-bucket candidates from a streamed sort-merge SELF-JOIN with
     // `id_a < id_b` pushed into the join, deduped AFTER the exact
     // verify (the multi-probe lesson, measured on the same corpus:
@@ -808,9 +815,9 @@ object Similarity {
     // a straggler, never an OOM). The LEXICAL family keeps
     // candidatePairs: shingle document frequency is uncontrolled there,
     // which is exactly what its hot-bucket salting exists for.
-    val left = banded.select(col("id").as("id_a"), col("band"), col("bh"))
-    val right = banded.select(col("id").as("id_b"), col("band"), col("bh"))
-    val cand = left.join(right, Seq("band", "bh"))
+    val left = banded.select(col("id").as("id_a"), col("key"))
+    val right = banded.select(col("id").as("id_b"), col("key"))
+    val cand = left.join(right, Seq("key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val withNorm = sigF.select(col("id"), col("e_d"), col("n"))
@@ -873,9 +880,10 @@ object Similarity {
     def bandBits(b: Column): Column =
       transform(sequence(lit(0), lit(rows - 1)), r =>
         element_at(col("sig"), b * rows + r + 1))
+    // packed-long bucket key `(band+1)·2^w + bits` (see
+    // [[lshNearDupPairsFromSig]] — same rationale, same encoding)
     def keyOf(b: Column, bits: Column): Column =
-      concat_ws("_", b.cast("string"),
-        array_join(transform(bits, x => x.cast("string")), "_"))
+      aggregate(bits, b.cast("long") + lit(1L), (a, x) => a * 2 + x)
     val index = sig.select(col("id").as("id_b"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         keyOf(b, bandBits(b)))).as("key"))
