@@ -2319,10 +2319,113 @@ object TrainPrepQueries {
        |       round((scaled / z.z) * tt / n_tokens, 6) AS weight
        |FROM sc, z ORDER BY cell""".stripMargin
 
+  /** q162/q163 weak-supervision seed: the label is keyword presence —
+    * the trusted-heuristic bootstrap of the published quality-filter
+    * pipelines (seed rule labels the corpus, a cheap linear model
+    * learns to reproduce the signal from features and generalize it).
+    * Chosen over a `lang` stratum label because on this corpus the
+    * language strata are not lexically separable in the 64-dim hashed
+    * space (measured acc ≈ majority base at every SF), while the
+    * keyword seed trains a model that beats its base at every SF
+    * (0.866 / 0.902 / 0.936 vs 0.77–0.78) and improves with data. */
+  private val ClfSeedKeyword = "spark"
+
+  /** The documents corpus with hash-embed features and the seed label,
+    * shared by the classifier pair. */
+  private def clfCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_contains(TextFns.tokens(col("text")), ClfSeedKeyword)
+          .as("y"),
+        graft.expressions.HashEmbedVec(
+          TextFns.tokens(col("text")), 64).as("embedding"))
+
+  /** Shared oracle CTE chain for the classifier pair: the hash-embed
+    * features, the seed label, the per-class per-dimension round₆
+    * centroids, the Rocchio weights `w = round₆(μ₊ − μ₋)` and the
+    * midpoint intercept `b = round₆(−Σ w·(μ₊+μ₋)/2)` — the
+    * [[graft.operators.Curation.rocchioTrain]] rule restated
+    * declaratively, so the model is graded bit-for-bit. */
+  private lazy val rocchioCtes =
+    s"""y AS (SELECT doc_id,
+       |             CASE WHEN list_contains(string_split(text, ' '),
+       |                                     '$ClfSeedKeyword')
+       |                  THEN 1.0 ELSE 0.0 END AS y
+       |      FROM documents WHERE text IS NOT NULL),
+       |ex AS (SELECT e.doc_id, t.i::INT AS j, e.embedding[t.i + 1] AS x,
+       |              y.y
+       |       FROM he e JOIN y USING (doc_id) CROSS JOIN range(0, 64) t(i)),
+       |mu AS (SELECT j, round(avg(CASE WHEN y = 1.0 THEN x END), 6) AS mp,
+       |              round(avg(CASE WHEN y = 0.0 THEN x END), 6) AS mn
+       |       FROM ex GROUP BY j),
+       |wv AS (SELECT j, round(mp - mn, 6) AS w, (mp + mn) / 2.0 AS m
+       |       FROM mu),
+       |bi AS (SELECT round(-sum(w * m), 6) AS b FROM wv)""".stripMargin
+
+  /** Q162 — MODEL-BASED quality classifier, TRAINED in-engine
+    * ([[graft.operators.Curation.rocchioTrain]]): a Rocchio /
+    * nearest-class-centroid linear model over the no-model hash
+    * embeddings, seeded by a keyword-presence label — the
+    * weak-supervision quality-filter step with no external model or
+    * labels. Output is the model itself (intercept at pos 0, then the
+    * 64 weights); the oracle restates the closed-form training rule
+    * declaratively, so the model is graded bit-for-bit, not
+    * spot-checked.
+    */
+  private def q162(spark: SparkSession, dir: String): DataFrame = {
+    val w = Curation.rocchioTrain(clfCorpus(spark, dir), "embedding",
+      col("y"))
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+      .toDF("pos", "weight").orderBy("pos")
+  }
+
+  private lazy val q162Sql =
+    s"""WITH $hashEmbedCte,
+       |$rocchioCtes
+       |SELECT 0::BIGINT AS pos, b AS weight FROM bi
+       |UNION ALL
+       |SELECT (j + 1)::BIGINT AS pos, w AS weight FROM wv
+       |ORDER BY pos""".stripMargin
+
+  /** Q163 — the classifier APPLIED rowwise
+    * ([[graft.operators.Curation.logisticScore]]): per-doc
+    * `round₆(σ(b + w·x))` and the ≥ 0.5 keep flag from the q162 model —
+    * one compiled projection over the broadcast weight literal (no
+    * join, no shuffle; stream-safe), the quality-filter ingest step.
+    * The oracle re-derives the model with the same CTE chain and scores
+    * identically (the [[graft.expressions.VecDot]] strict left fold
+    * matches `list_reduce` bit-for-bit).
+    */
+  private def q163(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clfCorpus(spark, dir)
+    val w = Curation.rocchioTrain(corpus, "embedding", col("y"))
+    Curation.logisticScore(corpus, "embedding", w)
+      .select(col("doc_id"), col("score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q163Sql =
+    s"""WITH $hashEmbedCte,
+       |$rocchioCtes,
+       |wl AS (SELECT list(w ORDER BY j) AS w FROM wv),
+       |s AS (SELECT e.doc_id,
+       |             round(1.0/(1.0 + exp(-(bi.b + list_reduce(list_transform(
+       |                 list_zip(e.embedding, wl.w),
+       |                 p -> struct_extract(p,1) * struct_extract(p,2)),
+       |                 (a,b) -> a + b)))), 6) AS score
+       |      FROM he e, wl, bi)
+       |SELECT doc_id, score,
+       |       (CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q158_cluster_mixture", q158, Some(q158Sql)),
     QueryDef("q159_cluster_mixture_apply", q159, Some(q159Sql)),
     QueryDef("q161_cluster_mixture_trained", q161, Some(q161Sql)),
+    QueryDef("q162_quality_clf_train", q162, Some(q162Sql)),
+    QueryDef("q163_quality_clf_score", q163, Some(q163Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -181,4 +181,53 @@ class CurationSpec extends SparkSpec {
     val sums = got.groupBy(r => (r._2, r._4)).values.map(_.map(_._3).sum)
     assert(sums.forall(_ <= 512 + 600))
   }
+
+  // ------------------------------------- rocchioTrain / logisticScore
+
+  test("rocchioTrain learns the hand-checked centroid model") {
+    // class-1 centroid (1, 0); class-0 centroid (0, 1) — all values
+    // float-exact so the float-column twin below yields the same model
+    val df = Seq(
+      (1L, true, Array(0.5, 0.0)), (2L, true, Array(1.0, 0.0)),
+      (3L, true, Array(1.5, 0.0)), (4L, false, Array(0.0, 0.5)),
+      (5L, false, Array(0.0, 1.0)), (6L, false, Array(0.0, 1.5))
+    ).toDF("doc_id", "y", "embedding")
+    val w = Curation.rocchioTrain(df, "embedding", col("y"))
+    // w = mu+ - mu- = (1, -1); b = -(1*0.5 + (-1)*0.5) = 0
+    assert(w == IndexedSeq(0.0, 1.0, -1.0))
+    val got = Curation.logisticScore(df, "embedding", w)
+      .orderBy("doc_id").select("score", "keep")
+      .as[(Double, Long)].collect()
+    // margins: 0.5, 1, 1.5, -0.5, -1, -1.5 → sigma round-6
+    assert(got.map(_._1).toSeq == Seq(
+      0.622459, 0.731059, 0.817574, 0.377541, 0.268941, 0.182426))
+    assert(got.map(_._2).toSeq == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+    // decision boundary passes through the centroid midpoint: sigma(0)
+    val mid = Seq((9L, true, Array(0.5, 0.5))).toDF("doc_id", "y", "embedding")
+    val s = Curation.logisticScore(mid, "embedding", w)
+      .select("score", "keep").as[(Double, Long)].head()
+    assert(s == ((0.5, 1L)))
+  }
+
+  test("rocchioTrain accepts float-typed embedding columns") {
+    val df = Seq(
+      (1L, true, Array(0.5f, 0.0f)), (2L, true, Array(1.0f, 0.0f)),
+      (3L, true, Array(1.5f, 0.0f)), (4L, false, Array(0.0f, 0.5f)),
+      (5L, false, Array(0.0f, 1.0f)), (6L, false, Array(0.0f, 1.5f))
+    ).toDF("doc_id", "y", "embedding")
+    val w = Curation.rocchioTrain(df, "embedding", col("y"))
+    assert(w == IndexedSeq(0.0, 1.0, -1.0))
+    val keeps = Curation.logisticScore(df, "embedding", w)
+      .orderBy("doc_id").select("keep").as[Long].collect()
+    assert(keeps.toSeq == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("rocchioTrain rejects a one-class corpus") {
+    val df = Seq((1L, true, Array(1.0, 0.0)), (2L, true, Array(0.0, 1.0)))
+      .toDF("doc_id", "y", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Curation.rocchioTrain(df, "embedding", col("y"))
+    }
+    assert(e.getMessage.contains("each class"))
+  }
 }
