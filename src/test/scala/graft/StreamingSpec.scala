@@ -554,6 +554,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) == Seq(1L, 2L, 3L))
   }
 
+  test("logisticScore is stream-safe: frozen Rocchio model, stateless pass") {
+    // the deployment split of q162/q163: rocchioTrain collects its
+    // centroid model from a STATIC corpus snapshot; logisticScore is a
+    // pure projection over the weight literal, so the same expression
+    // scores a micro-batch with no state or output-mode constraint —
+    // streamed scores must equal the same docs scored in batch
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Curation
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"y", graft.expressions.HashEmbedVec(
+        graft.functions.TextFns.tokens($"text"), 64).as("embedding"))
+    val docs = Seq(
+      (1L, true, "spark streams data"), (2L, false, "quick brown fox"),
+      (3L, true, "spark query engine"), (4L, false, "lorem ipsum dolor"))
+    val corpus = embed(docs.toDF("doc_id", "y", "text"))
+    val w = Curation.rocchioTrain(corpus, "embedding", $"y")
+    val in = MemoryStream[(Long, Boolean, String)]
+    val q = Curation.logisticScore(
+        embed(in.toDF().toDF("doc_id", "y", "text")), "embedding", w)
+      .select($"doc_id", $"score", $"keep")
+      .writeStream.format("memory").queryName("clf_st").start()
+    try {
+      in.addData(docs.take(2)); q.processAllAvailable()
+      in.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("clf_st")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val batch = Curation.logisticScore(corpus, "embedding", w)
+      .select($"doc_id", $"score", $"keep")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // the seed keyword docs are the kept class on this separable fixture
+    assert(streamed.map(_._3) == Seq(1L, 0L, 1L, 0L))
+  }
+
   test("debiasWith is stream-safe: offline model, stateless online apply") {
     // the deployment split of q135: pcaModel trains on a STATIC corpus
     // snapshot, debiasWith applies the frozen (mean, component) to the
