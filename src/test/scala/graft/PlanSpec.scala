@@ -723,6 +723,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q163 classifier-score plan: stateless projection, sort-only exchange") {
+    // rocchioTrain's model collapses to a weight LITERAL, so scoring is
+    // one projection over one documents scan — the shape that makes the
+    // same expression stream-safe; only the presentation sort exchanges
+    val nodes = finalNodes(SparkEntry.queries("q163_quality_clf_score")(spark, sf))
+    val ns = names(nodes)
+    assert(!ns.exists(_.contains("Join")),
+      s"classifier scoring must not join: $ns")
+    assert(ns.count(_.startsWith("Scan parquet")) == 1,
+      s"one documents scan: $ns")
+    assert(nodes.count(n => n.nodeName.contains("Exchange") &&
+        !n.nodeName.contains("Reused")) <= 1,
+      s"only the output sort may exchange: $ns")
+  }
+
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
     // the q64 discipline, doubled: corpus tf feeds the term window AND
     // the grand total; the reference term counts feed the model join AND
