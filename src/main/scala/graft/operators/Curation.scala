@@ -1901,4 +1901,38 @@ object Curation {
         round(lit(1.0) / (lit(1.0) + exp(lit(0.0) - margin)), 6))
       .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
   }
+
+  /** STOCHASTIC quality gating — the published document-filtering rule
+    * of the GPT-3 pipeline (Brown et al. 2020, Appendix A): a document
+    * is kept iff a Pareto(α) draw exceeds `1 − score`, so high-scoring
+    * documents are mostly kept while low-scoring ones still pass
+    * occasionally — the deliberate tail-diversity preservation a hard
+    * `score ≥ 0.5` cut destroys.
+    *
+    * The draw is DERANDOMIZED the way all sampling here is
+    * ([[applyMixture]], [[Splits]]): the Pareto comparison
+    * `(1/u)^(1/α) − 1 > 1 − score` is algebraically equivalent (α ≥ 1,
+    * score < 2) to `u < (2 − score)^(−α)`, so the decision becomes an
+    * EXACT comparison between the doc's hash-uniform
+    * `u = (portableHash + 0.5) / 2⁶⁰` (an exact rational) and a round-6
+    * gate computed by LEFT-ASSOCIATED repeated multiplication — no
+    * libm `pow` whose last ulp could differ across engines. Keeping is
+    * a pure function of (id, salt, score): stable across runs,
+    * partitionings, and retries, and restatable verbatim in SQL. One
+    * narrow projection — no shuffle, no state, stream-safe.
+    *
+    * Expected keep rate is `E[(2 − score)^(−α)]` — at α = 9 (the
+    * published constant) and scores near 0.5 that is ~2–5%, the
+    * aggressive selectivity the original pipeline ran at.
+    */
+  def paretoGate(df: DataFrame, idCol: String, scoreCol: String,
+                 alpha: Int = 9, salt: String = "pareto"): DataFrame = {
+    require(alpha >= 1, s"alpha must be a positive integer, got $alpha")
+    val g = lit(2.0) - col(scoreCol)
+    val pw = (1 until alpha).foldLeft(g)((acc, _) => acc * g)
+    val u = (Splits.portableHash(col(idCol), salt).cast("double") + 0.5) /
+      lit(1.152921504606846976e18) // 2^60 — u in (0, 1), exact rational
+    df.withColumn("gate", round(lit(1.0) / pw, 6))
+      .withColumn("kept", when(u < col("gate"), 1L).otherwise(0L))
+  }
 }

@@ -2472,6 +2472,45 @@ object TrainPrepQueries {
        |       count(*)::BIGINT AS n
        |FROM ho GROUP BY 1, 2 ORDER BY label, keep""".stripMargin
 
+  /** Q165 — the GPT-3 Pareto document filter
+    * ([[graft.operators.Curation.paretoGate]]) composed onto the q163
+    * scores: keep iff a Pareto(9) draw beats `1 − score`, derandomized
+    * to an exact `u < round₆((2−score)⁻⁹)` comparison against the
+    * doc's hash-uniform. Grades the full per-doc table (score, gate,
+    * kept), so both the gate arithmetic (left-associated multiplication
+    * chain, no libm pow) and every keep decision are hash-checked.
+    */
+  private def q165(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clfCorpus(spark, dir)
+    val w = Curation.rocchioTrain(corpus, "embedding", col("y"))
+    Curation.paretoGate(
+        Curation.logisticScore(corpus, "embedding", w), "doc_id", "score")
+      .select(col("doc_id"), col("score"), col("gate"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q165Sql =
+    s"""WITH $hashEmbedCte,
+       |$rocchioCtes,
+       |wl AS (SELECT list(w ORDER BY j) AS w FROM wv),
+       |s AS (SELECT e.doc_id,
+       |             round(1.0/(1.0 + exp(-(bi.b + list_reduce(list_transform(
+       |                 list_zip(e.embedding, wl.w),
+       |                 p -> struct_extract(p,1) * struct_extract(p,2)),
+       |                 (a,b) -> a + b)))), 6) AS score
+       |      FROM he e, wl, bi),
+       |gt AS (SELECT doc_id, score,
+       |              round(1.0 / ((2.0-score)*(2.0-score)*(2.0-score)
+       |                  *(2.0-score)*(2.0-score)*(2.0-score)*(2.0-score)
+       |                  *(2.0-score)*(2.0-score)), 6) AS gate
+       |       FROM s)
+       |SELECT doc_id, score, gate,
+       |       (CASE WHEN (('0x' || substr(md5('pareto:' ||
+       |                     doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+       |                    + 0.5) / 1.152921504606846976e18 < gate
+       |              THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM gt ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q158_cluster_mixture", q158, Some(q158Sql)),
     QueryDef("q159_cluster_mixture_apply", q159, Some(q159Sql)),
@@ -2479,6 +2518,7 @@ object TrainPrepQueries {
     QueryDef("q162_quality_clf_train", q162, Some(q162Sql)),
     QueryDef("q163_quality_clf_score", q163, Some(q163Sql)),
     QueryDef("q164_quality_clf_holdout", q164, Some(q164Sql)),
+    QueryDef("q165_quality_pareto_filter", q165, Some(q165Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -222,6 +222,30 @@ class CurationSpec extends SparkSpec {
     assert(keeps.toSeq == Seq(1L, 1L, 1L, 0L, 0L, 0L))
   }
 
+  test("paretoGate: hand-checked gate, partitioning-independent keeps") {
+    // score 0.5 → (2−s)⁹ = 1.5⁹ = 19683/512 = 38.443359375 exactly
+    val df = Seq((1L, 0.5), (2L, 0.43), (3L, 0.61))
+      .toDF("doc_id", "score")
+    val got = Curation.paretoGate(df, "doc_id", "score")
+      .orderBy("doc_id").select("gate", "kept")
+      .as[(Double, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(0.026012, 0.017255, 0.051626))
+    assert(got.forall(r => r._2 == 0L || r._2 == 1L))
+    // keeping is a pure function of (id, salt, score): repartitioning
+    // must not move a single decision
+    val wide = (1L to 500L).map(i => (i, 0.4 + (i % 20) * 0.01))
+      .toDF("doc_id", "score")
+    val a = Curation.paretoGate(wide, "doc_id", "score")
+      .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    val b = Curation.paretoGate(wide.repartition(7), "doc_id", "score")
+      .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // the gate is aggressive by design (~2–5% at mid scores) but not
+    // degenerate: some docs pass, most don't
+    val kept = a.values.sum
+    assert(kept > 0 && kept < 100, s"kept $kept of 500")
+  }
+
   test("rocchioTrain rejects a one-class corpus") {
     val df = Seq((1L, true, Array(1.0, 0.0)), (2L, true, Array(0.0, 1.0)))
       .toDF("doc_id", "y", "embedding")
