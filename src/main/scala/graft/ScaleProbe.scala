@@ -247,6 +247,32 @@ object ScaleProbe {
     hashEmbed(corpus1).write.mode("overwrite").format("noop").save()
     val tHe1 = time(hashEmbed(corpus1))
     val tHeK = time(hashEmbed(corpusK))
+
+    // classifier probe (q162–q165 shape): hash-embed features + one
+    // 128-avg partial aggregate collected driver-side (the Rocchio
+    // model) + the stateless score/gate projection — ideal ~linear;
+    // nothing corpus-sized moves, the model is 65 doubles. The seed is
+    // startsWith (replicas decorate tokens with a _copy suffix, so the
+    // exact-keyword seed of the graded queries would go one-class here;
+    // the per-doc boolean costs the same either way).
+    def clfRun(corpus: DataFrame): Double = {
+      import graft.operators.Curation
+      val feats = corpus.select(col("doc_id"),
+        exists(split(col("text"), " "), t => t.startsWith("spark")).as("y"),
+        graft.expressions.HashEmbedVec(
+          graft.functions.TextFns.tokens(col("text")), 64).as("embedding"))
+      System.gc()
+      val t0 = System.nanoTime()
+      val w = Curation.rocchioTrain(feats, "embedding", col("y"))
+      Curation.paretoGate(
+          Curation.logisticScore(feats, "embedding", w), "doc_id", "score")
+        .select("doc_id", "score", "gate", "kept")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    clfRun(corpus1) // warmup
+    val tClf1 = (1 to iters).map(_ => clfRun(corpus1)).min
+    val tClfK = (1 to iters).map(_ => clfRun(corpusK)).min
     corpus1.unpersist(); corpusK.unpersist()
 
     // CurationJob ×k probe: the composed five-table pipeline (verdict →
@@ -340,6 +366,7 @@ object ScaleProbe {
       s""""q116_winnow_overlap":${j(tWin1, tWinK)},""" +
       s""""q143_cdc_census":${j(tCdc1, tCdcK)},""" +
       s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
+      s""""q162_165_classifier":${j(tClf1, tClfK)},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")
