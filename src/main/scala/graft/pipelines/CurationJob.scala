@@ -58,7 +58,8 @@ object CurationJob {
     * convicts it instead of the doc silently vanishing from every
     * output table.
     */
-  def fullVerdicts(corpus: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+  def fullVerdicts(corpus: DataFrame, rules: Seq[(String, Column)],
+                   extraSignals: Option[DataFrame] = None): DataFrame = {
     // fallback counts SPLIT-BY-SPACE tokens — the same tokenization the
     // signal path aggregates — not the \S+ regex count: a tab/newline-
     // separated doc is ONE space-token (so too_short convicts it), while
@@ -71,7 +72,30 @@ object CurationJob {
         Seq("doc_id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), col("__nt")))
       .drop("__nt")
-    Curation.qualityVerdict(signals, "doc_id", rules)
+    val joined = extraSignals.fold(signals)(
+      signals.join(_, Seq("doc_id"), "left"))
+    Curation.qualityVerdict(joined, "doc_id", rules)
+  }
+
+  /** Per-doc classifier scores for the opt-in model-based quality rule:
+    * a [[graft.operators.Curation.rocchioTrain]]ed model over the
+    * corpus's own hash embeddings, seeded by `seed`-keyword presence
+    * (the q162–q165 weak-supervision family), one extra signal column
+    * `clf_score` to rule on. Training is one partial-aggregated corpus
+    * pass; scoring is a stateless projection — the job's composition
+    * discipline is untouched. Null-text docs score null, and null rule
+    * comparisons are false by the verdict convention, so the classifier
+    * rule never convicts what it could not read.
+    */
+  def classifierSignals(corpus: DataFrame, seed: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val feats = corpus.select(col("doc_id"),
+      array_contains(toks, seed).as("y"),
+      graft.expressions.HashEmbedVec(toks, 64).as("embedding"))
+    Curation.logisticScore(feats, "embedding",
+        Curation.rocchioTrain(feats.filter(col("embedding").isNotNull),
+          "embedding", col("y")))
+      .select(col("doc_id"), col("score").as("clf_score"))
   }
 
   /** Execute the full build over `documents`: `benchCut` ids below this
@@ -82,13 +106,24 @@ object CurationJob {
           rules: Seq[(String, Column)] = DefaultRules,
           targets: Seq[(String, Double)] = Seq("en" -> 0.6, "de" -> 0.2,
             "es" -> 0.1, "fr" -> 0.06, "zh" -> 0.04),
-          benchCut: Long = 25L): Map[String, Long] = {
+          benchCut: Long = 25L,
+          clfSeed: Option[String] = None,
+          clfFloor: Double = 0.5): Map[String, Long] = {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < benchCut)
     val corpus = docs.filter(col("doc_id") >= benchCut)
 
-    // 1. verdict over repetition signals — every doc gets one
-    val verdicts = fullVerdicts(corpus, rules)
+    // 1. verdict over repetition signals — every doc gets one; with
+    // `clfSeed` set, the q162-family model-based rule joins the table
+    // (rules are data, so the learned score convicts like any other
+    // signal; default OFF — the rule-based contract is unchanged)
+    val (effRules, extraSignals) = clfSeed match {
+      case None => (rules, None)
+      case Some(kw) =>
+        (rules :+ ("clf_out_of_domain" -> (col("clf_score") < clfFloor)),
+          Some(classifierSignals(corpus, kw)))
+    }
+    val verdicts = fullVerdicts(corpus, effRules, extraSignals)
     val scored = corpus
       .join(verdicts, "doc_id")
       .withColumn("n_tokens", graft.functions.TextFns.tokenCount(col("text")))

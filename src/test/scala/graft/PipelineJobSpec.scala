@@ -79,6 +79,31 @@ class PipelineJobSpec extends SparkSpec {
     assert(clean.exceptAll(again).isEmpty && again.exceptAll(clean).isEmpty)
   }
 
+  test("CurationJob opt-in classifier rule convicts and stays off by default") {
+    // with clfSeed set, the q162-family model joins the rule table as
+    // one more signal: some docs must be convicted by it, the report
+    // still audits the whole corpus, and every clf conviction carries
+    // the rule name in reasons. A high floor guarantees convictions on
+    // this corpus (scores sit in ~[0.43, 0.61])
+    val out = Files.createTempDirectory("graft_curationjob_clf").toString
+    val counts = CurationJob.run(spark, sf, out,
+      clfSeed = Some("spark"), clfFloor = 0.5)
+    assert(counts.values.forall(_ > 0))
+    val report = spark.read.parquet(s"$out/quality_report")
+    assert(counts("quality_report") ==
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") >= 25L).count())
+    val clfConvicted = report.filter(col("reasons")
+      .contains("clf_out_of_domain"))
+    assert(!clfConvicted.isEmpty, "the classifier rule never fired")
+    assert(clfConvicted.filter(col("keep") === 1L).isEmpty)
+    // default path is untouched: no clf reason can appear without a seed
+    val outDef = Files.createTempDirectory("graft_curationjob_noclf").toString
+    CurationJob.run(spark, sf, outDef)
+    assert(spark.read.parquet(s"$outDef/quality_report")
+      .filter(col("reasons").contains("clf_out_of_domain")).isEmpty)
+  }
+
   test("fullVerdicts audits every doc — no-bigram docs convict as too_short") {
     val corpus = Seq(
       (1L, "hello"),                                         // 1 token: no bigram
