@@ -1861,7 +1861,10 @@ object Curation {
     */
   def rocchioTrain(corpus: DataFrame, featCol: String,
                    label: Column): IndexedSeq[Double] = {
-    val dim = corpus.select(size(col(featCol))).limit(1).collect()
+    // dim probe skips null feature rows — size(null) is null, and a bare
+    // getInt on it would surface as an NPE instead of the require below
+    val dim = corpus.filter(col(featCol).isNotNull)
+      .select(size(col(featCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     require(dim >= 1, "feature column is empty or corpus has no rows")
     val y = label.cast("double")

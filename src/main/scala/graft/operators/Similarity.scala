@@ -41,6 +41,17 @@ object Similarity {
   private[graft] val Bands = 16
   private val Dim = 64
 
+  /** Widest admissible LSH band (rowsPerBand): the banded-pair family
+    * packs a bucket key as the LONG `(band+1)·2^w + bits`, which needs
+    * `w + ⌈log₂(bands+1)⌉ ≤ 63` bits — beyond w = 62 the shift
+    * overflows and wrapped keys can alias buckets ACROSS bands,
+    * inflating candidate volume unpredictably (output would stay
+    * correct via the exact-cosine verify, but the volume bound the
+    * banding analysis promises would not hold). Band-sizing returns
+    * single-digit widths in practice; this is the API guard.
+    */
+  private[graft] val MaxRowsPerBand = 62
+
   /** Deterministic pseudo-random hyperplane component p,j in [-0.5, 0.5].
     * (The formula of record; [[planeMatrix]] inlines it once per (p,j).)
     */
@@ -748,8 +759,12 @@ object Similarity {
 
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                       threshold: Double, rowsPerBand: Int = 0): DataFrame = {
-    require(rowsPerBand == 0 || (rowsPerBand >= 1 && rowsPerBand <= Bits),
-      s"rowsPerBand must be 0 (auto) or in [1, $Bits], got $rowsPerBand")
+    require(rowsPerBand == 0 ||
+        (rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand),
+      s"rowsPerBand must be 0 (auto) or in [1, $MaxRowsPerBand] " +
+        s"(the packed-long key holds band+1 above w bits, so w > " +
+        s"$MaxRowsPerBand would overflow Long and alias buckets across " +
+        s"bands), got $rowsPerBand")
     val rows =
       if (rowsPerBand > 0) rowsPerBand
       else {
@@ -870,8 +885,9 @@ object Similarity {
   private[graft] def lshNearDupPairsMultiProbeFromSig(
       sigF: DataFrame, threshold: Double, rowsPerBand: Int,
       flips: Int = 1): DataFrame = {
-    require(rowsPerBand >= 1 && rowsPerBand <= Bits,
-      s"rowsPerBand must be in [1, $Bits], got $rowsPerBand")
+    require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
+      s"rowsPerBand must be in [1, $MaxRowsPerBand] (packed-long key " +
+        s"bound — see lshNearDupPairsFromSig), got $rowsPerBand")
     require(flips == 0 || flips == 1,
       s"flips must be 0 (exact only) or 1 (single-plane probes), got $flips")
     val rows = rowsPerBand
@@ -1157,6 +1173,17 @@ object Similarity {
     * count — the `Σ cell²` term — bounded; pass a
     * [[kMeansCentroids]]-trained model for tighter (= smaller-error)
     * cells, the default being the deterministic lowest-id seeds.
+    *
+    * '''BEHAVIOR CHANGE (round 14):''' the default `maxCell` moved from
+    * `0` (sub-split OFF) to `-1` (census-driven AUTO). Under the
+    * default, a cell estimated past [[SemDedupSplitFloor]] (~2048)
+    * members now enumerates candidates within plane-signature
+    * SUB-cells, which DROPS cross-sub-cell pairs — a recall-affecting
+    * output change for large collapsed cells, not just a cost change
+    * (small corpora are unaffected: below the floor the plan is
+    * bit-identical to `maxCell = 0`). Callers that need the exact
+    * unsplit enumeration (every graded oracle does) must pin
+    * `maxCell = 0` explicitly.
     */
   /** Census crossover for the AUTO sub-split (`maxCell = -1`): cells at
     * or under this size enumerate unsplit — the measured net-NEGATIVE

@@ -254,4 +254,21 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("each class"))
   }
+
+  test("rocchioTrain null-leading corpus fails with the intended message") {
+    // first row's features are null: the dim probe must skip it (and an
+    // all-null corpus must raise the require, not an NPE)
+    val mixed = Seq((1L, true, null: Array[Double]),
+        (2L, true, Array(1.0, 0.0)), (3L, false, Array(0.0, 1.0)))
+      .toDF("doc_id", "y", "embedding")
+    val w = Curation.rocchioTrain(mixed, "embedding", col("y"))
+    assert(w.size == 3) // intercept + 2 dims, trained despite null row 1
+    val allNull = Seq((1L, true, null: Array[Double]),
+        (2L, false, null: Array[Double]))
+      .toDF("doc_id", "y", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Curation.rocchioTrain(allNull, "embedding", col("y"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
