@@ -87,15 +87,27 @@ object CurationJob {
     * comparisons are false by the verdict convention, so the classifier
     * rule never convicts what it could not read.
     */
-  def classifierSignals(corpus: DataFrame, seed: String): DataFrame = {
+  def classifierSignals(corpus: DataFrame, seed: String,
+                        gate: Boolean = false): DataFrame = {
     val toks = graft.functions.TextFns.tokens(col("text"))
     val feats = corpus.select(col("doc_id"),
       array_contains(toks, seed).as("y"),
       graft.expressions.HashEmbedVec(toks, 64).as("embedding"))
-    Curation.logisticScore(feats, "embedding",
-        Curation.rocchioTrain(feats.filter(col("embedding").isNotNull),
-          "embedding", col("y")))
-      .select(col("doc_id"), col("score").as("clf_score"))
+    val scored = Curation.logisticScore(feats, "embedding",
+      Curation.rocchioTrain(feats.filter(col("embedding").isNotNull),
+        "embedding", col("y")))
+    if (!gate) scored.select(col("doc_id"), col("score").as("clf_score"))
+    else
+      // Pareto selection (q165's paretoGate composed job-side): the keep
+      // decision is the derandomized GPT-3 draw, surfaced as one more
+      // signal column. A null score (unreadable doc) yields a NULL
+      // clf_kept — paretoGate's otherwise(0) would convict it, and the
+      // job's contract is that the classifier never convicts what it
+      // could not read (null rule comparisons are false).
+      Curation.paretoGate(scored, "doc_id", "score")
+        .select(col("doc_id"), col("score").as("clf_score"),
+          when(col("score").isNull, lit(null)).otherwise(col("kept"))
+            .cast("long").as("clf_kept"))
   }
 
   /** Execute the full build over `documents`: `benchCut` ids below this
@@ -108,7 +120,8 @@ object CurationJob {
             "es" -> 0.1, "fr" -> 0.06, "zh" -> 0.04),
           benchCut: Long = 25L,
           clfSeed: Option[String] = None,
-          clfFloor: Double = 0.5): Map[String, Long] = {
+          clfFloor: Double = 0.5,
+          clfGate: Boolean = false): Map[String, Long] = {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < benchCut)
     val corpus = docs.filter(col("doc_id") >= benchCut)
@@ -119,6 +132,12 @@ object CurationJob {
     // signal; default OFF — the rule-based contract is unchanged)
     val (effRules, extraSignals) = clfSeed match {
       case None => (rules, None)
+      case Some(kw) if clfGate =>
+        // ALTERNATIVE selection stage: the stochastic Pareto keep (q165)
+        // instead of the hard clfFloor cut — tail diversity preserved,
+        // the conviction is still just a rule over a signal column
+        (rules :+ ("clf_pareto_drop" -> (col("clf_kept") === 0L)),
+          Some(classifierSignals(corpus, kw, gate = true)))
       case Some(kw) =>
         (rules :+ ("clf_out_of_domain" -> (col("clf_score") < clfFloor)),
           Some(classifierSignals(corpus, kw)))

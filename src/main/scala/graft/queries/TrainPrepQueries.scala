@@ -275,8 +275,12 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
-  private val q85Sql =
-    s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+  /** The q85 stage chain as a reusable CTE prefix (through `s2`), shared
+    * with q166's composed classifier-selection path: repetition signals,
+    * benchmark 5-gram overlap, and the two-stage scrub.
+    */
+  private val passCtes =
+    s"""corpus AS (SELECT doc_id, lang, text FROM documents
        |                WHERE doc_id >= $BenchCut),
        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM corpus),
        |wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
@@ -313,7 +317,10 @@ object TrainPrepQueries {
        |       FROM corpus),
        |s2 AS (SELECT doc_id, n1 + len(regexp_extract_all(t1, '[0-9]+')) AS n,
        |              regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS scrubbed
-       |       FROM s1)
+       |       FROM s1)""".stripMargin
+
+  private val q85Sql =
+    s"""WITH $passCtes
        |SELECT c.doc_id, c.lang, sig.n_tokens, sig.distinct_ratio,
        |       sig.top_word_frac, sig.top_bigram_frac, sig.dup_bigram_frac,
        |       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
@@ -2511,6 +2518,116 @@ object TrainPrepQueries {
        |              THEN 1 ELSE 0 END)::BIGINT AS kept
        |FROM gt ORDER BY doc_id""".stripMargin
 
+  /** Q166 — the JOB-SHAPED classifier selection path: q85's composed
+    * per-document curation pass (signals + contamination + rule verdict)
+    * with the trained-classifier Pareto gate (q162 training → q163
+    * scoring → q165 gating, all restricted to the trainable corpus the
+    * job actually sees) composed on as the model-based selection stage —
+    * exactly [[graft.pipelines.CurationJob]] with `clfSeed` +
+    * `clfGate = true`: the Pareto drop convicts like any other rule, the
+    * final keep is the conjunction, and `reasons` carries
+    * `clf_pareto_drop` next to the rule names. Graded end-to-end
+    * against an oracle that restates every stage (the q85 convention),
+    * so the COMPOSITION — train-on-the-job's-corpus, score, gate, rule
+    * conjunction, reason assembly — is hash-checked, not just the
+    * pieces.
+    */
+  private def q166(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") >= BenchCut)
+      .select("doc_id", "lang", "text")
+    val pass = Curation.curationPass(corpus,
+        docs.filter(col("doc_id") < BenchCut), "doc_id", "text", PassRules)
+      .withColumnRenamed("keep", "rule_keep")
+      .drop("text", "scrubbed", "n_redactions")
+    val toks = TextFns.tokens(col("text"))
+    val feats = corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_contains(toks, ClfSeedKeyword).as("y"),
+        graft.expressions.HashEmbedVec(toks, 64).as("embedding"))
+    val w = Curation.rocchioTrain(feats, "embedding", col("y"))
+    val clf = Curation.paretoGate(
+        Curation.logisticScore(feats, "embedding", w), "doc_id", "score")
+      .select(col("doc_id"), col("score").as("clf_score"), col("gate"),
+        col("kept").as("clf_kept"))
+    pass.join(clf, "doc_id")
+      .withColumn("keep",
+        (col("rule_keep") === 1L && col("clf_kept") === 1L).cast("long"))
+      .withColumn("reasons", when(col("clf_kept") === 0L,
+          concat_ws(",",
+            when(col("reasons") === "", lit(null)).otherwise(col("reasons")),
+            lit("clf_pareto_drop")))
+        .otherwise(col("reasons")))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q166Sql =
+    s"""WITH $passCtes,
+       |$hashEmbedCte,
+       |cy AS (SELECT doc_id,
+       |              CASE WHEN list_contains(string_split(text, ' '),
+       |                                      '$ClfSeedKeyword')
+       |                   THEN 1.0 ELSE 0.0 END AS y
+       |       FROM documents
+       |       WHERE text IS NOT NULL AND doc_id >= $BenchCut),
+       |cex AS (SELECT e.doc_id, t.i::INT AS j, e.embedding[t.i + 1] AS x,
+       |               cy.y
+       |        FROM he e JOIN cy USING (doc_id) CROSS JOIN range(0, 64) t(i)),
+       |cmu AS (SELECT j, round(avg(CASE WHEN y = 1.0 THEN x END), 6) AS mp,
+       |               round(avg(CASE WHEN y = 0.0 THEN x END), 6) AS mn
+       |        FROM cex GROUP BY j),
+       |cwv AS (SELECT j, round(mp - mn, 6) AS w, (mp + mn) / 2.0 AS m
+       |        FROM cmu),
+       |cbi AS (SELECT round(-sum(w * m), 6) AS b FROM cwv),
+       |cwl AS (SELECT list(w ORDER BY j) AS w FROM cwv),
+       |csc AS (SELECT e.doc_id,
+       |              round(1.0/(1.0 + exp(-(cbi.b + list_reduce(list_transform(
+       |                  list_zip(e.embedding, cwl.w),
+       |                  p -> struct_extract(p,1) * struct_extract(p,2)),
+       |                  (a,b) -> a + b)))), 6) AS clf_score
+       |       FROM he e JOIN cy USING (doc_id), cwl, cbi),
+       |cgt AS (SELECT doc_id, clf_score,
+       |               round(1.0 / ((2.0-clf_score)*(2.0-clf_score)
+       |                   *(2.0-clf_score)*(2.0-clf_score)*(2.0-clf_score)
+       |                   *(2.0-clf_score)*(2.0-clf_score)*(2.0-clf_score)
+       |                   *(2.0-clf_score)), 6) AS gate
+       |        FROM csc),
+       |ckp AS (SELECT doc_id, clf_score, gate,
+       |               (CASE WHEN (('0x' || substr(md5('pareto:' ||
+       |                             doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+       |                            + 0.5) / 1.152921504606846976e18 < gate
+       |                      THEN 1 ELSE 0 END)::BIGINT AS clf_kept
+       |        FROM cgt),
+       |pass AS (SELECT c.doc_id, c.lang, sig.n_tokens, sig.distinct_ratio,
+       |       sig.top_word_frac, sig.top_bigram_frac, sig.dup_bigram_frac,
+       |       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |       (CASE WHEN sig.n_tokens < 20 OR sig.distinct_ratio < 0.35
+       |                  OR sig.top_word_frac > 0.15
+       |                  OR sig.dup_bigram_frac > 0.09
+       |                  OR coalesce(ov.n_overlap, 0) > 0
+       |             THEN 0 ELSE 1 END)::BIGINT AS rule_keep,
+       |       concat_ws(',',
+       |         CASE WHEN sig.n_tokens < 20 THEN 'too_short' END,
+       |         CASE WHEN sig.distinct_ratio < 0.35 THEN 'low_diversity' END,
+       |         CASE WHEN sig.top_word_frac > 0.15 THEN 'top_heavy' END,
+       |         CASE WHEN sig.dup_bigram_frac > 0.09 THEN 'dup_bigrams' END,
+       |         CASE WHEN coalesce(ov.n_overlap, 0) > 0 THEN 'contaminated' END)
+       |         AS rule_reasons
+       |  FROM corpus c JOIN sig USING (doc_id)
+       |  LEFT JOIN ov ON ov.doc_id = c.doc_id)
+       |SELECT p.doc_id, p.lang, p.n_tokens, p.distinct_ratio,
+       |       p.top_word_frac, p.top_bigram_frac, p.dup_bigram_frac,
+       |       p.n_overlap, p.rule_keep,
+       |       k.clf_score, k.gate, k.clf_kept,
+       |       (CASE WHEN p.rule_keep = 1 AND k.clf_kept = 1
+       |             THEN 1 ELSE 0 END)::BIGINT AS keep,
+       |       CASE WHEN k.clf_kept = 0
+       |            THEN concat_ws(',', nullif(p.rule_reasons, ''),
+       |                           'clf_pareto_drop')
+       |            ELSE p.rule_reasons END AS reasons
+       |FROM pass p JOIN ckp k USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q158_cluster_mixture", q158, Some(q158Sql)),
     QueryDef("q159_cluster_mixture_apply", q159, Some(q159Sql)),
@@ -2519,6 +2636,7 @@ object TrainPrepQueries {
     QueryDef("q163_quality_clf_score", q163, Some(q163Sql)),
     QueryDef("q164_quality_clf_holdout", q164, Some(q164Sql)),
     QueryDef("q165_quality_pareto_filter", q165, Some(q165Sql)),
+    QueryDef("q166_clf_curation_job", q166, Some(q166Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

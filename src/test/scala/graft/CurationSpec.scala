@@ -255,6 +255,26 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("each class"))
   }
 
+  test("classifier sf0.1 holdout accuracy stays >= 0.85 (drift guard)") {
+    // q164's generalization curve is honestly low at sf0.01 (250 train
+    // docs); this floor pins the sf0.1 point (measured 0.892) so a
+    // feature/trainer regression cannot hide inside small-sf noise
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_contains(toks, "spark").as("y"),
+        graft.expressions.HashEmbedVec(toks, 64).as("embedding"))
+    val w = Curation.rocchioTrain(
+      corpus.filter(col("doc_id") % 2 === 0), "embedding", col("y"))
+    val acc = Curation.logisticScore(
+        corpus.filter(col("doc_id") % 2 === 1), "embedding", w)
+      .select(avg(when(col("keep") === col("y").cast("long"), 1.0)
+        .otherwise(0.0)))
+      .collect().head.getDouble(0)
+    assert(acc >= 0.85, s"sf0.1 holdout accuracy regressed to $acc")
+  }
+
   test("rocchioTrain null-leading corpus fails with the intended message") {
     // first row's features are null: the dim probe must skip it (and an
     // all-null corpus must raise the require, not an NPE)

@@ -104,6 +104,35 @@ class PipelineJobSpec extends SparkSpec {
       .filter(col("reasons").contains("clf_out_of_domain")).isEmpty)
   }
 
+  test("CurationJob Pareto-gate selection stage composes the q165 gate") {
+    // clfGate = true swaps the hard clfFloor cut for the stochastic
+    // Pareto keep (q166's job-shaped path): the drop convicts as
+    // clf_pareto_drop, decisions match the standalone signal frame
+    // bit-for-bit, and only gate survivors reach the clean corpus
+    val out = Files.createTempDirectory("graft_curationjob_gate").toString
+    val counts = CurationJob.run(spark, sf, out,
+      clfSeed = Some("spark"), clfGate = true)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 25L)
+    assert(counts("quality_report") == docs.count())
+    val report = spark.read.parquet(s"$out/quality_report")
+    val dropped = report.filter(col("reasons").contains("clf_pareto_drop"))
+    assert(!dropped.isEmpty, "the pareto gate never dropped a doc")
+    assert(dropped.filter(col("keep") === 1L).isEmpty)
+    // gate decisions == the standalone classifierSignals frame
+    val sig = CurationJob.classifierSignals(docs, "spark", gate = true)
+    val wantDropped = sig.filter(col("clf_kept") === 0L)
+      .select("doc_id").as[Long].collect().toSet
+    val gotDropped = dropped.select("doc_id").as[Long].collect().toSet
+    assert(gotDropped == wantDropped)
+    // survivors flow through the remaining stages; the clean corpus is
+    // nonempty (the gate keeps ~2-5%) and free of gate-dropped docs
+    val clean = spark.read.parquet(s"$out/corpus_clean")
+    assert(counts("corpus_clean") > 0)
+    assert(clean.select("doc_id").distinct().as[Long].collect()
+      .forall(!wantDropped.contains(_)))
+  }
+
   test("fullVerdicts audits every doc — no-bigram docs convict as too_short") {
     val corpus = Seq(
       (1L, "hello"),                                         // 1 token: no bigram
