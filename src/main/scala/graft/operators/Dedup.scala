@@ -571,6 +571,117 @@ object Dedup {
       .count()
   }
 
+  // ------------------------------------------ incremental banded near-dup
+
+  /** The STANDING-CORPUS near-dup index frame a continuously-ingesting
+    * pipeline persists between batches — the batch-materialized twin of
+    * [[graft.streaming.NearDupStream]]'s per-key lexical state, and the
+    * banded-family counterpart of the (key, keeper) frame [[deltaDedup]]
+    * keeps: one row per corpus document with everything
+    * [[deltaNearDup]] needs, so an incremental run never touches corpus
+    * TEXT (or re-shingles, re-hashes, or re-bands it) again:
+    * `(id, sh, hs, sig)` — the distinct shingle set (exact-Jaccard
+    * verify), its sorted xxhash64 array (the hash-Jaccard prefilter
+    * kernel), and the 64-way MinHash signature (band keys derive from
+    * it by a narrow in-row projection). Maintenance is append-only: the
+    * rows a batch admits join the index as exactly this frame computed
+    * over the batch — no rebuild, no re-scan of the standing corpus.
+    */
+  def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    shingleFrame(df, idCol, textCol, n).select(col("id"), col("sh"),
+      sort_array(graft.expressions.XxHash64Array(col("sh"))).as("hs"),
+      graft.expressions.MinHashSig(col("sh"), 64).as("sig"))
+
+  /** INCREMENTAL banded near-dup — [[deltaDedup]]'s contract for the
+    * NEAR-duplicate regime: classify every `incoming` document against
+    * the standing corpus represented by a persisted [[nearDupIndex]]
+    * frame, without recomputing anything corpus-sided. Statuses mirror
+    * [[deltaDedup]] (the q74 contract):
+    *   - `dup_of_corpus` — some corpus doc has Jaccard ≥ `threshold`
+    *     with it (`dup_of` = the smallest such corpus id);
+    *   - `dup_in_batch` — no corpus match, but a smaller-id incoming
+    *     doc is threshold-similar (`dup_of` = the smallest such id);
+    *   - `new` — neither (these rows, and their [[nearDupIndex]] rows,
+    *     are what an append pass admits).
+    *
+    * Candidates come from the same (band, band-hash) bucket join
+    * [[minHashPairs]] uses — the corpus side banded from the STORED
+    * signature (a narrow projection of the index; the plan guard in
+    * PlanSpec pins that no corpus re-banding occurs) — so per batch the
+    * cost is O(batch × bands) probe rows against the index's banded
+    * keys plus the within-batch pair generation, never a corpus×corpus
+    * or corpus-rescan term. Every candidate is exact-verified (hash
+    * upper-bound prefilter, then true Jaccard on the stored shingle
+    * sets), so output decisions are exact wherever banding recalls the
+    * pair — identical to [[minHashPairs]]' guarantee. Duplicate
+    * candidates from multi-band collisions are collapsed AFTER the
+    * verify by the min() aggregates themselves (the post-verify-dedup
+    * lesson). `hotBucketDrop`/`hotBucketCap` carry [[candidatePairs]]'
+    * template-skew mitigations onto the within-batch leg; the
+    * cross leg groups straight to min(corpus id), which no bucket can
+    * inflate past the index side's banded row count.
+    */
+  def deltaNearDup(index: DataFrame, incoming: DataFrame, idCol: String,
+                   textCol: String, n: Int, threshold: Double,
+                   bands: Int = 32, hotBucketDrop: Int = 0,
+                   hotBucketCap: Int = HotBucketCap): DataFrame = {
+    require(idCol != "status" && idCol != "dup_of",
+      s"idCol '$idCol' collides with an output column")
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide the 64-hash signature, got $bands")
+    require(Seq("id", "sh", "hs", "sig").forall(index.columns.contains),
+      s"index must be a nearDupIndex frame (id, sh, hs, sig); got " +
+        index.columns.mkString(", "))
+    val rowsPerBand = 64 / bands
+    def bandKeys(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
+          element_at(sig, b * lit(rowsPerBand) + lit(r + 1))): _*))
+    val incIdx = nearDupIndex(incoming, idCol, textCol, n)
+    val incB = incIdx.select(col("id").as("id_i"),
+      posexplode(bandKeys(col("sig"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val corpusB = index.select(col("id").as("id_c"),
+      posexplode(bandKeys(col("sig"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // cross leg: batch probes × corpus banded keys, verified exactly;
+    // multi-band duplicates ride the candidate stream into the min()
+    // (map-side-combined) instead of paying a pre-verify distinct
+    val interH = graft.expressions.SortedIntersectCount(
+      col("hs_i"), col("hs_c")).cast("double")
+    val corpusMatch = incB.join(corpusB, Seq("band", "bh"))
+      .select("id_i", "id_c")
+      .join(incIdx.select(col("id").as("id_i"), col("sh").as("sh_i"),
+        col("hs").as("hs_i")), "id_i")
+      .join(index.select(col("id").as("id_c"), col("sh").as("sh_c"),
+        col("hs").as("hs_c")), "id_c")
+      .withColumn("inter_h", interH)
+      .filter(col("inter_h") /
+        (size(col("sh_i")) + size(col("sh_c")) - col("inter_h")) >= threshold)
+      .withColumn("inter",
+        size(array_intersect(col("sh_i"), col("sh_c"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh_i")) + size(col("sh_c")) - col("inter")) >= threshold)
+      .groupBy(col("id_i")).agg(min(col("id_c")).as("__graft_ck"))
+    // within-batch leg: the standard banded pair path over the batch only
+    val batchKeeper = verifiedJaccard(
+        candidatePairs(incB.select(col("id_i").as("id"), col("band"),
+          col("bh")), Seq("band", "bh"), cap = hotBucketCap,
+          dropOver = hotBucketDrop),
+        incIdx, threshold)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("__graft_bk"))
+    incoming.select(col(idCol))
+      .join(corpusMatch.withColumnRenamed("id_i", idCol), Seq(idCol), "left")
+      .join(batchKeeper.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__graft_ck").isNotNull, lit("dup_of_corpus"))
+          .when(col("__graft_bk").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        when(col("__graft_ck").isNotNull, col("__graft_ck"))
+          .otherwise(col("__graft_bk")).as("dup_of"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole candidate generation: the 64-bit signature is split into

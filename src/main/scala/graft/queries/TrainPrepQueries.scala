@@ -150,6 +150,61 @@ object TrainPrepQueries {
        |            WHEN inc.doc_id != inc.bk THEN inc.bk END AS dup_of
        |FROM inc LEFT JOIN ex USING (fp) ORDER BY doc_id""".stripMargin
 
+  /** Q167 — INCREMENTAL banded near-dup: q74's continuous-ingest
+    * decision extended to the NEAR-dup regime (see
+    * [[graft.operators.Dedup.deltaNearDup]]): the interleaved "new
+    * batch" classified against a PERSISTED [[graft.operators.Dedup.nearDupIndex]]
+    * frame of the standing corpus (localCheckpoint stands in for the
+    * parquet index table a pipeline keeps) — new / dup_of_corpus /
+    * dup_in_batch with the smallest threshold-similar keeper. The
+    * oracle restates the SEMANTICS as brute-force exact Jaccard over
+    * the same split — equality holds because every emitted decision is
+    * exact-verified and banding recall is complete here (the q22
+    * convention, same n/threshold/band layout). PlanSpec's re-banding
+    * guard pins that the corpus side of the plan derives entirely from
+    * the index frame.
+    */
+  private def q167(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val index = Dedup.nearDupIndex(
+      docs.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1),
+      "doc_id", "text", n = 3).localCheckpoint()
+    Dedup.deltaNearDup(index,
+        docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      .orderBy("doc_id")
+  }
+
+  private val q167Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |       FROM toks),
+       |d AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |c AS (SELECT * FROM d WHERE doc_id % $DeltaMod != ${DeltaMod - 1}),
+       |i AS (SELECT * FROM d WHERE doc_id % $DeltaMod = ${DeltaMod - 1}),
+       |cm AS (SELECT i.doc_id AS doc_id, min(c.doc_id) AS ck
+       |       FROM i JOIN c ON len(list_intersect(i.s, c.s))::DOUBLE
+       |           / (len(i.s) + len(c.s) - len(list_intersect(i.s, c.s)))
+       |           >= 0.6
+       |       GROUP BY 1),
+       |bm AS (SELECT b.doc_id AS doc_id, min(a.doc_id) AS bk
+       |       FROM i a JOIN i b ON a.doc_id < b.doc_id
+       |            AND len(list_intersect(a.s, b.s))::DOUBLE
+       |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |              >= 0.6
+       |       GROUP BY 1)
+       |SELECT doc.doc_id,
+       |       CASE WHEN cm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN bm.bk IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN cm.ck IS NOT NULL THEN cm.ck ELSE bm.bk END AS dup_of
+       |FROM documents doc LEFT JOIN cm USING (doc_id)
+       |LEFT JOIN bm USING (doc_id)
+       |WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 1}
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ shard assignment
 
   private val NumShards = 8
@@ -2637,6 +2692,7 @@ object TrainPrepQueries {
     QueryDef("q164_quality_clf_holdout", q164, Some(q164Sql)),
     QueryDef("q165_quality_pareto_filter", q165, Some(q165Sql)),
     QueryDef("q166_clf_curation_job", q166, Some(q166Sql)),
+    QueryDef("q167_delta_neardup", q167, Some(q167Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -119,6 +119,33 @@ class PipelineOpSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("deltaNearDup classifies new / dup_of_corpus / dup_in_batch on fixture") {
+    val tpl = "the quick brown fox jumps over the lazy dog again today"
+    val corpus = Seq(
+      (1L, tpl),
+      (2L, "completely unrelated corpus text about catalyst optimizer plans"))
+      .toDF("id", "t")
+    val batch = Seq(
+      (14L, tpl),                                  // near-dup of corpus 1
+      (19L, "some fresh sentences that match nothing in corpus or batch yet"),
+      (24L, "some fresh sentences that match nothing in corpus or batch yet"),
+      (29L, "another genuinely novel incoming document with its own words"),
+      (34L, "too short"))                          // < 3 tokens: no shingle
+      .toDF("id", "t")
+    val idx = Dedup.nearDupIndex(corpus, "id", "t", n = 3).localCheckpoint()
+    val got = Dedup.deltaNearDup(idx, batch, "id", "t", n = 3,
+        threshold = 0.6)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(
+      (14L, "dup_of_corpus", 1L),
+      (19L, "new", -1L),
+      (24L, "dup_in_batch", 19L),
+      (29L, "new", -1L),
+      (34L, "new", -1L)), s"got $got")
+  }
+
   test("rarity-order prefix: identical output, template kept out of prefixes") {
     // the prefix filter is exact under ANY consistent global order —
     // rarity (df asc) must reproduce the hash-order output bit-for-bit

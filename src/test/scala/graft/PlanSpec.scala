@@ -244,6 +244,26 @@ class PlanSpec extends SparkSpec {
       s"pigeonhole + verify must stay equi-join only; got $nodes")
   }
 
+  test("q167 delta near-dup plan: corpus side from the index, no re-banding") {
+    // the standing corpus is represented by the checkpointed
+    // nearDupIndex frame — the delta plan must shingle/band only the
+    // INCOMING batch: exactly one text-reading scan, the corpus side
+    // entering as RDD scans of the materialized index
+    val nodes = finalNodes(SparkEntry.queries("q167_delta_neardup")(spark, sf))
+    val textScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("text") => f
+    }
+    assert(textScans.size == 1,
+      s"only the incoming batch may be re-shingled; got ${textScans.size} " +
+        "text scans")
+    assert(names(nodes).exists(_.contains("ExistingRDD")),
+      s"corpus side must come from the checkpointed index; got ${names(nodes)}")
+    assert(!names(nodes).exists(n =>
+        n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"delta path must stay equi-join only; got ${names(nodes)}")
+  }
+
   test("q81 duplicated-spans plan: one tokenizing scan, df via window on the tf frame") {
     val nodes = finalNodes(SparkEntry.queries("q81_duplicated_spans")(spark, sf))
     val dataScans = nodes.collect {
