@@ -1912,6 +1912,55 @@ object Curation {
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
                     rounds: Int, vocabTarget: Int, maxPieceLen: Int = 4,
                     seedSize: Int = 256): DataFrame = {
+    val segmented = unigramSegmented(df, textCol, rounds, vocabTarget,
+      maxPieceLen, seedSize)
+    df.select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
+      .join(segmented, "w")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+  }
+
+  /** Tokenizer fertility / compression under the [[unigramLmTrain]]ed
+    * vocabulary — [[bpeFertility]]'s metric pair (Rust et al. 2021)
+    * computed over the Viterbi segmentation: per stratum, mean symbols
+    * per word and chars per symbol. Same all-integer-sums + two final
+    * rounded divisions discipline, same word-keyed segmentation join.
+    */
+  def unigramFertility(df: DataFrame, strataCol: String, textCol: String,
+                       rounds: Int, vocabTarget: Int, maxPieceLen: Int = 4,
+                       seedSize: Int = 256): DataFrame = {
+    val segmented = unigramSegmented(df, textCol, rounds, vocabTarget,
+        maxPieceLen, seedSize)
+      .select(col("w"), size(col("syms")).cast("long").as("__graft_ns"),
+        length(col("w")).cast("long").as("__graft_nc"))
+    df.select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .join(segmented, "w")
+      .groupBy(col(strataCol)).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__graft_ns")).as("n_symbols"),
+        sum(col("__graft_nc")).as("n_chars"))
+      .select(col(strataCol), col("n_words"), col("n_symbols"),
+        col("n_chars"),
+        round(col("n_symbols") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") / col("n_symbols"), 6).as("chars_per_symbol"))
+  }
+
+  /** The trained per-word VITERBI segmentation `(w, syms)` — the shared
+    * state [[unigramEncode]] joins onto the token stream and
+    * [[unigramFertility]] censuses, exactly as [[bpeWordSymbols]] backs
+    * both BPE surfaces: the max-probability path through each word's
+    * lattice under the [[unigramLmTrain]]ed vocabulary (max/argmax
+    * folds in place of the EM sum folds; ties to the longest piece —
+    * the strict-> keeps the smallest-j candidate), backtraced by a
+    * bounded prepend fold.
+    */
+  private[graft] def unigramSegmented(df: DataFrame, textCol: String,
+                                      rounds: Int, vocabTarget: Int,
+                                      maxPieceLen: Int,
+                                      seedSize: Int): DataFrame = {
     val vocab = unigramLmTrain(df, textCol, rounds, vocabTarget,
         maxPieceLen, seedSize)
       .select(col("piece"), col("prob").as("p"))
@@ -1950,13 +1999,7 @@ object Curation {
           col("w").substr(element_at(col("cuts"), k + 1) + 1,
             element_at(col("cuts"), k + 2) - element_at(col("cuts"), k + 1)))
           .as("syms"))
-    df.select(col(idCol),
-        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
-      .join(segmented, "w")
-      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
-        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
-      .select(col(idCol), col("word_pos"),
-        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+    segmented
   }
 
   // ------------------------------------------------------ sequence packing

@@ -324,6 +324,105 @@ object TrainPrepQueries {
        |FROM keep$UniRounds k JOIN v$UniRounds v USING (piece)
        |ORDER BY piece""".stripMargin
 
+  /** The VITERBI segmentation CTE chain under the trained v$UniRounds
+    * vocabulary, shared by q169/q170: the max/argmax fold (flat
+    * `[score, backpointer]` accumulator — candidates in j-ascending
+    * order, strict > keeping the first = longest piece on ties), then
+    * the backtrace as a RECURSIVE-CTE walk over the exploded
+    * backpointer rows (`bp`) — NOT a fold: a `list_reduce` lambda that
+    * indexes the outer `vit` column is the known version-fragile DuckDB
+    * construct (measured NONDETERMINISTIC across runs on duckdb 1.0.0 —
+    * the same capture hazard the β lattice's relative offsets avoid),
+    * while the chain walk is plain joins with no lambda captures at
+    * all. The walk is depth ≤ word length and each (w, pos>0) step IS
+    * one emitted piece, so `sp` assembles symbols straight from the
+    * visited edges.
+    */
+  private lazy val uniSegCtes =
+    s"""cand3 AS (SELECT p.w, p.j, p.i, p.piece, v.p
+       |          FROM posx p JOIN v$UniRounds v USING (piece)),
+       |ends3 AS (SELECT w, i, flatten(list([j::DOUBLE, p] ORDER BY j)) AS enc
+       |          FROM cand3 GROUP BY 1, 2),
+       |lat3 AS (SELECT w, list(enc ORDER BY i) AS lat FROM ends3 GROUP BY 1),
+       |vit AS MATERIALIZED (SELECT l.w, wd.n,
+       |    list_reduce(list_prepend([1.0, -1.0]::DOUBLE[], l.lat), (acc, x) ->
+       |      list_concat(acc, list_reduce(list_prepend([-1.0, -1.0]::DOUBLE[],
+       |        list_transform(range(0, len(x) // 2),
+       |          k -> [acc[2 * (x[2*k+1])::INT + 1] * x[2*k+2], x[2*k+1]])),
+       |        (b, c) -> CASE WHEN c[1] > b[1] THEN c ELSE b END))) AS vit
+       |  FROM lat3 l JOIN wd USING (w)),
+       |bp AS MATERIALIZED (SELECT w, i, (vit[2 * i + 2])::INT AS b
+       |  FROM (SELECT w, n, vit, unnest(range(1, n + 1))::INT AS i FROM vit)),
+       |bt AS (SELECT w, n AS pos FROM vit
+       |       UNION ALL
+       |       SELECT b.w, b.b AS pos
+       |       FROM bt JOIN bp b ON bt.w = b.w AND bt.pos = b.i
+       |       WHERE bt.pos > 0),
+       |sp AS MATERIALIZED (SELECT bt.w,
+       |    list(substr(bt.w, b.b + 1, bt.pos - b.b) ORDER BY b.b) AS syms
+       |  FROM bt JOIN bp b ON bt.w = b.w AND bt.pos = b.i
+       |  WHERE bt.pos > 0 GROUP BY 1)""".stripMargin
+
+  /** Q169 — the unigram-LM ENCODER graded end-to-end (see
+    * [[graft.operators.Curation.unigramEncode]]): every document token
+    * becomes its VITERBI (max-probability) segmentation under the
+    * q168-trained vocabulary, emitted `(doc_id, word_pos, sym_pos,
+    * symbol)` — q91's contract for the probabilistic tokenizer. The
+    * oracle rides the full two-round training chain, then restates the
+    * Viterbi argmax (with its longest-piece tie-break) and the
+    * backtrace as folds, so a wrong probability anywhere in training OR
+    * a wrong path choice in decoding breaks the hash.
+    */
+  private def q169(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramEncode(Tables.documents(spark, dir), "doc_id", "text",
+        rounds = UniRounds, vocabTarget = UniTarget, maxPieceLen = UniL,
+        seedSize = UniSeed)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
+  private lazy val q169Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |$uniSegCtes,
+       |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS word_pos,
+       |             unnest(toks) AS w
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents))
+       |SELECT t.doc_id, t.word_pos::BIGINT AS word_pos,
+       |       generate_subscripts(f.syms, 1)::BIGINT - 1 AS sym_pos,
+       |       unnest(f.syms) AS symbol
+       |FROM t JOIN sp f USING (w)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
+  /** Q170 — fertility / compression per source under the q168-trained
+    * unigram-LM (see [[graft.operators.Curation.unigramFertility]]):
+    * q121's metric pair over the Viterbi segmentation — the "does this
+    * vocabulary serve this slice" report for the probabilistic
+    * tokenizer, BPE and unigram now graded on the same evaluation
+    * surface.
+    */
+  private def q170(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramFertility(Tables.documents(spark, dir), "source",
+        "text", rounds = UniRounds, vocabTarget = UniTarget,
+        maxPieceLen = UniL, seedSize = UniSeed)
+      .orderBy("source")
+
+  private lazy val q170Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |$uniSegCtes,
+       |tk AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       |SELECT tk.source, count(*)::BIGINT AS n_words,
+       |       sum(len(f.syms))::BIGINT AS n_symbols,
+       |       sum(len(f.w))::BIGINT AS n_chars,
+       |       round(sum(len(f.syms))::BIGINT / count(*), 6) AS fertility,
+       |       round(sum(len(f.w))::BIGINT / sum(len(f.syms))::BIGINT, 6)
+       |         AS chars_per_symbol
+       |FROM tk JOIN sp f USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ shard assignment
 
   private val NumShards = 8
@@ -2813,6 +2912,8 @@ object TrainPrepQueries {
     QueryDef("q166_clf_curation_job", q166, Some(q166Sql)),
     QueryDef("q167_delta_neardup", q167, Some(q167Sql)),
     QueryDef("q168_unigram_train", q168, Some(q168Sql)),
+    QueryDef("q169_unigram_encode", q169, Some(q169Sql)),
+    QueryDef("q170_unigram_fertility", q170, Some(q170Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),
