@@ -54,7 +54,8 @@ object JobStageProbe {
       body
       (System.nanoTime() - t0) / 1e9
     }
-    def stages(corpus: DataFrame): Seq[(String, Double)] = {
+    def stages(corpus: DataFrame,
+               extras: Boolean = false): Seq[(String, Double)] = {
       import graft.operators.{Curation, Dedup, Redact, Splits}
       val bench = corpus.filter(col("doc_id") < 25L)
       val raw = corpus.filter(col("doc_id") >= 25L)
@@ -112,9 +113,38 @@ object JobStageProbe {
         sharded.join(bins, Seq("shard", "pos"))
           .write.mode("overwrite").format("noop").save()
       }
+      // extras (raw mode): price the round-14 census default in
+      // isolation — the sampled hot-shingle census alone, and the pairs
+      // stage with the census-free fixed hash order — so the
+      // auto-vs-fixed delta is attributable to (census jobs + chosen
+      // order), not guessed from the composed number
+      val extra = if (!extras) Nil else {
+        val tCensus = t {
+          graft.operators.Dedup.hotShingleShare(kept, "doc_id", "text", 3)
+        }
+        val tFixed = t {
+          materialize(Dedup.ngramJaccardPairs(
+            kept, "doc_id", "text", n = 3, threshold = 0.6))
+        }
+        Seq("pairs_census_only" -> tCensus, "pairs_fixed_order" -> tFixed)
+      }
       Seq("verdicts" -> tVerd, "dedup_pairs" -> tPairs,
         "keep_list" -> tKeep, "decontaminate" -> tDecon,
-        "mixture_scrub_split" -> tMix, "train_layout" -> tLayout)
+        "mixture_scrub_split" -> tMix, "train_layout" -> tLayout) ++ extra
+    }
+    // RAW mode (SPARK_GRAFT_JOB_RAW=1): decompose the job on the BENCH
+    // corpus itself — the exact frame Bench's curation_job row times —
+    // with the census/fixed-order extras, so a bench-total drift can be
+    // pinned to a named stage (VERDICT r14 #3) instead of argued about.
+    if (sys.env.get("SPARK_GRAFT_JOB_RAW").contains("1")) {
+      val raw = materialize(graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source", "text", "n_chars"))
+      stages(raw, extras = true) // untimed plan warmup
+      val r = stages(raw, extras = true)
+      val rows = r.map { case (n, tr) => f""""$n":$tr%.3f""" }.mkString(",")
+      println(s"""{"probe":"job_stages_raw","sf":"$sfDir","stages":{$rows}}""")
+      spark.stop()
+      return
     }
     // untimed warmup of BOTH corpora's plan shapes: the skew side takes
     // the rarity-order plans the benign side never compiles, so a

@@ -273,6 +273,41 @@ object ScaleProbe {
     clfRun(corpus1) // warmup
     val tClf1 = (1 to iters).map(_ => clfRun(corpus1)).min
     val tClfK = (1 to iters).map(_ => clfRun(corpusK)).min
+
+    // q160 composite probe (VERDICT r14 #6): nearDupPairsAutoFromSig —
+    // bias-aware width × recall cap × multi-probe × shared signature
+    // frame TOGETHER — on the hash-embed corpus (q160's own input
+    // shape) at 1× and ×k. The signature frame is checkpointed UNTIMED
+    // (the shared-frame deployment: one materialization per dedup run,
+    // q154/q160's SharedFrames convention); suffixed replica tokens
+    // decorrelate the hash embeddings, so true pairs scale ~×k.
+    // Resolved widths are printed so BASELINE.md records the curve
+    // point the decade actually ran at, not just seconds.
+    def sigFrame(corpus: DataFrame): DataFrame = {
+      val f = graft.operators.Similarity.signatureFrame(
+        graft.operators.Similarity.hashEmbed(corpus, "doc_id", "text")
+          .filter(col("embedding").isNotNull),
+        "doc_id", "embedding").localCheckpoint()
+      f.count(); f
+    }
+    def q160Width(sigF: DataFrame): Int = {
+      val n = math.max(sigF.count(), 1L)
+      math.min(
+        graft.operators.Similarity.biasAwareRowsPerBand(n,
+          graft.operators.Similarity.planeAgreeProbsFromSig(sigF, n)),
+        graft.operators.Similarity.recallCapRowsPerBand(0.8, 0.9))
+    }
+    def q160Run(sigF: DataFrame): DataFrame =
+      graft.operators.Similarity.nearDupPairsAutoFromSig(
+        sigF, threshold = 0.8, recallTarget = 0.9)
+    val sig1 = sigFrame(corpus1)
+    q160Run(sig1).write.mode("overwrite").format("noop").save() // warmup
+    val w160x1 = q160Width(sig1)
+    val t160x1 = time(q160Run(sig1))
+    val sigK = sigFrame(corpusK)
+    val w160xK = q160Width(sigK)
+    val t160xK = time(q160Run(sigK))
+    sig1.unpersist(); sigK.unpersist()
     corpus1.unpersist(); corpusK.unpersist()
 
     // CurationJob ×k probe: the composed five-table pipeline (verdict →
@@ -367,6 +402,7 @@ object ScaleProbe {
       s""""q143_cdc_census":${j(tCdc1, tCdcK)},""" +
       s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
       s""""q162_165_classifier":${j(tClf1, tClfK)},""" +
+      f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")
