@@ -1948,6 +1948,114 @@ object Curation {
         round(col("n_chars") / col("n_symbols"), 6).as("chars_per_symbol"))
   }
 
+  /** SAMPLED segmentation encode — Kudo 2018's SUBWORD REGULARIZATION,
+    * the point of training a unigram LM over a deterministic BPE: each
+    * token OCCURRENCE draws a segmentation from the posterior
+    * `P(seg | w) ∝ Π p(piece)^α` instead of always taking the Viterbi
+    * argmax, so repeated documents present different subword views to
+    * training. Forward-filter backward-sample, derandomized like every
+    * sampler here ([[paretoGate]] / `applyMixture`):
+    *
+    *   - '''Temper''' `α = 1/2`: tempered weights are `sqrt(p)` — the
+    *     one power IEEE 754 requires correctly rounded, so both engines
+    *     compute identical lattices without a libm `pow` ulp bet
+    *     (the [[paretoGate]] lesson; α=0.5 is in Kudo's published
+    *     sweet range).
+    *   - '''Forward''' α-fold per DISTINCT WORD under the tempered
+    *     vocabulary — [[unigramLattice]]'s own fold, reused verbatim.
+    *   - '''Edge cumulatives, capture-free''': per (word, end i) the
+    *     incoming-edge running sums in j-ascending fold order, computed
+    *     by PIVOTING the ≤ `maxPieceLen` candidates onto columns and
+    *     adding them in one fixed left-associated chain (`x + 0.0 ≡ x`
+    *     for the absent slots, so the chain is bit-identical to the
+    *     present-only left fold) — no lambda touches an outer column,
+    *     the construct measured nondeterministic on DuckDB 1.0.0.
+    *   - '''Backward sample''' per token occurrence: at end position i
+    *     the chosen incoming edge is the SMALLEST j whose cumulative
+    *     clears `u·α_i`, where `u = (md5₆₀(salt:id_wordpos_i)+0.5)/2⁶⁰`
+    *     is the exact-rational hash uniform — inverse-CDF sampling of
+    *     the exact posterior, a pure function of (id, word_pos, salt),
+    *     so retries, repartitions and the oracle all draw the same
+    *     segmentation. The last edge's cumulative IS α_i bitwise and
+    *     `u·α_i ≤ α_i` under round-to-nearest, so a choice always
+    *     exists and the walk strictly descends.
+    *
+    * Emits `(idCol, word_pos, sym_pos, symbol)` — [[unigramEncode]]'s
+    * exact contract, sampled instead of argmax. Scale shape: training +
+    * lattice work stays on the distinct-word census frame; the
+    * token-grain stages (choice aggregate + walk) are the op's
+    * published per-occurrence semantics and shuffle on token keys —
+    * no driver state beyond the model-sized vocabulary.
+    */
+  def unigramSampleEncode(df: DataFrame, idCol: String, textCol: String,
+                          rounds: Int, vocabTarget: Int,
+                          maxPieceLen: Int = 4, seedSize: Int = 256,
+                          salt: String = "unisamp"): DataFrame = {
+    require(maxPieceLen <= 8,
+      s"unigramSampleEncode pivots candidates onto columns; " +
+        s"maxPieceLen must be <= 8, got $maxPieceLen")
+    val tempered = unigramLmTrain(df, textCol, rounds, vocabTarget,
+        maxPieceLen, seedSize)
+      .select(col("piece"), sqrt(col("prob")).as("p"))
+    val posx = unigramPosFrame(df, textCol, maxPieceLen)
+    val words = posx.select("w", "wc", "n").distinct()
+    val (cand, ab) = unigramLattice(posx, tempered, words)
+    // per-edge contribution α_j·p̃, keyed by piece length l = i − j
+    val ec = cand.join(ab.select("w", "alphas"), "w")
+      .select(col("w"), col("i"), (col("i") - col("j")).as("l"),
+        (element_at(col("alphas"), col("j") + 1) * col("p")).as("cv"))
+    // pivot candidates onto columns; running sums in the j-ascending
+    // (= l-descending) fold order as ONE left-associated + chain
+    val pivotCols = (maxPieceLen to 1 by -1).map(l =>
+      max(when(col("l") === l, col("cv"))).as(s"c$l"))
+    val pivoted = ec.groupBy("w", "i").agg(pivotCols.head, pivotCols.tail: _*)
+    val sums = (maxPieceLen to 1 by -1).scanLeft(lit(0.0): Column) {
+      (acc, l) => acc + coalesce(col(s"c$l"), lit(0.0))
+    }.drop(1) // sums(k) = cumulative after the k-th slot, l descending
+    val cumCols = (maxPieceLen to 1 by -1).zipWithIndex.map {
+      case (l, k) => sums(k).as(s"s$l")
+    }
+    val keepCols = (maxPieceLen to 1 by -1).map(l => col(s"c$l"))
+    val withCum = pivoted.select(
+      Seq(col("w"), col("i")) ++ cumCols ++ Seq(sums.last.as("ai")) ++
+        keepCols: _*)
+    val edges = withCum.select(col("w"), col("i"), col("ai"),
+        explode(filter(array((maxPieceLen to 1 by -1).map(l =>
+          when(col(s"c$l").isNotNull,
+            struct(lit(l).as("l"), col(s"s$l").as("cum")))): _*),
+          x => x.isNotNull)).as("e"))
+      .select(col("w"), col("i"), col("ai"),
+        (col("i") - col("e.l")).as("j"), col("e.cum").as("cum"))
+    val toks = df.select(col(idCol).as("__gid"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
+    val u = (TextFns.md5Hash60(concat(lit(salt + ":"), col("__gid"),
+        lit("_"), col("word_pos"), lit("_"), col("i"))).cast("double") +
+      lit(0.5)) / lit(1.152921504606846976e18)
+    val choices = toks.join(edges, "w")
+      .groupBy(col("__gid"), col("word_pos"), col("w"), col("i"))
+      .agg(min(when(col("cum") >= u * col("ai"), col("j"))).as("bj"))
+    val walked = choices
+      .groupBy(col("__gid"), col("word_pos"), col("w"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("bj")))),
+        s => s.getField("bj")).as("ch")) // ch[i] = chosen j for end i
+      .withColumn("n", length(col("w")).cast("int"))
+      .withColumn("cuts", aggregate(sequence(lit(1), col("n")),
+        array(col("n")),
+        (acc, _) => when(element_at(acc, 1) > 0,
+          concat(array(element_at(col("ch"), element_at(acc, 1))), acc))
+          .otherwise(acc)))
+      .select(col("__gid"), col("word_pos"),
+        transform(sequence(lit(0), size(col("cuts")) - 2), k =>
+          col("w").substr(element_at(col("cuts"), k + 1) + 1,
+            element_at(col("cuts"), k + 2) - element_at(col("cuts"), k + 1)))
+          .as("syms"))
+    walked.select(col("__gid").as(idCol),
+        col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+  }
+
   /** The trained per-word VITERBI segmentation `(w, syms)` — the shared
     * state [[unigramEncode]] joins onto the token stream and
     * [[unigramFertility]] censuses, exactly as [[bpeWordSymbols]] backs

@@ -423,6 +423,99 @@ object TrainPrepQueries {
        |FROM tk JOIN sp f USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q171 — SUBWORD REGULARIZATION: the sampled-segmentation encoder
+    * (see [[graft.operators.Curation.unigramSampleEncode]]). Each token
+    * occurrence draws its segmentation from the tempered posterior
+    * (α = 1/2 → `sqrt(p)` lattice weights — the one correctly-rounded
+    * IEEE power) by forward-filter backward-sample with exact-rational
+    * hash uniforms, so the draw is a pure function of
+    * (doc_id, word_pos, salt). The oracle rides the trained v2
+    * vocabulary, recomputes the tempered forward lattice with the same
+    * capture-free folds, pivots the ≤ 4 incoming edges per (word, end)
+    * onto columns to restate the j-ascending cumulative chain as one
+    * left-associated `+` chain, picks each token position's edge by the
+    * same `min j : cum ≥ u·α_i` rule, and backtraces with the q169
+    * recursive-CTE walk — per token instead of per word.
+    */
+  private def q171(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramSampleEncode(Tables.documents(spark, dir), "doc_id",
+        "text", rounds = UniRounds, vocabTarget = UniTarget,
+        maxPieceLen = UniL, seedSize = UniSeed)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
+  private lazy val q171Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |cS AS (SELECT p.w, p.j, p.i, sqrt(v.p) AS p
+       |       FROM posx p JOIN v$UniRounds v USING (piece)),
+       |endsS AS (SELECT w, i, flatten(list([j::DOUBLE, p] ORDER BY j)) AS enc
+       |          FROM cS GROUP BY 1, 2),
+       |latS AS (SELECT w, list(enc ORDER BY i) AS lat FROM endsS GROUP BY 1),
+       |alS AS MATERIALIZED (SELECT l.w,
+       |    list_reduce(list_prepend([1.0]::DOUBLE[], l.lat), (acc, x) ->
+       |      list_append(acc, list_reduce(list_prepend(0.0,
+       |        list_transform(range(0, len(x) // 2),
+       |          k -> acc[(x[2 * k + 1])::INT + 1] * x[2 * k + 2])),
+       |        (s, t) -> s + t))) AS alphas
+       |  FROM latS l),
+       |ecS AS (SELECT c.w, c.i, c.i - c.j AS l,
+       |               a.alphas[c.j + 1] * c.p AS cv
+       |        FROM cS c JOIN alS a USING (w)),
+       |pvS AS (SELECT w, i,
+       |          max(CASE WHEN l = 4 THEN cv END) AS c4,
+       |          max(CASE WHEN l = 3 THEN cv END) AS c3,
+       |          max(CASE WHEN l = 2 THEN cv END) AS c2,
+       |          max(CASE WHEN l = 1 THEN cv END) AS c1
+       |        FROM ecS GROUP BY 1, 2),
+       |cmS AS (SELECT w, i, c4, c3, c2, c1,
+       |          0.0 + coalesce(c4, 0.0) AS s4,
+       |          0.0 + coalesce(c4, 0.0) + coalesce(c3, 0.0) AS s3,
+       |          0.0 + coalesce(c4, 0.0) + coalesce(c3, 0.0)
+       |              + coalesce(c2, 0.0) AS s2,
+       |          0.0 + coalesce(c4, 0.0) + coalesce(c3, 0.0)
+       |              + coalesce(c2, 0.0) + coalesce(c1, 0.0) AS s1
+       |        FROM pvS),
+       |edS AS MATERIALIZED (
+       |  SELECT w, i, i - ls.l AS j, s1 AS ai,
+       |         CASE ls.l WHEN 4 THEN s4 WHEN 3 THEN s3
+       |                   WHEN 2 THEN s2 ELSE s1 END AS cum
+       |  FROM cmS, (VALUES (4), (3), (2), (1)) AS ls(l)
+       |  WHERE CASE ls.l WHEN 4 THEN c4 WHEN 3 THEN c3
+       |                  WHEN 2 THEN c2 ELSE c1 END IS NOT NULL),
+       |tS AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS word_pos,
+       |         unnest(toks) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |chS AS MATERIALIZED (
+       |  SELECT t.doc_id, t.word_pos, t.w, e.i,
+       |         min(CASE WHEN e.cum >=
+       |               ((('0x' || substr(md5('unisamp:' || t.doc_id::VARCHAR
+       |                   || '_' || t.word_pos::VARCHAR
+       |                   || '_' || e.i::VARCHAR), 1, 15))::BIGINT::DOUBLE
+       |                 + 0.5) / 1.152921504606846976e18) * e.ai
+       |             THEN e.j END) AS bj
+       |  FROM tS t JOIN edS e ON t.w = e.w
+       |  GROUP BY 1, 2, 3, 4),
+       |wkS AS (SELECT doc_id, word_pos, w, length(w)::INT AS pos FROM tS
+       |        UNION ALL
+       |        SELECT c.doc_id, c.word_pos, c.w, c.bj AS pos
+       |        FROM wkS JOIN chS c ON wkS.doc_id = c.doc_id
+       |          AND wkS.word_pos = c.word_pos AND wkS.pos = c.i
+       |        WHERE wkS.pos > 0),
+       |syS AS (SELECT wkS.doc_id, wkS.word_pos, wkS.w,
+       |               c.bj AS s, wkS.pos AS e
+       |        FROM wkS JOIN chS c ON wkS.doc_id = c.doc_id
+       |          AND wkS.word_pos = c.word_pos AND wkS.pos = c.i
+       |        WHERE wkS.pos > 0)
+       |SELECT doc_id, word_pos::BIGINT AS word_pos,
+       |       (row_number() OVER (PARTITION BY doc_id, word_pos
+       |                           ORDER BY s) - 1)::BIGINT AS sym_pos,
+       |       substr(w, s + 1, e - s) AS symbol
+       |FROM syS
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
   // ------------------------------------------------------ shard assignment
 
   private val NumShards = 8
@@ -2914,6 +3007,7 @@ object TrainPrepQueries {
     QueryDef("q168_unigram_train", q168, Some(q168Sql)),
     QueryDef("q169_unigram_encode", q169, Some(q169Sql)),
     QueryDef("q170_unigram_fertility", q170, Some(q170Sql)),
+    QueryDef("q171_unigram_sample_encode", q171, Some(q171Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

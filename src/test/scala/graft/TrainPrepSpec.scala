@@ -397,6 +397,60 @@ class TrainPrepSpec extends SparkSpec {
     assert(byWord == want, s"got $byWord")
   }
 
+  test("unigramSampleEncode: reassembly, in-vocab, per-occurrence, salt") {
+    val docs = Seq((1L, "hello world spark"),
+      (2L, "hello spark spark streams"),
+      (3L, "spark spark spark spark hello hello")).toDF("doc_id", "text")
+    val vocab = Curation.unigramLmTrain(docs, "text", rounds = 1,
+        vocabTarget = 8, maxPieceLen = 3, seedSize = 16)
+      .select("piece").as[String].collect().toSet
+    val enc = Curation.unigramSampleEncode(docs, "doc_id", "text",
+      rounds = 1, vocabTarget = 8, maxPieceLen = 3, seedSize = 16)
+    // same output contract as the Viterbi encoder
+    val vit = Curation.unigramEncode(docs, "doc_id", "text", rounds = 1,
+      vocabTarget = 8, maxPieceLen = 3, seedSize = 16)
+    assert(enc.schema.map(f => (f.name, f.dataType)) ==
+      vit.schema.map(f => (f.name, f.dataType)))
+    val rows = enc.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every sampled symbol is a trained piece
+    assert(rows.forall(r => vocab.contains(r._4)),
+      s"unknown pieces: ${rows.filter(r => !vocab.contains(r._4)).toSeq}")
+    // symbols reassemble each word occurrence in sym_pos order
+    val docWords = docs.as[(Long, String)].collect().flatMap {
+      case (id, text) => text.split(" ").zipWithIndex.map {
+        case (w, p) => (id, p.toLong) -> w
+      }
+    }.toMap
+    val byOcc = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.sortBy(_._3).map(_._4).mkString }
+    assert(byOcc == docWords, s"got $byOcc, want $docWords")
+    // the point of subword regularization: the SAME word segments
+    // differently across occurrences (the draw is per occurrence)
+    val segsPerWord = rows.groupBy(r => (r._1, r._2)).toSeq
+      .groupBy { case ((id, p), _) => docWords((id, p)) }
+      .map { case (w, occs) =>
+        w -> occs.map(_._2.sortBy(_._3).map(_._4).toSeq).distinct.size }
+    assert(segsPerWord.values.max > 1,
+      s"no word sampled two distinct segmentations: $segsPerWord")
+    // deterministic under repartition: the draw is a pure function of
+    // (id, word_pos, salt)
+    val again = Curation.unigramSampleEncode(docs.repartition(7), "doc_id",
+        "text", rounds = 1, vocabTarget = 8, maxPieceLen = 3, seedSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(again.sortBy(t => (t._1, t._2, t._3)).toSeq ==
+      rows.sortBy(t => (t._1, t._2, t._3)).toSeq)
+    // a different salt redraws at least one occurrence
+    val salted = Curation.unigramSampleEncode(docs, "doc_id", "text",
+        rounds = 1, vocabTarget = 8, maxPieceLen = 3, seedSize = 16,
+        salt = "unisamp-b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(salted.sortBy(t => (t._1, t._2, t._3)).toSeq !=
+      rows.sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
+
   test("bpeTrain batched: disjoint batches match sequential; overlaps skip") {
     // two independent pair families — (a,a) in aa-words, (b,c) in
     // bc-words — are symbol-disjoint, so one batch=2 round must land
