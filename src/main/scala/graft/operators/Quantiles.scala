@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
 
 /** Per-group quantiles, exact and approximate.
   *
@@ -109,5 +112,54 @@ object Quantiles {
         when(col(valCol).isNotNull,
           greatest(col("__w_lo"), least(col("__w_hi"), col(valCol)))))
       .drop("__w_lo", "__w_hi")
+  }
+
+  /** Deterministic bottom-k hash-sample quantiles — the
+    * ORACLE-GRADEABLE bounded-memory member of the family. [[exact]]
+    * buffers whole groups (safe only on bounded key domains);
+    * [[approx]] is bounded but its t-digest compression boundaries are
+    * engine-private, so it can only ever be tolerance-graded. This one
+    * keeps, per group, the `k` rows with the SMALLEST content hash
+    * (`md5₆₀(squant:id)` — a uniform-without-replacement row sample,
+    * the KMV bottom-k discipline) and takes exact TYPE-1 quantiles of
+    * the sample: rank `max(1, ⌈p·m⌉)` in (value, hash, id) order, a
+    * total order so ties can't float. Every selection step is
+    * integer/compare arithmetic on top of the raw values, so an
+    * external engine restates the result bit-for-bit; rank error is
+    * the sampling error, O(1/√k) — k=512 gives ~±2 percentile points
+    * at p50, tighter in the tails than the rank spacing suggests
+    * because the sample is without replacement.
+    *
+    * Scale shape: the bottom-k filter is a rank-limited window
+    * (`row_number ≤ k`), which Spark rewrites to `WindowGroupLimit` —
+    * a map-side partial top-k per partition before the single
+    * per-group merge, never a full-group sort/buffer; the second
+    * window and the quantile pick run on the ≤ k-row-per-group sample
+    * only. Bottom-k samples are mergeable (bottom-k of a union is the
+    * bottom-k of the bottom-ks), so per-shard samples combine without
+    * re-reading rows — the t-digest merge story with none of the
+    * engine-private state. Emits `(keyCol, sample_n, p…)`.
+    */
+  def sampled(df: DataFrame, keyCol: String, valCol: String,
+              idCol: String, k: Int, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val wk = Window.partitionBy(col(keyCol))
+    val smp = df.select(col(keyCol), col(valCol), col(idCol).as("__q_id"),
+        TextFns.md5Hash60(concat(lit("squant:"), col(idCol))).as("__q_h"))
+      .withColumn("__q_rn",
+        row_number().over(wk.orderBy(col("__q_h"), col("__q_id"))))
+      .filter(col("__q_rn") <= k)
+    val ranked = smp
+      .withColumn("__q_rq", row_number().over(
+        wk.orderBy(col(valCol), col("__q_h"), col("__q_id"))))
+      .withColumn("__q_m", count(lit(1)).over(wk))
+    val aggs = ps.map { p =>
+      max(when(col("__q_rq") ===
+          greatest(lit(1L), ceil(lit(p) * col("__q_m"))),
+        round(col(valCol), 6))).as(label(p))
+    }
+    ranked.groupBy(col(keyCol))
+      .agg(max(col("__q_m")).as("sample_n"), aggs: _*)
   }
 }

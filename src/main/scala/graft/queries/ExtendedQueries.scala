@@ -452,6 +452,43 @@ object ExtendedQueries {
       |       round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q172 — bottom-k hash-sample quantiles (see
+    * [[graft.operators.Quantiles.sampled]]): q43's percentile report
+    * recomputed the way it survives unbounded groups — a deterministic
+    * k=512 bottom-hash row sample per event type, exact type-1
+    * quantiles of the sample. The family's third member: exact
+    * (full-group buffer), approx (t-digest, tolerance-only), sampled
+    * (bounded AND bit-gradeable). The oracle restates the identical
+    * sample selection and rank pick.
+    */
+  private def q172(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.sampled(Tables.events(spark, dir), "event_type", "value",
+        "event_id", k = 512, ps = Seq(0.5, 0.9, 0.99))
+      .orderBy("event_type")
+
+  private val q172Sql =
+    """WITH s AS (SELECT event_type, value, event_id,
+      |        ('0x' || substr(md5('squant:' || event_id::VARCHAR),
+      |                        1, 15))::BIGINT AS h
+      |      FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                   ORDER BY h, event_id) AS rn
+      |      FROM s),
+      |smp AS (SELECT * FROM r WHERE rn <= 512),
+      |q AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value, h, event_id) AS rq,
+      |        count(*) OVER (PARTITION BY event_type) AS m
+      |      FROM smp)
+      |SELECT event_type, max(m)::BIGINT AS sample_n,
+      |       max(CASE WHEN rq = greatest(1, ceil(0.5 * m))::BIGINT
+      |                THEN round(value, 6) END) AS p50,
+      |       max(CASE WHEN rq = greatest(1, ceil(0.9 * m))::BIGINT
+      |                THEN round(value, 6) END) AS p90,
+      |       max(CASE WHEN rq = greatest(1, ceil(0.99 * m))::BIGINT
+      |                THEN round(value, 6) END) AS p99
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q122 — robust outlier report: per-type MODIFIED z-score
     * (Iglewicz–Hoaglin median/MAD, see
     * [[graft.operators.Quantiles.madOutliers]]) — the 50%-breakdown
@@ -963,5 +1000,6 @@ object ExtendedQueries {
     QueryDef("q126_dedup_pagerank", q126, Some(q126Sql)),
     QueryDef("q124_cohort_retention", q124, Some(q124Sql)),
     QueryDef("q105_zorder_value", q105, Some(q105Sql)),
-    QueryDef("q108_ewma_smooth", q108, Some(q108Sql)))
+    QueryDef("q108_ewma_smooth", q108, Some(q108Sql)),
+    QueryDef("q172_sampled_quantiles", q172, Some(q172Sql)))
 }

@@ -387,6 +387,43 @@ class ExtendedOpSpec extends SparkSpec {
     assert(math.abs(ap._2 - 51.0) <= 1.0 && math.abs(ap._3 - 91.0) <= 1.0)
   }
 
+  test("Quantiles.sampled: k>=n is exact type-1; sample tracks exact; merges") {
+    // when k covers the whole group the "sample" is the group, so the
+    // type-1 quantile is exact: rank ceil(p*m) in value order
+    val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val full = Quantiles.sampled(df, "g", "v", "id", k = 100,
+        ps = Seq(0.5, 0.9)).as[(String, Long, Double, Double)].head()
+    assert(full == (("g", 100L, 50.0, 90.0)))
+    // a 64-of-1000 sample lands within the O(1/sqrt(k)) band of exact
+    val big = (1 to 1000).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val s = Quantiles.sampled(big, "g", "v", "id", k = 64, ps = Seq(0.5))
+      .as[(String, Long, Double)].head()
+    assert(s._2 == 64L && math.abs(s._3 - 500.0) < 200.0, s"got $s")
+    // deterministic under repartition (hash sample, total-order ranks)
+    val again = Quantiles.sampled(big.repartition(7), "g", "v", "id",
+        k = 64, ps = Seq(0.5)).as[(String, Long, Double)].head()
+    assert(again == s)
+    // mergeability: running the sampler over the CONCATENATED per-shard
+    // bottom-64 samples reproduces the full-corpus answer exactly —
+    // bottom-k of a union is the bottom-k of the bottom-ks (the
+    // t-digest merge story with engine-portable state)
+    import graft.functions.TextFns
+    def bottomK(shard: org.apache.spark.sql.DataFrame) = shard
+      .withColumn("__h", TextFns.md5Hash60(concat(lit("squant:"), $"id")))
+      .orderBy($"__h", $"id").limit(64).drop("__h")
+    val merged = bottomK(big.filter($"id" % 2 === 0))
+      .unionByName(bottomK(big.filter($"id" % 2 =!= 0)))
+    val kOfShards = Quantiles.sampled(merged, "g", "v", "id", k = 64,
+        ps = Seq(0.5)).as[(String, Long, Double)].head()
+    assert(kOfShards == s)
+    // the bottom-k filter plans as WindowGroupLimit (map-side partial
+    // top-k), never a full-group sort buffer
+    val plan = Quantiles.sampled(big, "g", "v", "id", k = 64, ps = Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"bottom-k sample must plan as WindowGroupLimit:\n$plan")
+  }
+
   test("Layout.withZValue: hand-computed Morton interleave; nulls and degenerates") {
     import graft.operators.Layout
     // 2 cols, 2 bits: min-max over {0..3} quantizes to identity, so the
