@@ -795,6 +795,90 @@ object Similarity {
       .select(col("id"), col("e_d"), signature(col("e_d")).as("sig"),
         VectorFns.norm(col("e_d")).as("n"))
 
+  /** The packed-long band-bucket projection `(id, key)` of a
+    * [[signatureFrame]] — `key = (band+1)·2^w + bits` — shared by the
+    * self-join pair path and the incremental probe path so both sides
+    * of a delta run band IDENTICALLY by construction.
+    */
+  private def packedBandKeys(sigF: DataFrame, rows: Int): DataFrame = {
+    val bands = Bits / rows
+    sigF.select(col("id"), explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        aggregate(sequence(lit(0), lit(rows - 1)),
+          b.cast("long") + lit(1L),
+          (a, r) => a * 2 + element_at(col("sig"), b * rows + r + 1))))
+      .as("key"))
+  }
+
+  /** INCREMENTAL plane-signature near-dup — [[graft.operators.Dedup.deltaNearDup]]'s
+    * contract for the SEMANTIC regime: classify every `incoming` vector
+    * against a standing corpus represented by a persisted
+    * [[signatureFrame]] (`(id, e_d, sig, n)` — the same frame the
+    * batch pair family and q154/q160 share; append-only maintenance:
+    * admitted `new` rows' signature rows are unioned in, nothing
+    * corpus-sided recomputed — the hyperplane model is a data-independent
+    * hash, so signatures built in different runs band identically).
+    * Statuses mirror the q74/q167 contract: `dup_of_corpus`
+    * (some corpus vector at cosine ≥ `threshold`; `dup_of` = smallest
+    * such corpus id), `dup_in_batch` (no corpus match but a smaller-id
+    * batch vector is threshold-similar), `new`.
+    *
+    * Per batch the cost is the batch-side signature pass plus one
+    * (band, bits) equi-join of O(batch × bands) probe keys against the
+    * index's banded keys, plus the within-batch
+    * [[lshNearDupPairsFromSig]] leg — never a corpus×corpus term or a
+    * corpus re-banding (plan-guarded in PlanSpec). Every candidate is
+    * exact-cosine verified against the stored widened vectors, so
+    * decisions are exact wherever banding recalls the pair — identical
+    * to the batch family's guarantee at the same `rowsPerBand`;
+    * multi-band duplicate candidates collapse AFTER the verify inside
+    * the min() keeper aggregates (the post-verify-dedup lesson).
+    */
+  def deltaSemNearDup(index: DataFrame, incoming: DataFrame, idCol: String,
+                      embCol: String, threshold: Double,
+                      rowsPerBand: Int): DataFrame = {
+    require(idCol != "status" && idCol != "dup_of",
+      s"idCol '$idCol' collides with an output column")
+    require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
+      s"rowsPerBand must be in [1, $MaxRowsPerBand], got $rowsPerBand")
+    require(Seq("id", "e_d", "sig", "n").forall(index.columns.contains),
+      s"index must be a signatureFrame (id, e_d, sig, n); got " +
+        index.columns.mkString(", "))
+    // the batch-side signature frame feeds three consumers (probe keys,
+    // verify join, within-batch leg) whose join-inferred
+    // isnotnull(n)/isnotnull(sig) constraints push below the pinned
+    // exchange and defeat ReusedExchange (measured: a second batch scan
+    // with the sqrt(vec_dot(..)) filter rewritten into it), so the
+    // batch signatures are MATERIALIZED once — which is also the
+    // deployment shape: an incremental run writes the batch's signature
+    // rows anyway, because the admitted `new` rows append to the index
+    val incIdx = signatureFrame(incoming, idCol, embCol).localCheckpoint()
+    val incB = packedBandKeys(incIdx, rowsPerBand)
+      .withColumnRenamed("id", "id_i")
+    val corB = packedBandKeys(index, rowsPerBand)
+      .withColumnRenamed("id", "id_c")
+    val corpusMatch = incB.join(corB, Seq("key"))
+      .select("id_i", "id_c")
+      .join(incIdx.select(col("id").as("id_i"), col("e_d").as("e_i"),
+        col("n").as("n_i")), "id_i")
+      .join(index.select(col("id").as("id_c"), col("e_d").as("e_c"),
+        col("n").as("n_c")), "id_c")
+      .filter(VectorFns.dot(col("e_i"), col("e_c")) /
+        (col("n_i") * col("n_c")) >= threshold)
+      .groupBy(col("id_i")).agg(min(col("id_c")).as("__graft_ck"))
+    val batchKeeper = lshNearDupPairsFromSig(incIdx, threshold, rowsPerBand)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("__graft_bk"))
+    incoming.select(col(idCol))
+      .join(corpusMatch.withColumnRenamed("id_i", idCol), Seq(idCol), "left")
+      .join(batchKeeper.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__graft_ck").isNotNull, lit("dup_of_corpus"))
+          .when(col("__graft_bk").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        when(col("__graft_ck").isNotNull, col("__graft_ck"))
+          .otherwise(col("__graft_bk")).as("dup_of"))
+  }
+
   /** [[lshNearDupPairs]] from a pre-built [[signatureFrame]] — the
     * shared-frame entry point (`rowsPerBand` must be explicit here; the
     * auto sizing needs the raw corpus).
@@ -809,13 +893,7 @@ object Similarity {
     // never key encodings), and 8-byte numeric comparisons beat 25-40
     // byte string comparisons through every sort/merge/exchange of the
     // candidate joins
-    val banded = sigF
-      .select(col("id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          aggregate(sequence(lit(0), lit(rows - 1)),
-            b.cast("long") + lit(1L),
-            (a, r) => a * 2 + element_at(col("sig"), b * rows + r + 1))))
-        .as("key"))
+    val banded = packedBandKeys(sigF, rows)
     // Same-bucket candidates from a streamed sort-merge SELF-JOIN with
     // `id_a < id_b` pushed into the join, deduped AFTER the exact
     // verify (the multi-probe lesson, measured on the same corpus:

@@ -1009,6 +1009,57 @@ object PipelineQueries {
        |WHERE cs >= $LshPairThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q173 — INCREMENTAL semantic near-dup (see
+    * [[graft.operators.Similarity.deltaSemNearDup]]): q167's
+    * continuous-ingest contract carried to the embedding regime. The
+    * standing corpus (vec_id % 5 ≠ 4) is represented by its persisted
+    * plane-signature frame; the incoming batch (vec_id % 5 = 4) bands
+    * with the same data-independent hyperplane model and probes the
+    * index's banded keys — q37's exact 16×8 banding, restated in SQL
+    * over the split, so sub-unit banding recall is graded exactly, not
+    * hoped to match brute force. Statuses are the q74 contract with
+    * exact-cosine verification and min-id keepers.
+    */
+  private def q173(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = Similarity.signatureFrame(
+        emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding")
+      .localCheckpoint()
+    Similarity.deltaSemNearDup(index, emb.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", threshold = LshPairThreshold,
+        rowsPerBand = 8)
+      .orderBy("vec_id")
+  }
+
+  private lazy val q173Sql: String =
+    s"""WITH $lshBandsSql,
+       |candc AS (SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_c
+       |          FROM bands a JOIN bands b ON a.band = b.band
+       |          WHERE a.vec_id % 5 = 4 AND b.vec_id % 5 <> 4),
+       |vc AS (SELECT id_i, min(id_c) AS ck
+       |       FROM candc JOIN e a ON a.vec_id = candc.id_i
+       |                  JOIN e b ON b.vec_id = candc.id_c
+       |       WHERE ${cosSql("a.e", "b.e")} >= $LshPairThreshold
+       |       GROUP BY 1),
+       |candb AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.vec_id < b.vec_id
+       |          WHERE a.vec_id % 5 = 4 AND b.vec_id % 5 = 4),
+       |vb AS (SELECT id_b, min(id_a) AS bk
+       |       FROM candb JOIN e a ON a.vec_id = candb.id_a
+       |                  JOIN e b ON b.vec_id = candb.id_b
+       |       WHERE ${cosSql("a.e", "b.e")} >= $LshPairThreshold
+       |       GROUP BY 1)
+       |SELECT v.vec_id,
+       |       CASE WHEN vc.ck IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN vb.bk IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN vc.ck IS NOT NULL THEN vc.ck ELSE vb.bk END AS dup_of
+       |FROM embeddings v LEFT JOIN vc ON vc.id_i = v.vec_id
+       |LEFT JOIN vb ON vb.id_b = v.vec_id
+       |WHERE v.vec_id % 5 = 4
+       |ORDER BY v.vec_id""".stripMargin
+
   /** q156's wide-band multi-probe configuration: 12-bit bands (the
     * regime where single-probe recall sags near the threshold —
     * BASELINE.md skew section) recovered by 1-plane probes. */
@@ -1318,6 +1369,7 @@ object PipelineQueries {
     QueryDef("q28_ann_lsh_topk", q28, Some(q28Sql)),
     QueryDef("q37_ann_lsh_pairs", q37, Some(q37Sql)),
     QueryDef("q156_mplsh_pairs", q156, Some(q156Sql)),
+    QueryDef("q173_delta_sem_neardup", q173, Some(q173Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),

@@ -146,6 +146,46 @@ class PipelineOpSpec extends SparkSpec {
       (34L, "new", -1L)), s"got $got")
   }
 
+  test("deltaSemNearDup classifies against a persisted signature index") {
+    import graft.operators.Similarity
+    // disjoint-support vectors: cosine is exactly 1 within a family and
+    // exactly 0 across families, so statuses are forced regardless of
+    // banding luck (a cross-family band collision is verify-rejected)
+    def vec(lo: Int, hi: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i >= lo && i < hi) 1.0f else 0.0f)
+    val vA = vec(0, 21); val vB = vec(21, 42); val vC = vec(42, 64)
+    val corpus = Seq((1L, vA), (2L, vC)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (14L, vA), // dup of corpus 1
+      (19L, vB), // new family
+      (24L, vB), // dup of 19 within the batch
+      (29L, vec(42, 50))) // cos vs corpus 2 = sqrt(8/22) ≈ 0.6 ≥ 0.5
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    val got = Similarity.deltaSemNearDup(idx, batch, "vec_id", "embedding",
+        threshold = 0.5, rowsPerBand = 8)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(
+      (14L, "dup_of_corpus", 1L),
+      (19L, "new", -1L),
+      (24L, "dup_in_batch", 19L),
+      (29L, "dup_of_corpus", 2L)), s"got $got")
+    // append-only maintenance: admitting the new rows' signature rows
+    // and re-running the NEXT batch against the grown index classifies
+    // against both generations
+    val grown = idx.unionByName(
+      Similarity.signatureFrame(batch.filter($"vec_id" === 19L),
+        "vec_id", "embedding")).localCheckpoint()
+    val next = Similarity.deltaSemNearDup(grown,
+        Seq((99L, vB)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.5, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(next == Seq((99L, "dup_of_corpus", 19L)), s"got $next")
+  }
+
   test("rarity-order prefix: identical output, template kept out of prefixes") {
     // the prefix filter is exact under ANY consistent global order —
     // rarity (df asc) must reproduce the hash-order output bit-for-bit

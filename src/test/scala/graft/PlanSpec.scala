@@ -264,6 +264,28 @@ class PlanSpec extends SparkSpec {
       s"delta path must stay equi-join only; got ${names(nodes)}")
   }
 
+  test("q173 delta sem near-dup plan: corpus from the index, no re-signature") {
+    // the standing corpus is its checkpointed signatureFrame and the
+    // batch signatures are materialized once inside the operator, so
+    // the classification plan must contain NO embedding-reading file
+    // scan at all: the index frame carries no raw `embedding` column,
+    // so any corpus-sided signature recompute would necessarily surface
+    // as an embeddings FileScan here
+    val nodes = finalNodes(SparkEntry.queries("q173_delta_sem_neardup")(spark, sf))
+    val embScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("embedding") => f
+    }
+    assert(embScans.isEmpty,
+      s"both sides enter as materialized signature frames; got " +
+        s"${embScans.size} embedding scans")
+    assert(names(nodes).exists(_.contains("ExistingRDD")),
+      s"corpus side must come from the checkpointed index; got ${names(nodes)}")
+    assert(!names(nodes).exists(n =>
+        n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"delta path must stay equi-join only; got ${names(nodes)}")
+  }
+
   test("q81 duplicated-spans plan: one tokenizing scan, df via window on the tf frame") {
     val nodes = finalNodes(SparkEntry.queries("q81_duplicated_spans")(spark, sf))
     val dataScans = nodes.collect {
