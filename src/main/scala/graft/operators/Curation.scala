@@ -1911,9 +1911,19 @@ object Curation {
     */
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
                     rounds: Int, vocabTarget: Int, maxPieceLen: Int = 4,
-                    seedSize: Int = 256): DataFrame = {
-    val segmented = unigramSegmented(df, textCol, rounds, vocabTarget,
-      maxPieceLen, seedSize)
+                    seedSize: Int = 256): DataFrame =
+    unigramEncodeFromSegments(df, idCol, textCol,
+      unigramSegmented(df, textCol, rounds, vocabTarget, maxPieceLen,
+        seedSize))
+
+  /** [[unigramEncode]] from a pre-built [[unigramSegmented]] frame —
+    * the shared-frame entry point (the training loop and the per-word
+    * Viterbi pass are the dominant cost; the encoder itself is one
+    * word-keyed join over the token stream).
+    */
+  def unigramEncodeFromSegments(df: DataFrame, idCol: String,
+                                textCol: String,
+                                segmented: DataFrame): DataFrame =
     df.select(col(idCol),
         posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
       .join(segmented, "w")
@@ -1921,7 +1931,6 @@ object Curation {
         posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
       .select(col(idCol), col("word_pos"),
         col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
-  }
 
   /** Tokenizer fertility / compression under the [[unigramLmTrain]]ed
     * vocabulary — [[bpeFertility]]'s metric pair (Rust et al. 2021)
@@ -1931,9 +1940,17 @@ object Curation {
     */
   def unigramFertility(df: DataFrame, strataCol: String, textCol: String,
                        rounds: Int, vocabTarget: Int, maxPieceLen: Int = 4,
-                       seedSize: Int = 256): DataFrame = {
-    val segmented = unigramSegmented(df, textCol, rounds, vocabTarget,
-        maxPieceLen, seedSize)
+                       seedSize: Int = 256): DataFrame =
+    unigramFertilityFromSegments(df, strataCol, textCol,
+      unigramSegmented(df, textCol, rounds, vocabTarget, maxPieceLen,
+        seedSize))
+
+  /** [[unigramFertility]] from a pre-built [[unigramSegmented]] frame —
+    * the shared-frame entry point. */
+  def unigramFertilityFromSegments(df: DataFrame, strataCol: String,
+                                   textCol: String,
+                                   segments: DataFrame): DataFrame = {
+    val segmented = segments
       .select(col("w"), size(col("syms")).cast("long").as("__graft_ns"),
         length(col("w")).cast("long").as("__graft_nc"))
     df.select(col(strataCol), explode(TextFns.tokens(col(textCol))).as("w"))
@@ -1990,13 +2007,23 @@ object Curation {
   def unigramSampleEncode(df: DataFrame, idCol: String, textCol: String,
                           rounds: Int, vocabTarget: Int,
                           maxPieceLen: Int = 4, seedSize: Int = 256,
-                          salt: String = "unisamp"): DataFrame = {
+                          salt: String = "unisamp"): DataFrame =
+    unigramSampleEncodeFromVocab(df, idCol, textCol,
+      unigramLmTrain(df, textCol, rounds, vocabTarget, maxPieceLen,
+        seedSize),
+      maxPieceLen, salt)
+
+  /** [[unigramSampleEncode]] from a pre-[[unigramLmTrain]]ed
+    * `(piece, cnt, prob)` vocabulary — the shared-frame entry point.
+    */
+  def unigramSampleEncodeFromVocab(df: DataFrame, idCol: String,
+                                   textCol: String, vocabF: DataFrame,
+                                   maxPieceLen: Int = 4,
+                                   salt: String = "unisamp"): DataFrame = {
     require(maxPieceLen <= 8,
       s"unigramSampleEncode pivots candidates onto columns; " +
         s"maxPieceLen must be <= 8, got $maxPieceLen")
-    val tempered = unigramLmTrain(df, textCol, rounds, vocabTarget,
-        maxPieceLen, seedSize)
-      .select(col("piece"), sqrt(col("prob")).as("p"))
+    val tempered = vocabF.select(col("piece"), sqrt(col("prob")).as("p"))
     val posx = unigramPosFrame(df, textCol, maxPieceLen)
     val words = posx.select("w", "wc", "n").distinct()
     val (cand, ab) = unigramLattice(posx, tempered, words)
@@ -2068,10 +2095,19 @@ object Curation {
   private[graft] def unigramSegmented(df: DataFrame, textCol: String,
                                       rounds: Int, vocabTarget: Int,
                                       maxPieceLen: Int,
-                                      seedSize: Int): DataFrame = {
-    val vocab = unigramLmTrain(df, textCol, rounds, vocabTarget,
-        maxPieceLen, seedSize)
-      .select(col("piece"), col("prob").as("p"))
+                                      seedSize: Int): DataFrame =
+    unigramSegmentedFromVocab(df, textCol,
+      unigramLmTrain(df, textCol, rounds, vocabTarget, maxPieceLen,
+        seedSize),
+      maxPieceLen)
+
+  /** [[unigramSegmented]] under a pre-trained `(piece, cnt, prob)`
+    * vocabulary — the shared-frame entry point. */
+  private[graft] def unigramSegmentedFromVocab(df: DataFrame,
+                                               textCol: String,
+                                               vocabF: DataFrame,
+                                               maxPieceLen: Int): DataFrame = {
+    val vocab = vocabF.select(col("piece"), col("prob").as("p"))
     val posx = unigramPosFrame(df, textCol, maxPieceLen)
     val words = posx.select("w", "wc", "n").distinct()
     val cand = posx.join(broadcast(vocab), "piece")

@@ -100,6 +100,36 @@ object SharedFrames {
     * by q37 (graded output) and q69 (semantic keep-list composition);
     * builds from the shared [[embSignatures]] frame.
     */
+  /** The [[graft.operators.Curation.unigramLmTrain]]ed vocabulary at
+    * the registry configuration (2 EM rounds, L=4, seed 256, target 64)
+    * for `dir`'s documents table. The EM training loop is the dominant
+    * cost of the whole unigram family — q168 (the vocab itself), q169
+    * (Viterbi encode), q170 (fertility) and q171 (sampled encode) would
+    * each retrain it (~5 s × 4 at sf0.1) without sharing; the cluster
+    * analogue is training the tokenizer once and writing the vocab
+    * table every consumer loads.
+    */
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, "unigramVocab", dir) {
+      graft.operators.Curation.unigramLmTrain(
+        Tables.documents(spark, dir), "text",
+        rounds = TrainPrepQueries.UniRounds,
+        vocabTarget = TrainPrepQueries.UniTarget,
+        maxPieceLen = TrainPrepQueries.UniL,
+        seedSize = TrainPrepQueries.UniSeed)
+    }
+
+  /** The per-word VITERBI segmentation under [[unigramVocab]] —
+    * shared by q169 (encode) and q170 (fertility), which differ only in
+    * how they join it onto the token stream.
+    */
+  def unigramSegments(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, "unigramSegments", dir) {
+      graft.operators.Curation.unigramSegmentedFromVocab(
+        Tables.documents(spark, dir), "text",
+        unigramVocab(spark, dir), maxPieceLen = TrainPrepQueries.UniL)
+    }
+
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, "lshPairs", dir) {
       // rowsPerBand PINNED at the graded 8-bit configuration: the

@@ -207,10 +207,10 @@ object TrainPrepQueries {
 
   // ------------------------------------------------ unigram-LM tokenizer
 
-  private val UniL = 4
-  private val UniSeed = 256
-  private val UniTarget = 64
-  private val UniRounds = 2
+  private[queries] val UniL = 4
+  private[queries] val UniSeed = 256
+  private[queries] val UniTarget = 64
+  private[queries] val UniRounds = 2
 
   /** Shared base CTEs for the unigram-LM oracle: distinct-word census,
     * the vocabulary-independent substring position frame, the seed
@@ -311,9 +311,7 @@ object TrainPrepQueries {
     * chains with the same strict left folds.
     */
   private def q168(spark: SparkSession, dir: String): DataFrame =
-    Curation.unigramLmTrain(Tables.documents(spark, dir), "text",
-        rounds = UniRounds, vocabTarget = UniTarget, maxPieceLen = UniL,
-        seedSize = UniSeed)
+    SharedFrames.unigramVocab(spark, dir)
       .orderBy("piece")
 
   private lazy val q168Sql =
@@ -374,9 +372,8 @@ object TrainPrepQueries {
     * a wrong path choice in decoding breaks the hash.
     */
   private def q169(spark: SparkSession, dir: String): DataFrame =
-    Curation.unigramEncode(Tables.documents(spark, dir), "doc_id", "text",
-        rounds = UniRounds, vocabTarget = UniTarget, maxPieceLen = UniL,
-        seedSize = UniSeed)
+    Curation.unigramEncodeFromSegments(Tables.documents(spark, dir),
+        "doc_id", "text", SharedFrames.unigramSegments(spark, dir))
       .orderBy("doc_id", "word_pos", "sym_pos")
 
   private lazy val q169Sql =
@@ -402,9 +399,8 @@ object TrainPrepQueries {
     * surface.
     */
   private def q170(spark: SparkSession, dir: String): DataFrame =
-    Curation.unigramFertility(Tables.documents(spark, dir), "source",
-        "text", rounds = UniRounds, vocabTarget = UniTarget,
-        maxPieceLen = UniL, seedSize = UniSeed)
+    Curation.unigramFertilityFromSegments(Tables.documents(spark, dir),
+        "source", "text", SharedFrames.unigramSegments(spark, dir))
       .orderBy("source")
 
   private lazy val q170Sql =
@@ -438,9 +434,9 @@ object TrainPrepQueries {
     * recursive-CTE walk — per token instead of per word.
     */
   private def q171(spark: SparkSession, dir: String): DataFrame =
-    Curation.unigramSampleEncode(Tables.documents(spark, dir), "doc_id",
-        "text", rounds = UniRounds, vocabTarget = UniTarget,
-        maxPieceLen = UniL, seedSize = UniSeed)
+    Curation.unigramSampleEncodeFromVocab(Tables.documents(spark, dir),
+        "doc_id", "text", SharedFrames.unigramVocab(spark, dir),
+        maxPieceLen = UniL)
       .orderBy("doc_id", "word_pos", "sym_pos")
 
   private lazy val q171Sql =
