@@ -308,6 +308,39 @@ object ScaleProbe {
     val w160xK = q160Width(sigK)
     val t160xK = time(q160Run(sigK))
     sig1.unpersist(); sigK.unpersist()
+
+    // unigram-LM tokenizer family (round 15): the trainer's EM rounds
+    // run on the DISTINCT-WORD census frame, which the suffixed
+    // replicas grow ~×k (every copy's tokens are new words) — the
+    // honest worst case for a census-frame algorithm; the sampled
+    // encoder is timed FROM a pre-trained vocab (the SharedFrames
+    // deployment), so its leg isolates the token-grain choice
+    // aggregate + backtrace walk that scale in the token stream.
+    def uniTrain(corpus: DataFrame): DataFrame =
+      graft.operators.Curation.unigramLmTrain(corpus, "text", rounds = 2,
+        vocabTarget = 64, maxPieceLen = 4, seedSize = 256)
+    def timeAction(body: => Unit): Double =
+      (1 to iters).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    uniTrain(corpus1).write.mode("overwrite").format("noop").save() // warmup
+    val tUt1 = timeAction(
+      uniTrain(corpus1).write.mode("overwrite").format("noop").save())
+    val tUtK = timeAction(
+      uniTrain(corpusK).write.mode("overwrite").format("noop").save())
+    val vocab1 = uniTrain(corpus1).localCheckpoint()
+    val vocabK = uniTrain(corpusK).localCheckpoint()
+    vocab1.count(); vocabK.count()
+    def uniSamp(corpus: DataFrame, vocabF: DataFrame): DataFrame =
+      graft.operators.Curation.unigramSampleEncodeFromVocab(
+        corpus, "doc_id", "text", vocabF)
+    uniSamp(corpus1, vocab1).write.mode("overwrite").format("noop").save()
+    val tUs1 = time(uniSamp(corpus1, vocab1))
+    val tUsK = time(uniSamp(corpusK, vocabK))
+    vocab1.unpersist(); vocabK.unpersist()
     corpus1.unpersist(); corpusK.unpersist()
 
     // CurationJob ×k probe: the composed five-table pipeline (verdict →
@@ -403,6 +436,8 @@ object ScaleProbe {
       s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
       s""""q162_165_classifier":${j(tClf1, tClfK)},""" +
       f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
+      s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
+      s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")

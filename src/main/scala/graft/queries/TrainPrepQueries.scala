@@ -419,6 +419,22 @@ object TrainPrepQueries {
        |FROM tk JOIN sp f USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q174 — the ROWWISE Viterbi encoder (see
+    * [[graft.operators.Curation.unigramEncodeRowwiseFromVocab]]):
+    * q169's exact output contract — and its exact ORACLE, verbatim —
+    * from the codegen'd in-place kernel with the vocabulary as a plan
+    * constant instead of the distinct-word lattice + token-stream join.
+    * Grading both formulations against one SQL restatement pins the
+    * rowwise twin to the fold semantics bit-for-bit (ties, fold order,
+    * code-point substrings), the `hashEmbed`/`hashEmbedRowwise`
+    * convention.
+    */
+  private def q174(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramEncodeRowwiseFromVocab(Tables.documents(spark, dir),
+        "doc_id", "text", SharedFrames.unigramVocab(spark, dir),
+        maxPieceLen = UniL)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
   /** Q171 — SUBWORD REGULARIZATION: the sampled-segmentation encoder
     * (see [[graft.operators.Curation.unigramSampleEncode]]). Each token
     * occurrence draws its segmentation from the tempered posterior
@@ -3004,6 +3020,7 @@ object TrainPrepQueries {
     QueryDef("q169_unigram_encode", q169, Some(q169Sql)),
     QueryDef("q170_unigram_fertility", q170, Some(q170Sql)),
     QueryDef("q171_unigram_sample_encode", q171, Some(q171Sql)),
+    QueryDef("q174_unigram_encode_rowwise", q174, Some(q169Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -451,6 +451,47 @@ class TrainPrepSpec extends SparkSpec {
       rows.sortBy(t => (t._1, t._2, t._3)).toSeq)
   }
 
+  test("unigramEncodeRowwise: bit-parity with the join encoder; OOV; stream") {
+    val docs = Seq((1L, "hello world spark"),
+      (2L, "hello spark spark streams"),
+      (3L, "worlds apart sparkle")).toDF("doc_id", "text")
+    val vocabF = Curation.unigramLmTrain(docs, "text", rounds = 2,
+      vocabTarget = 8, maxPieceLen = 3, seedSize = 16).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "word_pos", "sym_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val joined = canon(Curation.unigramEncodeFromSegments(docs, "doc_id",
+      "text", Curation.unigramSegmentedFromVocab(docs, "text", vocabF, 3)))
+    val rowwise = canon(Curation.unigramEncodeRowwiseFromVocab(docs,
+      "doc_id", "text", vocabF, maxPieceLen = 3))
+    assert(rowwise.nonEmpty && rowwise == joined)
+    // OOV fallback: a word with a character the vocab never saw comes
+    // back whole (the explicit UNK convention), in-vocab words segment
+    val novel = Seq((9L, "hello zzz@qq")).toDF("doc_id", "text")
+    val got = canon(Curation.unigramEncodeRowwiseFromVocab(novel,
+      "doc_id", "text", vocabF, maxPieceLen = 3))
+    assert(got.filter(_._2 == 1L).map(_._4) == Seq("zzz@qq"), s"got $got")
+    assert(got.filter(_._2 == 0L).map(_._4).mkString == "hello")
+    // stream-safe by construction: the same narrow projection over
+    // micro-batches emits exactly the batch rows
+    implicit val ctx = sess.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val enc = Curation.unigramEncodeRowwiseFromVocab(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", vocabF,
+      maxPieceLen = 3)
+    val q = enc.writeStream.format("memory")
+      .queryName("graft_uni_rowwise_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "hello world spark"))
+      q.processAllAvailable()
+      in.addData((2L, "hello spark spark streams"), (3L, "worlds apart sparkle"))
+      q.processAllAvailable()
+      val streamed = canon(spark.table("graft_uni_rowwise_stream"))
+      assert(streamed == joined)
+    } finally q.stop()
+  }
+
   test("bpeTrain batched: disjoint batches match sequential; overlaps skip") {
     // two independent pair families — (a,a) in aa-words, (b,c) in
     // bc-words — are symbol-disjoint, so one batch=2 round must land
