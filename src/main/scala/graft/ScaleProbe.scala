@@ -340,6 +340,15 @@ object ScaleProbe {
     uniSamp(corpus1, vocab1).write.mode("overwrite").format("noop").save()
     val tUs1 = time(uniSamp(corpus1, vocab1))
     val tUsK = time(uniSamp(corpusK, vocabK))
+    // the ROWWISE kernel's decade point — the contrast datum for the
+    // declarative formulation's measured superlinearity (22×): same
+    // draws, no edge frame, no token-grain shuffle
+    def uniSampRow(corpus: DataFrame, vocabF: DataFrame): DataFrame =
+      graft.operators.Curation.unigramSampleEncodeRowwiseFromVocab(
+        corpus, "doc_id", "text", vocabF)
+    uniSampRow(corpus1, vocab1).write.mode("overwrite").format("noop").save()
+    val tUr1 = time(uniSampRow(corpus1, vocab1))
+    val tUrK = time(uniSampRow(corpusK, vocabK))
     vocab1.unpersist(); vocabK.unpersist()
     corpus1.unpersist(); corpusK.unpersist()
 
@@ -438,6 +447,7 @@ object ScaleProbe {
       f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
       s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
       s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +
+      s""""q175_unigram_sample_rowwise":${j(tUr1, tUrK)},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")

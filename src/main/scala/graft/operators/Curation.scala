@@ -1618,9 +1618,24 @@ object Curation {
     * both application surfaces.
     */
   private[graft] def bpeWordSymbols(df: DataFrame, textCol: String,
-                                    merges: Int, batch: Int = 1): DataFrame = {
+                                    merges: Int, batch: Int = 1): DataFrame =
+    bpeTrainLoop(df, textCol, merges, batch)._1
+
+  /** The BPE training loop, returning BOTH application surfaces: the
+    * fused distinct-word frame (what [[bpeWordSymbols]] consumers join)
+    * and the accepted MERGE SEQUENCE in training order — the model the
+    * rowwise encoder inlines ([[bpeEncodeRowwise]]): replaying the
+    * sequence left-to-right over a word's characters reproduces the
+    * frame's segmentation exactly (within-batch merges are
+    * symbol-disjoint by the acceptance rule, so the concatenated
+    * rank-order list IS the sequential application order).
+    */
+  private[graft] def bpeTrainLoop(df: DataFrame, textCol: String,
+                                  merges: Int, batch: Int = 1)
+      : (DataFrame, Seq[(String, String)]) = {
     require(merges >= 0, s"merges must be >= 0, got $merges")
     require(batch >= 1, s"batch must be >= 1, got $batch")
+    val allAccepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var words = df
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -1669,9 +1684,44 @@ object Curation {
           .select(col("w"), fused.as("syms"), col("wc"))
           .localCheckpoint()
         done += accepted.size
+        allAccepted ++= accepted
       }
     }
-    words
+    (words, allAccepted.toSeq)
+  }
+
+  /** ROWWISE BPE encoder — [[bpeEncode]]'s stream-safe twin, closing
+    * the compiled-tokenizer family next to
+    * [[unigramEncodeRowwiseFromVocab]]: the trained merge sequence is a
+    * PLAN CONSTANT replayed per token by a chain of the same
+    * [[graft.expressions.BpeMergePair]] kernels the trainer fuses with,
+    * so encoding is one narrow projection — no distinct-word frame, no
+    * token-stream shuffle on the word key, identical output to the join
+    * formulation by construction (same kernels, same order, per
+    * occurrence instead of per distinct word).
+    */
+  def bpeEncodeRowwise(df: DataFrame, idCol: String, textCol: String,
+                       merges: Int, batch: Int = 1): DataFrame =
+    bpeEncodeRowwiseFromMerges(df, idCol, textCol,
+      bpeTrainLoop(df, textCol, merges, batch)._2)
+
+  /** [[bpeEncodeRowwise]] under an already-trained merge sequence — the
+    * streaming entry point (train on the batch corpus, replay the
+    * merge model over a stream). */
+  def bpeEncodeRowwiseFromMerges(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 mergeSeq: Seq[(String, String)])
+      : DataFrame = {
+    val syms = mergeSeq.foldLeft(
+      regexp_extract_all(col("w"), lit("."), lit(0)): Column) {
+      case (c, (a, b)) => graft.expressions.BpeMergePair(c, a, b)
+    }
+    df.select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(syms).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
   }
 
   /** ENCODE the corpus with the trained BPE segmentation — the apply
@@ -2042,6 +2092,36 @@ object Curation {
       unigramLmTrain(df, textCol, rounds, vocabTarget, maxPieceLen,
         seedSize),
       maxPieceLen, salt)
+
+  /** ROWWISE sampled encoder — [[unigramSampleEncode]]'s compiled,
+    * stream-safe twin (see [[graft.expressions.UnigramSampleSeg]] for
+    * the term-by-term parity contract): vocabulary inlined as a plan
+    * constant, the whole forward-filter backward-sample walk one
+    * compiled pass per row — no edge frame, no token-grain shuffle, one
+    * md5 per visited position. The declarative formulation's ×10 decade
+    * point measured SUPERLINEAR (22× — the token×edge join blowup
+    * through two shuffles, BASELINE.md round-15); this is the encoder a
+    * deployment runs.
+    */
+  def unigramSampleEncodeRowwiseFromVocab(df: DataFrame, idCol: String,
+                                          textCol: String,
+                                          vocabF: DataFrame,
+                                          maxPieceLen: Int = 4,
+                                          salt: String = "unisamp")
+      : DataFrame = {
+    val vocab = vocabF.select(col("piece"), col("prob"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    df.select(col(idCol),
+        posexplode(graft.expressions.UnigramSampleSeg(
+          col(idCol).cast("string"), TextFns.tokens(col(textCol)),
+          vocab, maxPieceLen, salt))
+          .as(Seq("word_pos", "syms")))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+  }
 
   /** [[unigramSampleEncode]] from a pre-[[unigramLmTrain]]ed
     * `(piece, cnt, prob)` vocabulary — the shared-frame entry point.

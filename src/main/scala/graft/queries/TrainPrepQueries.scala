@@ -528,6 +528,22 @@ object TrainPrepQueries {
        |FROM syS
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
+  /** Q175 — the ROWWISE sampled encoder (see
+    * [[graft.operators.Curation.unigramSampleEncodeRowwiseFromVocab]]):
+    * q171's exact contract — and its exact ORACLE, verbatim — from the
+    * compiled in-place kernel. The declarative q171 formulation is the
+    * oracle-shaped restatement; its ×10 decade point measured 22×
+    * superlinear (token×edge join blowup), so this kernel is the
+    * deployment encoder — grading both against one SQL restatement pins
+    * the kernel's md5 draws, tempered α sums and choice rule to the
+    * fold semantics bit-for-bit.
+    */
+  private def q175(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramSampleEncodeRowwiseFromVocab(
+        Tables.documents(spark, dir), "doc_id", "text",
+        SharedFrames.unigramVocab(spark, dir), maxPieceLen = UniL)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
   // ------------------------------------------------------ shard assignment
 
   private val NumShards = 8
@@ -1337,6 +1353,19 @@ object TrainPrepQueries {
   private def q91(spark: SparkSession, dir: String): DataFrame =
     Curation.bpeEncode(Tables.documents(spark, dir), "doc_id", "text",
         merges = BpeMerges)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
+  /** Q176 — the ROWWISE BPE encoder (see
+    * [[graft.operators.Curation.bpeEncodeRowwise]]): q91's contract —
+    * and its ORACLE, verbatim — with the trained merge sequence
+    * replayed per token as a chain of plan-constant
+    * [[graft.expressions.BpeMergePair]] kernels instead of the
+    * word-keyed join; the q174/q175 convention applied to the BPE
+    * family.
+    */
+  private def q176(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpeEncodeRowwise(Tables.documents(spark, dir), "doc_id",
+        "text", merges = BpeMerges)
       .orderBy("doc_id", "word_pos", "sym_pos")
 
   private lazy val q91Sql =
@@ -3021,6 +3050,8 @@ object TrainPrepQueries {
     QueryDef("q170_unigram_fertility", q170, Some(q170Sql)),
     QueryDef("q171_unigram_sample_encode", q171, Some(q171Sql)),
     QueryDef("q174_unigram_encode_rowwise", q174, Some(q169Sql)),
+    QueryDef("q175_unigram_sample_rowwise", q175, Some(q171Sql)),
+    QueryDef("q176_bpe_encode_rowwise", q176, Some(q91Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

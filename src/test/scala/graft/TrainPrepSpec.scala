@@ -492,6 +492,74 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigramSampleEncodeRowwise: bit-parity with declarative; stream") {
+    val docs = Seq((1L, "hello world spark"),
+      (2L, "hello spark spark streams"),
+      (3L, "spark spark spark spark hello hello")).toDF("doc_id", "text")
+    val vocabF = Curation.unigramLmTrain(docs, "text", rounds = 1,
+      vocabTarget = 8, maxPieceLen = 3, seedSize = 16).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "word_pos", "sym_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val declarative = canon(Curation.unigramSampleEncodeFromVocab(docs,
+      "doc_id", "text", vocabF, maxPieceLen = 3))
+    val rowwise = canon(Curation.unigramSampleEncodeRowwiseFromVocab(docs,
+      "doc_id", "text", vocabF, maxPieceLen = 3))
+    assert(rowwise.nonEmpty && rowwise == declarative)
+    // the kernel honors the salt exactly like the declarative draw
+    val saltD = canon(Curation.unigramSampleEncodeFromVocab(docs,
+      "doc_id", "text", vocabF, maxPieceLen = 3, salt = "unisamp-b"))
+    val saltR = canon(Curation.unigramSampleEncodeRowwiseFromVocab(docs,
+      "doc_id", "text", vocabF, maxPieceLen = 3, salt = "unisamp-b"))
+    assert(saltR == saltD && saltR != rowwise)
+    // stream-safe: micro-batches emit exactly the batch rows
+    implicit val ctx = sess.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val enc = Curation.unigramSampleEncodeRowwiseFromVocab(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", vocabF,
+      maxPieceLen = 3)
+    val q = enc.writeStream.format("memory")
+      .queryName("graft_uni_sample_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "hello world spark"))
+      q.processAllAvailable()
+      in.addData((2L, "hello spark spark streams"),
+        (3L, "spark spark spark spark hello hello"))
+      q.processAllAvailable()
+      assert(canon(spark.table("graft_uni_sample_stream")) == declarative)
+    } finally q.stop()
+  }
+
+  test("bpeEncodeRowwise: parity with the join encoder; merge model streams") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "abab aa ba")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "word_pos", "sym_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val joined = canon(Curation.bpeEncode(docs, "doc_id", "text", merges = 3))
+    val rowwise = canon(Curation.bpeEncodeRowwise(docs, "doc_id", "text",
+      merges = 3))
+    assert(rowwise.nonEmpty && rowwise == joined)
+    // the trained merge model replays over a stream (train on the batch
+    // corpus, encode micro-batches with the plan-constant chain)
+    val mergeSeq = Curation.bpeTrainLoop(docs, "text", merges = 3)._2
+    assert(mergeSeq.nonEmpty)
+    implicit val ctx = sess.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val enc = Curation.bpeEncodeRowwiseFromMerges(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", mergeSeq)
+    val q = enc.writeStream.format("memory")
+      .queryName("graft_bpe_rowwise_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "aa ab aa"))
+      q.processAllAvailable()
+      in.addData((2L, "abab aa ba"))
+      q.processAllAvailable()
+      assert(canon(spark.table("graft_bpe_rowwise_stream")) == joined)
+    } finally q.stop()
+  }
+
   test("bpeTrain batched: disjoint batches match sequential; overlaps skip") {
     // two independent pair families — (a,a) in aa-words, (b,c) in
     // bc-words — are symbol-disjoint, so one batch=2 round must land
