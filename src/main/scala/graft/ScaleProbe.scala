@@ -150,6 +150,40 @@ object ScaleProbe {
     // ≤ 2× the 1× time — the acceptance bar for the default being
     // safe to leave unset at growing corpus sizes
     val tLshKAuto = time(lsh(embK, 0))
+
+    // Incremental near-dup probe (round 15, q173 shape): the per-batch
+    // cost of deltaSemNearDup against a PERSISTED index as the standing
+    // corpus grows ×k with the batch FIXED — the continuous-ingest
+    // claim measured. The index is checkpointed UNTIMED (it persists
+    // across runs in deployment); each timed iteration pays the full
+    // per-batch bill: the batch signature materialization, the probe
+    // join against the index's banded keys, the verify joins, and the
+    // within-batch leg. The batch reuses the raw embeddings' %5 slice
+    // (copy 0 of the rolled index is the identity, so real verify work
+    // exists at both scales); ids offset out of the corpus range. The
+    // 12-bit ×k point mirrors the pair path's width-tracks-corpus-size
+    // evidence for the probe join's bucket occupancy.
+    def deltaLeg(idx: DataFrame, rows: Int): Double = {
+      val batch = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("embedding").isNotNull && col("vec_id") % 5 === 4)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          col("embedding"))
+      time(graft.operators.Similarity.deltaSemNearDup(
+        idx, batch, "vec_id", "embedding", threshold = 0.4,
+        rowsPerBand = rows))
+    }
+    val idx1 = graft.operators.Similarity.signatureFrame(
+      emb1, "vec_id", "embedding").localCheckpoint()
+    idx1.count()
+    deltaLeg(idx1, 8) // warmup
+    val tD1 = deltaLeg(idx1, 8)
+    idx1.unpersist()
+    val idxK = graft.operators.Similarity.signatureFrame(
+      embK, "vec_id", "embedding").localCheckpoint()
+    idxK.count()
+    val tDK = deltaLeg(idxK, 8)
+    val tDK12 = deltaLeg(idxK, 12)
+    idxK.unpersist()
     emb1.unpersist(); embK.unpersist()
 
     // ×k2 (default ×100) auto-curve design point: the next decade of the
@@ -445,6 +479,7 @@ object ScaleProbe {
       s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
       s""""q162_165_classifier":${j(tClf1, tClfK)},""" +
       f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
+      f""""q173_delta_sem":{"x1":$tD1%.3f,"x$k":$tDK%.3f,"ratio":${tDK / tD1}%.2f,"x${k}_rows12":$tDK12%.3f},""" +
       s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
       s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +
       s""""q175_unigram_sample_rowwise":${j(tUr1, tUrK)},""" +
