@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's BENCH artifact keeps only the last ~2000 chars of stdout;
+// sbt's "[success] Total time: ..." closing line (~74 chars) otherwise
+// shares that tail with Bench's compact JSON restatement, which needs the
+// room to keep per-query values FRACTIONAL (VERDICT r15 #8).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

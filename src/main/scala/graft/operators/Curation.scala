@@ -1912,6 +1912,19 @@ object Curation {
     * Emits the trained end-state `(piece, cnt, prob)` — final expected
     * counts and renormalized probabilities — so grading the output
     * grades every E-step, M-step, and prune of every round.
+    *
+    * Residual float-order sensitivity (a DOCUMENTED departure from the
+    * repo's all-integer-sums discipline): the M-step's per-piece
+    * `Σ wc·γ` and [[unigramRenorm]]'s vocabulary total are distributed
+    * double sums whose accumulation order Spark does not fix, so a
+    * pre-round value landing within one ulp of a round-6 boundary could
+    * in principle flip the 6th digit across partitionings or vs the
+    * oracle's own sum order. Unobserved across every graded SF, the
+    * repartition-determinism spec, and the ×10 probe corpora — the
+    * summands are few (≤ distinct-word count per piece) and
+    * well-scaled — but it is a possibility the design accepts rather
+    * than excludes; see the spec's repartition fixture for the pinned
+    * evidence.
     */
   def unigramLmTrain(df: DataFrame, textCol: String, rounds: Int,
                      vocabTarget: Int, maxPieceLen: Int = 4,
@@ -2125,6 +2138,15 @@ object Curation {
 
   /** [[unigramSampleEncode]] from a pre-[[unigramLmTrain]]ed
     * `(piece, cnt, prob)` vocabulary — the shared-frame entry point.
+    *
+    * PRECONDITION (char coverage): like
+    * [[unigramSegmentedFromVocab]], this declarative formulation
+    * assumes every character of every encoded word is in the
+    * vocabulary — an uncovered character breaks the lattice walk
+    * silently. Holds by construction when the vocabulary was trained on
+    * the same corpus; for novel data under a frozen vocabulary use
+    * [[unigramSampleEncodeRowwiseFromVocab]], whose kernel handles OOV
+    * with the whole-word fallback.
     */
   def unigramSampleEncodeFromVocab(df: DataFrame, idCol: String,
                                    textCol: String, vocabF: DataFrame,
@@ -2212,7 +2234,21 @@ object Curation {
       maxPieceLen)
 
   /** [[unigramSegmented]] under a pre-trained `(piece, cnt, prob)`
-    * vocabulary — the shared-frame entry point. */
+    * vocabulary — the shared-frame entry point.
+    *
+    * PRECONDITION (char coverage): every character of every word in
+    * `df` must appear in the vocabulary. The lattice collects are
+    * indexed by absolute position, so an uncovered character DROPS
+    * lattice positions and misaligns the backtrace — garbage
+    * segmentations, not an error. A [[unigramLmTrain]]ed vocabulary
+    * over the same corpus satisfies this by construction (the prune
+    * keeps every single character); for NOVEL data under a pre-trained
+    * vocabulary use the rowwise kernels
+    * ([[unigramEncodeRowwiseFromVocab]] /
+    * [[unigramSampleEncodeRowwiseFromVocab]]), whose compiled walk
+    * falls back to emitting the whole word when a position has no
+    * covered piece.
+    */
   private[graft] def unigramSegmentedFromVocab(df: DataFrame,
                                                textCol: String,
                                                vocabF: DataFrame,
