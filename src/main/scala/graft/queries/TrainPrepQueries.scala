@@ -205,6 +205,107 @@ object TrainPrepQueries {
        |WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 1}
        |ORDER BY doc_id""".stripMargin
 
+  /** Q177 — the INDEX-MAINTENANCE step of the incremental family graded
+    * end-to-end (VERDICT r15 #4): q167 grades ONE batch against a
+    * standing index; this grades the two-batch ADMIT-THEN-PROBE
+    * sequence the continuous-ingest contract is actually about. Batch A
+    * (`doc_id % DeltaMod = DeltaMod-2`) is classified against the
+    * corpus index; its `new` rows are ADMITTED — their
+    * [[graft.operators.Dedup.nearDupIndex]] rows (already computed for
+    * the probe) append to the index, the only maintenance the design
+    * requires — and batch B (`% = DeltaMod-1`) probes the GROWN index,
+    * so a B doc whose only near-match is an admitted A doc must come
+    * back `dup_of_corpus` pointing AT that A doc. Both batches'
+    * decisions are emitted (tagged `batch`), so the oracle — exact
+    * Jaccard over the same three-way split, with the grown corpus
+    * restated as `corpus ∪ {A : new}` — hash-checks admit and probe
+    * TOGETHER: a wrong admission changes batch B's rows. Decisions and
+    * the grown index are `localCheckpoint`ed exactly as a pipeline
+    * persists them between runs; PlanSpec pins that the final plan
+    * re-shingles only batch B's text (one text scan; corpus + batch A
+    * enter as materialized RDDs).
+    */
+  private def q177(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % DeltaMod < DeltaMod - 2)
+    val batchA = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 2)
+    val batchB = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+    val index0 = Dedup.nearDupIndex(corpus, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val decA = Dedup.deltaNearDup(index0, batchA, "doc_id", "text",
+      n = 3, threshold = 0.6).localCheckpoint()
+    val admitted = decA.filter(col("status") === "new")
+      .select(col("doc_id").as("id"))
+    val index1 = index0.unionByName(
+        Dedup.nearDupIndex(batchA, "doc_id", "text", n = 3)
+          .join(admitted, "id"))
+      .localCheckpoint()
+    val decB = Dedup.deltaNearDup(index1, batchB, "doc_id", "text",
+      n = 3, threshold = 0.6)
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("doc_id")
+  }
+
+  private val q177Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |       FROM toks),
+       |d AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |c0 AS (SELECT * FROM d WHERE doc_id % $DeltaMod < ${DeltaMod - 2}),
+       |ba AS (SELECT * FROM d WHERE doc_id % $DeltaMod = ${DeltaMod - 2}),
+       |bb AS (SELECT * FROM d WHERE doc_id % $DeltaMod = ${DeltaMod - 1}),
+       |acm AS (SELECT ba.doc_id AS doc_id, min(c0.doc_id) AS ck
+       |        FROM ba JOIN c0 ON len(list_intersect(ba.s, c0.s))::DOUBLE
+       |            / (len(ba.s) + len(c0.s) - len(list_intersect(ba.s, c0.s)))
+       |            >= 0.6
+       |        GROUP BY 1),
+       |abm AS (SELECT y.doc_id AS doc_id, min(x.doc_id) AS bk
+       |        FROM ba x JOIN ba y ON x.doc_id < y.doc_id
+       |             AND len(list_intersect(x.s, y.s))::DOUBLE
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= 0.6
+       |        GROUP BY 1),
+       |adec AS (SELECT doc.doc_id,
+       |                CASE WHEN acm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                     WHEN abm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                     ELSE 'new' END AS status,
+       |                CASE WHEN acm.ck IS NOT NULL THEN acm.ck
+       |                     ELSE abm.bk END AS dup_of
+       |         FROM documents doc LEFT JOIN acm USING (doc_id)
+       |         LEFT JOIN abm USING (doc_id)
+       |         WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 2}),
+       |c1 AS (SELECT * FROM c0
+       |       UNION ALL
+       |       SELECT d.doc_id, d.s FROM d
+       |       JOIN adec ON d.doc_id = adec.doc_id AND adec.status = 'new'),
+       |bcm AS (SELECT bb.doc_id AS doc_id, min(c1.doc_id) AS ck
+       |        FROM bb JOIN c1 ON len(list_intersect(bb.s, c1.s))::DOUBLE
+       |            / (len(bb.s) + len(c1.s) - len(list_intersect(bb.s, c1.s)))
+       |            >= 0.6
+       |        GROUP BY 1),
+       |bbm AS (SELECT y.doc_id AS doc_id, min(x.doc_id) AS bk
+       |        FROM bb x JOIN bb y ON x.doc_id < y.doc_id
+       |             AND len(list_intersect(x.s, y.s))::DOUBLE
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= 0.6
+       |        GROUP BY 1),
+       |bdec AS (SELECT doc.doc_id,
+       |                CASE WHEN bcm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                     WHEN bbm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                     ELSE 'new' END AS status,
+       |                CASE WHEN bcm.ck IS NOT NULL THEN bcm.ck
+       |                     ELSE bbm.bk END AS dup_of
+       |         FROM documents doc LEFT JOIN bcm USING (doc_id)
+       |         LEFT JOIN bbm USING (doc_id)
+       |         WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 1})
+       |SELECT doc_id, status, dup_of, 'a' AS batch FROM adec
+       |UNION ALL
+       |SELECT doc_id, status, dup_of, 'b' AS batch FROM bdec
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ unigram-LM tokenizer
 
   private[queries] val UniL = 4
@@ -3082,6 +3183,7 @@ object TrainPrepQueries {
     QueryDef("q165_quality_pareto_filter", q165, Some(q165Sql)),
     QueryDef("q166_clf_curation_job", q166, Some(q166Sql)),
     QueryDef("q167_delta_neardup", q167, Some(q167Sql)),
+    QueryDef("q177_admit_probe_neardup", q177, Some(q177Sql)),
     QueryDef("q168_unigram_train", q168, Some(q168Sql)),
     QueryDef("q169_unigram_encode", q169, Some(q169Sql)),
     QueryDef("q170_unigram_fertility", q170, Some(q170Sql)),

@@ -146,6 +146,42 @@ class PipelineOpSpec extends SparkSpec {
       (34L, "new", -1L)), s"got $got")
   }
 
+  test("deltaNearDup admit-then-probe: batch B dups against an admitted A doc") {
+    // the q177 composition on a forced fixture: batch A's `new` rows are
+    // admitted (their nearDupIndex rows appended), and a batch-B doc
+    // whose ONLY near-match is an admitted A doc must classify
+    // dup_of_corpus pointing at it — while a B doc matching an A doc
+    // that was itself a dup (NOT admitted) must come back `new`
+    val tpl = "the quick brown fox jumps over the lazy dog again today"
+    val novelA = "some fresh sentences that match nothing in corpus or batch yet"
+    val corpus = Seq((1L, tpl)).toDF("id", "t")
+    val batchA = Seq(
+      (13L, novelA),                                // admitted: new
+      (18L, tpl))                                   // dup_of_corpus: NOT admitted
+      .toDF("id", "t")
+    val batchB = Seq(
+      (24L, novelA),                                // matches admitted 13 only
+      (29L, "another genuinely novel incoming document with its own words"))
+      .toDF("id", "t")
+    val idx0 = Dedup.nearDupIndex(corpus, "id", "t", n = 3).localCheckpoint()
+    val decA = Dedup.deltaNearDup(idx0, batchA, "id", "t", n = 3,
+      threshold = 0.6).localCheckpoint()
+    val admitted = decA.filter($"status" === "new").select($"id")
+    val idx1 = idx0.unionByName(
+      Dedup.nearDupIndex(batchA, "id", "t", n = 3).join(admitted, "id"))
+      .localCheckpoint()
+    // the grown index holds exactly corpus + the one admitted A row
+    assert(idx1.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 13L))
+    val decB = Dedup.deltaNearDup(idx1, batchB, "id", "t", n = 3,
+        threshold = 0.6)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(decB == Seq(
+      (24L, "dup_of_corpus", 13L),
+      (29L, "new", -1L)), s"got $decB")
+  }
+
   test("deltaSemNearDup classifies against a persisted signature index") {
     import graft.operators.Similarity
     // disjoint-support vectors: cosine is exactly 1 within a family and

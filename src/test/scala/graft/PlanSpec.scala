@@ -264,6 +264,32 @@ class PlanSpec extends SparkSpec {
       s"delta path must stay equi-join only; got ${names(nodes)}")
   }
 
+  test("q177 admit-then-probe plan: batch B is the only re-shingled text") {
+    // the two-batch sequence persists everything a pipeline persists:
+    // corpus index, batch A decisions, and the GROWN index are all
+    // checkpointed, so the only text-reading file scans left are batch
+    // B's own (its banding and verify legs — ≤ 2, batch-sized, and both
+    // carrying B's partition predicate); every standing-corpus and
+    // batch-A byte enters as a materialized RDD
+    val nodes = finalNodes(
+      SparkEntry.queries("q177_admit_probe_neardup")(spark, sf))
+    val textScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("text") => f
+    }
+    assert(textScans.nonEmpty && textScans.size <= 2,
+      s"only batch B's own legs may read text; got ${textScans.size} scans")
+    assert(textScans.forall(_.toString.contains("% 5) = 4")),
+      s"every text scan must be batch-B-filtered (doc_id % 5 = 4); got\n" +
+        textScans.map(_.toString.take(200)).mkString("\n"))
+    assert(names(nodes).exists(_.contains("ExistingRDD")),
+      s"index + batch-A decisions must come from checkpoints; got " +
+        s"${names(nodes)}")
+    assert(!names(nodes).exists(n =>
+        n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"admit-then-probe must stay equi-join only; got ${names(nodes)}")
+  }
+
   test("q173 delta sem near-dup plan: corpus from the index, no re-signature") {
     // the standing corpus is its checkpointed signatureFrame and the
     // batch signatures are materialized once inside the operator, so
