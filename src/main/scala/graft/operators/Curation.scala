@@ -2009,6 +2009,35 @@ object Curation {
         col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
   }
 
+  /** Per-row MODEL-TOKEN count under a trained unigram-LM vocabulary —
+    * the layout-stage companion of [[unigramEncodeRowwiseFromVocab]]:
+    * the same [[graft.expressions.UnigramViterbiSeg]] kernel (vocabulary
+    * inlined as a plan constant), folded to `Σ |syms|` per row inside
+    * the projection instead of exploded — so "how many tokens does the
+    * REAL tokenizer give this document" costs ZERO extra shuffle and is
+    * stream-safe, which is what lets shard assignment and sequence
+    * packing operate on model tokens instead of the whitespace proxy
+    * (see [[graft.pipelines.CurationJob]]'s encode stage). Null text
+    * yields a null count (the [[packSequences]] input convention for
+    * unreadable rows); by kernel parity the count equals
+    * `count(*)` over [[unigramEncodeRowwiseFromVocab]]'s rows for every
+    * id — the invariant PipelineJobSpec pins.
+    */
+  def unigramTokenCountRowwiseFromVocab(df: DataFrame, textCol: String,
+                                        vocabF: DataFrame,
+                                        maxPieceLen: Int = 4,
+                                        outCol: String = "n_model_tokens")
+      : DataFrame = {
+    val vocab = vocabF.select(col("piece"), col("prob"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    df.withColumn(outCol,
+      aggregate(
+        graft.expressions.UnigramViterbiSeg(
+          TextFns.tokens(col(textCol)), vocab, maxPieceLen),
+        lit(0L), (acc, syms) => acc + size(syms)))
+  }
+
   /** [[unigramEncode]] from a pre-built [[unigramSegmented]] frame —
     * the shared-frame entry point (the training loop and the per-word
     * Viterbi pass are the dominant cost; the encoder itself is one

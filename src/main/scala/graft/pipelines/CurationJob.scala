@@ -121,7 +121,8 @@ object CurationJob {
           benchCut: Long = 25L,
           clfSeed: Option[String] = None,
           clfFloor: Double = 0.5,
-          clfGate: Boolean = false): Map[String, Long] = {
+          clfGate: Boolean = false,
+          encodeTokens: Boolean = false): Map[String, Long] = {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < benchCut)
     val corpus = docs.filter(col("doc_id") >= benchCut)
@@ -186,18 +187,40 @@ object CurationJob {
         // running sum on the in-shard position and returns only the
         // packing columns, so the bin is joined back on (shard, pos) —
         // an equi-join on the partitioning the window just produced.
-        val sharded = Curation.shardAssign(
-          corpusClean.filter(col("split") === "train")
-            .withColumn("row_id",
-              concat_ws(":", col("doc_id"), col("copy"))),
-          "row_id", NumShards)
-        val bins = Curation.packSequences(sharded, "pos", col("n_tokens"),
+        //
+        // With `encodeTokens` (opt-in): shard/pack over REAL MODEL
+        // TOKENS instead of the whitespace proxy — a unigram-LM
+        // vocabulary is trained on the TRAIN split only (leakage-safe:
+        // the tokenizer never sees val/test text; the model is a
+        // bounded piece table) and every row's count comes from the
+        // compiled rowwise Viterbi kernel as one narrow projection
+        // (zero extra shuffle in the layout; the training cost is the
+        // q168-graded census-frame EM). The scrubbed text is what the
+        // vocabulary trains on and what the counts are taken over —
+        // the text a tokenizer run would actually consume.
+        val trainRows = corpusClean.filter(col("split") === "train")
+          .withColumn("row_id",
+            concat_ws(":", col("doc_id"), col("copy")))
+        val (packRows, packOn, layoutCols) =
+          if (!encodeTokens)
+            (trainRows, "n_tokens",
+              Seq("doc_id", "copy", "lang", "n_tokens"))
+          else {
+            val vocab = Curation.unigramLmTrain(trainRows, "text",
+              rounds = 2, vocabTarget = 64, maxPieceLen = 4)
+            (Curation.unigramTokenCountRowwiseFromVocab(trainRows, "text",
+                vocab, maxPieceLen = 4, outCol = "n_model_tokens"),
+              "n_model_tokens",
+              Seq("doc_id", "copy", "lang", "n_tokens", "n_model_tokens"))
+          }
+        val sharded = Curation.shardAssign(packRows, "row_id", NumShards)
+        val bins = Curation.packSequences(sharded, "pos", col(packOn),
             "shard", PackBudget)
           .select(col("shard"), col("pos"), col("bin"))
         val trainShards = sharded
           .join(bins, Seq("shard", "pos"))
-          .select(col("doc_id"), col("copy"), col("lang"), col("n_tokens"),
-            col("shard"), col("pos"), col("bin"))
+          .select((layoutCols.map(col) ++
+            Seq(col("shard"), col("pos"), col("bin"))): _*)
 
         try {
           Map(

@@ -682,6 +682,70 @@ object TrainPrepQueries {
         SharedFrames.unigramVocab(spark, dir), maxPieceLen = UniL)
       .orderBy("doc_id", "word_pos", "sym_pos")
 
+  /** Per-sequence token budget for q178's encoded train layout — the
+    * composed job's own [[graft.pipelines.CurationJob.PackBudget]]. */
+  private val LayoutBudget = 1024
+
+  /** Q178 — the ENCODED TRAIN LAYOUT, job-shaped (VERDICT r15 #5): the
+    * physical layout stage [[graft.pipelines.CurationJob]] runs with
+    * `encodeTokens = true`, graded as one composition — every doc's
+    * MODEL-token count under the trained unigram-LM (the compiled
+    * rowwise Viterbi kernel folded to a per-row count,
+    * [[graft.operators.Curation.unigramTokenCountRowwiseFromVocab]] —
+    * zero extra shuffle) feeds the deterministic shard assignment and
+    * the greedy per-shard sequence packing, so shard/pos/bin are
+    * computed over what the tokenizer ACTUALLY yields, not the
+    * whitespace proxy. The oracle restates the whole chain: the q168/
+    * q169 vocabulary + Viterbi segmentation CTEs summed per doc, q75's
+    * md5 shard/order hashes, and q63's running-sum bin law — so a wrong
+    * count, a wrong shard, or a packing drift all hash-fail.
+    * PipelineJobSpec separately pins the in-job invariant (packed
+    * lengths = encoded lengths) on the composed five-table run.
+    */
+  private def q178(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val counted = Curation.unigramTokenCountRowwiseFromVocab(docs, "text",
+        SharedFrames.unigramVocab(spark, dir), maxPieceLen = UniL)
+      // unreadable rows have no layout position (the oracle's token
+      // join is inner); the graded corpora contain none, but the query
+      // states the contract
+      .filter(col("n_model_tokens").isNotNull)
+      .select("doc_id", "n_model_tokens")
+    val sharded = Curation.shardAssign(counted, "doc_id", NumShards)
+    val bins = Curation.packSequences(sharded, "pos",
+        col("n_model_tokens"), "shard", LayoutBudget)
+      .select(col("shard"), col("pos"), col("bin"))
+    sharded.join(bins, Seq("shard", "pos"))
+      .select(col("doc_id"), col("n_model_tokens"), col("shard"),
+        col("pos"), col("bin"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q178Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |$uniSegCtes,
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |el AS (SELECT tk.doc_id, sum(len(f.syms))::BIGINT AS n_model_tokens
+       |       FROM tk JOIN sp f USING (w) GROUP BY 1),
+       |h AS (SELECT doc_id, n_model_tokens,
+       |    (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % $NumShards)::INTEGER AS shard,
+       |    ('0x' || substr(md5('shard-ord:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      AS ord
+       |  FROM el),
+       |p AS (SELECT doc_id, n_model_tokens, shard,
+       |        (row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |         - 1)::BIGINT AS pos
+       |      FROM h)
+       |SELECT doc_id, n_model_tokens, shard, pos,
+       |       ((sum(n_model_tokens) OVER (PARTITION BY shard ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |        - n_model_tokens) // $LayoutBudget AS bin
+       |FROM p ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ shard assignment
 
   private val NumShards = 8
@@ -3191,6 +3255,7 @@ object TrainPrepQueries {
     QueryDef("q174_unigram_encode_rowwise", q174, Some(q169Sql)),
     QueryDef("q175_unigram_sample_rowwise", q175, Some(uniSampleSqlFor(""))),
     QueryDef("q176_bpe_encode_rowwise", q176, Some(q91Sql)),
+    QueryDef("q178_encoded_train_layout", q178, Some(q178Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

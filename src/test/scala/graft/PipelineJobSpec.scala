@@ -133,6 +133,57 @@ class PipelineJobSpec extends SparkSpec {
       .forall(!wantDropped.contains(_)))
   }
 
+  test("CurationJob encode stage: shards pack REAL model tokens (opt-in)") {
+    // encodeTokens = true trains a unigram-LM on the TRAIN split's
+    // scrubbed text and lays out shards/bins over the kernel-counted
+    // model tokens. The invariant the round-15 verdict asked for:
+    // packed lengths = encoded lengths — every train_shards row's
+    // n_model_tokens must equal the rowwise encoder's symbol count for
+    // the same text under the SAME vocabulary, and the bins must be the
+    // running-sum law over exactly those counts.
+    val out = Files.createTempDirectory("graft_curationjob_enc").toString
+    val counts = CurationJob.run(spark, sf, out, encodeTokens = true)
+    assert(counts.values.forall(_ > 0))
+    val shards = spark.read.parquet(s"$out/train_shards")
+    assert(shards.columns.contains("n_model_tokens"),
+      s"encoded layout must carry the model-token count; got " +
+        shards.columns.mkString(", "))
+    val clean = spark.read.parquet(s"$out/corpus_clean")
+    val train = clean.filter(col("split") === "train")
+    // retrain the same vocabulary (deterministic) and recount via the
+    // EXPLODED rowwise encoder — an independent path to the same number
+    val vocab = graft.operators.Curation.unigramLmTrain(
+      train, "text", rounds = 2, vocabTarget = 64, maxPieceLen = 4)
+    val recount = graft.operators.Curation.unigramEncodeRowwiseFromVocab(
+        train.withColumn("rid", concat_ws(":", col("doc_id"), col("copy"))),
+        "rid", "text", vocab, maxPieceLen = 4)
+      .groupBy("rid").agg(count(lit(1)).as("n_enc"))
+    val mismatch = shards
+      .withColumn("rid", concat_ws(":", col("doc_id"), col("copy")))
+      .join(recount, "rid")
+      .filter(col("n_model_tokens") =!= col("n_enc"))
+    assert(mismatch.isEmpty,
+      s"packed count != encoded count for ${mismatch.count()} rows")
+    assert(shards.count() == recount.count() && shards.count() == train.count())
+    // bins follow the running-sum law over the MODEL counts
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy("pos").rowsBetween(Long.MinValue, 0)
+    val binCheck = shards
+      .withColumn("cum", sum(col("n_model_tokens")).over(w))
+      .filter(col("bin") =!=
+        expr(s"(cum - n_model_tokens) div ${CurationJob.PackBudget}L"))
+    assert(binCheck.isEmpty, "bin law must hold over model tokens")
+    // whitespace counts differ from model counts somewhere (else the
+    // encode stage packed the proxy and this test proves nothing)
+    assert(!shards.filter(col("n_model_tokens") =!= col("n_tokens")).isEmpty,
+      "model-token counts never differ from whitespace counts on this corpus")
+    // default path untouched: no n_model_tokens column without the opt-in
+    val outDef = Files.createTempDirectory("graft_curationjob_noenc").toString
+    CurationJob.run(spark, sf, outDef)
+    assert(!spark.read.parquet(s"$outDef/train_shards")
+      .columns.contains("n_model_tokens"))
+  }
+
   test("fullVerdicts audits every doc — no-bigram docs convict as too_short") {
     val corpus = Seq(
       (1L, "hello"),                                         // 1 token: no bigram
