@@ -132,6 +132,40 @@ object JobStageProbe {
         "keep_list" -> tKeep, "decontaminate" -> tDecon,
         "mixture_scrub_split" -> tMix, "train_layout" -> tLayout) ++ extra
     }
+    // WRITE-DELTA mode (SPARK_GRAFT_JOB_WRITE_DELTA=1): price the five
+    // parquet table writes by running the COMPLETE job twice in the
+    // same session — once through the real parquet sink, once through
+    // the noop sink (identical plans, no write path) — min-of-5 each
+    // (the Bench job-row discipline; write noise needs the samples).
+    // This turns the "bench ≈ 11 s vs stage-sum ≈ 6.6 s gap is the
+    // writes" ATTRIBUTION into a measured number (VERDICT r15 #7).
+    if (sys.env.get("SPARK_GRAFT_JOB_WRITE_DELTA").contains("1")) {
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      def runJob(sink: String): Double = {
+        System.gc()
+        val out = java.nio.file.Files.createTempDirectory("graft_wdelta")
+        val t0 = System.nanoTime()
+        graft.pipelines.CurationJob.run(spark, sfDir, out.toString,
+          sink = sink)
+        val dt = (System.nanoTime() - t0) / 1e9
+        rmTree(out)
+        dt
+      }
+      runJob("noop") // untimed plan/JIT warmup
+      val iters = 5
+      val tNoop = (1 to iters).map(_ => runJob("noop")).min
+      val tParquet = (1 to iters).map(_ => runJob("parquet")).min
+      println(f"""{"probe":"job_write_delta","sf":"$sfDir","iters":$iters,""" +
+        f""""parquet_sec":$tParquet%.3f,"noop_sec":$tNoop%.3f,""" +
+        f""""write_delta_sec":${tParquet - tNoop}%.3f}""")
+      spark.stop()
+      return
+    }
     // RAW mode (SPARK_GRAFT_JOB_RAW=1): decompose the job on the BENCH
     // corpus itself — the exact frame Bench's curation_job row times —
     // with the census/fixed-order extras, so a bench-total drift can be

@@ -383,6 +383,27 @@ object ScaleProbe {
     uniSampRow(corpus1, vocab1).write.mode("overwrite").format("noop").save()
     val tUr1 = time(uniSampRow(corpus1, vocab1))
     val tUrK = time(uniSampRow(corpusK, vocabK))
+    // CONSTANT-LENGTH ×k leg (VERDICT r15 #3): the suffixed replicas
+    // above lengthen every token ~⅓ (copy suffix on ~5-char tokens), so
+    // the rowwise sampler's ×k ratio reads ~12.8 — attributed to char
+    // volume, here MEASURED instead: replicas remap doc_id only, text
+    // byte-identical (the per-row kernel has no cross-row interaction
+    // and its md5 draws key on (doc_id, word_pos), so copies still
+    // sample independently), encoded under the SAME 1× vocabulary.
+    // Char volume scales exactly ×k ⇒ ratio ≈ k is the linearity proof.
+    def replicateConstLen(times: Int): DataFrame = {
+      val r = docs
+        .select(col("*"),
+          explode(sequence(lit(0), lit(times - 1))).as("copy"))
+        .select((col("doc_id") * times + col("copy")).as("doc_id"),
+          col("lang"), col("text"))
+      val out = r.localCheckpoint()
+      out.count()
+      out
+    }
+    val constK = replicateConstLen(k)
+    val tUrCK = time(uniSampRow(constK, vocab1))
+    constK.unpersist()
     vocab1.unpersist(); vocabK.unpersist()
     corpus1.unpersist(); corpusK.unpersist()
 
@@ -483,6 +504,7 @@ object ScaleProbe {
       s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
       s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +
       s""""q175_unigram_sample_rowwise":${j(tUr1, tUrK)},""" +
+      f""""q175_rowwise_constlen":{"x1":$tUr1%.3f,"x$k":$tUrCK%.3f,"ratio":${tUrCK / tUr1}%.2f},""" +
       f""""bpe_train_m$bpeMerges":{"batch1_sec":$tBpe1%.3f,"batch8_sec":$tBpe8%.3f,""" +
       f""""batch1_merges_per_sec":${bpeMerges / tBpe1}%.2f,"batch8_merges_per_sec":${bpeMerges / tBpe8}%.2f,""" +
       f""""speedup":${tBpe1 / tBpe8}%.2f}}}""")

@@ -122,7 +122,10 @@ object CurationJob {
           clfSeed: Option[String] = None,
           clfFloor: Double = 0.5,
           clfGate: Boolean = false,
-          encodeTokens: Boolean = false): Map[String, Long] = {
+          encodeTokens: Boolean = false,
+          sink: String = "parquet"): Map[String, Long] = {
+    require(sink == "parquet" || sink == "noop",
+      s"sink must be parquet or noop, got $sink")
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < benchCut)
     val corpus = docs.filter(col("doc_id") >= benchCut)
@@ -235,8 +238,14 @@ object CurationJob {
             "train_shards" -> trainShards
           ).map { case (name, df) =>
             val obs = org.apache.spark.sql.Observation(s"graft_curation_$name")
-            df.observe(obs, count(lit(1)).as("n_rows"))
-              .write.mode("overwrite").parquet(s"$outDir/$name")
+            val w = df.observe(obs, count(lit(1)).as("n_rows"))
+              .write.mode("overwrite")
+            // `noop` executes the identical plans without the write
+            // path — the measurement sink JobStageProbe's write-delta
+            // mode uses to price the five table writes; never a
+            // deployment setting (it writes nothing)
+            if (sink == "noop") w.format("noop").save()
+            else w.parquet(s"$outDir/$name")
             name -> obs.get("n_rows").asInstanceOf[Long]
           }
         } finally corpusClean.unpersist()
