@@ -631,7 +631,28 @@ object Dedup {
   def deltaNearDup(index: DataFrame, incoming: DataFrame, idCol: String,
                    textCol: String, n: Int, threshold: Double,
                    bands: Int = 32, hotBucketDrop: Int = 0,
-                   hotBucketCap: Int = HotBucketCap): DataFrame = {
+                   hotBucketCap: Int = HotBucketCap): DataFrame =
+    deltaNearDupFromIndex(index,
+      incoming.select(col(idCol)),
+      nearDupIndex(incoming, idCol, textCol, n),
+      idCol, threshold, bands, hotBucketDrop, hotBucketCap)
+
+  /** [[deltaNearDup]] from a pre-built incoming-batch [[nearDupIndex]]
+    * frame — the shared-frame entry point the ADMIT-THEN-PROBE sequence
+    * (q177) wants: the batch's index rows serve the probe AND, for the
+    * rows classified `new`, the append that grows the standing index —
+    * computing them once is the deployment shape (the
+    * `signatureFrame` sharing convention of the semantic path).
+    * `incomingIds` is the batch's id frame (one `idCol` column): the
+    * decision output covers every batch doc, including ones whose text
+    * yields no shingles (they classify `new`), so the id universe
+    * cannot be inferred from the shingle-bearing index rows alone.
+    */
+  def deltaNearDupFromIndex(index: DataFrame, incomingIds: DataFrame,
+                            incomingIndex: DataFrame, idCol: String,
+                            threshold: Double, bands: Int = 32,
+                            hotBucketDrop: Int = 0,
+                            hotBucketCap: Int = HotBucketCap): DataFrame = {
     require(idCol != "status" && idCol != "dup_of",
       s"idCol '$idCol' collides with an output column")
     require(bands >= 1 && 64 % bands == 0,
@@ -639,12 +660,15 @@ object Dedup {
     require(Seq("id", "sh", "hs", "sig").forall(index.columns.contains),
       s"index must be a nearDupIndex frame (id, sh, hs, sig); got " +
         index.columns.mkString(", "))
+    require(Seq("id", "sh", "hs", "sig").forall(incomingIndex.columns.contains),
+      s"incomingIndex must be a nearDupIndex frame (id, sh, hs, sig); got " +
+        incomingIndex.columns.mkString(", "))
     val rowsPerBand = 64 / bands
     def bandKeys(sig: Column): Column =
       transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
           element_at(sig, b * lit(rowsPerBand) + lit(r + 1))): _*))
-    val incIdx = nearDupIndex(incoming, idCol, textCol, n)
+    val incIdx = incomingIndex
     val incB = incIdx.select(col("id").as("id_i"),
       posexplode(bandKeys(col("sig"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
@@ -677,7 +701,7 @@ object Dedup {
           dropOver = hotBucketDrop),
         incIdx, threshold)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("__graft_bk"))
-    incoming.select(col(idCol))
+    incomingIds.select(col(idCol))
       .join(corpusMatch.withColumnRenamed("id_i", idCol), Seq(idCol), "left")
       .join(batchKeeper.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -232,13 +232,18 @@ object TrainPrepQueries {
     val batchB = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
     val index0 = Dedup.nearDupIndex(corpus, "doc_id", "text", n = 3)
       .localCheckpoint()
-    val decA = Dedup.deltaNearDup(index0, batchA, "doc_id", "text",
-      n = 3, threshold = 0.6).localCheckpoint()
+    // batch A's index rows are computed ONCE (checkpointed) and serve
+    // both the probe and the admit append — the shared-frame entry
+    // point's whole point: an ingest pipeline persists these rows
+    // anyway, since the admitted subset IS the index growth
+    val idxA = Dedup.nearDupIndex(batchA, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val decA = Dedup.deltaNearDupFromIndex(index0,
+      batchA.select("doc_id"), idxA, "doc_id", threshold = 0.6)
+      .localCheckpoint()
     val admitted = decA.filter(col("status") === "new")
       .select(col("doc_id").as("id"))
-    val index1 = index0.unionByName(
-        Dedup.nearDupIndex(batchA, "doc_id", "text", n = 3)
-          .join(admitted, "id"))
+    val index1 = index0.unionByName(idxA.join(admitted, "id"))
       .localCheckpoint()
     val decB = Dedup.deltaNearDup(index1, batchB, "doc_id", "text",
       n = 3, threshold = 0.6)
