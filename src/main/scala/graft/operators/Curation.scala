@@ -2009,6 +2009,38 @@ object Curation {
         col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
   }
 
+  /** WordPiece-style GREEDY LONGEST-MATCH encoder — the third member of
+    * the compiled tokenizer family (BPE merge replay, unigram
+    * Viterbi/sampled, and this maximal-munch rule): at each position of
+    * each word take the LONGEST vocabulary piece matching a prefix of
+    * the remainder, emit it, advance (see
+    * [[graft.expressions.GreedyLongestSeg]] for the parity contract and
+    * the documented no-`##` deviation from BERT's alphabet split). The
+    * piece set is any trained piece table — a [[unigramLmTrain]]ed
+    * vocabulary or [[bpeTrain]]'s symbols — inlined as a plan constant:
+    * one narrow projection, no distinct-word frame, no token shuffle,
+    * stream-safe. Emits `(idCol, word_pos, sym_pos, symbol)` —
+    * [[unigramEncode]]'s exact output contract, so the three tokenizers
+    * grade and census on one evaluation surface. OOV positions strand
+    * the walk → whole word as one symbol (the family's UNK convention;
+    * impossible on the training corpus, whose single chars are all in
+    * the piece set).
+    */
+  def wordPieceEncodeRowwiseFromVocab(df: DataFrame, idCol: String,
+                                      textCol: String, vocabF: DataFrame,
+                                      maxPieceLen: Int = 4): DataFrame = {
+    val pieces = vocabF.select(col("piece"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    df.select(col(idCol),
+        posexplode(graft.expressions.GreedyLongestSeg(
+          TextFns.tokens(col(textCol)), pieces, maxPieceLen))
+          .as(Seq("word_pos", "syms")))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "symbol")))
+      .select(col(idCol), col("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("symbol"))
+  }
+
   /** Per-row MODEL-TOKEN count under a trained unigram-LM vocabulary —
     * the layout-stage companion of [[unigramEncodeRowwiseFromVocab]]:
     * the same [[graft.expressions.UnigramViterbiSeg]] kernel (vocabulary

@@ -687,6 +687,58 @@ object TrainPrepQueries {
         SharedFrames.unigramVocab(spark, dir), maxPieceLen = UniL)
       .orderBy("doc_id", "word_pos", "sym_pos")
 
+  /** Q179 — WordPiece-style GREEDY LONGEST-MATCH encoder (see
+    * [[graft.operators.Curation.wordPieceEncodeRowwiseFromVocab]]): the
+    * maximal-munch inference rule over the q168-trained piece table,
+    * completing the tokenizer trio on one evaluation surface — BPE
+    * (merge replay), unigram (probability-weighted Viterbi / sampled),
+    * and greedy longest-match (position-wise commitment, no
+    * probabilities consulted). Genuinely distinct output from q169/q174
+    * on the same vocabulary (greedy commits to the longest prefix even
+    * when the Viterbi split is finer — spec-pinned). The oracle builds
+    * the best-match-length frame (posx × piece set), walks each word
+    * with a recursive CTE (strictly advancing, so it terminates), and
+    * falls back to the whole word where the walk strands — then joins
+    * the token stream exactly as q169 does.
+    */
+  private def q179(spark: SparkSession, dir: String): DataFrame =
+    Curation.wordPieceEncodeRowwiseFromVocab(Tables.documents(spark, dir),
+        "doc_id", "text", SharedFrames.unigramVocab(spark, dir),
+        maxPieceLen = UniL)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+
+  private lazy val q179Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |pcs AS (SELECT piece FROM v$UniRounds),
+       |bm AS (SELECT p.w, p.j, max(p.i - p.j) AS l
+       |       FROM posx p JOIN pcs USING (piece) GROUP BY 1, 2),
+       |gw AS (SELECT w, n, 0 AS e, 0 AS k, NULL::INT AS s FROM wd
+       |       UNION ALL
+       |       SELECT gw.w, gw.n, (gw.e + bm.l)::INT AS e, gw.k + 1,
+       |              gw.e AS s
+       |       FROM gw JOIN bm ON bm.w = gw.w AND bm.j = gw.e
+       |       WHERE gw.e < gw.n),
+       |reach AS (SELECT w, max(e) AS r FROM gw GROUP BY 1),
+       |segs AS (SELECT gw.w, (gw.k - 1)::BIGINT AS sym_pos,
+       |                substr(gw.w, gw.s + 1, gw.e - gw.s) AS symbol
+       |         FROM gw JOIN reach ON gw.w = reach.w
+       |         JOIN wd ON gw.w = wd.w AND reach.r = wd.n
+       |         WHERE gw.s IS NOT NULL
+       |         UNION ALL
+       |         SELECT wd.w, 0::BIGINT AS sym_pos, wd.w AS symbol
+       |         FROM wd JOIN reach ON wd.w = reach.w
+       |         WHERE reach.r < wd.n),
+       |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS word_pos,
+       |             unnest(toks) AS w
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents))
+       |SELECT t.doc_id, t.word_pos::BIGINT AS word_pos,
+       |       segs.sym_pos, segs.symbol
+       |FROM t JOIN segs USING (w)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
   /** Per-sequence token budget for q178's encoded train layout — the
     * composed job's own [[graft.pipelines.CurationJob.PackBudget]]. */
   private val LayoutBudget = 1024
@@ -3261,6 +3313,7 @@ object TrainPrepQueries {
     QueryDef("q175_unigram_sample_rowwise", q175, Some(uniSampleSqlFor(""))),
     QueryDef("q176_bpe_encode_rowwise", q176, Some(q91Sql)),
     QueryDef("q178_encoded_train_layout", q178, Some(q178Sql)),
+    QueryDef("q179_wordpiece_encode", q179, Some(q179Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -492,6 +492,64 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wordPieceEncodeRowwise: maximal munch, differs from Viterbi, OOV, stream") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "word_pos", "sym_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    // forced fixture: greedy commits to the longest prefix ("abc"+"d")
+    // while Viterbi under these probabilities prefers the finer
+    // high-probability split ("ab"+"cd") — the rules genuinely differ
+    val vocabFix = Seq(
+      ("abc", 1.0, 0.000001), ("ab", 1.0, 0.4), ("cd", 1.0, 0.4),
+      ("a", 1.0, 0.05), ("b", 1.0, 0.05), ("c", 1.0, 0.05),
+      ("d", 1.0, 0.05)).toDF("piece", "cnt", "prob")
+    val fix = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val greedy = canon(Curation.wordPieceEncodeRowwiseFromVocab(
+      fix, "doc_id", "text", vocabFix, maxPieceLen = 3))
+    assert(greedy.map(_._4) == Seq("abc", "d"), s"got $greedy")
+    val viterbi = canon(Curation.unigramEncodeRowwiseFromVocab(
+      fix, "doc_id", "text", vocabFix, maxPieceLen = 3))
+    assert(viterbi.map(_._4) == Seq("ab", "cd"), s"got $viterbi")
+    // real-vocab properties: reassembly per word, symbols in the piece
+    // set, and the greedy output differs from Viterbi somewhere
+    val docs = Seq((1L, "hello world spark"),
+      (2L, "hello spark spark streams"),
+      (3L, "worlds apart sparkle")).toDF("doc_id", "text")
+    val vocabF = Curation.unigramLmTrain(docs, "text", rounds = 2,
+      vocabTarget = 8, maxPieceLen = 3, seedSize = 16).localCheckpoint()
+    val pieces = vocabF.select("piece").collect().map(_.getString(0)).toSet
+    val got = canon(Curation.wordPieceEncodeRowwiseFromVocab(docs,
+      "doc_id", "text", vocabF, maxPieceLen = 3))
+    assert(got.nonEmpty && got.forall(r => pieces.contains(r._4)))
+    val words = docs.as[(Long, String)].collect()
+      .flatMap { case (id, t) => t.split(" ").zipWithIndex.map {
+        case (w, i) => (id, i.toLong) -> w } }.toMap
+    got.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.sortBy(_._3).map(_._4).mkString == words(k),
+        s"reassembly failed for $k") }
+    // OOV fallback: stranded walk emits the whole word
+    val novel = Seq((9L, "hello zzz@qq")).toDF("doc_id", "text")
+    val nv = canon(Curation.wordPieceEncodeRowwiseFromVocab(novel,
+      "doc_id", "text", vocabF, maxPieceLen = 3))
+    assert(nv.filter(_._2 == 1L).map(_._4) == Seq("zzz@qq"), s"got $nv")
+    // stream-safe: micro-batches emit exactly the batch rows
+    implicit val ctx = sess.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val enc = Curation.wordPieceEncodeRowwiseFromVocab(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", vocabF,
+      maxPieceLen = 3)
+    val q = enc.writeStream.format("memory")
+      .queryName("graft_wp_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "hello world spark"))
+      q.processAllAvailable()
+      in.addData((2L, "hello spark spark streams"), (3L, "worlds apart sparkle"))
+      q.processAllAvailable()
+      assert(canon(spark.table("graft_wp_stream")) == got)
+    } finally q.stop()
+  }
+
   test("unigramSampleEncodeRowwise: bit-parity with declarative; stream") {
     val docs = Seq((1L, "hello world spark"),
       (2L, "hello spark spark streams"),
