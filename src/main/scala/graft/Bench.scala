@@ -155,6 +155,12 @@ object Bench {
     // which together with build.sbt's `showSuccess := false` (the
     // ~74-char [success] line no longer shares the 2000-char tail) keeps
     // the 1-decimal variant inside the tail at the current query count.
+    // "job" is only a safe rename while exactly one non-q entry exists;
+    // with two they'd collide into duplicate JSON keys and one timing
+    // would be silently dropped by any reader
+    val nonQCount = jobbed.count { case (k, _) =>
+      val short = if (useShort) shortNames(k) else k
+      !short.startsWith("q") }
     def compactAt(decimals: Int, stripQ: Boolean = false): String = {
       val cqs = jobbed.map { case (k, v) =>
         val short = if (useShort) shortNames(k) else k
@@ -166,7 +172,8 @@ object Bench {
         val key =
           if (!stripQ) short
           else if (short.startsWith("q")) short.drop(1)
-          else "job"
+          else if (nonQCount == 1) "job"
+          else short
         "\"" + key + "\":" + shortVal(v, decimals) }
         .mkString("{", ",", "}")
       val brokenPart = if (broken.isEmpty) "" else s""","broken":$brokenJson"""

@@ -211,8 +211,13 @@ object CurationJob {
           else {
             val vocab = Curation.unigramLmTrain(trainRows, "text",
               rounds = 2, vocabTarget = 64, maxPieceLen = 4)
+            // null-text rows yield a null count; they must not reach
+            // packSequences, whose per-shard running sum and bin
+            // assignment a single null would poison (q178's oracle
+            // applies the same IS NOT NULL filter)
             (Curation.unigramTokenCountRowwiseFromVocab(trainRows, "text",
-                vocab, maxPieceLen = 4, outCol = "n_model_tokens"),
+                vocab, maxPieceLen = 4, outCol = "n_model_tokens")
+              .filter(col("n_model_tokens").isNotNull),
               "n_model_tokens",
               Seq("doc_id", "copy", "lang", "n_tokens", "n_model_tokens"))
           }

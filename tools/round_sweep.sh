@@ -24,6 +24,10 @@ python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_sf0.01 \
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch 'runMain graft.Bench' | grep '"metric"' | tail -1
 
+# 2b. repo-root hygiene (VERDICT r16 nit): test runs leave Derby/Hive
+#     droppings in the root; they're gitignored but clutter the listing
+rm -rf derby.log spark-warehouse metastore_db
+
 # 3. the add+commit the runbook must END with (VERDICT r10-r13): round
 #    artifacts are committed HERE, not left for verdict time
 git add -A bench_queries.json BASELINE.md 2>/dev/null || true
