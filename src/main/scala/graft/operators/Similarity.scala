@@ -836,14 +836,7 @@ object Similarity {
     */
   def deltaSemNearDup(index: DataFrame, incoming: DataFrame, idCol: String,
                       embCol: String, threshold: Double,
-                      rowsPerBand: Int): DataFrame = {
-    require(idCol != "status" && idCol != "dup_of",
-      s"idCol '$idCol' collides with an output column")
-    require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
-      s"rowsPerBand must be in [1, $MaxRowsPerBand], got $rowsPerBand")
-    require(Seq("id", "e_d", "sig", "n").forall(index.columns.contains),
-      s"index must be a signatureFrame (id, e_d, sig, n); got " +
-        index.columns.mkString(", "))
+                      rowsPerBand: Int): DataFrame =
     // the batch-side signature frame feeds three consumers (probe keys,
     // verify join, within-batch leg) whose join-inferred
     // isnotnull(n)/isnotnull(sig) constraints push below the pinned
@@ -852,7 +845,40 @@ object Similarity {
     // batch signatures are MATERIALIZED once — which is also the
     // deployment shape: an incremental run writes the batch's signature
     // rows anyway, because the admitted `new` rows append to the index
-    val incIdx = signatureFrame(incoming, idCol, embCol).localCheckpoint()
+    deltaSemNearDupFromIndex(index, incoming.select(col(idCol)),
+      signatureFrame(incoming, idCol, embCol).localCheckpoint(),
+      idCol, threshold, rowsPerBand)
+
+  /** [[deltaSemNearDup]] from a pre-built incoming-batch
+    * [[signatureFrame]] — the shared-frame entry point the semantic
+    * ADMIT-THEN-PROBE sequence (q180) wants, mirroring
+    * [[graft.operators.Dedup.deltaNearDupFromIndex]]: the batch's
+    * signature rows serve the probe AND, for the rows classified `new`,
+    * the append that grows the standing frame — computed once, because
+    * an ingest pipeline persists them anyway (the admitted subset IS
+    * the index growth). `incomingIds` is the batch's id frame (one
+    * `idCol` column): the decision output covers every batch vector, so
+    * the id universe is explicit rather than inferred from the
+    * signature rows. The caller owns `incomingIndex`'s materialization
+    * (checkpoint/persist) — passing a lazy plan re-runs the signature
+    * pass once per consumer.
+    */
+  def deltaSemNearDupFromIndex(index: DataFrame, incomingIds: DataFrame,
+                               incomingIndex: DataFrame, idCol: String,
+                               threshold: Double,
+                               rowsPerBand: Int): DataFrame = {
+    require(idCol != "status" && idCol != "dup_of",
+      s"idCol '$idCol' collides with an output column")
+    require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
+      s"rowsPerBand must be in [1, $MaxRowsPerBand], got $rowsPerBand")
+    require(Seq("id", "e_d", "sig", "n").forall(index.columns.contains),
+      s"index must be a signatureFrame (id, e_d, sig, n); got " +
+        index.columns.mkString(", "))
+    require(Seq("id", "e_d", "sig", "n").forall(
+        incomingIndex.columns.contains),
+      s"incomingIndex must be a signatureFrame (id, e_d, sig, n); got " +
+        incomingIndex.columns.mkString(", "))
+    val incIdx = incomingIndex
     val incB = packedBandKeys(incIdx, rowsPerBand)
       .withColumnRenamed("id", "id_i")
     val corB = packedBandKeys(index, rowsPerBand)
@@ -868,7 +894,7 @@ object Similarity {
       .groupBy(col("id_i")).agg(min(col("id_c")).as("__graft_ck"))
     val batchKeeper = lshNearDupPairsFromSig(incIdx, threshold, rowsPerBand)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("__graft_bk"))
-    incoming.select(col(idCol))
+    incomingIds.select(col(idCol))
       .join(corpusMatch.withColumnRenamed("id_i", idCol), Seq(idCol), "left")
       .join(batchKeeper.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
       .select(col(idCol),

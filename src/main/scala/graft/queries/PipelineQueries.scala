@@ -1060,6 +1060,110 @@ object PipelineQueries {
        |WHERE v.vec_id % 5 = 4
        |ORDER BY v.vec_id""".stripMargin
 
+  /** Q180 — the SEMANTIC index-maintenance step graded end-to-end
+    * (VERDICT r16 #2): q173 grades ONE batch against a standing
+    * [[graft.operators.Similarity]] `signatureFrame`; this grades the
+    * two-batch ADMIT-THEN-PROBE sequence in the embedding regime,
+    * mirroring the lexical q177. Batch A (`vec_id % 5 = 3`) is
+    * classified against the corpus frame (`vec_id % 5 < 3`); its `new`
+    * rows are ADMITTED — their signature rows (already computed for the
+    * probe via [[graft.operators.Similarity.deltaSemNearDupFromIndex]])
+    * append to the frame, the only maintenance the design requires,
+    * valid because the hyperplane model is data-independent so
+    * signatures built in different runs band identically — and batch B
+    * (`% 5 = 4`) probes the GROWN frame, so a B vector whose only
+    * threshold-cosine match is an admitted A vector must come back
+    * `dup_of_corpus` pointing AT that A vector. Both batches' decisions
+    * are emitted (tagged `batch`), so the oracle — q37's exact 16×8
+    * banding restated over the three-way split, with the grown corpus
+    * as `corpus ∪ {A : new}` — hash-checks admit and probe TOGETHER: a
+    * wrong admission changes batch B's rows. Decisions and the grown
+    * frame are `localCheckpoint`ed exactly as a pipeline persists them
+    * between runs; PlanSpec pins that the final plan reads embedding
+    * BYTES only for batch B (corpus + batch A enter as materialized
+    * RDDs — zero embedding rescan).
+    */
+  private def q180(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 < 3)
+    val batchA = emb.filter(col("vec_id") % 5 === 3)
+    val batchB = emb.filter(col("vec_id") % 5 === 4)
+    val index0 = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    val idxA = Similarity.signatureFrame(batchA, "vec_id", "embedding")
+      .localCheckpoint()
+    val decA = Similarity.deltaSemNearDupFromIndex(index0,
+        batchA.select("vec_id"), idxA, "vec_id",
+        threshold = LshPairThreshold, rowsPerBand = 8)
+      .localCheckpoint()
+    val admitted = decA.filter(col("status") === "new")
+      .select(col("vec_id").as("id"))
+    val index1 = index0.unionByName(idxA.join(admitted, "id"))
+      .localCheckpoint()
+    val decB = Similarity.deltaSemNearDup(index1, batchB, "vec_id",
+      "embedding", threshold = LshPairThreshold, rowsPerBand = 8)
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("vec_id")
+  }
+
+  private lazy val q180Sql: String =
+    s"""WITH $lshBandsSql,
+       |acm AS (SELECT a.vec_id AS doc_id, min(b.vec_id) AS ck
+       |        FROM bands a JOIN bands b ON a.band = b.band
+       |        JOIN e ea ON ea.vec_id = a.vec_id
+       |        JOIN e eb ON eb.vec_id = b.vec_id
+       |        WHERE a.vec_id % 5 = 3 AND b.vec_id % 5 < 3
+       |          AND ${cosSql("ea.e", "eb.e")} >= $LshPairThreshold
+       |        GROUP BY 1),
+       |abm AS (SELECT y.vec_id AS doc_id, min(x.vec_id) AS bk
+       |        FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.vec_id < y.vec_id
+       |        JOIN e ea ON ea.vec_id = x.vec_id
+       |        JOIN e eb ON eb.vec_id = y.vec_id
+       |        WHERE x.vec_id % 5 = 3 AND y.vec_id % 5 = 3
+       |          AND ${cosSql("ea.e", "eb.e")} >= $LshPairThreshold
+       |        GROUP BY 1),
+       |adec AS (SELECT v.vec_id,
+       |                CASE WHEN acm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                     WHEN abm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                     ELSE 'new' END AS status,
+       |                CASE WHEN acm.ck IS NOT NULL THEN acm.ck
+       |                     ELSE abm.bk END AS dup_of
+       |         FROM embeddings v LEFT JOIN acm ON acm.doc_id = v.vec_id
+       |         LEFT JOIN abm ON abm.doc_id = v.vec_id
+       |         WHERE v.vec_id % 5 = 3),
+       |bcm AS (SELECT a.vec_id AS doc_id, min(b.vec_id) AS ck
+       |        FROM bands a JOIN bands b ON a.band = b.band
+       |        JOIN e ea ON ea.vec_id = a.vec_id
+       |        JOIN e eb ON eb.vec_id = b.vec_id
+       |        WHERE a.vec_id % 5 = 4
+       |          AND (b.vec_id % 5 < 3 OR b.vec_id IN
+       |               (SELECT vec_id FROM adec WHERE status = 'new'))
+       |          AND ${cosSql("ea.e", "eb.e")} >= $LshPairThreshold
+       |        GROUP BY 1),
+       |bbm AS (SELECT y.vec_id AS doc_id, min(x.vec_id) AS bk
+       |        FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.vec_id < y.vec_id
+       |        JOIN e ea ON ea.vec_id = x.vec_id
+       |        JOIN e eb ON eb.vec_id = y.vec_id
+       |        WHERE x.vec_id % 5 = 4 AND y.vec_id % 5 = 4
+       |          AND ${cosSql("ea.e", "eb.e")} >= $LshPairThreshold
+       |        GROUP BY 1),
+       |bdec AS (SELECT v.vec_id,
+       |                CASE WHEN bcm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                     WHEN bbm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                     ELSE 'new' END AS status,
+       |                CASE WHEN bcm.ck IS NOT NULL THEN bcm.ck
+       |                     ELSE bbm.bk END AS dup_of
+       |         FROM embeddings v LEFT JOIN bcm ON bcm.doc_id = v.vec_id
+       |         LEFT JOIN bbm ON bbm.doc_id = v.vec_id
+       |         WHERE v.vec_id % 5 = 4)
+       |SELECT vec_id, status, dup_of, 'a' AS batch FROM adec
+       |UNION ALL
+       |SELECT vec_id, status, dup_of, 'b' AS batch FROM bdec
+       |ORDER BY vec_id""".stripMargin
+
   /** q156's wide-band multi-probe configuration: 12-bit bands (the
     * regime where single-probe recall sags near the threshold —
     * BASELINE.md skew section) recovered by 1-plane probes. */
@@ -1370,6 +1474,7 @@ object PipelineQueries {
     QueryDef("q37_ann_lsh_pairs", q37, Some(q37Sql)),
     QueryDef("q156_mplsh_pairs", q156, Some(q156Sql)),
     QueryDef("q173_delta_sem_neardup", q173, Some(q173Sql)),
+    QueryDef("q180_admit_probe_sem_neardup", q180, Some(q180Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),

@@ -222,6 +222,43 @@ class PipelineOpSpec extends SparkSpec {
     assert(next == Seq((99L, "dup_of_corpus", 19L)), s"got $next")
   }
 
+  test("deltaSemNearDupFromIndex: shared batch frame probes and admits") {
+    import graft.operators.Similarity
+    def vec(lo: Int, hi: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i >= lo && i < hi) 1.0f else 0.0f)
+    val vA = vec(0, 21); val vB = vec(21, 42)
+    val corpus = Seq((1L, vA)).toDF("vec_id", "embedding")
+    val batchA = Seq((13L, vB), (18L, vA)).toDF("vec_id", "embedding")
+    val idx0 = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    // the batch's signature rows are computed ONCE and serve probe + admit
+    val idxA = Similarity.signatureFrame(batchA, "vec_id", "embedding")
+      .localCheckpoint()
+    val decA = Similarity.deltaSemNearDupFromIndex(idx0,
+        batchA.select("vec_id"), idxA, "vec_id",
+        threshold = 0.5, rowsPerBand = 8)
+      .localCheckpoint()
+    // identical to the text-in entry point on the same inputs
+    val viaText = Similarity.deltaSemNearDup(idx0, batchA, "vec_id",
+        "embedding", threshold = 0.5, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val viaIdx = decA.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(viaIdx == Seq((13L, "new", -1L), (18L, "dup_of_corpus", 1L))
+      && viaText == viaIdx, s"got $viaIdx vs $viaText")
+    // admit from the SAME frame, probe the grown index with batch B:
+    // a B vector matching only the admitted 13 must say dup_of_corpus 13
+    val admitted = decA.filter($"status" === "new")
+      .select($"vec_id".as("id"))
+    val idx1 = idx0.unionByName(idxA.join(admitted, "id")).localCheckpoint()
+    val decB = Similarity.deltaSemNearDup(idx1,
+        Seq((24L, vB)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.5, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(decB == Seq((24L, "dup_of_corpus", 13L)), s"got $decB")
+  }
+
   test("rarity-order prefix: identical output, template kept out of prefixes") {
     // the prefix filter is exact under ANY consistent global order —
     // rarity (df asc) must reproduce the hash-order output bit-for-bit

@@ -312,6 +312,40 @@ class PlanSpec extends SparkSpec {
       s"delta path must stay equi-join only; got ${names(nodes)}")
   }
 
+  test("q180 semantic admit-then-probe plan: zero embedding rescan") {
+    // the two-batch sequence persists everything a pipeline persists:
+    // corpus signatureFrame, batch A's signature rows + decisions, the
+    // GROWN frame, and batch B's signatures (materialized inside the
+    // operator) — so the final plan reads embedding BYTES nowhere: the
+    // only file scans left are id-column probes (batch B's id universe),
+    // and any corpus/batch-A signature recompute would surface as an
+    // embedding FileScan here
+    val nodes = finalNodes(
+      SparkEntry.queries("q180_admit_probe_sem_neardup")(spark, sf))
+    val embScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("embedding") => f
+    }
+    assert(embScans.isEmpty,
+      s"corpus, batch A, and batch B vectors all enter as materialized " +
+        s"signature frames; got ${embScans.size} embedding scans")
+    val fileScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.nonEmpty => f
+    }
+    assert(fileScans.forall(f => f.schema.fieldNames.sameElements(
+        Array("vec_id")) && f.toString.contains("% 5) = 4")),
+      s"only batch B's id-universe probe may touch the file; got\n" +
+        fileScans.map(_.toString.take(200)).mkString("\n"))
+    assert(names(nodes).exists(_.contains("ExistingRDD")),
+      s"standing frame + batch A must come from checkpoints; got " +
+        s"${names(nodes)}")
+    assert(!names(nodes).exists(n =>
+        n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"semantic admit-then-probe must stay equi-join only; got " +
+        s"${names(nodes)}")
+  }
+
   test("q81 duplicated-spans plan: one tokenizing scan, df via window on the tf frame") {
     val nodes = finalNodes(SparkEntry.queries("q81_duplicated_spans")(spark, sf))
     val dataScans = nodes.collect {
