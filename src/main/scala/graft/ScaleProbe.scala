@@ -186,6 +186,53 @@ object ScaleProbe {
     idxK.unpersist()
     emb1.unpersist(); embK.unpersist()
 
+    // LEXICAL incremental probe (VERDICT r16 #1 — the corpus-size-
+    // independence claim MEASURED): a FIXED batch classified via
+    // deltaNearDupFromIndex against a standing nearDupIndex grown ×1,
+    // ×k, ×k2. The index is built + checkpointed UNTIMED (it persists
+    // across runs in deployment), and the batch's own index rows are
+    // checkpointed untimed too (the admit-then-probe deployment
+    // computes them once per batch — q177's shared-frame shape), so
+    // each timed run isolates exactly the INDEX-SIZE-dependent work:
+    // the corpus side's stored-signature banding projection, the
+    // (band, bh) equi-join against the batch's probe keys, the exact
+    // verifies, and the fixed within-batch leg. Copy 0 of the suffixed
+    // replica is the original corpus, so real corpus matches (and
+    // verify work) exist at every scale while copies 1..k share no
+    // shingles with the batch — candidate volume stays batch-sized by
+    // construction and any time growth is the probe's index-scan term.
+    def lexIndex(times: Int): DataFrame = {
+      val c = replicate(times)
+      val idx = graft.operators.Dedup.nearDupIndex(c, "doc_id", "text", n = 3)
+        .localCheckpoint()
+      idx.count()
+      c.unpersist()
+      idx
+    }
+    val lexBatchSrc = docs.filter(col("doc_id") % 5 === 4)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val lexBatchIds = lexBatchSrc.select("doc_id").localCheckpoint()
+    lexBatchIds.count()
+    val lexBatchIdx = graft.operators.Dedup.nearDupIndex(
+      lexBatchSrc, "doc_id", "text", n = 3).localCheckpoint()
+    lexBatchIdx.count()
+    def lexProbe(idx: DataFrame): Double =
+      time(graft.operators.Dedup.deltaNearDupFromIndex(
+        idx, lexBatchIds, lexBatchIdx, "doc_id", threshold = 0.6))
+    val lexIdx1 = lexIndex(1)
+    lexProbe(lexIdx1) // warmup
+    val tLex1 = lexProbe(lexIdx1)
+    lexIdx1.unpersist()
+    val lexIdxK = lexIndex(k)
+    val tLexK = lexProbe(lexIdxK)
+    lexIdxK.unpersist()
+    val lexIdxK2big = lexIndex(sys.env.getOrElse("SPARK_GRAFT_SCALE_K2",
+      "100").toInt)
+    val lexRowsK2 = lexIdxK2big.count()
+    val tLexK2 = lexProbe(lexIdxK2big)
+    lexIdxK2big.unpersist()
+    lexBatchIds.unpersist(); lexBatchIdx.unpersist()
+
     // ×k2 (default ×100) auto-curve design point: the next decade of the
     // band-width rule. At 200k rolled vectors the occupancy curve
     // resolves 15 bits; the probe times BOTH the auto default and the
@@ -202,6 +249,14 @@ object ScaleProbe {
       graft.operators.Similarity.planeAgreeProbs(embK2, "embedding", nK2))
     val tLshK2Auto = time(lsh(embK2, 0))
     val tLshK2Fixed12 = time(lsh(embK2, 12))
+    // semantic incremental ×k2 point (the family's third decade, next
+    // to the lexical legs below): same fixed batch, signature frame of
+    // the ×k2 corpus checkpointed untimed
+    val idxK2sem = graft.operators.Similarity.signatureFrame(
+      embK2, "vec_id", "embedding").localCheckpoint()
+    idxK2sem.count()
+    val tDK2 = deltaLeg(idxK2sem, 8)
+    idxK2sem.unpersist()
     embK2.unpersist()
 
     // Connected-components probe (q49 shape — the iterative min-label +
@@ -500,7 +555,8 @@ object ScaleProbe {
       s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
       s""""q162_165_classifier":${j(tClf1, tClfK)},""" +
       f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
-      f""""q173_delta_sem":{"x1":$tD1%.3f,"x$k":$tDK%.3f,"ratio":${tDK / tD1}%.2f,"x${k}_rows12":$tDK12%.3f},""" +
+      f""""q173_delta_sem":{"x1":$tD1%.3f,"x$k":$tDK%.3f,"ratio":${tDK / tD1}%.2f,"x${k}_rows12":$tDK12%.3f,"x$k2":$tDK2%.3f,"ratio_x$k2":${tDK2 / tD1}%.2f},""" +
+      f""""q167_delta_lex":{"x1":$tLex1%.3f,"x$k":$tLexK%.3f,"ratio":${tLexK / tLex1}%.2f,"x$k2":$tLexK2%.3f,"ratio_x$k2":${tLexK2 / tLex1}%.2f,"index_rows_x$k2":$lexRowsK2},""" +
       s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
       s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +
       s""""q175_unigram_sample_rowwise":${j(tUr1, tUrK)},""" +

@@ -677,13 +677,24 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // cross leg: batch probes × corpus banded keys, verified exactly;
     // multi-band duplicates ride the candidate stream into the min()
-    // (map-side-combined) instead of paying a pre-verify distinct
+    // (map-side-combined) instead of paying a pre-verify distinct.
+    // Join sides are PINNED by contract (batch ≪ index): the
+    // checkpointed index enters as a LogicalRDD whose size estimate is
+    // garbage-small (measured: a 50k-doc index reporting ~340 KB), so
+    // left to the static planner the INDEX gets broadcast — at a
+    // ×100-grown standing index that is a multi-GB driver build that
+    // OOMs (measured, round 17). broadcast() pins the batch-derived
+    // sides (bounded: batch×bands probe keys, batch payload rows) as
+    // the build sides, and the verify fetch builds SHUFFLE_HASH on the
+    // candidate side so the corpus index is never broadcast and never
+    // sorted — it streams through one exchange at worst.
     val interH = graft.expressions.SortedIntersectCount(
       col("hs_i"), col("hs_c")).cast("double")
-    val corpusMatch = incB.join(corpusB, Seq("band", "bh"))
+    val corpusMatch = broadcast(incB).join(corpusB, Seq("band", "bh"))
       .select("id_i", "id_c")
-      .join(incIdx.select(col("id").as("id_i"), col("sh").as("sh_i"),
-        col("hs").as("hs_i")), "id_i")
+      .join(broadcast(incIdx.select(col("id").as("id_i"),
+        col("sh").as("sh_i"), col("hs").as("hs_i"))), "id_i")
+      .hint("shuffle_hash")
       .join(index.select(col("id").as("id_c"), col("sh").as("sh_c"),
         col("hs").as("hs_c")), "id_c")
       .withColumn("inter_h", interH)

@@ -883,10 +883,18 @@ object Similarity {
       .withColumnRenamed("id", "id_i")
     val corB = packedBandKeys(index, rowsPerBand)
       .withColumnRenamed("id", "id_c")
-    val corpusMatch = incB.join(corB, Seq("key"))
+    // join sides PINNED by contract (batch ≪ index): the checkpointed
+    // index's LogicalRDD size estimate is garbage-small, so the static
+    // planner would otherwise broadcast the INDEX (its widened vectors —
+    // a multi-GB driver build at a ×100-grown frame; the lexical twin
+    // measured the OOM, round 17). Batch-derived sides broadcast; the
+    // verify fetch builds SHUFFLE_HASH on the candidate side so the
+    // standing frame is never broadcast and never sorted.
+    val corpusMatch = broadcast(incB).join(corB, Seq("key"))
       .select("id_i", "id_c")
-      .join(incIdx.select(col("id").as("id_i"), col("e_d").as("e_i"),
-        col("n").as("n_i")), "id_i")
+      .join(broadcast(incIdx.select(col("id").as("id_i"),
+        col("e_d").as("e_i"), col("n").as("n_i"))), "id_i")
+      .hint("shuffle_hash")
       .join(index.select(col("id").as("id_c"), col("e_d").as("e_c"),
         col("n").as("n_c")), "id_c")
       .filter(VectorFns.dot(col("e_i"), col("e_c")) /
