@@ -251,11 +251,16 @@ object ScaleProbe {
     val tLshK2Fixed12 = time(lsh(embK2, 12))
     // semantic incremental ×k2 point (the family's third decade, next
     // to the lexical legs below): same fixed batch, signature frame of
-    // the ×k2 corpus checkpointed untimed
+    // the ×k2 corpus checkpointed untimed. Width is the AUTO-resolved
+    // one for this corpus size (15 bits at 200k rows) — probing a ×k2
+    // index at the graded 8-bit width is the documented pathological
+    // configuration (bucket occupancy n/2^8 ≈ 780 makes the candidate
+    // set corpus-sized; measured: the verify build OOMs), i.e. the
+    // same width-tracks-corpus-size rule the pair family measures.
     val idxK2sem = graft.operators.Similarity.signatureFrame(
       embK2, "vec_id", "embedding").localCheckpoint()
     idxK2sem.count()
-    val tDK2 = deltaLeg(idxK2sem, 8)
+    val tDK2 = deltaLeg(idxK2sem, autoWidthK2)
     idxK2sem.unpersist()
     embK2.unpersist()
 
@@ -555,7 +560,7 @@ object ScaleProbe {
       s""""q146_hash_embed":${j(tHe1, tHeK)},""" +
       s""""q162_165_classifier":${j(tClf1, tClfK)},""" +
       f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
-      f""""q173_delta_sem":{"x1":$tD1%.3f,"x$k":$tDK%.3f,"ratio":${tDK / tD1}%.2f,"x${k}_rows12":$tDK12%.3f,"x$k2":$tDK2%.3f,"ratio_x$k2":${tDK2 / tD1}%.2f},""" +
+      f""""q173_delta_sem":{"x1":$tD1%.3f,"x$k":$tDK%.3f,"ratio":${tDK / tD1}%.2f,"x${k}_rows12":$tDK12%.3f,"x$k2":$tDK2%.3f,"x${k2}_width":$autoWidthK2,"ratio_x$k2":${tDK2 / tD1}%.2f},""" +
       f""""q167_delta_lex":{"x1":$tLex1%.3f,"x$k":$tLexK%.3f,"ratio":${tLexK / tLex1}%.2f,"x$k2":$tLexK2%.3f,"ratio_x$k2":${tLexK2 / tLex1}%.2f,"index_rows_x$k2":$lexRowsK2},""" +
       s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
       s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +

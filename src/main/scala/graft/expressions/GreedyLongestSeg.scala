@@ -19,19 +19,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * a plan constant — one narrow projection, no distinct-word frame, no
   * token shuffle, stream-safe.
   *
-  * Documented deviation from BERT's WordPiece: no `##` continuation
-  * alphabet — one piece set serves every position (the vocabulary
-  * source here is a trained unigram/BPE piece table, which has no
-  * initial/continuation split). The GREEDY rule itself is exact, and it
-  * genuinely differs from the Viterbi kernel on the same vocabulary
-  * (greedy commits to the longest prefix even when the probability-
-  * weighted split is finer — test-pinned).
+  * TWO MODES, selected by `contPieces`:
+  *
+  *   - `contPieces` empty — single-alphabet greedy (q179's variant): one
+  *     piece set serves every position, symbols emitted undecorated.
+  *     A documented deviation from BERT's WordPiece (the vocabulary
+  *     source is a trained unigram/BPE piece table, which has no
+  *     initial/continuation split).
+  *   - `contPieces` non-empty — BERT's published two-alphabet walk
+  *     (Devlin et al. 2019; the greedy longest-match tokenizer of
+  *     Wu et al. 2016): position 0 consults the INITIAL set `pieces`
+  *     and emits the piece raw; every later position consults the
+  *     CONTINUATION set `contPieces` and emits the piece `##`-prefixed.
+  *     A word whose walk strands at any position falls back whole — the
+  *     [UNK]-for-the-whole-word convention of the published tokenizer
+  *     (no backtracking, exactly like the reference implementations).
+  *
+  * The GREEDY rule itself is exact, and it genuinely differs from the
+  * Viterbi kernel on the same vocabulary (greedy commits to the longest
+  * prefix even when the probability-weighted split is finer —
+  * test-pinned).
   *
   * Out-of-vocabulary fallback, [[UnigramViterbiSeg]]'s convention: a
   * word that strands the walk (some position has NO matching piece) is
   * emitted whole as a single symbol — the explicit UNK convention,
-  * impossible when the piece set contains every single character of the
-  * corpus it was trained on.
+  * impossible in single-alphabet mode when the piece set contains every
+  * single character of the corpus it was trained on (but REACHABLE in
+  * two-alphabet mode: a character that only ever occurs word-initially
+  * is absent from the continuation alphabet).
   *
   * Lengths/substrings are CODE-POINT based, matching Spark
   * `length`/`substr` and DuckDB `substr` semantics, so a SQL
@@ -40,13 +55,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class GreedyLongestSeg(child: Expression,
                             pieces: Seq[String],
+                            contPieces: Seq[String],
                             maxPieceLen: Int)
     extends UnaryExpression {
 
   require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-  require(pieces.size <= 4 * 1024 * 1024,
-    s"the piece set is a plan constant (model-sized by contract); " +
-      s"got ${pieces.size} pieces")
+  require(pieces.size + contPieces.size <= 4 * 1024 * 1024,
+    s"the piece sets are plan constants (model-sized by contract); " +
+      s"got ${pieces.size} + ${contPieces.size} pieces")
 
   override def dataType: DataType =
     ArrayType(ArrayType(StringType, containsNull = false),
@@ -66,6 +82,14 @@ case class GreedyLongestSeg(child: Expression,
     s
   }
 
+  @transient private lazy val twoAlphabet: Boolean = contPieces.nonEmpty
+
+  @transient private lazy val contLookup: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](contPieces.size * 2)
+    contPieces.foreach(s.add)
+    s
+  }
+
   /** Segment one word; `null` when the walk strands (OOV position) —
     * caller applies the whole-word fallback. */
   private def segmentWord(w: String): Array[Any] = {
@@ -75,14 +99,18 @@ case class GreedyLongestSeg(child: Expression,
     val out = new java.util.ArrayList[Any](n)
     var pos = 0
     while (pos < n) {
+      val inner = twoAlphabet && pos > 0
+      val lk = if (inner) contLookup else lookup
       var l = math.min(maxPieceLen, n - pos)
       var found = -1
       while (l >= 1 && found < 0) {
-        if (lookup.contains(new String(cps, pos, l))) found = l
+        if (lk.contains(new String(cps, pos, l))) found = l
         l -= 1
       }
       if (found < 0) return null
-      out.add(UTF8String.fromString(new String(cps, pos, found)))
+      val piece = new String(cps, pos, found)
+      out.add(UTF8String.fromString(
+        if (inner) "##" + piece else piece))
       pos += found
     }
     out.toArray
@@ -122,9 +150,16 @@ case class GreedyLongestSeg(child: Expression,
 }
 
 object GreedyLongestSeg {
-  /** Column-API entry point. */
+  /** Column-API entry point — single-alphabet mode (q179's variant). */
   def apply(tokens: Column, pieces: Seq[String],
             maxPieceLen: Int): Column =
+    apply(tokens, pieces, Nil, maxPieceLen)
+
+  /** Column-API entry point — two-alphabet BERT-convention mode when
+    * `contPieces` is non-empty. */
+  def apply(tokens: Column, pieces: Seq[String], contPieces: Seq[String],
+            maxPieceLen: Int): Column =
     ColumnBridge.column(
-      GreedyLongestSeg(ColumnBridge.expression(tokens), pieces, maxPieceLen))
+      GreedyLongestSeg(ColumnBridge.expression(tokens), pieces, contPieces,
+        maxPieceLen))
 }

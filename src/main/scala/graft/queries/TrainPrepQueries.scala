@@ -742,6 +742,81 @@ object TrainPrepQueries {
        |FROM t JOIN segs USING (w)
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
+  /** Q181 — TRUE WordPiece: the `##` continuation alphabet (VERDICT
+    * r16 #4). q179 documents its deviation from BERT's WordPiece (one
+    * piece set for every position); this query implements the
+    * published two-alphabet convention: INITIAL and CONTINUATION piece
+    * tables are DERIVED from the q168-trained vocabulary by corpus
+    * position evidence (initial iff some word starts with the piece;
+    * continuation iff it occurs at a later code-point position of some
+    * word — see [[graft.operators.Curation.wordPieceAlphabets]]), and
+    * the greedy longest-match walk consults the position-appropriate
+    * set: position 0 emits raw from the initial alphabet, later
+    * positions emit `##`-prefixed from the continuation alphabet, and
+    * a stranded walk (now REACHABLE: a char that only ever occurs
+    * word-initially has no continuation entry) falls back to the whole
+    * word — the published [UNK] rule, no backtracking. The oracle
+    * restates the alphabets over the trainer's own substring-position
+    * frame (`posx`: initial ⟺ ∃ row at j = 0, continuation ⟺ ∃ row at
+    * j > 0), builds a position-dependent best-match frame (j = 0
+    * against the initial set, j > 0 against the continuation set),
+    * and walks each word with q179's recursive CTE — `##`-decorating
+    * every non-initial symbol. q179 stays graded as the
+    * trained-piece-table (no-`##`) variant.
+    */
+  private def q181(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.wordPieceEncodeRowwiseFromAlphabets(docs, "doc_id", "text",
+        Curation.wordPieceAlphabets(docs, "text",
+          SharedFrames.unigramVocab(spark, dir)),
+        maxPieceLen = UniL)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+  }
+
+  private lazy val q181Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |pcs AS (SELECT piece FROM v$UniRounds),
+       |ini AS (SELECT DISTINCT p.piece FROM posx p JOIN pcs USING (piece)
+       |        WHERE p.j = 0),
+       |cnt AS (SELECT DISTINCT p.piece FROM posx p JOIN pcs USING (piece)
+       |        WHERE p.j > 0),
+       |bm AS (SELECT p.w, p.j, max(p.i - p.j) AS l
+       |       FROM posx p JOIN ini USING (piece) WHERE p.j = 0
+       |       GROUP BY 1, 2
+       |       UNION ALL
+       |       SELECT p.w, p.j, max(p.i - p.j) AS l
+       |       FROM posx p JOIN cnt USING (piece) WHERE p.j > 0
+       |       GROUP BY 1, 2),
+       |gw AS (SELECT w, n, 0 AS e, 0 AS k, NULL::INT AS s FROM wd
+       |       UNION ALL
+       |       SELECT gw.w, gw.n, (gw.e + bm.l)::INT AS e, gw.k + 1,
+       |              gw.e AS s
+       |       FROM gw JOIN bm ON bm.w = gw.w AND bm.j = gw.e
+       |       WHERE gw.e < gw.n),
+       |reach AS (SELECT w, max(e) AS r FROM gw GROUP BY 1),
+       |segs AS (SELECT gw.w, (gw.k - 1)::BIGINT AS sym_pos,
+       |                CASE WHEN gw.s > 0
+       |                     THEN '##' || substr(gw.w, gw.s + 1, gw.e - gw.s)
+       |                     ELSE substr(gw.w, gw.s + 1, gw.e - gw.s)
+       |                END AS symbol
+       |         FROM gw JOIN reach ON gw.w = reach.w
+       |         JOIN wd ON gw.w = wd.w AND reach.r = wd.n
+       |         WHERE gw.s IS NOT NULL
+       |         UNION ALL
+       |         SELECT wd.w, 0::BIGINT AS sym_pos, wd.w AS symbol
+       |         FROM wd JOIN reach ON wd.w = reach.w
+       |         WHERE reach.r < wd.n),
+       |t AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS word_pos,
+       |             unnest(toks) AS w
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents))
+       |SELECT t.doc_id, t.word_pos::BIGINT AS word_pos,
+       |       segs.sym_pos, segs.symbol
+       |FROM t JOIN segs USING (w)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
   /** Per-sequence token budget for q178's encoded train layout — the
     * composed job's own [[graft.pipelines.CurationJob.PackBudget]]. */
   private val LayoutBudget = 1024
@@ -3317,6 +3392,7 @@ object TrainPrepQueries {
     QueryDef("q176_bpe_encode_rowwise", q176, Some(q91Sql)),
     QueryDef("q178_encoded_train_layout", q178, Some(q178Sql)),
     QueryDef("q179_wordpiece_encode", q179, Some(q179Sql)),
+    QueryDef("q181_wordpiece_two_alphabet", q181, Some(q181Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

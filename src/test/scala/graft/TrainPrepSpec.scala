@@ -550,6 +550,47 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wordPiece two-alphabet: ## continuation, derived split, UNK strand") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "word_pos", "sym_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    // forced fixture: 'x' occurs ONLY word-initially in the corpus, so
+    // it must land in the initial alphabet alone; 'b' occurs only at
+    // inner positions, so continuation alone; 'a' both ways
+    val corpus = Seq((1L, "xa ab aa"), (2L, "xab")).toDF("doc_id", "text")
+    val vocabFix = Seq(("x", 1.0), ("a", 1.0), ("b", 1.0), ("ab", 1.0))
+      .toDF("piece", "prob")
+    val alpha = Curation.wordPieceAlphabets(corpus, "text", vocabFix)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(alpha("x") == ((true, false)), s"got $alpha")  // initial only
+    assert(alpha("b") == ((false, true)), s"got $alpha")  // inner only
+    assert(alpha("a") == ((true, true)), s"got $alpha")
+    assert(alpha("ab") == ((true, true)), s"got $alpha")  // 'ab' word + 'xab'
+    // the walk: position 0 from the initial set raw, later positions
+    // ##-prefixed from the continuation set
+    val alphaF = Curation.wordPieceAlphabets(corpus, "text", vocabFix)
+    val got = canon(Curation.wordPieceEncodeRowwiseFromAlphabets(
+      corpus, "doc_id", "text", alphaF, maxPieceLen = 2))
+    val byWord = got.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.sortBy(_._3).map(_._4).toList }
+    assert(byWord((1L, 0L)) == List("x", "##a"), s"got $byWord")
+    assert(byWord((1L, 1L)) == List("ab"), s"got $byWord")      // maximal munch at pos 0
+    assert(byWord((2L, 0L)) == List("x", "##ab"), s"got $byWord")
+    // UNK strand: 'x' has no continuation entry, so an inner x strands
+    // the walk and the WHOLE word falls back raw — the published rule
+    val strander = Seq((9L, "ax")).toDF("doc_id", "text")
+    val nv = canon(Curation.wordPieceEncodeRowwiseFromAlphabets(
+      strander, "doc_id", "text", alphaF, maxPieceLen = 2))
+    assert(nv.map(_._4) == Seq("ax"), s"got $nv")
+    // single-alphabet mode is untouched: same fixture through the
+    // no-## entry point segments 'ax' fine
+    val legacy = canon(Curation.wordPieceEncodeRowwiseFromVocab(
+      strander, "doc_id", "text", vocabFix, maxPieceLen = 2))
+    assert(legacy.map(_._4) == Seq("a", "x"), s"got $legacy")
+  }
+
   test("unigramSampleEncodeRowwise: bit-parity with declarative; stream") {
     val docs = Seq((1L, "hello world spark"),
       (2L, "hello spark spark streams"),
