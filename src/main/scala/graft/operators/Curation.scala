@@ -2134,6 +2134,67 @@ object Curation {
         lit(0L), (acc, syms) => acc + size(syms)))
   }
 
+  /** Per-row MODEL-TOKEN count under a single-alphabet GREEDY
+    * longest-match segmentation — [[unigramTokenCountRowwiseFromVocab]]'s
+    * contract for the [[wordPieceEncodeRowwiseFromVocab]] tokenizer:
+    * the trained piece table inlines as a plan constant into the same
+    * [[graft.expressions.GreedyLongestSeg]] kernel, folded to
+    * `Σ |syms|` per row inside the projection — zero extra shuffle,
+    * stream-safe, null text → null count. By kernel parity the count
+    * equals `count(*)` over the encoder's rows for every id.
+    */
+  def wordPieceTokenCountRowwiseFromVocab(df: DataFrame, textCol: String,
+                                          vocabF: DataFrame,
+                                          maxPieceLen: Int = 4,
+                                          outCol: String = "n_model_tokens")
+      : DataFrame = {
+    val pieces = vocabF.select(col("piece"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    df.withColumn(outCol,
+      aggregate(
+        graft.expressions.GreedyLongestSeg(
+          TextFns.tokens(col(textCol)), pieces, maxPieceLen),
+        lit(0L), (acc, syms) => acc + size(syms)))
+  }
+
+  /** Per-row MODEL-TOKEN count under a trained BPE merge sequence —
+    * the count contract for [[bpeEncodeRowwiseFromMerges]]: the merge
+    * chain replays per token inside one projection ([[bpeEncodeRowwise]]'s
+    * kernels), folded to `Σ |syms|` per row — zero extra shuffle,
+    * stream-safe, null text → null count.
+    */
+  def bpeTokenCountRowwiseFromMerges(df: DataFrame, textCol: String,
+                                     mergeSeq: Seq[(String, String)],
+                                     outCol: String = "n_model_tokens")
+      : DataFrame = {
+    def symsOf(w: Column): Column = mergeSeq.foldLeft(
+      regexp_extract_all(w, lit("."), lit(0)): Column) {
+      case (c, (a, b)) => graft.expressions.BpeMergePair(c, a, b)
+    }
+    df.withColumn(outCol,
+      aggregate(TextFns.tokens(col(textCol)),
+        lit(0L), (acc, w) => acc + size(symsOf(w))))
+  }
+
+  /** GREEDY longest-match segmentation per DISTINCT WORD under a
+    * trained piece table — the [[unigramSegmented]]-shaped `(w, syms)`
+    * frame for the single-alphabet greedy tokenizer, so
+    * [[unigramFertilityFromSegments]] evaluates all three tokenizers
+    * on one surface (the q121/q170 metric pair).
+    */
+  def wordPieceSegmentedFromVocab(df: DataFrame, textCol: String,
+                                  vocabF: DataFrame,
+                                  maxPieceLen: Int = 4): DataFrame = {
+    val pieces = vocabF.select(col("piece"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    df.select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .distinct()
+      .select(col("w"),
+        element_at(graft.expressions.GreedyLongestSeg(
+          array(col("w")), pieces, maxPieceLen), 1).as("syms"))
+  }
+
   /** [[unigramEncode]] from a pre-built [[unigramSegmented]] frame —
     * the shared-frame entry point (the training loop and the per-word
     * Viterbi pass are the dominant cost; the encoder itself is one

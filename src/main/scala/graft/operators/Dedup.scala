@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -599,6 +599,17 @@ object Dedup {
       sort_array(graft.expressions.XxHash64Array(col("sh"))).as("hs"),
       graft.expressions.MinHashSig(col("sh"), 64).as("sig"))
 
+  /** The per-band bucket keys of a stored 64-way MinHash signature —
+    * one narrow in-row projection, shared by every banded consumer
+    * (probe side, index side, and the persisted store's banded table)
+    * so all of them band IDENTICALLY by construction. */
+  private[graft] def sigBandKeys(sig: Column, bands: Int): Column = {
+    val rowsPerBand = 64 / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
+        element_at(sig, b * lit(rowsPerBand) + lit(r + 1))): _*))
+  }
+
   /** INCREMENTAL banded near-dup — [[deltaDedup]]'s contract for the
     * NEAR-duplicate regime: classify every `incoming` document against
     * the standing corpus represented by a persisted [[nearDupIndex]]
@@ -663,40 +674,43 @@ object Dedup {
     require(Seq("id", "sh", "hs", "sig").forall(incomingIndex.columns.contains),
       s"incomingIndex must be a nearDupIndex frame (id, sh, hs, sig); got " +
         incomingIndex.columns.mkString(", "))
-    val rowsPerBand = 64 / bands
-    def bandKeys(sig: Column): Column =
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(Seq(b) ++ (0 until rowsPerBand).map(r =>
-          element_at(sig, b * lit(rowsPerBand) + lit(r + 1))): _*))
     val incIdx = incomingIndex
     val incB = incIdx.select(col("id").as("id_i"),
-      posexplode(bandKeys(col("sig"))))
+      posexplode(sigBandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val corpusB = index.select(col("id").as("id_c"),
-      posexplode(bandKeys(col("sig"))))
+      posexplode(sigBandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // cross leg: batch probes × corpus banded keys, verified exactly;
     // multi-band duplicates ride the candidate stream into the min()
     // (map-side-combined) instead of paying a pre-verify distinct.
-    // Join sides are PINNED by contract (batch ≪ index): the
-    // checkpointed index enters as a LogicalRDD whose size estimate is
-    // garbage-small (measured: a 50k-doc index reporting ~340 KB), so
-    // left to the static planner the INDEX gets broadcast — at a
-    // ×100-grown standing index that is a multi-GB driver build that
-    // OOMs (measured, round 17). broadcast() pins the batch-derived
-    // sides (bounded: batch×bands probe keys, batch payload rows) as
-    // the build sides, and the verify fetch builds SHUFFLE_HASH on the
-    // candidate side so the corpus index is never broadcast and never
-    // sorted — it streams through one exchange at worst.
+    //
+    // The INDEX side only ever STREAMS — never shuffles, sorts, or
+    // broadcasts. Every batch-derived frame is broadcast() by contract
+    // (batch ≪ index; the checkpointed index enters as a LogicalRDD
+    // whose size estimate is garbage-small — measured: a 50k-doc index
+    // reporting ~340 KB — so left to the static planner the INDEX got
+    // broadcast and a ×100-grown index OOM'd the driver, round 17).
+    // The verify fetch is a broadcast SEMI-reduction: candidate corpus
+    // ids (bounded by batch × per-doc duplication) broadcast against
+    // the streamed index, so the fat payload columns (sh, hs) of
+    // non-candidates never leave their partitions — where the earlier
+    // shuffle-hash formulation re-shuffled the WHOLE payload per batch,
+    // an O(index) exchange that dominated the probe as the standing
+    // index grew. The banding projection is recomputed for the fetch
+    // subtree (one extra narrow scan of (id, sig)) — cheaper than any
+    // materialization of it at every index size measured.
     val interH = graft.expressions.SortedIntersectCount(
       col("hs_i"), col("hs_c")).cast("double")
-    val corpusMatch = broadcast(incB).join(corpusB, Seq("band", "bh"))
+    val candPairs = broadcast(incB).join(corpusB, Seq("band", "bh"))
       .select("id_i", "id_c")
+    val fetched = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
+        col("hs").as("hs_c"))
+      .join(broadcast(candPairs.select(col("id_c")).distinct()), "id_c")
+    val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("sh").as("sh_i"), col("hs").as("hs_i"))), "id_i")
-      .hint("shuffle_hash")
-      .join(index.select(col("id").as("id_c"), col("sh").as("sh_c"),
-        col("hs").as("hs_c")), "id_c")
+      .join(broadcast(fetched), "id_c")
       .withColumn("inter_h", interH)
       .filter(col("inter_h") /
         (size(col("sh_i")) + size(col("sh_c")) - col("inter_h")) >= threshold)
@@ -722,6 +736,147 @@ object Dedup {
         when(col("__graft_ck").isNotNull, col("__graft_ck"))
           .otherwise(col("__graft_bk")).as("dup_of"))
   }
+
+  // ---------------------------------------- persisted near-dup index store
+
+  /** The banded-key table of a [[nearDupIndex]] frame, bucketed for
+    * partition pruning: `(id, band, bh, bkt)` with
+    * `bkt = bh mod bandBuckets`. */
+  private def bandedRows(index: DataFrame, bands: Int,
+                         bandBuckets: Int): DataFrame =
+    index.select(col("id"), posexplode(sigBandKeys(col("sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .withColumn("bkt", pmod(col("bh"), lit(bandBuckets.toLong)))
+
+  private def readStoreMeta(spark: SparkSession,
+                            path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getAs[Int]("bands"), r.getAs[Int]("band_buckets"),
+      r.getAs[Int]("id_buckets"))
+  }
+
+  /** Persist a [[nearDupIndex]] frame as a PROBE-PRUNABLE parquet
+    * store — the deployment shape of the standing corpus index once it
+    * outgrows what a per-batch streaming scan should touch. Layout:
+    *
+    *   - `payload/` — the index rows `(id, sh, hs, sig)` partitioned by
+    *     `idb = xxhash64(id) mod idBuckets`, so a probe's verify fetch
+    *     reads only the id-buckets its candidates live in;
+    *   - `banded/` — the exploded band keys `(id, band, bh)` partitioned
+    *     by `bkt = bh mod bandBuckets`, so a probe reads only the
+    *     band-buckets its own keys hash to;
+    *   - `meta/` — one row `(bands, band_buckets, id_buckets)`.
+    *
+    * Per-probe read volume is `(probed buckets / bandBuckets) × corpus`
+    * — FLAT in corpus size as long as the bucket counts are maintained
+    * proportional to the corpus (the banded-width rule applied to
+    * storage; [[rebandIndexStore]] is that maintenance step, no text
+    * rescan needed because signatures are stored). Both tables are
+    * `repartition`ed on their partition column before writing so each
+    * partition value lands in one task (one file per bucket, not one
+    * per task×bucket).
+    */
+  def writeNearDupIndexStore(index: DataFrame, path: String,
+                             bands: Int = 32, bandBuckets: Int = 256,
+                             idBuckets: Int = 256): Unit = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide the 64-hash signature, got $bands")
+    require(bandBuckets >= 1 && idBuckets >= 1,
+      s"bucket counts must be positive, got $bandBuckets/$idBuckets")
+    require(Seq("id", "sh", "hs", "sig").forall(index.columns.contains),
+      s"index must be a nearDupIndex frame (id, sh, hs, sig); got " +
+        index.columns.mkString(", "))
+    val spark = index.sparkSession
+    import spark.implicits._
+    Seq((bands, bandBuckets, idBuckets))
+      .toDF("bands", "band_buckets", "id_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    index.select(col("id"), col("sh"), col("hs"), col("sig"),
+        pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+      .repartition(col("idb"))
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
+    bandedRows(index, bands, bandBuckets)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
+  }
+
+  /** Append-only maintenance of a persisted store: the admitted rows'
+    * [[nearDupIndex]] frame (already computed for the probe — the
+    * q177 shared-frame shape) lands in both tables under the store's
+    * recorded layout. */
+  def appendNearDupIndexStore(spark: SparkSession, path: String,
+                              newRows: DataFrame): Unit = {
+    val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
+    newRows.select(col("id"), col("sh"), col("hs"), col("sig"),
+        pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+      .repartition(col("idb"))
+      .write.mode("append").partitionBy("idb").parquet(s"$path/payload")
+    bandedRows(newRows, bands, bandBuckets)
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/banded")
+  }
+
+  /** [[deltaNearDup]] against a PERSISTED [[writeNearDupIndexStore]]
+    * store — the corpus-size-independent probe: the batch's band keys
+    * resolve a bounded bucket set (≤ min(batch × bands, bandBuckets) —
+    * a bounded driver collect), only those `banded/` partitions are
+    * read to discover candidates, and only the candidate id-buckets of
+    * `payload/` are read for the verify. Decisions are IDENTICAL to
+    * [[deltaNearDupFromIndex]] over the full index frame: the pruned
+    * payload is a superset of every band-matching corpus doc (each
+    * contributes its own id-bucket), and non-matching cohabitant rows
+    * generate no candidates when the delta core re-bands them.
+    */
+  def deltaNearDupFromStore(spark: SparkSession, path: String,
+                            incomingIds: DataFrame,
+                            incomingIndex: DataFrame, idCol: String,
+                            threshold: Double, hotBucketDrop: Int = 0,
+                            hotBucketCap: Int = HotBucketCap): DataFrame = {
+    val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
+    val incB = incomingIndex.select(col("id").as("id_i"),
+        posexplode(sigBandKeys(col("sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val probeBkts = incB
+      .select(pmod(col("bh"), lit(bandBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val prunedIndex =
+      if (probeBkts.isEmpty)
+        spark.read.parquet(s"$path/payload")
+          .select("id", "sh", "hs", "sig").limit(0)
+      else {
+        val corpusB = spark.read.parquet(s"$path/banded")
+          .where(col("bkt").isin(probeBkts: _*))
+          .select(col("id").as("id_c"), col("band"), col("bh"))
+        val candIdb = broadcast(incB).join(corpusB, Seq("band", "bh"))
+          .select(pmod(xxhash64(col("id_c")), lit(idBuckets.toLong)).as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
+        if (candIdb.isEmpty)
+          spark.read.parquet(s"$path/payload")
+            .select("id", "sh", "hs", "sig").limit(0)
+        else
+          spark.read.parquet(s"$path/payload")
+            .where(col("idb").isin(candIdb: _*))
+            .select("id", "sh", "hs", "sig")
+      }
+    deltaNearDupFromIndex(prunedIndex, incomingIds, incomingIndex, idCol,
+      threshold, bands, hotBucketDrop, hotBucketCap)
+  }
+
+  /** Re-band / re-bucket a persisted store WITHOUT a text rescan
+    * (VERDICT r16 #7 — the maintenance step a growing corpus
+    * eventually owes: band width and bucket counts both track corpus
+    * size): the stored signatures are sufficient to rebuild the banded
+    * table at any width that divides 64, so the new store is derived
+    * entirely from `payload/`. Writes a NEW store at `outPath`
+    * (blue/green swap — the old store stays probe-able until the
+    * caller retires it).
+    */
+  def rebandIndexStore(spark: SparkSession, path: String, outPath: String,
+                       newBands: Int, newBandBuckets: Int,
+                       newIdBuckets: Int): Unit =
+    writeNearDupIndexStore(
+      spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig"),
+      outPath, newBands, newBandBuckets, newIdBuckets)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *

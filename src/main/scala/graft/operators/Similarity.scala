@@ -883,20 +883,24 @@ object Similarity {
       .withColumnRenamed("id", "id_i")
     val corB = packedBandKeys(index, rowsPerBand)
       .withColumnRenamed("id", "id_c")
-    // join sides PINNED by contract (batch ≪ index): the checkpointed
-    // index's LogicalRDD size estimate is garbage-small, so the static
-    // planner would otherwise broadcast the INDEX (its widened vectors —
-    // a multi-GB driver build at a ×100-grown frame; the lexical twin
-    // measured the OOM, round 17). Batch-derived sides broadcast; the
-    // verify fetch builds SHUFFLE_HASH on the candidate side so the
-    // standing frame is never broadcast and never sorted.
-    val corpusMatch = broadcast(incB).join(corB, Seq("key"))
+    // The INDEX side only ever STREAMS — never shuffles, sorts, or
+    // broadcasts (the lexical twin's round-17 lesson: the checkpointed
+    // frame's LogicalRDD size estimate is garbage-small, so the static
+    // planner broadcast the INDEX and a ×100-grown frame OOM'd; and the
+    // shuffle-hash alternative re-shuffles the whole widened-vector
+    // payload per batch — an O(index) exchange). Batch-derived frames
+    // broadcast by contract (batch ≪ index); the verify fetch is a
+    // broadcast SEMI-reduction of candidate ids against the streamed
+    // frame, so non-candidate vectors never leave their partitions.
+    val candPairs = broadcast(incB).join(corB, Seq("key"))
       .select("id_i", "id_c")
+    val fetched = index.select(col("id").as("id_c"), col("e_d").as("e_c"),
+        col("n").as("n_c"))
+      .join(broadcast(candPairs.select(col("id_c")).distinct()), "id_c")
+    val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("e_d").as("e_i"), col("n").as("n_i"))), "id_i")
-      .hint("shuffle_hash")
-      .join(index.select(col("id").as("id_c"), col("e_d").as("e_c"),
-        col("n").as("n_c")), "id_c")
+      .join(broadcast(fetched), "id_c")
       .filter(VectorFns.dot(col("e_i"), col("e_c")) /
         (col("n_i") * col("n_c")) >= threshold)
       .groupBy(col("id_i")).agg(min(col("id_c")).as("__graft_ck"))

@@ -49,6 +49,12 @@ object CurationJob {
   val NumShards = 8
   val PackBudget = 1024
 
+  /** BPE model size for `tokenizer = "bpe"`: 64 merges applied in
+    * symbol-disjoint batches of 8 (the measured ~6× round-count saving
+    * over batch-1 — BASELINE.md's trainer-batching probe). */
+  val BpeMerges = 64
+  val BpeBatch = 8
+
   /** Verdicts for EVERY corpus doc. The repetition-signal frame drops
     * docs with no bigram (its word/bigram aggregates inner-join), but
     * the report must audit the whole corpus — so signals are
@@ -123,9 +129,12 @@ object CurationJob {
           clfFloor: Double = 0.5,
           clfGate: Boolean = false,
           encodeTokens: Boolean = false,
+          tokenizer: String = "unigram",
           sink: String = "parquet"): Map[String, Long] = {
     require(sink == "parquet" || sink == "noop",
       s"sink must be parquet or noop, got $sink")
+    require(Seq("unigram", "bpe", "greedy").contains(tokenizer),
+      s"tokenizer must be unigram, bpe, or greedy, got $tokenizer")
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < benchCut)
     val corpus = docs.filter(col("doc_id") >= benchCut)
@@ -209,15 +218,34 @@ object CurationJob {
             (trainRows, "n_tokens",
               Seq("doc_id", "copy", "lang", "n_tokens"))
           else {
-            val vocab = Curation.unigramLmTrain(trainRows, "text",
-              rounds = 2, vocabTarget = 64, maxPieceLen = 4)
+            // the `tokenizer` parameter picks which member of the
+            // compiled trio counts: all three train on the TRAIN split
+            // only (leakage-safe) and count via their plan-constant
+            // rowwise kernel — one narrow projection, zero extra
+            // shuffle in the layout either way
+            val counted = tokenizer match {
+              case "bpe" =>
+                Curation.bpeTokenCountRowwiseFromMerges(trainRows, "text",
+                  Curation.bpeTrainLoop(trainRows, "text", BpeMerges,
+                    BpeBatch)._2,
+                  outCol = "n_model_tokens")
+              case kind =>
+                val vocab = Curation.unigramLmTrain(trainRows, "text",
+                  rounds = 2, vocabTarget = 64, maxPieceLen = 4)
+                if (kind == "greedy")
+                  Curation.wordPieceTokenCountRowwiseFromVocab(trainRows,
+                    "text", vocab, maxPieceLen = 4,
+                    outCol = "n_model_tokens")
+                else
+                  Curation.unigramTokenCountRowwiseFromVocab(trainRows,
+                    "text", vocab, maxPieceLen = 4,
+                    outCol = "n_model_tokens")
+            }
             // null-text rows yield a null count; they must not reach
             // packSequences, whose per-shard running sum and bin
             // assignment a single null would poison (q178's oracle
             // applies the same IS NOT NULL filter)
-            (Curation.unigramTokenCountRowwiseFromVocab(trainRows, "text",
-                vocab, maxPieceLen = 4, outCol = "n_model_tokens")
-              .filter(col("n_model_tokens").isNotNull),
+            (counted.filter(col("n_model_tokens").isNotNull),
               "n_model_tokens",
               Seq("doc_id", "copy", "lang", "n_tokens", "n_model_tokens"))
           }

@@ -205,6 +205,37 @@ object TrainPrepQueries {
        |WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 1}
        |ORDER BY doc_id""".stripMargin
 
+  /** Q183 — the incremental probe against the PERSISTED, bucket-pruned
+    * index store (see [[graft.operators.Dedup.writeNearDupIndexStore]] /
+    * [[graft.operators.Dedup.deltaNearDupFromStore]]): q167's exact
+    * contract — same split, same threshold, same banding — but the
+    * standing corpus lives in the partitioned parquet store a
+    * continuous-ingest pipeline keeps, and the probe reads ONLY the
+    * band-buckets its own keys hash to plus the id-buckets its
+    * candidates live in (two bounded driver collects resolve the
+    * partition filters). Decisions are provably identical to the
+    * in-memory probe (the pruned payload is a superset of every
+    * band-matching doc), so this grades against q167's own brute-force
+    * oracle — the store's write→prune→probe path checked value-for-value
+    * by DuckDB.
+    */
+  private def q183(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q183_store").toString
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(
+        docs.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1),
+        "doc_id", "text", n = 3),
+      path, bands = 32, bandBuckets = 64, idBuckets = 64)
+    val batch = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+    Dedup.deltaNearDupFromStore(spark, path, batch.select("doc_id"),
+        Dedup.nearDupIndex(batch, "doc_id", "text", n = 3)
+          .localCheckpoint(),
+        "doc_id", threshold = 0.6)
+      .orderBy("doc_id")
+  }
+
   /** Q177 — the INDEX-MAINTENANCE step of the incremental family graded
     * end-to-end (VERDICT r15 #4): q167 grades ONE batch against a
     * standing index; this grades the two-batch ADMIT-THEN-PROBE
@@ -816,6 +847,58 @@ object TrainPrepQueries {
        |       segs.sym_pos, segs.symbol
        |FROM t JOIN segs USING (w)
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
+  /** Q182 — GREEDY-tokenizer fertility (VERDICT r16 #5): the
+    * q121/q170-style metric pair over the single-alphabet greedy
+    * longest-match segmentation of the q168-trained vocabulary (see
+    * [[graft.operators.Curation.wordPieceSegmentedFromVocab]]), so all
+    * THREE tokenizers — BPE (q121), unigram-Viterbi (q170), greedy
+    * (this) — compare on one evaluation surface: per source, mean
+    * symbols per word and chars per symbol. Same all-integer sums +
+    * two final rounded divisions; the oracle reuses q179's recursive
+    * greedy-walk CTEs and aggregates symbol counts per distinct word.
+    */
+  private def q182(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.unigramFertilityFromSegments(docs, "source", "text",
+        Curation.wordPieceSegmentedFromVocab(docs, "text",
+          SharedFrames.unigramVocab(spark, dir), maxPieceLen = UniL))
+      .orderBy("source")
+  }
+
+  private lazy val q182Sql =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniRound(1)},
+       |${uniRound(2)},
+       |pcs AS (SELECT piece FROM v$UniRounds),
+       |bm AS (SELECT p.w, p.j, max(p.i - p.j) AS l
+       |       FROM posx p JOIN pcs USING (piece) GROUP BY 1, 2),
+       |gw AS (SELECT w, n, 0 AS e, 0 AS k, NULL::INT AS s FROM wd
+       |       UNION ALL
+       |       SELECT gw.w, gw.n, (gw.e + bm.l)::INT AS e, gw.k + 1,
+       |              gw.e AS s
+       |       FROM gw JOIN bm ON bm.w = gw.w AND bm.j = gw.e
+       |       WHERE gw.e < gw.n),
+       |reach AS (SELECT w, max(e) AS r FROM gw GROUP BY 1),
+       |spw AS (SELECT gw.w, count(*)::BIGINT AS ns
+       |        FROM gw JOIN reach ON gw.w = reach.w
+       |        JOIN wd ON gw.w = wd.w AND reach.r = wd.n
+       |        WHERE gw.s IS NOT NULL
+       |        GROUP BY 1
+       |        UNION ALL
+       |        SELECT wd.w, 1::BIGINT AS ns
+       |        FROM wd JOIN reach ON wd.w = reach.w
+       |        WHERE reach.r < wd.n),
+       |tk AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       |SELECT tk.source, count(*)::BIGINT AS n_words,
+       |       sum(spw.ns)::BIGINT AS n_symbols,
+       |       sum(length(tk.w))::BIGINT AS n_chars,
+       |       round(sum(spw.ns)::BIGINT / count(*), 6) AS fertility,
+       |       round(sum(length(tk.w))::BIGINT / sum(spw.ns)::BIGINT, 6)
+       |         AS chars_per_symbol
+       |FROM tk JOIN spw USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Per-sequence token budget for q178's encoded train layout — the
     * composed job's own [[graft.pipelines.CurationJob.PackBudget]]. */
@@ -3393,6 +3476,8 @@ object TrainPrepQueries {
     QueryDef("q178_encoded_train_layout", q178, Some(q178Sql)),
     QueryDef("q179_wordpiece_encode", q179, Some(q179Sql)),
     QueryDef("q181_wordpiece_two_alphabet", q181, Some(q181Sql)),
+    QueryDef("q182_wordpiece_fertility", q182, Some(q182Sql)),
+    QueryDef("q183_store_probe_neardup", q183, Some(q167Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -182,6 +182,56 @@ class PipelineOpSpec extends SparkSpec {
       (29L, "new", -1L)), s"got $decB")
   }
 
+  test("near-dup index store: pruned probe ≡ in-memory; append; reband") {
+    import java.nio.file.Files
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 < 3)
+    val batchA = docs.filter($"doc_id" % 5 === 3)
+    val batchB = docs.filter($"doc_id" % 5 === 4)
+    val idx0 = Dedup.nearDupIndex(corpus, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val idxA = Dedup.nearDupIndex(batchA, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val idxB = Dedup.nearDupIndex(batchB, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    // probe decisions from the bucket-pruned store = the in-memory op
+    val wantA = canon(Dedup.deltaNearDupFromIndex(idx0,
+      batchA.select("doc_id"), idxA, "doc_id", threshold = 0.6))
+    val path = Files.createTempDirectory("graft_ndstore").toString
+    Dedup.writeNearDupIndexStore(idx0, path, bands = 32,
+      bandBuckets = 16, idBuckets = 16)
+    val gotA = canon(Dedup.deltaNearDupFromStore(spark, path,
+      batchA.select("doc_id"), idxA, "doc_id", threshold = 0.6))
+    assert(gotA.nonEmpty && gotA == wantA)
+    // append-only maintenance: admit batch A's new rows, probe batch B
+    // against the grown store — identical to the grown in-memory index
+    val admitted = Dedup.deltaNearDupFromIndex(idx0,
+        batchA.select("doc_id"), idxA, "doc_id", threshold = 0.6)
+      .filter($"status" === "new").select($"doc_id".as("id"))
+    Dedup.appendNearDupIndexStore(spark, path, idxA.join(admitted, "id"))
+    val idx1 = idx0.unionByName(idxA.join(admitted, "id")).localCheckpoint()
+    val wantB = canon(Dedup.deltaNearDupFromIndex(idx1,
+      batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6))
+    val gotB = canon(Dedup.deltaNearDupFromStore(spark, path,
+      batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6))
+    assert(gotB.nonEmpty && gotB == wantB)
+    // re-band (16 bands) + re-bucket without any text rescan: probe
+    // decisions equal the in-memory op at the new width AND, banding
+    // recall being complete on this corpus, the pre-reband decisions
+    val path2 = Files.createTempDirectory("graft_ndstore_rb").toString
+    Dedup.rebandIndexStore(spark, path, path2, newBands = 16,
+      newBandBuckets = 8, newIdBuckets = 8)
+    val want16 = canon(Dedup.deltaNearDupFromIndex(idx1,
+      batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6,
+      bands = 16))
+    val got16 = canon(Dedup.deltaNearDupFromStore(spark, path2,
+      batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6))
+    assert(got16 == want16 && got16 == gotB)
+  }
+
   test("deltaSemNearDup classifies against a persisted signature index") {
     import graft.operators.Similarity
     // disjoint-support vectors: cosine is exactly 1 within a family and
