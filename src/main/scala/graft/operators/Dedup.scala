@@ -625,10 +625,15 @@ object Dedup {
     * Candidates come from the same (band, band-hash) bucket join
     * [[minHashPairs]] uses — the corpus side banded from the STORED
     * signature (a narrow projection of the index; the plan guard in
-    * PlanSpec pins that no corpus re-banding occurs) — so per batch the
-    * cost is O(batch × bands) probe rows against the index's banded
-    * keys plus the within-batch pair generation, never a corpus×corpus
-    * or corpus-rescan term. Every candidate is exact-verified (hash
+    * PlanSpec pins that no corpus TEXT re-scan occurs) — so per batch
+    * the cost is O(batch × bands) broadcast probe keys against
+    * streaming narrow scans of the index (banding + candidate-id fetch;
+    * the index is never shuffled, sorted, or broadcast), plus the
+    * within-batch pair generation — never a corpus×corpus term, and
+    * never an O(index) exchange. The residual per-batch O(index)
+    * STREAMING-scan term is what [[deltaNearDupFromStore]] removes via
+    * bucket-pruned reads of a persisted store. Every candidate is
+    * exact-verified (hash
     * upper-bound prefilter, then true Jaccard on the stored shingle
     * sets), so output decisions are exact wherever banding recalls the
     * pair — identical to [[minHashPairs]]' guarantee. Duplicate

@@ -823,11 +823,13 @@ object Similarity {
     * such corpus id), `dup_in_batch` (no corpus match but a smaller-id
     * batch vector is threshold-similar), `new`.
     *
-    * Per batch the cost is the batch-side signature pass plus one
-    * (band, bits) equi-join of O(batch × bands) probe keys against the
-    * index's banded keys, plus the within-batch
-    * [[lshNearDupPairsFromSig]] leg — never a corpus×corpus term or a
-    * corpus re-banding (plan-guarded in PlanSpec). Every candidate is
+    * Per batch the cost is the batch-side signature pass plus
+    * O(batch × bands) broadcast probe keys against streaming narrow
+    * scans of the index (banding from the stored signatures +
+    * candidate-id fetch; the index is never shuffled, sorted, or
+    * broadcast — never an O(index) exchange), plus the within-batch
+    * [[lshNearDupPairsFromSig]] leg — never a corpus×corpus term or an
+    * embedding re-scan (plan-guarded in PlanSpec). Every candidate is
     * exact-cosine verified against the stored widened vectors, so
     * decisions are exact wherever banding recalls the pair — identical
     * to the batch family's guarantee at the same `rowsPerBand`;
