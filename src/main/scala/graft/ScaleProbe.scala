@@ -230,8 +230,59 @@ object ScaleProbe {
       "100").toInt)
     val lexRowsK2 = lexIdxK2big.count()
     val tLexK2 = lexProbe(lexIdxK2big)
+
+    // PERSISTED-STORE probe legs (the flat path): a FIXED micro-batch
+    // (deployment-shaped — a per-run batch is vanishingly small next to
+    // the standing corpus) probed against writeNearDupIndexStore stores
+    // of the ×1 / ×k / ×k2 corpora, with bucket counts MAINTAINED
+    // proportional to corpus size (the banded-width rule applied to
+    // storage; rebandIndexStore is that maintenance step). Per-probe
+    // read volume is (probed buckets / bandBuckets) × corpus — constant
+    // when buckets track the corpus — so the ratio here is the
+    // corpus-size-independence claim measured, vs the in-memory legs
+    // above whose banding+fetch scans are honestly O(index). Store
+    // writes are UNTIMED (they amortize over every probe between
+    // maintenance events). ×k2's bucket count is capped at 8192 local
+    // directories (the local-fs listing bound; an object store keeps
+    // the proportional count and the flat curve).
+    val microBatch = docs.filter(col("doc_id") % 1000 === 999)
+      .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+    val microIds = microBatch.select("doc_id").localCheckpoint()
+    microIds.count()
+    val microIdx = graft.operators.Dedup.nearDupIndex(
+      microBatch, "doc_id", "text", n = 3).localCheckpoint()
+    microIdx.count()
+    def storeProbe(path: String): Double =
+      time(graft.operators.Dedup.deltaNearDupFromStore(
+        spark, path, microIds, microIdx, "doc_id", threshold = 0.6))
+    def writeStore(idx: DataFrame, bandBuckets: Int,
+                   idBuckets: Int): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_scale_ndstore").toString
+      graft.operators.Dedup.writeNearDupIndexStore(idx, p, bands = 32,
+        bandBuckets = bandBuckets, idBuckets = idBuckets)
+      p
+    }
+    val lexIdx1b = lexIndex(1)
+    val store1 = writeStore(lexIdx1b, 512, 64)
+    lexIdx1b.unpersist()
+    storeProbe(store1) // warmup
+    val tStore1 = storeProbe(store1)
+    val lexIdxKb = lexIndex(k)
+    val storeK = writeStore(lexIdxKb, 512 * k, 64 * k)
+    lexIdxKb.unpersist()
+    val tStoreK = storeProbe(storeK)
+    val storeK2 = writeStore(lexIdxK2big, 8192, 1024)
+    val tStoreK2 = storeProbe(storeK2)
     lexIdxK2big.unpersist()
     lexBatchIds.unpersist(); lexBatchIdx.unpersist()
+    microIds.unpersist(); microIdx.unpersist()
+    Seq(store1, storeK, storeK2).foreach { p =>
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
     // ×k2 (default ×100) auto-curve design point: the next decade of the
     // band-width rule. At 200k rolled vectors the occupancy curve
@@ -562,6 +613,7 @@ object ScaleProbe {
       f""""q160_neardup_auto":{"x1":$t160x1%.3f,"x$k":$t160xK%.3f,"ratio":${t160xK / t160x1}%.2f,"width_x1":$w160x1,"width_x$k":$w160xK},""" +
       f""""q173_delta_sem":{"x1":$tD1%.3f,"x$k":$tDK%.3f,"ratio":${tDK / tD1}%.2f,"x${k}_rows12":$tDK12%.3f,"x$k2":$tDK2%.3f,"x${k2}_width":$autoWidthK2,"ratio_x$k2":${tDK2 / tD1}%.2f},""" +
       f""""q167_delta_lex":{"x1":$tLex1%.3f,"x$k":$tLexK%.3f,"ratio":${tLexK / tLex1}%.2f,"x$k2":$tLexK2%.3f,"ratio_x$k2":${tLexK2 / tLex1}%.2f,"index_rows_x$k2":$lexRowsK2},""" +
+      f""""q183_store_probe":{"x1":$tStore1%.3f,"x$k":$tStoreK%.3f,"ratio":${tStoreK / tStore1}%.2f,"x$k2":$tStoreK2%.3f,"ratio_x$k2":${tStoreK2 / tStore1}%.2f,"band_buckets":[512,${512 * k},8192]},""" +
       s""""q168_unigram_train":${j(tUt1, tUtK)},""" +
       s""""q171_unigram_sample":${j(tUs1, tUsK)},""" +
       s""""q175_unigram_sample_rowwise":${j(tUr1, tUrK)},""" +

@@ -479,6 +479,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaSemNearDup vs semanticCandidates parity on the same split") {
+    // the SEMANTIC twin of the lexical parity SLO above (VERDICT r16
+    // #3): the incremental batch path (deltaSemNearDup against a
+    // persisted signatureFrame) and the ingest-time stream path
+    // (semanticCandidates' bounded per-bucket state) implement one
+    // contract, so every batch doc the batch path flags as a dup must
+    // have a stream CANDIDATE against some genuinely threshold-similar
+    // prior when the corpus streams first and the batch after. Same
+    // corpus/batch split and embedding surface as the q154 family
+    // (hash-embedded documents, cos >= 0.8, 16 bands x 8 bits on both
+    // sides), run at sf0.1 (the pinned-SLO precedent: the fixture SF
+    // flags too few batch docs for a meaningful floor). Misses can only
+    // come from banding luck or hot-bucket eviction; the floor leaves
+    // margin for testdata regeneration, not a code regression —
+    // measured coverage recorded in BASELINE.md's round-17 section.
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val emb = graft.operators.Similarity.hashEmbedRowwise(
+        docs, "doc_id", "text")
+      .filter($"embedding".isNotNull).localCheckpoint()
+    val corpus = emb.filter($"doc_id" % 5 =!= 4)
+    val batch = emb.filter($"doc_id" % 5 === 4)
+    val idx = graft.operators.Similarity.signatureFrame(corpus, "doc_id",
+      "embedding").localCheckpoint()
+    val decisions = graft.operators.Similarity.deltaSemNearDup(idx, batch,
+        "doc_id", "embedding", threshold = 0.8, rowsPerBand = 8)
+      .filter($"status" =!= "new")
+      .select($"doc_id", $"dup_of").as[(Long, Long)].collect()
+    assert(decisions.length > 30, s"fixture too weak: ${decisions.length}")
+    // ground truth for "the emitted prior really is threshold-similar"
+    // — the q154-convention verified pair set at the wide banding
+    val verified = graft.operators.Similarity.lshNearDupPairs(emb,
+        "doc_id", "embedding", threshold = 0.8, rowsPerBand = 12)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val corpusRows = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val batchRows = docs.filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.NearDupStream.semanticCandidates(df)
+      .writeStream.format("memory").queryName("sem_delta_parity")
+      .outputMode("append").start()
+    try {
+      (corpusRows.grouped(500).toSeq ++ batchRows.grouped(500).toSeq)
+        .zipWithIndex.foreach { case (chunk, i) =>
+          in.addData(chunk.map { case (id, t) =>
+            (id, new Timestamp(1000000L + i * 1000L), t) })
+          q.processAllAvailable()
+        }
+      val cands = spark.table("sem_delta_parity")
+        .select($"doc_id", $"prior_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val covered = decisions.count { case (d, _) =>
+        cands.getOrElse(d, Set.empty[Long]).exists(p =>
+          verified.contains((math.min(d, p), math.max(d, p)))) }
+      val recall = covered.toDouble / decisions.length
+      info(f"sem-delta-vs-stream decision coverage: $recall%.3f " +
+        s"($covered of ${decisions.length} flagged batch docs)")
+      assert(recall >= 0.9,
+        f"sem-delta-vs-stream coverage $recall%.3f below the 0.90 floor " +
+          s"($covered of ${decisions.length})")
+    } finally q.stop()
+  }
+
   test("streaming semantic near-dup candidate recall vs batch q154 pairs") {
     // q154 defines the batch answer on the documents corpus: hashed
     // embeddings -> banded LSH -> exact-cosine-verified pairs (>= 0.8).
