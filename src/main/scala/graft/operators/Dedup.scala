@@ -867,6 +867,26 @@ object Dedup {
       threshold, bands, hotBucketDrop, hotBucketCap)
   }
 
+  /** RETENTION maintenance for a persisted store: rewrite it keeping
+    * only the ids in `keepIds` (one `id` column — typically the
+    * pipeline's dedup keep list, or a recency cut over a caller-side id
+    * scheme). The banded table is rebuilt from the surviving
+    * signatures, so expired rows stop generating candidates entirely —
+    * an append-only store otherwise grows monotonically and its
+    * dropped docs keep paying probe-side verify work forever. Plain
+    * equi-join (keep lists are corpus-sized); blue/green to `outPath`.
+    */
+  def compactNearDupIndexStore(spark: SparkSession, path: String,
+                               outPath: String,
+                               keepIds: DataFrame): Unit = {
+    val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
+    writeNearDupIndexStore(
+      spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig")
+        .join(keepIds.select(col(keepIds.columns.head).as("id")).distinct(),
+          "id"),
+      outPath, bands, bandBuckets, idBuckets)
+  }
+
   /** Re-band / re-bucket a persisted store WITHOUT a text rescan
     * (VERDICT r16 #7 — the maintenance step a growing corpus
     * eventually owes: band width and bucket counts both track corpus

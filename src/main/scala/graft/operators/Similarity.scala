@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -918,6 +918,147 @@ object Similarity {
         when(col("__graft_ck").isNotNull, col("__graft_ck"))
           .otherwise(col("__graft_bk")).as("dup_of"))
   }
+
+  // ------------------------------------ persisted signature-frame store
+
+  /** The bucketed packed-band-key table of a [[signatureFrame]]:
+    * `(id, key, bkt)` with `bkt = key mod bandBuckets`. */
+  private def semBandedRows(sigF: DataFrame, rows: Int,
+                            bandBuckets: Int): DataFrame =
+    packedBandKeys(sigF, rows)
+      .select(col("id"), col("key"),
+        pmod(col("key"), lit(bandBuckets.toLong)).as("bkt"))
+
+  private def readSemStoreMeta(spark: SparkSession,
+                               path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getAs[Int]("rows_per_band"), r.getAs[Int]("band_buckets"),
+      r.getAs[Int]("id_buckets"))
+  }
+
+  /** Persist a [[signatureFrame]] as a PROBE-PRUNABLE parquet store —
+    * the semantic twin of
+    * [[graft.operators.Dedup.writeNearDupIndexStore]]: `payload/` holds
+    * the frame rows `(id, e_d, sig, n)` partitioned by
+    * `idb = xxhash64(id) mod idBuckets`; `banded/` holds the packed
+    * band keys `(id, key)` at the RECORDED `rowsPerBand` partitioned by
+    * `bkt = key mod bandBuckets`; `meta/` records the layout. The
+    * stored width is the store's banding commitment — as the corpus
+    * grows past the width's occupancy design point,
+    * [[rebandSignatureStore]] rebuilds `banded/` at a new width from
+    * the STORED signatures (the hyperplane model is data-independent,
+    * so no embedding rescan is ever needed).
+    */
+  def writeSignatureStore(sigF: DataFrame, path: String, rowsPerBand: Int,
+                          bandBuckets: Int = 256,
+                          idBuckets: Int = 256): Unit = {
+    require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
+      s"rowsPerBand must be in [1, $MaxRowsPerBand], got $rowsPerBand")
+    require(bandBuckets >= 1 && idBuckets >= 1,
+      s"bucket counts must be positive, got $bandBuckets/$idBuckets")
+    require(Seq("id", "e_d", "sig", "n").forall(sigF.columns.contains),
+      s"sigF must be a signatureFrame (id, e_d, sig, n); got " +
+        sigF.columns.mkString(", "))
+    val spark = sigF.sparkSession
+    import spark.implicits._
+    Seq((rowsPerBand, bandBuckets, idBuckets))
+      .toDF("rows_per_band", "band_buckets", "id_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    sigF.select(col("id"), col("e_d"), col("sig"), col("n"),
+        pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+      .repartition(col("idb"))
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
+    semBandedRows(sigF, rowsPerBand, bandBuckets)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
+  }
+
+  /** Append-only maintenance: admitted rows' [[signatureFrame]] rows
+    * (already computed for the probe — the q180 shared-frame shape)
+    * land in both tables under the store's recorded layout. */
+  def appendSignatureStore(spark: SparkSession, path: String,
+                           newRows: DataFrame): Unit = {
+    val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
+    newRows.select(col("id"), col("e_d"), col("sig"), col("n"),
+        pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+      .repartition(col("idb"))
+      .write.mode("append").partitionBy("idb").parquet(s"$path/payload")
+    semBandedRows(newRows, rows, bandBuckets)
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/banded")
+  }
+
+  /** [[deltaSemNearDup]] against a PERSISTED [[writeSignatureStore]]
+    * store — [[graft.operators.Dedup.deltaNearDupFromStore]]'s contract
+    * in the embedding regime: the batch's packed band keys resolve a
+    * bounded bucket set, only those `banded/` partitions are read to
+    * discover candidates, and only the candidate id-buckets of
+    * `payload/` feed the verify. The banding width is the STORE's
+    * recorded `rowsPerBand`. Decisions are identical to
+    * [[deltaSemNearDupFromIndex]] over the full frame at that width
+    * (the pruned payload is a superset of every band-matching vector).
+    */
+  def deltaSemNearDupFromStore(spark: SparkSession, path: String,
+                               incomingIds: DataFrame,
+                               incomingIndex: DataFrame, idCol: String,
+                               threshold: Double): DataFrame = {
+    val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
+    val incK = packedBandKeys(incomingIndex, rows)
+      .withColumnRenamed("id", "id_i")
+    val probeBkts = incK
+      .select(pmod(col("key"), lit(bandBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val prunedIndex =
+      if (probeBkts.isEmpty)
+        spark.read.parquet(s"$path/payload")
+          .select("id", "e_d", "sig", "n").limit(0)
+      else {
+        val corpusK = spark.read.parquet(s"$path/banded")
+          .where(col("bkt").isin(probeBkts: _*))
+          .select(col("id").as("id_c"), col("key"))
+        val candIdb = broadcast(incK).join(corpusK, Seq("key"))
+          .select(pmod(xxhash64(col("id_c")), lit(idBuckets.toLong))
+            .as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
+        if (candIdb.isEmpty)
+          spark.read.parquet(s"$path/payload")
+            .select("id", "e_d", "sig", "n").limit(0)
+        else
+          spark.read.parquet(s"$path/payload")
+            .where(col("idb").isin(candIdb: _*))
+            .select("id", "e_d", "sig", "n")
+      }
+    deltaSemNearDupFromIndex(prunedIndex, incomingIds, incomingIndex,
+      idCol, threshold, rows)
+  }
+
+  /** RETENTION maintenance for a persisted signature store — the
+    * semantic twin of
+    * [[graft.operators.Dedup.compactNearDupIndexStore]]: rewrite
+    * keeping only the ids in `keepIds` (one id column); expired vectors
+    * stop generating candidates entirely. Blue/green to `outPath`. */
+  def compactSignatureStore(spark: SparkSession, path: String,
+                            outPath: String, keepIds: DataFrame): Unit = {
+    val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
+    writeSignatureStore(
+      spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n")
+        .join(keepIds.select(col(keepIds.columns.head).as("id")).distinct(),
+          "id"),
+      outPath, rows, bandBuckets, idBuckets)
+  }
+
+  /** Re-band / re-bucket a persisted signature store WITHOUT touching
+    * raw embeddings: the stored signatures rebuild `banded/` at any new
+    * width (bias-aware widening as the corpus grows —
+    * [[biasAwareRowsPerBand]] measured but previously never APPLIED to
+    * a standing index; this is that maintenance step). Blue/green to
+    * `outPath`. */
+  def rebandSignatureStore(spark: SparkSession, path: String,
+                           outPath: String, newRowsPerBand: Int,
+                           newBandBuckets: Int, newIdBuckets: Int): Unit =
+    writeSignatureStore(
+      spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n"),
+      outPath, newRowsPerBand, newBandBuckets, newIdBuckets)
 
   /** [[lshNearDupPairs]] from a pre-built [[signatureFrame]] — the
     * shared-frame entry point (`rowsPerBand` must be explicit here; the

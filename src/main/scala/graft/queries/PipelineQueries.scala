@@ -1060,6 +1060,34 @@ object PipelineQueries {
        |WHERE v.vec_id % 5 = 4
        |ORDER BY v.vec_id""".stripMargin
 
+  /** Q185 — q173's incremental semantic probe run through the
+    * PERSISTED signature store (see
+    * [[graft.operators.Similarity.writeSignatureStore]] /
+    * [[graft.operators.Similarity.deltaSemNearDupFromStore]]): same
+    * split, threshold, and 16×8 banding, but the standing corpus lives
+    * in the bucket-pruned parquet store and the probe reads only the
+    * band-buckets its packed keys hash to plus its candidates'
+    * id-buckets. Decisions are provably identical to the in-memory
+    * probe at the store's recorded width, so this grades against
+    * q173's own oracle — write→prune→probe checked value-for-value.
+    */
+  private def q185(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q185_store").toString
+    Similarity.writeSignatureStore(
+      Similarity.signatureFrame(
+        emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding"),
+      path, rowsPerBand = 8, bandBuckets = 16, idBuckets = 16)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    Similarity.deltaSemNearDupFromStore(spark, path,
+        batch.select("vec_id"),
+        Similarity.signatureFrame(batch, "vec_id", "embedding")
+          .localCheckpoint(),
+        "vec_id", threshold = LshPairThreshold)
+      .orderBy("vec_id")
+  }
+
   /** Q180 — the SEMANTIC index-maintenance step graded end-to-end
     * (VERDICT r16 #2): q173 grades ONE batch against a standing
     * [[graft.operators.Similarity]] `signatureFrame`; this grades the
@@ -1475,6 +1503,7 @@ object PipelineQueries {
     QueryDef("q156_mplsh_pairs", q156, Some(q156Sql)),
     QueryDef("q173_delta_sem_neardup", q173, Some(q173Sql)),
     QueryDef("q180_admit_probe_sem_neardup", q180, Some(q180Sql)),
+    QueryDef("q185_sem_store_probe", q185, Some(q173Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),

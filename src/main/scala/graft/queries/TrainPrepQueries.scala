@@ -236,6 +236,44 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
+  /** Q184 — q177's ADMIT-THEN-PROBE sequence run through the PERSISTED
+    * store (write → probe A → `appendNearDupIndexStore` the admitted
+    * rows → probe B against the GROWN store): the full maintenance loop
+    * a continuous-ingest pipeline actually executes against its parquet
+    * index, graded value-for-value by q177's own exact-Jaccard oracle
+    * (store decisions are provably identical to the in-memory
+    * sequence; the store adds only the bucket-pruned read path, and a
+    * wrong append changes batch B's rows — so one hash checks write,
+    * admit, append, prune, and probe together).
+    */
+  private def q184(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q184_store").toString
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(
+        docs.filter(col("doc_id") % DeltaMod < DeltaMod - 2),
+        "doc_id", "text", n = 3),
+      path, bands = 32, bandBuckets = 16, idBuckets = 16)
+    val batchA = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 2)
+    val batchB = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+    val idxA = Dedup.nearDupIndex(batchA, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val decA = Dedup.deltaNearDupFromStore(spark, path,
+        batchA.select("doc_id"), idxA, "doc_id", threshold = 0.6)
+      .localCheckpoint()
+    Dedup.appendNearDupIndexStore(spark, path, idxA.join(
+      decA.filter(col("status") === "new").select(col("doc_id").as("id")),
+      "id"))
+    val decB = Dedup.deltaNearDupFromStore(spark, path,
+      batchB.select("doc_id"),
+      Dedup.nearDupIndex(batchB, "doc_id", "text", n = 3).localCheckpoint(),
+      "doc_id", threshold = 0.6)
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("doc_id")
+  }
+
   /** Q177 — the INDEX-MAINTENANCE step of the incremental family graded
     * end-to-end (VERDICT r15 #4): q167 grades ONE batch against a
     * standing index; this grades the two-batch ADMIT-THEN-PROBE
@@ -3478,6 +3516,7 @@ object TrainPrepQueries {
     QueryDef("q181_wordpiece_two_alphabet", q181, Some(q181Sql)),
     QueryDef("q182_wordpiece_fertility", q182, Some(q182Sql)),
     QueryDef("q183_store_probe_neardup", q183, Some(q167Sql)),
+    QueryDef("q184_store_admit_probe", q184, Some(q177Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -230,6 +230,83 @@ class PipelineOpSpec extends SparkSpec {
     val got16 = canon(Dedup.deltaNearDupFromStore(spark, path2,
       batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6))
     assert(got16 == want16 && got16 == gotB)
+    // retention: compact to the even ids (a stand-in keep list) —
+    // decisions equal the in-memory probe over the filtered index, and
+    // expired docs stop being claimable as keepers
+    val keep = idx1.select($"id").filter($"id" % 2 === 0)
+    val path3 = Files.createTempDirectory("graft_ndstore_cp").toString
+    Dedup.compactNearDupIndexStore(spark, path2, path3, keep)
+    val wantCp = canon(Dedup.deltaNearDupFromIndex(idx1.join(keep, "id"),
+      batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6,
+      bands = 16))
+    val gotCp = canon(Dedup.deltaNearDupFromStore(spark, path3,
+      batchB.select("doc_id"), idxB, "doc_id", threshold = 0.6))
+    assert(gotCp == wantCp)
+    // expired docs stop being claimable as CORPUS keepers (within-batch
+    // keepers are batch ids and unaffected by corpus retention)
+    assert(gotCp.forall { case (_, status, dupOf) =>
+      status != "dup_of_corpus" || dupOf % 2 == 0 })
+  }
+
+  test("signature store: pruned probe ≡ in-memory; append; reband; compact") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 5 < 3)
+    val batchA = emb.filter($"vec_id" % 5 === 3)
+    val batchB = emb.filter($"vec_id" % 5 === 4)
+    val idx0 = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    val idxA = Similarity.signatureFrame(batchA, "vec_id", "embedding")
+      .localCheckpoint()
+    val idxB = Similarity.signatureFrame(batchB, "vec_id", "embedding")
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val wantA = canon(Similarity.deltaSemNearDupFromIndex(idx0,
+      batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4,
+      rowsPerBand = 8))
+    val path = Files.createTempDirectory("graft_semstore").toString
+    Similarity.writeSignatureStore(idx0, path, rowsPerBand = 8,
+      bandBuckets = 16, idBuckets = 16)
+    val gotA = canon(Similarity.deltaSemNearDupFromStore(spark, path,
+      batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4))
+    assert(gotA.nonEmpty && gotA == wantA)
+    // append admitted, probe batch B against the grown store
+    val admitted = Similarity.deltaSemNearDupFromIndex(idx0,
+        batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4,
+        rowsPerBand = 8)
+      .filter($"status" === "new").select($"vec_id".as("id"))
+    Similarity.appendSignatureStore(spark, path, idxA.join(admitted, "id"))
+    val idx1 = idx0.unionByName(idxA.join(admitted, "id")).localCheckpoint()
+    val wantB = canon(Similarity.deltaSemNearDupFromIndex(idx1,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4,
+      rowsPerBand = 8))
+    val gotB = canon(Similarity.deltaSemNearDupFromStore(spark, path,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4))
+    assert(gotB == wantB)
+    // re-band to 4-bit bands from STORED signatures (no embedding read)
+    val path2 = Files.createTempDirectory("graft_semstore_rb").toString
+    Similarity.rebandSignatureStore(spark, path, path2,
+      newRowsPerBand = 4, newBandBuckets = 8, newIdBuckets = 8)
+    val want4 = canon(Similarity.deltaSemNearDupFromIndex(idx1,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4,
+      rowsPerBand = 4))
+    val got4 = canon(Similarity.deltaSemNearDupFromStore(spark, path2,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4))
+    assert(got4 == want4)
+    // retention: compact to the even ids
+    val keep = idx1.select($"id").filter($"id" % 2 === 0)
+    val path3 = Files.createTempDirectory("graft_semstore_cp").toString
+    Similarity.compactSignatureStore(spark, path2, path3, keep)
+    val wantCp = canon(Similarity.deltaSemNearDupFromIndex(
+      idx1.join(keep, "id"), batchB.select("vec_id"), idxB, "vec_id",
+      threshold = 0.4, rowsPerBand = 4))
+    val gotCp = canon(Similarity.deltaSemNearDupFromStore(spark, path3,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4))
+    assert(gotCp == wantCp)
   }
 
   test("deltaSemNearDup classifies against a persisted signature index") {
