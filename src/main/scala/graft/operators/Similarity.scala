@@ -1047,11 +1047,27 @@ object Similarity {
       outPath, rows, bandBuckets, idBuckets)
   }
 
+  /** The maintenance DECIDER for a persisted signature store: the
+    * bias-aware band width the store SHOULD be at for its CURRENT row
+    * count and plane-agreement bias — [[biasAwareRowsPerBand]] finally
+    * applied to a STANDING index (the r16 note), computed entirely from
+    * the stored signatures (one count + the agreement aggregate; no
+    * embedding read). A pipeline compares this against the store's
+    * recorded width after appends and calls [[rebandSignatureStore]]
+    * when they diverge — the width-tracks-corpus-size rule as a closed
+    * measure→decide→reband loop.
+    */
+  def recommendedRowsPerBand(spark: SparkSession, path: String): Int = {
+    val sigF = spark.read.parquet(s"$path/payload")
+      .select("id", "e_d", "sig", "n")
+    val rows = math.max(sigF.count(), 1L)
+    biasAwareRowsPerBand(rows, planeAgreeProbsFromSig(sigF, rows))
+  }
+
   /** Re-band / re-bucket a persisted signature store WITHOUT touching
     * raw embeddings: the stored signatures rebuild `banded/` at any new
-    * width (bias-aware widening as the corpus grows —
-    * [[biasAwareRowsPerBand]] measured but previously never APPLIED to
-    * a standing index; this is that maintenance step). Blue/green to
+    * width (bias-aware widening as the corpus grows — see
+    * [[recommendedRowsPerBand]] for the decision half). Blue/green to
     * `outPath`. */
   def rebandSignatureStore(spark: SparkSession, path: String,
                            outPath: String, newRowsPerBand: Int,

@@ -309,6 +309,46 @@ class PipelineOpSpec extends SparkSpec {
     assert(gotCp == wantCp)
   }
 
+  test("recommendedRowsPerBand: the standing-store decider widens with growth") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull).select("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft_semstore_dec").toString
+    Similarity.writeSignatureStore(
+      Similarity.signatureFrame(emb, "vec_id", "embedding"),
+      path, rowsPerBand = 8, bandBuckets = 16, idBuckets = 16)
+    val r1 = Similarity.recommendedRowsPerBand(spark, path)
+    // grow the store ×10 with dimension-rolled replicas (the ScaleProbe
+    // convention: a pure permutation keeps geometry, remapped ids) —
+    // the occupancy floor alone must move the recommendation up
+    val embDim = 64
+    val rolled = emb
+      .select(col("*"), explode(sequence(lit(1), lit(9))).as("copy"))
+      .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+        transform(sequence(lit(0), lit(embDim - 1)), i =>
+          element_at(col("embedding"),
+            (pmod(i + col("copy"), lit(embDim)) + 1).cast("int")))
+          .as("embedding"))
+    Similarity.appendSignatureStore(spark, path,
+      Similarity.signatureFrame(rolled, "vec_id", "embedding"))
+    val rK = Similarity.recommendedRowsPerBand(spark, path)
+    assert(r1 >= 8 && rK > r1,
+      s"recommendation must widen with a x10-grown store: $r1 -> $rK")
+    // closing the loop: reband to the recommendation — the store's
+    // recorded width follows the decider with no embedding rescan
+    val path2 = Files.createTempDirectory("graft_semstore_dec2").toString
+    Similarity.rebandSignatureStore(spark, path, path2, rK, 16, 16)
+    val probe = emb.limit(3)
+      .select(($"vec_id" + 900000L).as("vec_id"), $"embedding")
+    val got = Similarity.deltaSemNearDupFromStore(spark, path2,
+      probe.select("vec_id"),
+      Similarity.signatureFrame(probe, "vec_id", "embedding")
+        .localCheckpoint(),
+      "vec_id", threshold = 0.4)
+    assert(got.count() == 3) // every probe vector gets a decision
+  }
+
   test("deltaSemNearDup classifies against a persisted signature index") {
     import graft.operators.Similarity
     // disjoint-support vectors: cosine is exactly 1 within a family and
