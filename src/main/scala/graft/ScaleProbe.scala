@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *     signals → contamination → verdict → scrub projection. Pure narrow
   *     path — ideal scaling is ~linear in rows.
   *   - q22 shape ([[graft.operators.Dedup.minHashPairs]]): MinHash-banded
-  *     near-dup pairs. Every token of copy c is suffixed `_c`, so copies
-  *     of one document share NO shingles: within-copy pair structure is
-  *     identical to the original corpus and the true pair count scales
-  *     exactly ×k — the probe measures the banded-candidate path under
-  *     k× load, not an artificial quadratic duplicate blowup.
+  *     near-dup pairs. Copy 0 is the identity and every token of copy
+  *     c ≥ 1 is suffixed `_c`, so copies of one document share NO
+  *     shingles: within-copy pair structure is identical to the original
+  *     corpus and the true pair count scales exactly ×k — the probe
+  *     measures the banded-candidate path under k× load, not an
+  *     artificial quadratic duplicate blowup.
   *
   * Prints one JSON line:
   * `{"probe":"scale","sf":...,"k":K,"queries":{"q22_minhash":{"x1":s,"xK":s,
@@ -32,6 +33,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "100").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +49,16 @@ object ScaleProbe {
 
     /** k× replica with remapped ids and per-copy token decorrelation,
       * materialized (interpreted-lambda replication cost excluded from
-      * every timing below).
+      * every timing below). Copy 0 is the IDENTITY (text untouched,
+      * mirroring `replicateEmb`), copies 1..k-1 suffix every token
+      * `_c` — all copies stay mutually shingle-disjoint (no suffix vs
+      * distinct suffixes), so within-copy pair structure is identical
+      * and true pair counts scale exactly ×k, while probes built from
+      * the ORIGINAL corpus (the delta/store batch legs, the BM25
+      * queries) keep their real 1×-sized match workload at every
+      * scale — without the identity copy, a ×k probe batch matches
+      * NOTHING and the 'flat' reading times an empty verify (the
+      * round-17 review catch).
       */
     def replicate(times: Int): DataFrame = {
       val r =
@@ -57,8 +68,9 @@ object ScaleProbe {
             explode(sequence(lit(0), lit(times - 1))).as("copy"))
           .select((col("doc_id") * times + col("copy")).as("doc_id"),
             col("lang"),
-            concat_ws(" ", transform(split(col("text"), " "),
-              t => concat(t, lit("_"), col("copy")))).as("text"))
+            when(col("copy") === 0, col("text"))
+              .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+                t => concat(t, lit("_"), col("copy"))))).as("text"))
       val out = r.localCheckpoint()
       out.count() // force materialization now, outside the timed window
       out
@@ -219,17 +231,30 @@ object ScaleProbe {
     def lexProbe(idx: DataFrame): Double =
       time(graft.operators.Dedup.deltaNearDupFromIndex(
         idx, lexBatchIds, lexBatchIdx, "doc_id", threshold = 0.6))
+    def writeStore(idx: DataFrame, bandBuckets: Int,
+                   idBuckets: Int): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_scale_ndstore").toString
+      graft.operators.Dedup.writeNearDupIndexStore(idx, p, bands = 32,
+        bandBuckets = bandBuckets, idBuckets = idBuckets)
+      p
+    }
+    // each scale's index is built ONCE and feeds both the in-memory
+    // probe and the persisted store (write untimed, probed below)
     val lexIdx1 = lexIndex(1)
     lexProbe(lexIdx1) // warmup
     val tLex1 = lexProbe(lexIdx1)
+    val store1 = writeStore(lexIdx1, 512, 64)
     lexIdx1.unpersist()
     val lexIdxK = lexIndex(k)
     val tLexK = lexProbe(lexIdxK)
+    val storeK = writeStore(lexIdxK, 512 * k, 64 * k)
     lexIdxK.unpersist()
-    val lexIdxK2big = lexIndex(sys.env.getOrElse("SPARK_GRAFT_SCALE_K2",
-      "100").toInt)
+    val lexIdxK2big = lexIndex(k2)
     val lexRowsK2 = lexIdxK2big.count()
     val tLexK2 = lexProbe(lexIdxK2big)
+    val storeK2 = writeStore(lexIdxK2big, 8192, 1024)
+    lexIdxK2big.unpersist()
 
     // PERSISTED-STORE probe legs (the flat path): a FIXED micro-batch
     // (deployment-shaped — a per-run batch is vanishingly small next to
@@ -255,26 +280,10 @@ object ScaleProbe {
     def storeProbe(path: String): Double =
       time(graft.operators.Dedup.deltaNearDupFromStore(
         spark, path, microIds, microIdx, "doc_id", threshold = 0.6))
-    def writeStore(idx: DataFrame, bandBuckets: Int,
-                   idBuckets: Int): String = {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_scale_ndstore").toString
-      graft.operators.Dedup.writeNearDupIndexStore(idx, p, bands = 32,
-        bandBuckets = bandBuckets, idBuckets = idBuckets)
-      p
-    }
-    val lexIdx1b = lexIndex(1)
-    val store1 = writeStore(lexIdx1b, 512, 64)
-    lexIdx1b.unpersist()
     storeProbe(store1) // warmup
     val tStore1 = storeProbe(store1)
-    val lexIdxKb = lexIndex(k)
-    val storeK = writeStore(lexIdxKb, 512 * k, 64 * k)
-    lexIdxKb.unpersist()
     val tStoreK = storeProbe(storeK)
-    val storeK2 = writeStore(lexIdxK2big, 8192, 1024)
     val tStoreK2 = storeProbe(storeK2)
-    lexIdxK2big.unpersist()
     lexBatchIds.unpersist(); lexBatchIdx.unpersist()
     microIds.unpersist(); microIdx.unpersist()
     Seq(store1, storeK, storeK2).foreach { p =>
@@ -293,7 +302,6 @@ object ScaleProbe {
     // auto time growing ≈ linearly (≤ ~2× the row growth) vs the ×k
     // auto time. Resolved widths printed so BASELINE.md records curve
     // points, not just seconds.
-    val k2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_K2", "100").toInt
     val embK2 = replicateEmb(k2)
     val nK2 = math.max(embK2.count(), 1L)
     val autoWidthK2 = graft.operators.Similarity.biasAwareRowsPerBand(nK2,

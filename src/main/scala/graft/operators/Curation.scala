@@ -1708,14 +1708,24 @@ object Curation {
   /** [[bpeEncodeRowwise]] under an already-trained merge sequence — the
     * streaming entry point (train on the batch corpus, replay the
     * merge model over a stream). */
+  /** The per-word merge-replay fold both rowwise BPE kernels share:
+    * code-point split seed, then the trained merges applied in training
+    * order as a chain of plan-constant [[graft.expressions.BpeMergePair]]
+    * kernels. ONE definition, so the encoder and the layout counter
+    * cannot drift apart (their parity contract — count = Σ|syms| —
+    * rests on this fold being identical). */
+  private def bpeReplaySyms(w: Column,
+                            mergeSeq: Seq[(String, String)]): Column =
+    mergeSeq.foldLeft(
+      regexp_extract_all(w, lit("."), lit(0)): Column) {
+      case (c, (a, b)) => graft.expressions.BpeMergePair(c, a, b)
+    }
+
   def bpeEncodeRowwiseFromMerges(df: DataFrame, idCol: String,
                                  textCol: String,
                                  mergeSeq: Seq[(String, String)])
       : DataFrame = {
-    val syms = mergeSeq.foldLeft(
-      regexp_extract_all(col("w"), lit("."), lit(0)): Column) {
-      case (c, (a, b)) => graft.expressions.BpeMergePair(c, a, b)
-    }
+    val syms = bpeReplaySyms(col("w"), mergeSeq)
     df.select(col(idCol),
         posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "w")))
       .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
@@ -2167,13 +2177,9 @@ object Curation {
                                      mergeSeq: Seq[(String, String)],
                                      outCol: String = "n_model_tokens")
       : DataFrame = {
-    def symsOf(w: Column): Column = mergeSeq.foldLeft(
-      regexp_extract_all(w, lit("."), lit(0)): Column) {
-      case (c, (a, b)) => graft.expressions.BpeMergePair(c, a, b)
-    }
     df.withColumn(outCol,
       aggregate(TextFns.tokens(col(textCol)),
-        lit(0L), (acc, w) => acc + size(symsOf(w))))
+        lit(0L), (acc, w) => acc + size(bpeReplaySyms(w, mergeSeq))))
   }
 
   /** GREEDY longest-match segmentation per DISTINCT WORD under a

@@ -697,12 +697,18 @@ object Dedup {
     // reporting ~340 KB — so left to the static planner the INDEX got
     // broadcast and a ×100-grown index OOM'd the driver, round 17).
     // The verify fetch is a broadcast SEMI-reduction: candidate corpus
-    // ids (bounded by batch × per-doc duplication) broadcast against
-    // the streamed index, so the fat payload columns (sh, hs) of
-    // non-candidates never leave their partitions — where the earlier
-    // shuffle-hash formulation re-shuffled the WHOLE payload per batch,
-    // an O(index) exchange that dominated the probe as the standing
-    // index grew. The banding projection is recomputed for the fetch
+    // IDS ONLY (8 bytes/row — bounded by batch × per-doc duplication,
+    // and the least-bytes thing that can prune the index) broadcast
+    // against the streamed index, so the fat payload columns (sh, hs)
+    // of non-candidates never leave their partitions — where the
+    // earlier shuffle-hash formulation re-shuffled the WHOLE payload
+    // per batch, an O(index) exchange that dominated the probe as the
+    // standing index grew. The fetched candidate payload then joins the
+    // pair stream via SHUFFLE_HASH (candidate-scale exchanges on both
+    // sides), NOT a broadcast: a template-hot corpus band can make the
+    // candidate set corpus-scale, and a payload broadcast there is a
+    // driver OOM cliff where the shuffle merely degrades (round-17
+    // review). The banding projection is recomputed for the fetch
     // subtree (one extra narrow scan of (id, sig)) — cheaper than any
     // materialization of it at every index size measured.
     val interH = graft.expressions.SortedIntersectCount(
@@ -715,7 +721,7 @@ object Dedup {
     val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("sh").as("sh_i"), col("hs").as("hs_i"))), "id_i")
-      .join(broadcast(fetched), "id_c")
+      .join(fetched.hint("shuffle_hash"), "id_c")
       .withColumn("inter_h", interH)
       .filter(col("inter_h") /
         (size(col("sh_i")) + size(col("sh_c")) - col("inter_h")) >= threshold)

@@ -888,12 +888,16 @@ object Similarity {
     // The INDEX side only ever STREAMS — never shuffles, sorts, or
     // broadcasts (the lexical twin's round-17 lesson: the checkpointed
     // frame's LogicalRDD size estimate is garbage-small, so the static
-    // planner broadcast the INDEX and a ×100-grown frame OOM'd; and the
-    // shuffle-hash alternative re-shuffles the whole widened-vector
+    // planner broadcast the INDEX and a ×100-grown frame OOM'd; and a
+    // shuffle-hash of the index re-shuffles the whole widened-vector
     // payload per batch — an O(index) exchange). Batch-derived frames
     // broadcast by contract (batch ≪ index); the verify fetch is a
-    // broadcast SEMI-reduction of candidate ids against the streamed
-    // frame, so non-candidate vectors never leave their partitions.
+    // broadcast SEMI-reduction of candidate IDS ONLY against the
+    // streamed frame (non-candidate vectors never leave their
+    // partitions), and the fetched candidate payload joins the pair
+    // stream via SHUFFLE_HASH, not a broadcast — a hot band can make
+    // the candidate set corpus-scale, and a payload broadcast there is
+    // a driver OOM cliff where the shuffle merely degrades.
     val candPairs = broadcast(incB).join(corB, Seq("key"))
       .select("id_i", "id_c")
     val fetched = index.select(col("id").as("id_c"), col("e_d").as("e_c"),
@@ -902,7 +906,7 @@ object Similarity {
     val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("e_d").as("e_i"), col("n").as("n_i"))), "id_i")
-      .join(broadcast(fetched), "id_c")
+      .join(fetched.hint("shuffle_hash"), "id_c")
       .filter(VectorFns.dot(col("e_i"), col("e_c")) /
         (col("n_i") * col("n_c")) >= threshold)
       .groupBy(col("id_i")).agg(min(col("id_c")).as("__graft_ck"))

@@ -1073,8 +1073,7 @@ object PipelineQueries {
     */
   private def q185(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q185_store").toString
+    val path = QueryDefs.tempStoreDir("graft_q185_store")
     Similarity.writeSignatureStore(
       Similarity.signatureFrame(
         emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding"),

@@ -39,6 +39,24 @@ object QueryDefs {
   /** Timestamp → `yyyy-MM-dd` day string (DuckDB `strftime '%Y-%m-%d'`). */
   def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** A temp directory for a graded query's PERSISTED-store leg
+    * (q183/q184/q185 write a corpus index store and then lazily read
+    * it, so it cannot be deleted inside the query), registered for
+    * recursive deletion at JVM exit — repeated bench/verify runs must
+    * not accumulate corpus-sized stores in /tmp (round-17 review).
+    */
+  def tempStoreDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally walk.close()
+      }))
+    p.toString
+  }
+
   /** Money column (clean 2-decimal doubles) → exact DECIMAL(12,2).
     * All downstream arithmetic stays in decimal so sums are exact and
     * engine-independent; only one final `round(_, 2)` happens per

@@ -221,8 +221,7 @@ object TrainPrepQueries {
     */
   private def q183(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q183_store").toString
+    val path = QueryDefs.tempStoreDir("graft_q183_store")
     Dedup.writeNearDupIndexStore(
       Dedup.nearDupIndex(
         docs.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1),
@@ -248,8 +247,7 @@ object TrainPrepQueries {
     */
   private def q184(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q184_store").toString
+    val path = QueryDefs.tempStoreDir("graft_q184_store")
     Dedup.writeNearDupIndexStore(
       Dedup.nearDupIndex(
         docs.filter(col("doc_id") % DeltaMod < DeltaMod - 2),
