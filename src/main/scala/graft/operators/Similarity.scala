@@ -851,6 +851,28 @@ object Similarity {
       signatureFrame(incoming, idCol, embCol).localCheckpoint(),
       idCol, threshold, rowsPerBand)
 
+  /** [[deltaSemNearDup]] with the band width AUTO-resolved from the
+    * standing index itself — the deployment default that keeps the
+    * width-tracks-corpus-size rule without a caller-side knob: one
+    * bounded count + the plane-agreement aggregate over the stored
+    * signatures pick [[biasAwareRowsPerBand]]'s width (the q160
+    * convention; [[recommendedRowsPerBand]] is the same decision for
+    * the persisted store). Probing a ×100-grown frame at the graded
+    * fixed 8 bits is the measured pathological occupancy (the verify
+    * build blows up — ScaleProbe r17); this wrapper resolves 15 bits
+    * there and completes. Valid at any width because in-memory banding
+    * derives from the stored signatures at probe time — nothing
+    * index-sided is committed to a width.
+    */
+  def deltaSemNearDupAuto(index: DataFrame, incoming: DataFrame,
+                          idCol: String, embCol: String,
+                          threshold: Double): DataFrame = {
+    val n = math.max(index.count(), 1L)
+    val rows = biasAwareRowsPerBand(n,
+      planeAgreeProbsFromSig(index.select("id", "e_d", "sig", "n"), n))
+    deltaSemNearDup(index, incoming, idCol, embCol, threshold, rows)
+  }
+
   /** [[deltaSemNearDup]] from a pre-built incoming-batch
     * [[signatureFrame]] — the shared-frame entry point the semantic
     * ADMIT-THEN-PROBE sequence (q180) wants, mirroring

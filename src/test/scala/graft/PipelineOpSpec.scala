@@ -349,6 +349,30 @@ class PipelineOpSpec extends SparkSpec {
     assert(got.count() == 3) // every probe vector gets a decision
   }
 
+  test("deltaSemNearDupAuto: width resolved from the standing index") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    val idx = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    // the auto wrapper must equal the explicit call at the width the
+    // index's own stats resolve (the noise embeddings are unbiased, so
+    // this is the occupancy floor for ~400 rows: 8)
+    val n = idx.count()
+    val w = Similarity.biasAwareRowsPerBand(n,
+      Similarity.planeAgreeProbsFromSig(idx, n))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val auto = canon(Similarity.deltaSemNearDupAuto(idx, batch,
+      "vec_id", "embedding", threshold = 0.4))
+    val explicit = canon(Similarity.deltaSemNearDup(idx, batch,
+      "vec_id", "embedding", threshold = 0.4, rowsPerBand = w))
+    assert(w >= 8 && auto.nonEmpty && auto == explicit)
+  }
+
   test("deltaSemNearDup classifies against a persisted signature index") {
     import graft.operators.Similarity
     // disjoint-support vectors: cosine is exactly 1 within a family and
