@@ -19,14 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * a plan constant — one narrow projection, no distinct-word frame, no
   * token shuffle, stream-safe.
   *
-  * TWO MODES, selected by `contPieces`:
+  * TWO MODES, selected by the EXPLICIT `twoAlphabet` flag (never
+  * inferred from `contPieces.nonEmpty` — an empty derived continuation
+  * alphabet must strand, not mode-switch):
   *
-  *   - `contPieces` empty — single-alphabet greedy (q179's variant): one
+  *   - `twoAlphabet = false` — single-alphabet greedy (q179's variant): one
   *     piece set serves every position, symbols emitted undecorated.
   *     A documented deviation from BERT's WordPiece (the vocabulary
   *     source is a trained unigram/BPE piece table, which has no
   *     initial/continuation split).
-  *   - `contPieces` non-empty — BERT's published two-alphabet walk
+  *   - `twoAlphabet = true` — BERT's published two-alphabet walk
   *     (Devlin et al. 2019; the greedy longest-match tokenizer of
   *     Wu et al. 2016): position 0 consults the INITIAL set `pieces`
   *     and emits the piece raw; every later position consults the
@@ -56,10 +58,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GreedyLongestSeg(child: Expression,
                             pieces: Seq[String],
                             contPieces: Seq[String],
-                            maxPieceLen: Int)
+                            maxPieceLen: Int,
+                            twoAlphabet: Boolean)
     extends UnaryExpression {
 
   require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  require(twoAlphabet || contPieces.isEmpty,
+    s"single-alphabet mode takes no continuation pieces, got " +
+      s"${contPieces.size}")
   require(pieces.size + contPieces.size <= 4 * 1024 * 1024,
     s"the piece sets are plan constants (model-sized by contract); " +
       s"got ${pieces.size} + ${contPieces.size} pieces")
@@ -81,8 +87,6 @@ case class GreedyLongestSeg(child: Expression,
     pieces.foreach(s.add)
     s
   }
-
-  @transient private lazy val twoAlphabet: Boolean = contPieces.nonEmpty
 
   @transient private lazy val contLookup: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](contPieces.size * 2)
@@ -153,13 +157,20 @@ object GreedyLongestSeg {
   /** Column-API entry point — single-alphabet mode (q179's variant). */
   def apply(tokens: Column, pieces: Seq[String],
             maxPieceLen: Int): Column =
-    apply(tokens, pieces, Nil, maxPieceLen)
+    ColumnBridge.column(
+      GreedyLongestSeg(ColumnBridge.expression(tokens), pieces, Nil,
+        maxPieceLen, twoAlphabet = false))
 
-  /** Column-API entry point — two-alphabet BERT-convention mode when
-    * `contPieces` is non-empty. */
+  /** Column-API entry point — two-alphabet BERT-convention mode. The
+    * mode is EXPLICIT, not inferred from `contPieces.nonEmpty` (round-17
+    * ADVICE): a derived-but-empty continuation alphabet (a vocabulary
+    * whose pieces never occur at inner word positions) must strand every
+    * inner position — whole-word [UNK] for every multi-char word, the
+    * q181 oracle's rule — rather than silently degrading to
+    * single-alphabet segmentation. */
   def apply(tokens: Column, pieces: Seq[String], contPieces: Seq[String],
             maxPieceLen: Int): Column =
     ColumnBridge.column(
       GreedyLongestSeg(ColumnBridge.expression(tokens), pieces, contPieces,
-        maxPieceLen))
+        maxPieceLen, twoAlphabet = true))
 }

@@ -2062,25 +2062,44 @@ object Curation {
     * `continuation` iff the piece occurs at some later (code-point)
     * position of some word — so the alphabets are a pure function of
     * (vocabulary, corpus) and the oracle can restate them over the
-    * same substring-position frame the trainer already uses. One
-    * distinct-word pass × a broadcast piece table (model-sized by
-    * contract): the corpus side never shuffles wider than its
-    * distinct-word census. Returns `(piece, initial, continuation)`.
+    * same substring-position frame the trainer already uses.
+    *
+    * Plan shape (round-17 ADVICE — the first cut cross-joined the
+    * distinct-word census against the piece table, O(words × pieces)
+    * per-pair `startsWith`/`locate` compute, intractable at the 4M-piece
+    * contract ceiling): the trainer's [[unigramPosFrame]] substring
+    * enumeration, bounded by the piece table's own max piece length (a
+    * driver-side scalar off the model-sized frame), EQUI-joined against
+    * the broadcast piece set BEFORE the evidence aggregate — the corpus
+    * side stays O(words × len × maxPieceLen) narrow rows, hash-pruned to
+    * vocabulary hits map-side, and nothing ever compares a word against
+    * a piece it doesn't contain. Returns `(piece, initial, continuation)`.
     */
   def wordPieceAlphabets(df: DataFrame, textCol: String,
-                         vocabF: DataFrame): DataFrame =
-    df.select(explode(TextFns.tokens(col(textCol))).as("w"))
+                         vocabF: DataFrame): DataFrame = {
+    val maxLenRow = vocabF.agg(max(length(col("piece")))).collect().head
+    val maxLen = if (maxLenRow.isNullAt(0)) 1 else maxLenRow.getInt(0)
+    val occ = df.select(explode(TextFns.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 1)
       .distinct()
-      .crossJoin(broadcast(vocabF.select(col("piece"))))
+      .withColumn("n", length(col("w")))
+      .select(explode(flatten(transform(sequence(lit(0), col("n") - 1), j =>
+        filter(transform(sequence(lit(1), lit(maxLen)), l =>
+          when(j + l <= col("n"),
+            struct(col("w").substr(j + 1, l).as("piece"),
+              (j === 0).as("ini")))),
+          x => x.isNotNull)))).as("c"))
+      .select(col("c.piece").as("piece"), col("c.ini").as("ini"))
+      .join(broadcast(vocabF.select(col("piece"))), "piece")
       .groupBy(col("piece"))
-      .agg(
-        max(when(col("w").startsWith(col("piece")), 1L).otherwise(0L))
-          .as("__i"),
-        max(when(expr("locate(piece, w, 2)") > 1, 1L).otherwise(0L))
-          .as("__c"))
-      .select(col("piece"), (col("__i") === 1L).as("initial"),
-        (col("__c") === 1L).as("continuation"))
+      .agg(max(when(col("ini"), 1L).otherwise(0L)).as("__i"),
+        max(when(!col("ini"), 1L).otherwise(0L)).as("__c"))
+    vocabF.select(col("piece"))
+      .join(occ, Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("__i"), lit(0L)) === 1L).as("initial"),
+        (coalesce(col("__c"), lit(0L)) === 1L).as("continuation"))
+  }
 
   /** TRUE-WordPiece greedy encoder — the two-alphabet BERT convention
     * over [[wordPieceAlphabets]]-derived piece tables: position 0 of

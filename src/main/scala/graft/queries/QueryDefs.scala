@@ -41,19 +41,34 @@ object QueryDefs {
 
   /** A temp directory for a graded query's PERSISTED-store leg
     * (q183/q184/q185 write a corpus index store and then lazily read
-    * it, so it cannot be deleted inside the query), registered for
-    * recursive deletion at JVM exit — repeated bench/verify runs must
-    * not accumulate corpus-sized stores in /tmp (round-17 review).
+    * it, so it cannot be deleted inside the query). One SHARED JVM
+    * shutdown hook sweeps a per-prefix registry, and re-requesting a
+    * prefix best-effort deletes the PREVIOUS iteration's store first
+    * (safe: Bench/Verify rebuild the query plan per iteration, so the
+    * old store has been fully consumed by then) — a long bench session
+    * otherwise accumulates one hook thread plus one corpus-sized store
+    * in /tmp per iteration (round-17 ADVICE).
     */
-  def tempStoreDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val storeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+
+  private lazy val storeDirHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        finally walk.close()
-      }))
+      storeDirs.values.forEach(p => deleteTree(p))))
+
+  def tempStoreDir(prefix: String): String = {
+    storeDirHook
+    Option(storeDirs.remove(prefix)).foreach(deleteTree)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    storeDirs.put(prefix, p)
     p.toString
   }
 

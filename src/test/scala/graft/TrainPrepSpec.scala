@@ -589,6 +589,18 @@ class TrainPrepSpec extends SparkSpec {
     val legacy = canon(Curation.wordPieceEncodeRowwiseFromVocab(
       strander, "doc_id", "text", vocabFix, maxPieceLen = 2))
     assert(legacy.map(_._4) == Seq("a", "x"), s"got $legacy")
+    // EMPTY derived continuation alphabet (round-17 ADVICE): the mode is
+    // the entry point's, not inferred from contPieces.nonEmpty — every
+    // inner position strands, so every multi-piece word falls back whole
+    // instead of silently re-segmenting single-alphabet
+    val emptyCont = alphaF.withColumn("continuation", lit(false))
+    val ec = canon(Curation.wordPieceEncodeRowwiseFromAlphabets(
+      corpus, "doc_id", "text", emptyCont, maxPieceLen = 2))
+    val ecByWord = ec.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.sortBy(_._3).map(_._4).toList }
+    assert(ecByWord((1L, 0L)) == List("xa"), s"got $ecByWord") // strands
+    assert(ecByWord((1L, 2L)) == List("aa"), s"got $ecByWord") // strands
+    assert(ecByWord((1L, 1L)) == List("ab"), s"got $ecByWord") // one piece
   }
 
   test("unigramSampleEncodeRowwise: bit-parity with declarative; stream") {
