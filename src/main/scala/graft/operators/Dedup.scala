@@ -304,6 +304,18 @@ object Dedup {
     * one hot bucket's pair output is spread over this many tasks. */
   private[graft] val HotSplitDefault = 8
 
+  /** Candidate-count bound for the incremental cross leg's verify-fetch
+    * BROADCAST (round-17 ADVICE): the candidate-id semi-reduction is the
+    * least-bytes thing that can prune the streamed index, but a
+    * broadcast still collects those ids to the driver — a template-hot
+    * STANDING bucket can make the set corpus-scale, and 4M longs
+    * (~32 MB, well under the driver's broadcast comfort zone) is where
+    * the delta probes fall back to a shuffle-hash left-semi instead:
+    * a bounded id-side exchange plus one per-batch index exchange —
+    * degraded, never a driver OOM.
+    */
+  private[graft] val MaxFetchBroadcastIds = 4L * 1000 * 1000
+
   /** Candidate pairs from an inverted index: group by bucket key, collect
     * the (sorted, distinct) doc ids per bucket, enumerate each bucket's
     * pairs inline. Prefix filtering / LSH banding bounds the AVERAGE
@@ -640,9 +652,12 @@ object Dedup {
     * candidates from multi-band collisions are collapsed AFTER the
     * verify by the min() aggregates themselves (the post-verify-dedup
     * lesson). `hotBucketDrop`/`hotBucketCap` carry [[candidatePairs]]'
-    * template-skew mitigations onto the within-batch leg; the
-    * cross leg groups straight to min(corpus id), which no bucket can
-    * inflate past the index side's banded row count.
+    * template-skew mitigations onto the within-batch leg, and
+    * `hotBucketDrop` ALSO drops template-hot STANDING buckets from the
+    * cross leg (round-17 verdict #2 — a hot corpus bucket otherwise
+    * inflates the candidate-id set to O(hot-bucket) the moment one
+    * batch doc probes it); the cross leg's verify fetch is further
+    * size-guarded by [[MaxFetchBroadcastIds]].
     */
   def deltaNearDup(index: DataFrame, incoming: DataFrame, idCol: String,
                    textCol: String, n: Int, threshold: Double,
@@ -668,7 +683,9 @@ object Dedup {
                             incomingIndex: DataFrame, idCol: String,
                             threshold: Double, bands: Int = 32,
                             hotBucketDrop: Int = 0,
-                            hotBucketCap: Int = HotBucketCap): DataFrame = {
+                            hotBucketCap: Int = HotBucketCap,
+                            maxFetchBroadcastIds: Long =
+                              MaxFetchBroadcastIds): DataFrame = {
     require(idCol != "status" && idCol != "dup_of",
       s"idCol '$idCol' collides with an output column")
     require(bands >= 1 && 64 % bands == 0,
@@ -683,9 +700,28 @@ object Dedup {
     val incB = incIdx.select(col("id").as("id_i"),
       posexplode(sigBandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val corpusB = index.select(col("id").as("id_c"),
+    val corpusB0 = index.select(col("id").as("id_c"),
       posexplode(sigBandKeys(col("sig"), bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // cross-leg hot-bucket relief valve (round-17 verdict #2):
+    // `hotBucketDrop` now applies to the STANDING side too — one batch
+    // doc landing in a template-hot corpus bucket otherwise makes the
+    // candidate set O(hot-bucket). The census runs only over the
+    // buckets the batch probes (broadcast semi of the batch's keys —
+    // candidate-scale, not index-scale) and drops those whose
+    // INDEX-side occupancy exceeds the bound; decisions are identical
+    // whenever no bucket exceeds it (the within-batch dropOver
+    // contract, test-pinned).
+    val corpusB =
+      if (hotBucketDrop <= 0) corpusB0
+      else {
+        val hot = corpusB0
+          .join(broadcast(incB.select("band", "bh").distinct()),
+            Seq("band", "bh"))
+          .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > hotBucketDrop).select("band", "bh")
+        corpusB0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      }
     // cross leg: batch probes × corpus banded keys, verified exactly;
     // multi-band duplicates ride the candidate stream into the min()
     // (map-side-combined) instead of paying a pre-verify distinct.
@@ -696,28 +732,36 @@ object Dedup {
     // whose size estimate is garbage-small — measured: a 50k-doc index
     // reporting ~340 KB — so left to the static planner the INDEX got
     // broadcast and a ×100-grown index OOM'd the driver, round 17).
-    // The verify fetch is a broadcast SEMI-reduction: candidate corpus
-    // IDS ONLY (8 bytes/row — bounded by batch × per-doc duplication,
-    // and the least-bytes thing that can prune the index) broadcast
-    // against the streamed index, so the fat payload columns (sh, hs)
-    // of non-candidates never leave their partitions — where the
-    // earlier shuffle-hash formulation re-shuffled the WHOLE payload
-    // per batch, an O(index) exchange that dominated the probe as the
-    // standing index grew. The fetched candidate payload then joins the
-    // pair stream via SHUFFLE_HASH (candidate-scale exchanges on both
-    // sides), NOT a broadcast: a template-hot corpus band can make the
-    // candidate set corpus-scale, and a payload broadcast there is a
-    // driver OOM cliff where the shuffle merely degrades (round-17
-    // review). The banding projection is recomputed for the fetch
-    // subtree (one extra narrow scan of (id, sig)) — cheaper than any
-    // materialization of it at every index size measured.
+    // The candidate pairs are MATERIALIZED (localCheckpoint): the
+    // banding join runs once and feeds the fetch, the verify, AND the
+    // size guard — the earlier plan re-ran the whole banding scan for
+    // the fetch subtree. The verify fetch is a SEMI-reduction of
+    // candidate corpus IDS ONLY (8 bytes/row, the least-bytes thing
+    // that can prune the index) against the streamed index, so the fat
+    // payload columns (sh, hs) of non-candidates never leave their
+    // partitions: BROADCAST while the candidate count stays under
+    // [[MaxFetchBroadcastIds]], else a shuffle-hash left-semi (round-17
+    // ADVICE — a corpus-scale id set still collects to the driver on
+    // its way into a broadcast; the fallback degrades to one per-batch
+    // index exchange instead of an OOM). The fetched candidate payload
+    // then joins the pair stream via SHUFFLE_HASH (candidate-scale
+    // exchanges on both sides), NOT a broadcast: a template-hot corpus
+    // band can make the candidate set corpus-scale, and a payload
+    // broadcast there is a driver OOM cliff where the shuffle merely
+    // degrades (round-17 review).
     val interH = graft.expressions.SortedIntersectCount(
       col("hs_i"), col("hs_c")).cast("double")
     val candPairs = broadcast(incB).join(corpusB, Seq("band", "bh"))
-      .select("id_i", "id_c")
-    val fetched = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
-        col("hs").as("hs_c"))
-      .join(broadcast(candPairs.select(col("id_c")).distinct()), "id_c")
+      .select("id_i", "id_c").localCheckpoint()
+    val candIds = candPairs.select(col("id_c")).distinct()
+    val fetched0 = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
+      col("hs").as("hs_c"))
+    val fetched =
+      if (candPairs.count() <= maxFetchBroadcastIds ||
+          candIds.count() <= maxFetchBroadcastIds)
+        fetched0.join(broadcast(candIds), "id_c")
+      else
+        fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"), "left_semi")
     val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("sh").as("sh_i"), col("hs").as("hs_i"))), "id_i")

@@ -349,7 +349,7 @@ class PipelineOpSpec extends SparkSpec {
     assert(got.count() == 3) // every probe vector gets a decision
   }
 
-  test("deltaSemNearDupAuto: width resolved from the standing index") {
+  test("deltaSemNearDupAuto: recall-governed width+flips from the index") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .filter($"embedding".isNotNull)
@@ -357,20 +357,99 @@ class PipelineOpSpec extends SparkSpec {
     val batch = emb.filter($"vec_id" % 5 === 4)
     val idx = Similarity.signatureFrame(corpus, "vec_id", "embedding")
       .localCheckpoint()
-    // the auto wrapper must equal the explicit call at the width the
-    // index's own stats resolve (the noise embeddings are unbiased, so
-    // this is the occupancy floor for ~400 rows: 8)
-    val n = idx.count()
-    val w = Similarity.biasAwareRowsPerBand(n,
-      Similarity.planeAgreeProbsFromSig(idx, n))
+    // the auto wrapper must equal the explicit call at the SEPARABLE
+    // decision (r17 #7: resolve once at maintenance, probe at the
+    // stored configuration) — and at θ=0.4 the plain 8-bit curve
+    // (0.33) misses the 0.9 target, so the decision must carry the
+    // 1-flip probe repair (the r17 `weak`: volume knob without the
+    // recall governance)
+    val (w, flips) = Similarity.recommendedSemDeltaProbe(idx,
+      threshold = 0.4)
+    assert(w >= 8 && flips == 1, s"got ($w, $flips)")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
     val auto = canon(Similarity.deltaSemNearDupAuto(idx, batch,
       "vec_id", "embedding", threshold = 0.4))
     val explicit = canon(Similarity.deltaSemNearDup(idx, batch,
+      "vec_id", "embedding", threshold = 0.4, rowsPerBand = w,
+      flips = flips))
+    assert(auto.nonEmpty && auto == explicit)
+    // the probe leg only ever ADDS candidates (every emitted decision
+    // stays exact-verified): flagged set ⊇ the unprobed run's
+    val plain = canon(Similarity.deltaSemNearDup(idx, batch,
       "vec_id", "embedding", threshold = 0.4, rowsPerBand = w))
-    assert(w >= 8 && auto.nonEmpty && auto == explicit)
+    val dupOf = auto.filter(_._2 != "new").map(_._1).toSet
+    val dupOfPlain = plain.filter(_._2 != "new").map(_._1).toSet
+    assert(dupOfPlain.subsetOf(dupOf),
+      s"1-flip probing lost decisions: ${dupOfPlain -- dupOf}")
+  }
+
+  test("delta cross leg: hot-standing-bucket drop + fetch fallback (lexical)") {
+    // a template-hot STANDING index: 20 corpus docs share one text →
+    // one signature → every band is a 20-deep bucket; the moment a
+    // batch doc probes it, the candidate set is O(hot bucket) — the
+    // round-17 verdict's unprotected scale edge
+    val tpl = "identical boilerplate template text repeated across corpus entries"
+    val benign = "a genuinely unique benign corpus document with its own words"
+    val corpus = ((1L to 20L).map(i => (i, tpl)) :+ (50L, benign))
+      .toDF("id", "t")
+    val batch = Seq((101L, tpl), (102L, benign),
+      (103L, "wholly novel incoming text matching nothing at all"))
+      .toDF("id", "t")
+    val idx = Dedup.nearDupIndex(corpus, "id", "t", n = 3).localCheckpoint()
+    val idxB = Dedup.nearDupIndex(batch, "id", "t", n = 3).localCheckpoint()
+    def run(drop: Int = 0, maxB: Long = Dedup.MaxFetchBroadcastIds) =
+      Dedup.deltaNearDupFromIndex(idx, batch.select($"id"), idxB, "id",
+          threshold = 0.6, hotBucketDrop = drop,
+          maxFetchBroadcastIds = maxB)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val base = run()
+    assert(base == Seq((101L, "dup_of_corpus", 1L),
+      (102L, "dup_of_corpus", 50L), (103L, "new", -1L)), s"got $base")
+    // dropOver above every bucket size: decisions identical (the
+    // within-batch dropOver contract carried to the standing side)
+    assert(run(drop = 1000) == base)
+    // size-guard fallback (maxFetchBroadcastIds = 0 forces the
+    // shuffle-hash left-semi fetch): decisions identical — the guard
+    // only changes WHERE the candidate-id reduction happens
+    assert(run(maxB = 0L) == base)
+    // dropOver below the hot bucket: the template bucket is excised, so
+    // the boilerplate batch doc loses its corpus match (the documented
+    // relief-valve trade) while decisions off hot buckets are untouched
+    val dropped = run(drop = 8)
+    assert(dropped == Seq((101L, "new", -1L),
+      (102L, "dup_of_corpus", 50L), (103L, "new", -1L)), s"got $dropped")
+  }
+
+  test("delta cross leg: hot-standing-bucket drop + fetch fallback (semantic)") {
+    import graft.operators.Similarity
+    def vec(lo: Int, hi: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i >= lo && i < hi) 1.0f else 0.0f)
+    val hot = vec(0, 21); val benign = vec(21, 42)
+    val corpus = ((1L to 20L).map(i => (i, hot)) :+ (50L, benign))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((101L, hot), (102L, benign), (103L, vec(42, 64)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    val idxB = Similarity.signatureFrame(batch, "vec_id", "embedding")
+      .localCheckpoint()
+    def run(drop: Int = 0, maxB: Long = Dedup.MaxFetchBroadcastIds) =
+      Similarity.deltaSemNearDupFromIndex(idx, batch.select($"vec_id"),
+          idxB, "vec_id", threshold = 0.5, rowsPerBand = 8,
+          hotBucketDrop = drop, maxFetchBroadcastIds = maxB)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val base = run()
+    assert(base == Seq((101L, "dup_of_corpus", 1L),
+      (102L, "dup_of_corpus", 50L), (103L, "new", -1L)), s"got $base")
+    assert(run(drop = 1000) == base)
+    assert(run(maxB = 0L) == base)
+    val dropped = run(drop = 8)
+    assert(dropped == Seq((101L, "new", -1L),
+      (102L, "dup_of_corpus", 50L), (103L, "new", -1L)), s"got $dropped")
   }
 
   test("deltaSemNearDup classifies against a persisted signature index") {
