@@ -1087,6 +1087,121 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Q186 — the incremental semantic probe at a WIDE, RECALL-GOVERNED
+    * width (the round-17 `weak` closed and graded): q173's split and
+    * threshold, but banded at q156's 12-bit width — the regime where
+    * the volume knob engages and single-probe banding recall sags —
+    * with the 1-flip probe repair on BOTH legs (the batch side probes
+    * every ≤1-flipped band key against the standing frame's exact
+    * keys; the within-batch leg is the q156 multi-probe pair path).
+    * The oracle restates the ≤1-flip rule declaratively (the q156
+    * convention): a cross or within pair is a candidate iff some
+    * 12-bit band differs in ≤ 1 plane, then exact-cosine verify and
+    * min-id keepers — so the probe rule itself is hash-graded, not
+    * hoped equivalent to brute force.
+    */
+  private def q186(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = Similarity.signatureFrame(
+        emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding")
+      .localCheckpoint()
+    Similarity.deltaSemNearDup(index, emb.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", threshold = LshPairThreshold,
+        rowsPerBand = MpPairRows, flips = 1)
+      .orderBy("vec_id")
+  }
+
+  private lazy val q186Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${lshSigSql(rows = MpPairRows, bands = MpPairBands)},
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |         WHERE list_min(list_transform(range(0, $MpPairBands), bb ->
+       |             list_reduce(list_transform(
+       |                 list_zip(a.sg[bb*$MpPairRows+1 : bb*$MpPairRows+$MpPairRows],
+       |                          b.sg[bb*$MpPairRows+1 : bb*$MpPairRows+$MpPairRows]),
+       |                 s -> CASE WHEN struct_extract(s,1) != struct_extract(s,2)
+       |                      THEN 1 ELSE 0 END), (x,y) -> x + y))) <= 1),
+       |v AS (SELECT id_a, id_b FROM cand
+       |      JOIN e a ON a.vec_id = cand.id_a
+       |      JOIN e b ON b.vec_id = cand.id_b
+       |      WHERE ${cosSql("a.e", "b.e")} >= $LshPairThreshold),
+       |vc AS (SELECT CASE WHEN id_a % 5 = 4 THEN id_a ELSE id_b END AS id_i,
+       |              min(CASE WHEN id_a % 5 = 4 THEN id_b ELSE id_a END) AS ck
+       |       FROM v WHERE (id_a % 5 = 4) != (id_b % 5 = 4)
+       |       GROUP BY 1),
+       |vb AS (SELECT id_b, min(id_a) AS bk FROM v
+       |       WHERE id_a % 5 = 4 AND id_b % 5 = 4 GROUP BY 1)
+       |SELECT v2.vec_id,
+       |       CASE WHEN vc.ck IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN vb.bk IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN vc.ck IS NOT NULL THEN vc.ck ELSE vb.bk END AS dup_of
+       |FROM embeddings v2 LEFT JOIN vc ON vc.id_i = v2.vec_id
+       |LEFT JOIN vb ON vb.id_b = v2.vec_id
+       |WHERE v2.vec_id % 5 = 4
+       |ORDER BY v2.vec_id""".stripMargin
+
+  /** Q188 — RETENTION graded in the semantic regime (VERDICT r17 #5):
+    * q185's store is COMPACTED to the vectors surviving a retention cut
+    * (`vec_id % 3 ≠ 0` — a stand-in keep list) via blue/green
+    * [[graft.operators.Similarity.compactSignatureStore]], then the
+    * same batch probes the compacted store. The oracle is q173's exact
+    * banding restated over the KEPT corpus only, so one hash checks
+    * expiry end-to-end: a dropped vector must stop matching (batch
+    * vectors whose only threshold-cosine match expired flip to `new` /
+    * a later keeper), and every kept keeper must still match.
+    */
+  private def q188(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val path = QueryDefs.tempStoreDir("graft_q188_store")
+    Similarity.writeSignatureStore(
+      Similarity.signatureFrame(corpus, "vec_id", "embedding"),
+      path, rowsPerBand = 8, bandBuckets = 16, idBuckets = 16)
+    val path2 = QueryDefs.tempStoreDir("graft_q188_store_compact")
+    Similarity.compactSignatureStore(spark, path, path2,
+      corpus.filter(col("vec_id") % 3 =!= 0)
+        .select(col("vec_id").as("id")))
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    Similarity.deltaSemNearDupFromStore(spark, path2,
+        batch.select("vec_id"),
+        Similarity.signatureFrame(batch, "vec_id", "embedding")
+          .localCheckpoint(),
+        "vec_id", threshold = LshPairThreshold)
+      .orderBy("vec_id")
+  }
+
+  private lazy val q188Sql: String =
+    s"""WITH $lshBandsSql,
+       |candc AS (SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_c
+       |          FROM bands a JOIN bands b ON a.band = b.band
+       |          WHERE a.vec_id % 5 = 4 AND b.vec_id % 5 <> 4
+       |            AND b.vec_id % 3 <> 0),
+       |vc AS (SELECT id_i, min(id_c) AS ck
+       |       FROM candc JOIN e a ON a.vec_id = candc.id_i
+       |                  JOIN e b ON b.vec_id = candc.id_c
+       |       WHERE ${cosSql("a.e", "b.e")} >= $LshPairThreshold
+       |       GROUP BY 1),
+       |candb AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.vec_id < b.vec_id
+       |          WHERE a.vec_id % 5 = 4 AND b.vec_id % 5 = 4),
+       |vb AS (SELECT id_b, min(id_a) AS bk
+       |       FROM candb JOIN e a ON a.vec_id = candb.id_a
+       |                  JOIN e b ON b.vec_id = candb.id_b
+       |       WHERE ${cosSql("a.e", "b.e")} >= $LshPairThreshold
+       |       GROUP BY 1)
+       |SELECT v.vec_id,
+       |       CASE WHEN vc.ck IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN vb.bk IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN vc.ck IS NOT NULL THEN vc.ck ELSE vb.bk END AS dup_of
+       |FROM embeddings v LEFT JOIN vc ON vc.id_i = v.vec_id
+       |LEFT JOIN vb ON vb.id_b = v.vec_id
+       |WHERE v.vec_id % 5 = 4
+       |ORDER BY v.vec_id""".stripMargin
+
   /** Q180 — the SEMANTIC index-maintenance step graded end-to-end
     * (VERDICT r16 #2): q173 grades ONE batch against a standing
     * [[graft.operators.Similarity]] `signatureFrame`; this grades the
@@ -1503,6 +1618,8 @@ object PipelineQueries {
     QueryDef("q173_delta_sem_neardup", q173, Some(q173Sql)),
     QueryDef("q180_admit_probe_sem_neardup", q180, Some(q180Sql)),
     QueryDef("q185_sem_store_probe", q185, Some(q173Sql)),
+    QueryDef("q186_delta_sem_multiprobe", q186, Some(q186Sql)),
+    QueryDef("q188_sem_compact_probe", q188, Some(q188Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),

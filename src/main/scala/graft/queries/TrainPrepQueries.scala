@@ -235,6 +235,68 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
+  /** Q187 — RETENTION graded end-to-end (VERDICT r17 #5): q183's store
+    * is COMPACTED to the docs surviving a retention cut
+    * (`doc_id % 3 ≠ 0` — a stand-in keep list: a dedup keep list or a
+    * recency cut in deployment) via blue/green
+    * [[graft.operators.Dedup.compactNearDupIndexStore]], and the same
+    * batch then probes the compacted store. The oracle is q167's
+    * brute-force exact Jaccard restated over the KEPT corpus only, so
+    * one hash checks expiry the way q184 checks append: a batch doc
+    * whose only near-match expired must flip to `new` (or to the next
+    * surviving keeper), and a kept keeper must still match — the
+    * banded table provably regenerates no candidates for dropped docs.
+    */
+  private def q187(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % DeltaMod =!= DeltaMod - 1)
+    val path = QueryDefs.tempStoreDir("graft_q187_store")
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(corpus, "doc_id", "text", n = 3),
+      path, bands = 32, bandBuckets = 16, idBuckets = 16)
+    val path2 = QueryDefs.tempStoreDir("graft_q187_store_compact")
+    Dedup.compactNearDupIndexStore(spark, path, path2,
+      corpus.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("id")))
+    val batch = docs.filter(col("doc_id") % DeltaMod === DeltaMod - 1)
+    Dedup.deltaNearDupFromStore(spark, path2, batch.select("doc_id"),
+        Dedup.nearDupIndex(batch, "doc_id", "text", n = 3)
+          .localCheckpoint(),
+        "doc_id", threshold = 0.6)
+      .orderBy("doc_id")
+  }
+
+  private val q187Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |       FROM toks),
+       |d AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |c AS (SELECT * FROM d WHERE doc_id % $DeltaMod != ${DeltaMod - 1}
+       |      AND doc_id % 3 != 0),
+       |i AS (SELECT * FROM d WHERE doc_id % $DeltaMod = ${DeltaMod - 1}),
+       |cm AS (SELECT i.doc_id AS doc_id, min(c.doc_id) AS ck
+       |       FROM i JOIN c ON len(list_intersect(i.s, c.s))::DOUBLE
+       |           / (len(i.s) + len(c.s) - len(list_intersect(i.s, c.s)))
+       |           >= 0.6
+       |       GROUP BY 1),
+       |bm AS (SELECT b.doc_id AS doc_id, min(a.doc_id) AS bk
+       |       FROM i a JOIN i b ON a.doc_id < b.doc_id
+       |            AND len(list_intersect(a.s, b.s))::DOUBLE
+       |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |              >= 0.6
+       |       GROUP BY 1)
+       |SELECT doc.doc_id,
+       |       CASE WHEN cm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN bm.bk IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN cm.ck IS NOT NULL THEN cm.ck ELSE bm.bk END AS dup_of
+       |FROM documents doc LEFT JOIN cm USING (doc_id)
+       |LEFT JOIN bm USING (doc_id)
+       |WHERE doc.doc_id % $DeltaMod = ${DeltaMod - 1}
+       |ORDER BY doc_id""".stripMargin
+
   /** Q184 — q177's ADMIT-THEN-PROBE sequence run through the PERSISTED
     * store (write → probe A → `appendNearDupIndexStore` the admitted
     * rows → probe B against the GROWN store): the full maintenance loop
@@ -3515,6 +3577,7 @@ object TrainPrepQueries {
     QueryDef("q182_wordpiece_fertility", q182, Some(q182Sql)),
     QueryDef("q183_store_probe_neardup", q183, Some(q167Sql)),
     QueryDef("q184_store_admit_probe", q184, Some(q177Sql)),
+    QueryDef("q187_store_compact_probe", q187, Some(q187Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),
