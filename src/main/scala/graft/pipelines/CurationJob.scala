@@ -116,6 +116,64 @@ object CurationJob {
             .cast("long").as("clf_kept"))
   }
 
+  /** One CONTINUOUS-INGEST curation step — the job-level incremental
+    * entry point (VERDICT r17 #3): the operator-level continuous-ingest
+    * contract (q167/q177/q183–q185's store-backed delta family)
+    * composed with the stateless per-doc pass into the step a streaming
+    * or micro-batch pipeline runs per arriving batch. Batch in →
+    * per-doc decisions out, with the standing near-dup index STORE at
+    * `storePath` grown by exactly the admitted rows:
+    *
+    *   1. [[graft.operators.Curation.curationPass]] — repetition
+    *      signals, benchmark 5-gram contamination, quality verdict,
+    *      PII scrub — one narrow stream-safe projection (its no-bigram
+    *      drop is the pass's documented contract);
+    *   2. store-backed delta near-dup of the quality SURVIVORS against
+    *      the standing corpus
+    *      ([[graft.operators.Dedup.deltaNearDupFromStore]] — bucket-
+    *      pruned reads, never an O(index) exchange);
+    *   3. admit: survivors classified `new` append to the store — their
+    *      [[graft.operators.Dedup.nearDupIndex]] rows were already
+    *      computed for the probe (the q177 shared-frame shape);
+    *   4. output: one row per pass-surviving batch doc —
+    *      `(idCol, keep, reasons, status, dup_of, curated)` where
+    *      `status`/`dup_of` are null for quality-rejected docs (they
+    *      never reach dedup, matching the batch job's stage order) and
+    *      `curated = 1` iff kept AND first of its content
+    *      (`status = new`) — exactly the rows a downstream writer
+    *      lands.
+    *
+    * The decisions are `localCheckpoint`ed before the append so the
+    * returned frame is stable against the store growth it itself
+    * caused. A pipeline bootstraps the store once from its existing
+    * corpus via [[graft.operators.Dedup.writeNearDupIndexStore]] (the
+    * q183-graded write path) and periodically runs the
+    * `recommendedRowsPerBand`-style reband/compaction maintenance
+    * (q187-graded).
+    */
+  def incrementalStep(spark: SparkSession, storePath: String,
+                      batch: DataFrame, benchmark: DataFrame,
+                      rules: Seq[(String, Column)] = DefaultRules,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      threshold: Double = 0.6, n: Int = 3): DataFrame = {
+    val pass = Curation.curationPass(batch, benchmark, idCol, textCol,
+      rules).localCheckpoint()
+    val kept = pass.filter(col("keep") === 1L)
+    val idx = Dedup.nearDupIndex(kept, idCol, textCol, n).localCheckpoint()
+    val dec = Dedup.deltaNearDupFromStore(spark, storePath,
+        kept.select(col(idCol)), idx, idCol, threshold)
+      .localCheckpoint()
+    Dedup.appendNearDupIndexStore(spark, storePath,
+      idx.join(dec.filter(col("status") === "new")
+        .select(col(idCol).as("id")), "id"))
+    pass.select(col(idCol), col("keep"), col("reasons"))
+      .join(dec, Seq(idCol), "left")
+      .select(col(idCol), col("keep"), col("reasons"), col("status"),
+        col("dup_of"),
+        when(col("keep") === 1L && col("status") === "new", 1L)
+          .otherwise(0L).as("curated"))
+  }
+
   /** Execute the full build over `documents`: `benchCut` ids below this
     * bound play the held-out eval set (decontamination benchmark), the
     * rest are the trainable corpus. Returns (table → rows written).
