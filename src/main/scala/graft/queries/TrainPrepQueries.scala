@@ -440,6 +440,159 @@ object TrainPrepQueries {
        |SELECT doc_id, status, dup_of, 'b' AS batch FROM bdec
        |ORDER BY doc_id""".stripMargin
 
+  /** Q189 — the JOB-LEVEL incremental curation step graded end-to-end
+    * (VERDICT r18 #1): [[graft.pipelines.CurationJob.incrementalStep]]
+    * — the composed per-batch entry point a continuous-ingest pipeline
+    * runs — executed as the two-batch sequence through one PERSISTED
+    * store: bootstrap the store from the standing corpus, run the step
+    * on batch A (curation pass → store-backed delta near-dup of the
+    * quality survivors → admit the `new` rows), then run it AGAIN on
+    * batch B against the store batch A just grew. The oracle restates
+    * every stage brute-force (the q177/q184 convention): the q85 pass
+    * CTEs give `keep`/`reasons` per batch doc; exact 3-gram Jaccard
+    * over the SURVIVORS gives the delta statuses — batch A against the
+    * raw standing corpus, batch B against `corpus ∪ {A survivors :
+    * new}`; `curated = keep ∧ status='new'`. One hash therefore checks
+    * the pass, the stage order (quality-rejected docs never reach
+    * dedup: null status), the admit-exactly-the-new-survivors append,
+    * and the grown-store probe TOGETHER — a wrong admission changes
+    * batch B's rows. Quality-surviving docs with no shingle classify
+    * `new` and append nothing (the pinned short-doc contract — the
+    * oracle's survivor legs read shingle-bearing docs only, so such
+    * docs fall through its LEFT JOINs to `new` identically).
+    */
+  private def q189(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") < BenchCut)
+    val nonBench = docs.filter(col("doc_id") >= BenchCut)
+    val path = QueryDefs.tempStoreDir("graft_q189_store")
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(
+        nonBench.filter(col("doc_id") % DeltaMod < DeltaMod - 2),
+        "doc_id", "text", n = 3),
+      path, bands = 32, bandBuckets = 16, idBuckets = 16)
+    def step(m: Int): DataFrame =
+      graft.pipelines.CurationJob.incrementalStep(spark, path,
+        nonBench.filter(col("doc_id") % DeltaMod === m)
+          .select("doc_id", "text"),
+        bench)
+    val decA = step(DeltaMod - 2)
+    val decB = step(DeltaMod - 1)
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("doc_id")
+  }
+
+  private val q189Sql =
+    s"""WITH bat AS (SELECT doc_id, text FROM documents
+       |             WHERE doc_id >= $BenchCut
+       |               AND doc_id % $DeltaMod >= ${DeltaMod - 2}),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM bat),
+       |wcq AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS tp
+       |       FROM wcq GROUP BY 1),
+       |dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bat),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM dd),
+       |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bgs AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS tp
+       |        FROM bgc GROUP BY 1),
+       |sig AS (SELECT ws.doc_id, ws.n AS n_tokens,
+       |               round(ws.d / ws.n, 6) AS distinct_ratio,
+       |               round(ws.tp / ws.n, 6) AS top_word_frac,
+       |               round(1.0 - bgs.d / bgs.n, 6) AS dup_bigram_frac
+       |        FROM ws JOIN bgs USING (doc_id)),
+       |ad AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, len(toks) - 3),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                          toks[i+3], toks[i+4])))) AS g
+       |       FROM ad),
+       |bset AS (SELECT DISTINCT g FROM g5 WHERE doc_id < $BenchCut),
+       |ov AS (SELECT g5.doc_id, count(*)::BIGINT AS n_overlap
+       |       FROM g5 JOIN bset USING (g)
+       |       WHERE g5.doc_id >= $BenchCut
+       |         AND g5.doc_id % $DeltaMod >= ${DeltaMod - 2}
+       |       GROUP BY 1),
+       |ver AS MATERIALIZED (SELECT sig.doc_id,
+       |        (CASE WHEN sig.n_tokens < 20 OR sig.distinct_ratio < 0.35
+       |                   OR sig.top_word_frac > 0.15
+       |                   OR sig.dup_bigram_frac > 0.09
+       |                   OR coalesce(ov.n_overlap, 0) > 0
+       |              THEN 0 ELSE 1 END)::BIGINT AS keep,
+       |        concat_ws(',',
+       |          CASE WHEN sig.n_tokens < 20 THEN 'too_short' END,
+       |          CASE WHEN sig.distinct_ratio < 0.35 THEN 'low_diversity' END,
+       |          CASE WHEN sig.top_word_frac > 0.15 THEN 'top_heavy' END,
+       |          CASE WHEN sig.dup_bigram_frac > 0.09 THEN 'dup_bigrams' END,
+       |          CASE WHEN coalesce(ov.n_overlap, 0) > 0
+       |               THEN 'contaminated' END) AS reasons
+       |        FROM sig LEFT JOIN ov USING (doc_id)),
+       |toks3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |       FROM toks3),
+       |d AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |c0 AS (SELECT * FROM d WHERE doc_id >= $BenchCut
+       |       AND doc_id % $DeltaMod < ${DeltaMod - 2}),
+       |ka AS MATERIALIZED (SELECT d.doc_id, d.s FROM d JOIN ver USING (doc_id)
+       |      WHERE d.doc_id % $DeltaMod = ${DeltaMod - 2} AND ver.keep = 1),
+       |kb AS MATERIALIZED (SELECT d.doc_id, d.s FROM d JOIN ver USING (doc_id)
+       |      WHERE d.doc_id % $DeltaMod = ${DeltaMod - 1} AND ver.keep = 1),
+       |acm AS (SELECT ka.doc_id AS doc_id, min(c0.doc_id) AS ck
+       |        FROM ka JOIN c0 ON len(list_intersect(ka.s, c0.s))::DOUBLE
+       |            / (len(ka.s) + len(c0.s) - len(list_intersect(ka.s, c0.s)))
+       |            >= 0.6
+       |        GROUP BY 1),
+       |abm AS (SELECT y.doc_id AS doc_id, min(x.doc_id) AS bk
+       |        FROM ka x JOIN ka y ON x.doc_id < y.doc_id
+       |             AND len(list_intersect(x.s, y.s))::DOUBLE
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= 0.6
+       |        GROUP BY 1),
+       |adec AS MATERIALIZED (SELECT v.doc_id,
+       |               CASE WHEN acm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                    WHEN abm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                    ELSE 'new' END AS status,
+       |               CASE WHEN acm.ck IS NOT NULL THEN acm.ck
+       |                    ELSE abm.bk END AS dup_of
+       |        FROM ver v LEFT JOIN acm USING (doc_id)
+       |        LEFT JOIN abm USING (doc_id)
+       |        WHERE v.doc_id % $DeltaMod = ${DeltaMod - 2} AND v.keep = 1),
+       |c1 AS (SELECT * FROM c0
+       |       UNION ALL
+       |       SELECT d.doc_id, d.s FROM d
+       |       JOIN adec ON d.doc_id = adec.doc_id AND adec.status = 'new'),
+       |bcm AS (SELECT kb.doc_id AS doc_id, min(c1.doc_id) AS ck
+       |        FROM kb JOIN c1 ON len(list_intersect(kb.s, c1.s))::DOUBLE
+       |            / (len(kb.s) + len(c1.s) - len(list_intersect(kb.s, c1.s)))
+       |            >= 0.6
+       |        GROUP BY 1),
+       |bbm AS (SELECT y.doc_id AS doc_id, min(x.doc_id) AS bk
+       |        FROM kb x JOIN kb y ON x.doc_id < y.doc_id
+       |             AND len(list_intersect(x.s, y.s))::DOUBLE
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= 0.6
+       |        GROUP BY 1),
+       |bdec AS (SELECT v.doc_id,
+       |               CASE WHEN bcm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                    WHEN bbm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                    ELSE 'new' END AS status,
+       |               CASE WHEN bcm.ck IS NOT NULL THEN bcm.ck
+       |                    ELSE bbm.bk END AS dup_of
+       |        FROM ver v LEFT JOIN bcm USING (doc_id)
+       |        LEFT JOIN bbm USING (doc_id)
+       |        WHERE v.doc_id % $DeltaMod = ${DeltaMod - 1} AND v.keep = 1)
+       |SELECT v.doc_id, v.keep, v.reasons, dec.status, dec.dup_of,
+       |       (CASE WHEN v.keep = 1 AND dec.status = 'new'
+       |             THEN 1 ELSE 0 END)::BIGINT AS curated,
+       |       CASE WHEN v.doc_id % $DeltaMod = ${DeltaMod - 2}
+       |            THEN 'a' ELSE 'b' END AS batch
+       |FROM ver v
+       |LEFT JOIN (SELECT * FROM adec UNION ALL SELECT * FROM bdec) dec
+       |USING (doc_id)
+       |ORDER BY v.doc_id""".stripMargin
+
   // ------------------------------------------------ unigram-LM tokenizer
 
   private[queries] val UniL = 4
@@ -3578,6 +3731,7 @@ object TrainPrepQueries {
     QueryDef("q183_store_probe_neardup", q183, Some(q167Sql)),
     QueryDef("q184_store_admit_probe", q184, Some(q177Sql)),
     QueryDef("q187_store_compact_probe", q187, Some(q187Sql)),
+    QueryDef("q189_incremental_step", q189, Some(q189Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

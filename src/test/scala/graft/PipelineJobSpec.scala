@@ -264,6 +264,130 @@ class PipelineJobSpec extends SparkSpec {
     assert(got(1)._2 == 1L && got(1)._3 == "")
   }
 
+  // ------------------- incrementalStep (the job-level ingest step, q189)
+
+  private def freshStore(index: org.apache.spark.sql.DataFrame): String = {
+    val p = Files.createTempDirectory("graft_incstep_store").toString
+    graft.operators.Dedup.writeNearDupIndexStore(index, p, bands = 32,
+      bandBuckets = 16, idBuckets = 16)
+    p
+  }
+
+  test("incrementalStep ≡ the standalone operator sequence; store grows by exactly the admitted rows") {
+    import graft.operators.{Curation, Dedup}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 25L)
+    val nonBench = docs.filter(col("doc_id") >= 25L)
+    val corpusIdx = Dedup.nearDupIndex(
+        nonBench.filter(col("doc_id") % 5 < 3), "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val batchA = nonBench.filter(col("doc_id") % 5 === 3)
+      .select("doc_id", "text")
+    val store = freshStore(corpusIdx)
+    val rows0 = spark.read.parquet(s"$store/payload").count()
+    val banded0 = spark.read.parquet(s"$store/banded").count()
+    val got = CurationJob.incrementalStep(spark, store, batchA, bench)
+
+    // the scaladoc's standalone sequence over a SECOND copy of the store
+    val store2 = freshStore(corpusIdx)
+    val pass = Curation.curationPass(batchA, bench, "doc_id", "text",
+      CurationJob.DefaultRules)
+    val kept = pass.filter(col("keep") === 1L)
+    val idx = Dedup.nearDupIndex(kept, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val dec = Dedup.deltaNearDupFromStore(spark, store2,
+      kept.select("doc_id"), idx, "doc_id", threshold = 0.6)
+    val want = pass.select(col("doc_id"), col("keep"), col("reasons"))
+      .join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep"), col("reasons"), col("status"),
+        col("dup_of"),
+        when(col("keep") === 1L && col("status") === "new", 1L)
+          .otherwise(0L).as("curated"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "step decisions must equal the standalone pass→delta→curated chain")
+
+    // stage order: quality-rejected docs never reach dedup (null status),
+    // and at least one doc was rejected and one admitted on this corpus
+    assert(got.filter(col("keep") === 0L && col("status").isNotNull).isEmpty)
+    assert(got.filter(col("keep") === 0L).count() > 0)
+    assert(got.filter(col("curated") === 1L).count() > 0)
+
+    // the store grew by EXACTLY the admitted rows (new + shingle-bearing;
+    // every admitted id appears once in payload, 32 band rows each)
+    val admittedIds = got.filter(col("status") === "new")
+      .join(idx.select(col("id").as("doc_id")), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val rows1 = spark.read.parquet(s"$store/payload").count()
+    val banded1 = spark.read.parquet(s"$store/banded").count()
+    assert(rows1 == rows0 + admittedIds.size,
+      s"payload grew $rows0->$rows1, admitted ${admittedIds.size}")
+    assert(banded1 == banded0 + admittedIds.size * 32L)
+    val grownIds = spark.read.parquet(s"$store/payload")
+      .select("id").as[Long].collect().toSet
+    val baseIds = corpusIdx.select("id").as[Long].collect().toSet
+    assert(grownIds == baseIds ++ admittedIds,
+      "store ids must be base ids plus exactly the admitted ids")
+    corpusIdx.unpersist(); idx.unpersist()
+  }
+
+  test("incrementalStep rerun determinism: same batch + same store state → identical decisions and growth") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 25L)
+    val nonBench = docs.filter(col("doc_id") >= 25L)
+    val corpusIdx = Dedup.nearDupIndex(
+        nonBench.filter(col("doc_id") % 5 < 3), "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val batch = nonBench.filter(col("doc_id") % 5 === 3)
+      .select("doc_id", "text")
+    val s1 = freshStore(corpusIdx)
+    val s2 = freshStore(corpusIdx)
+    val d1 = CurationJob.incrementalStep(spark, s1, batch, bench)
+    val d2 = CurationJob.incrementalStep(spark, s2, batch, bench)
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
+    val p1 = spark.read.parquet(s"$s1/payload").select("id")
+      .as[Long].collect().sorted.toSeq
+    val p2 = spark.read.parquet(s"$s2/payload").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(p1 == p2, "reruns must grow the store identically")
+    corpusIdx.unpersist()
+  }
+
+  test("incrementalStep pinned edge: shingle-less survivors classify new forever and append nothing") {
+    import graft.operators.Dedup
+    // reachable only under rule tables laxer than DefaultRules (whose
+    // too_short convicts anything below 20 tokens) — so pin it with an
+    // empty rule table; the pass still appends its `contaminated` rule
+    val base = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val bench = Seq((0L,
+      "completely unrelated benchmark prose sharing nothing with anyone"))
+      .toDF("doc_id", "text")
+    val store = freshStore(Dedup.nearDupIndex(base, "doc_id", "text", n = 3))
+    val rows0 = spark.read.parquet(s"$store/payload").count()
+    val lax: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty
+    val d1 = CurationJob.incrementalStep(spark, store,
+        Seq((101L, "tiny doc")).toDF("doc_id", "text"), bench, rules = lax)
+      .select("doc_id", "keep", "status", "curated")
+      .as[(Long, Long, String, Long)].collect()
+    assert(d1.toSeq == Seq((101L, 1L, "new", 1L)),
+      s"a shingle-less survivor must classify new, got ${d1.toSeq}")
+    assert(spark.read.parquet(s"$store/payload").count() == rows0,
+      "a shingle-less admit must append NOTHING (no signature exists)")
+    // the identical short doc in a LATER batch re-classifies new (the
+    // documented contract), while a real duplicate of the standing doc
+    // is still caught by the untouched store
+    val d2 = CurationJob.incrementalStep(spark, store,
+        Seq((201L, "tiny doc"),
+            (202L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+          .toDF("doc_id", "text"), bench, rules = lax)
+      .select("doc_id", "keep", "status")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(d2.toSeq == Seq((201L, 1L, "new"), (202L, 1L, "dup_of_corpus")),
+      s"got ${d2.toSeq}")
+  }
+
   test("StreamingJob forks analytics + anomalies off one stream") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("graft_streamjob").toString
