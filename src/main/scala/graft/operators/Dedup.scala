@@ -658,6 +658,16 @@ object Dedup {
     * inflates the candidate-id set to O(hot-bucket) the moment one
     * batch doc probes it); the cross leg's verify fetch is further
     * size-guarded by [[MaxFetchBroadcastIds]].
+    *
+    * BEHAVIOR CHANGE (round 18): `hotBucketDrop > 0` previously bounded
+    * the WITHIN-BATCH leg only; it now also excises hot standing
+    * buckets from the cross leg, so a batch doc whose ONLY candidate
+    * path ran through a >`hotBucketDrop`-deep corpus bucket flips from
+    * `dup_of_corpus` to `new` relative to round-17 behavior. Decisions
+    * are unchanged whenever no probed bucket exceeds the bound
+    * (test-pinned); callers that tuned the knob for batch-side noise
+    * alone should re-validate the bound against their corpus's hottest
+    * template bucket. The default (0) is untouched on both legs.
     */
   def deltaNearDup(index: DataFrame, incoming: DataFrame, idCol: String,
                    textCol: String, n: Int, threshold: Double,
@@ -753,12 +763,15 @@ object Dedup {
       col("hs_i"), col("hs_c")).cast("double")
     val candPairs = broadcast(incB).join(corpusB, Seq("band", "bh"))
       .select("id_i", "id_c").localCheckpoint()
-    val candIds = candPairs.select(col("id_c")).distinct()
+    // candIds is materialized ONCE (round-18 ADVICE): the same distinct
+    // previously ran for the size-guard count AND again inside the fetch
+    // join — now one job feeds both, and its count is exact, so the
+    // pair-count short-circuit is subsumed (|ids| ≤ |pairs| always)
+    val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
     val fetched0 = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
       col("hs").as("hs_c"))
     val fetched =
-      if (candPairs.count() <= maxFetchBroadcastIds ||
-          candIds.count() <= maxFetchBroadcastIds)
+      if (candIds.count() <= maxFetchBroadcastIds)
         fetched0.join(broadcast(candIds), "id_c")
       else
         fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"), "left_semi")
@@ -869,6 +882,32 @@ object Dedup {
     bandedRows(newRows, bands, bandBuckets)
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$path/banded")
+  }
+
+  /** Bucket-count maintenance rule for a persisted index store (VERDICT
+    * r17 #4): bucket counts ∝ corpus size, between a LISTING floor and a
+    * local-fs cap. The store's per-probe read volume is
+    * `(probed buckets / bandBuckets) × 32n`, flat in `n` only while
+    * buckets track the corpus — but every probe also pays partition
+    * DISCOVERY over all `bandBuckets` directories, so a small store
+    * wants FEW buckets (the r17-measured loss: 512–8192 dirs at a 5k-doc
+    * store made the store probe slower than the in-memory scan). The
+    * rule targets ~8k banded rows (~one small parquet file) per band
+    * bucket and ~2k payload rows per id bucket:
+    * `bandBuckets = clamp(32n/8192, 16, maxBuckets)`,
+    * `idBuckets = clamp(n/2048, 16, 1024)`. `maxBuckets` defaults to the
+    * 8192 local-directory listing bound; an object store with flat
+    * namespaces can raise it and keep the proportional count (and the
+    * flat probe curve) past 2M docs. Measured curve: PROBES_r19 /
+    * BASELINE.md round-19 section.
+    */
+  def recommendedBucketCounts(indexRows: Long,
+                              maxBuckets: Int = 8192): (Int, Int) = {
+    require(indexRows >= 0, s"indexRows must be non-negative, got $indexRows")
+    val band = math.min(maxBuckets.toLong,
+      math.max(16L, indexRows * 32 / 8192)).toInt
+    val id = math.min(1024L, math.max(16L, indexRows / 2048)).toInt
+    (band, id)
   }
 
   /** [[deltaNearDup]] against a PERSISTED [[writeNearDupIndexStore]]

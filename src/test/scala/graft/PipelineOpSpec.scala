@@ -383,6 +383,23 @@ class PipelineOpSpec extends SparkSpec {
     val dupOfPlain = plain.filter(_._2 != "new").map(_._1).toSet
     assert(dupOfPlain.subsetOf(dupOf),
       s"1-flip probing lost decisions: ${dupOfPlain -- dupOf}")
+    // r18 #6: the wrapper MEMOIZES the decision per standing frame —
+    // the auto call above already resolved (idx, 0.4, 0.9), so further
+    // lookups against the same frame must not re-run the two O(index)
+    // decision jobs, while a different frame must re-resolve
+    val r0 = Similarity.semProbeResolves.get()
+    assert(Similarity.semProbeDecisionCached(idx, 0.4, 0.9) == (w, flips))
+    val auto2 = canon(Similarity.deltaSemNearDupAuto(idx, batch,
+      "vec_id", "embedding", threshold = 0.4))
+    assert(auto2 == auto)
+    assert(Similarity.semProbeResolves.get() == r0,
+      "repeated probes against one frame must reuse the memoized decision")
+    val idx2 = Similarity.signatureFrame(corpus.limit(40),
+      "vec_id", "embedding").localCheckpoint()
+    Similarity.semProbeDecisionCached(idx2, 0.4, 0.9)
+    assert(Similarity.semProbeResolves.get() == r0 + 1,
+      "a new standing frame must re-resolve the decision")
+    idx2.unpersist()
   }
 
   test("delta cross leg: hot-standing-bucket drop + fetch fallback (lexical)") {
