@@ -742,31 +742,31 @@ object Dedup {
     // whose size estimate is garbage-small — measured: a 50k-doc index
     // reporting ~340 KB — so left to the static planner the INDEX got
     // broadcast and a ×100-grown index OOM'd the driver, round 17).
-    // The candidate pairs are MATERIALIZED (localCheckpoint): the
-    // banding join runs once and feeds the fetch, the verify, AND the
-    // size guard — the earlier plan re-ran the whole banding scan for
-    // the fetch subtree. The verify fetch is a SEMI-reduction of
-    // candidate corpus IDS ONLY (8 bytes/row, the least-bytes thing
-    // that can prune the index) against the streamed index, so the fat
-    // payload columns (sh, hs) of non-candidates never leave their
-    // partitions: BROADCAST while the candidate count stays under
-    // [[MaxFetchBroadcastIds]], else a shuffle-hash left-semi (round-17
-    // ADVICE — a corpus-scale id set still collects to the driver on
-    // its way into a broadcast; the fallback degrades to one per-batch
-    // index exchange instead of an OOM). The fetched candidate payload
-    // then joins the pair stream via SHUFFLE_HASH (candidate-scale
-    // exchanges on both sides), NOT a broadcast: a template-hot corpus
-    // band can make the candidate set corpus-scale, and a payload
-    // broadcast there is a driver OOM cliff where the shuffle merely
-    // degrades (round-17 review).
+    // The verify fetch is a SEMI-reduction of candidate corpus IDS ONLY
+    // (8 bytes/row, the least-bytes thing that can prune the index)
+    // against the streamed index, so the fat payload columns (sh, hs)
+    // of non-candidates never leave their partitions: BROADCAST while
+    // the candidate count stays under [[MaxFetchBroadcastIds]], else a
+    // shuffle-hash left-semi (round-17 ADVICE — a corpus-scale id set
+    // still collects to the driver on its way into a broadcast; the
+    // fallback degrades to one per-batch index exchange instead of an
+    // OOM). ONLY candIds is materialized for that guard — one eager
+    // banding+distinct job whose output is id-sized; the r18 cut also
+    // checkpointed the full candidate PAIR set "to run the banding join
+    // once", but a same-session A/B (BASELINE.md round 19) measured the
+    // pair-store serialization + extra jobs at 1.5× across the whole
+    // delta/store family, where re-running the banding scan lazily
+    // inside the verify subtree (the r17 shape, measured flat to ×100)
+    // costs one narrow index pass. The fetched candidate payload then
+    // joins the pair stream via SHUFFLE_HASH (candidate-scale exchanges
+    // on both sides), NOT a broadcast: a template-hot corpus band can
+    // make the candidate set corpus-scale, and a payload broadcast
+    // there is a driver OOM cliff where the shuffle merely degrades
+    // (round-17 review).
     val interH = graft.expressions.SortedIntersectCount(
       col("hs_i"), col("hs_c")).cast("double")
     val candPairs = broadcast(incB).join(corpusB, Seq("band", "bh"))
-      .select("id_i", "id_c").localCheckpoint()
-    // candIds is materialized ONCE (round-18 ADVICE): the same distinct
-    // previously ran for the size-guard count AND again inside the fetch
-    // join — now one job feeds both, and its count is exact, so the
-    // pair-count short-circuit is subsumed (|ids| ≤ |pairs| always)
+      .select("id_i", "id_c")
     val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
     val fetched0 = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
       col("hs").as("hs_c"))

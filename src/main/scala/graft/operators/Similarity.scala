@@ -1040,24 +1040,24 @@ object Similarity {
     // planner broadcast the INDEX and a ×100-grown frame OOM'd; and a
     // shuffle-hash of the index re-shuffles the whole widened-vector
     // payload per batch — an O(index) exchange). Batch-derived frames
-    // broadcast by contract (batch ≪ index). The candidate pairs are
-    // MATERIALIZED (localCheckpoint) so the banding join runs once and
-    // feeds the fetch, the verify, and the size guard — previously the
-    // fetch subtree re-ran the whole banding scan. The verify fetch is
-    // a SEMI-reduction of candidate IDS ONLY against the streamed
-    // frame: broadcast while the candidate count stays under
+    // broadcast by contract (batch ≪ index). The verify fetch is a
+    // SEMI-reduction of candidate IDS ONLY against the streamed frame:
+    // broadcast while the candidate count stays under
     // [[Dedup.MaxFetchBroadcastIds]], else a shuffle-hash left-semi
     // (the round-17 ADVICE: a corpus-scale candidate-id set still
     // collects to the driver on its way into a broadcast — the
     // fallback pays a bounded id-side exchange and a per-batch index
-    // exchange instead, degrading where the broadcast dies). The
-    // fetched candidate payload then joins the pair stream via
-    // SHUFFLE_HASH, not a broadcast, for the same reason.
+    // exchange instead, degrading where the broadcast dies). ONLY
+    // candIds is materialized for that guard — one eager
+    // banding+distinct job with id-sized output; checkpointing the full
+    // candidate PAIR set (the r18 cut) measured 1.5× across the
+    // delta/store family in the round-19 same-session A/B, while the
+    // lazily re-run banding scan is one narrow index pass (the r17
+    // shape, measured flat to ×100). The fetched candidate payload
+    // then joins the pair stream via SHUFFLE_HASH, not a broadcast,
+    // for the same reason as the guard.
     val candPairs = broadcast(incB).join(corB, Seq("key"))
-      .select("id_i", "id_c").localCheckpoint()
-    // candIds materialized ONCE (round-18 ADVICE): one distinct job
-    // feeds the size guard and the fetch join; the exact id count
-    // subsumes the old pair-count short-circuit (|ids| ≤ |pairs|)
+      .select("id_i", "id_c")
     val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
     val fetched0 = index.select(col("id").as("id_c"), col("e_d").as("e_c"),
       col("n").as("n_c"))
