@@ -67,14 +67,25 @@ object Round19Probe {
 
     // ---------------------------------------------------------- sem100
     if (sections("sem100")) {
-      // ScaleProbe's dimension-rolled replica: copy 0 is the identity,
-      // so the fixed batch keeps its real 1× match workload at ×100
+      // ScaleProbe's dimension-rolled replica — but with ALL copies of
+      // the BATCH docs EXCLUDED from the index: this testdata's
+      // embeddings are nearly roll-invariant (cos(v, roll(v, c)) ≥
+      // 0.95 measured), so any surviving copy of a batch doc is a
+      // high-margin self-match banding can never miss and decision
+      // recall reads 1.0000 at every configuration (two earlier cuts
+      // of this probe did exactly that — the r17 empty-verify lesson's
+      // mirror image: a probe must preserve the MISSABLE workload).
+      // With the batch family fully excised, each batch doc's best
+      // match is its organic nearest OTHER document, and the margin
+      // buckets below populate where the banding curve actually
+      // gambles.
       val embDim = 64
       val k2 = 100
       val emb = graft.sources.Tables.embeddings(spark, sfDir)
         .filter(col("embedding").isNotNull).select("vec_id", "embedding")
       val embK2 = emb
         .select(col("*"), explode(sequence(lit(0), lit(k2 - 1))).as("copy"))
+        .filter(col("vec_id") % 5 =!= 4)
         .select((col("vec_id") * k2 + col("copy")).as("vec_id"),
           transform(sequence(lit(0), lit(embDim - 1)), i =>
             element_at(col("embedding"),
@@ -85,17 +96,11 @@ object Round19Probe {
       val idx = graft.operators.Similarity.signatureFrame(
         embK2, "vec_id", "embedding").localCheckpoint()
       idx.count()
-      val theta = 0.4
-      val (w, flips) = graft.operators.Similarity.recommendedSemDeltaProbe(
-        idx, theta, recallTarget = 0.9)
       val batch = emb.filter(col("vec_id") % 5 === 4)
         .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
         .localCheckpoint()
       val nBatch = batch.count()
 
-      // brute-force exact ground truth, restating the delta contract:
-      // cross leg = ANY index vector at cos ≥ θ; batch leg = any
-      // smaller-id batch vector at cos ≥ θ
       def widen(df: DataFrame, id: String, e: String, n: String) =
         df.select(col("vec_id").as(id),
           graft.functions.VectorFns.toDouble(col("embedding")).as(e),
@@ -103,51 +108,66 @@ object Round19Probe {
             graft.functions.VectorFns.toDouble(col("embedding"))).as(n))
       val bW = widen(batch, "id_i", "e_i", "n_i").localCheckpoint()
       val cW = widen(embK2, "id_c", "e_c", "n_c")
-      val exactCross = broadcast(bW).join(cW,
-          graft.functions.VectorFns.dot(col("e_i"), col("e_c")) /
-            (col("n_i") * col("n_c")) >= theta)
-        .groupBy("id_i").agg(min("id_c").as("ck"))
-        .localCheckpoint()
-      val exactBatch = bW.select(col("id_i").as("id_a"), col("e_i").as("e_a"),
+
+      // every batch doc's TRUE max cosine against index ∪ smaller-id
+      // batch — the margin above θ is what banding gambles on, so
+      // recall is reported per margin bucket: a doc whose best match
+      // sits at cos 0.95 is never missed by any width (its planes
+      // almost all agree), and a saturated aggregate recall over such
+      // docs would flatter any configuration (the first cut of this
+      // probe read 1.0000 everywhere for exactly that reason)
+      val maxCross = broadcast(bW).join(cW)
+        .groupBy("id_i")
+        .agg(max(graft.functions.VectorFns.dot(col("e_i"), col("e_c")) /
+          (col("n_i") * col("n_c"))).as("mc"))
+      val maxBatch = bW.select(col("id_i").as("id_a"), col("e_i").as("e_a"),
           col("n_i").as("n_a"))
         .crossJoin(bW.select(col("id_i").as("id_b"), col("e_i").as("e_b"),
           col("n_i").as("n_b")))
-        .filter(col("id_a") < col("id_b") &&
-          graft.functions.VectorFns.dot(col("e_a"), col("e_b")) /
-            (col("n_a") * col("n_b")) >= theta)
-        .groupBy(col("id_b").as("id_i")).agg(min("id_a").as("bk"))
-        .localCheckpoint()
-      val exact = bW.select("id_i")
-        .join(exactCross, Seq("id_i"), "left")
-        .join(exactBatch, Seq("id_i"), "left")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_b").as("id_i"))
+        .agg(max(graft.functions.VectorFns.dot(col("e_a"), col("e_b")) /
+          (col("n_a") * col("n_b"))).as("mb"))
+      val maxCos = bW.select("id_i")
+        .join(maxCross, Seq("id_i"), "left")
+        .join(maxBatch, Seq("id_i"), "left")
         .select(col("id_i"),
-          when(col("ck").isNotNull, lit("dup_of_corpus"))
-            .when(col("bk").isNotNull, lit("dup_in_batch"))
-            .otherwise(lit("new")).as("status"))
-        .as[(Long, String)].collect().toMap
-      val exactFlagged = exact.count(_._2 != "new")
+          greatest(coalesce(col("mc"), lit(-1.0)),
+            coalesce(col("mb"), lit(-1.0))).as("mx"))
+        .as[(Long, Double)].collect().toMap
 
-      def probeFlags(fl: Int): (Double, Map[Long, String]) = {
-        def run() = graft.operators.Similarity.deltaSemNearDup(
-          idx, batch, "vec_id", "embedding", theta, rowsPerBand = w,
-          flips = fl)
-        val sec = time(run())
-        (sec, run().select("vec_id", "status").as[(Long, String)]
-          .collect().toMap)
+      def grade(theta: Double): String = {
+        val (w, flips) = graft.operators.Similarity.recommendedSemDeltaProbe(
+          idx, theta, recallTarget = 0.9)
+        def probeFlags(fl: Int): (Double, Set[Long]) = {
+          def run() = graft.operators.Similarity.deltaSemNearDup(
+            idx, batch, "vec_id", "embedding", theta, rowsPerBand = w,
+            flips = fl)
+          val sec = time(run())
+          (sec, run().filter(col("status") =!= "new").select("vec_id")
+            .as[Long].collect().toSet)
+        }
+        val (secAuto, flagAuto) = probeFlags(flips)
+        val (secPlain, flagPlain) = probeFlags(0)
+        // margin buckets over the exactly-flagged docs (mx ≥ θ)
+        val edges = Seq(theta, theta + 0.05, theta + 0.15, 2.0)
+        val bucketJson = edges.sliding(2).zipWithIndex.map {
+          case (Seq(lo, hi), i) =>
+            val ids = maxCos.filter { case (_, mx) => mx >= lo && mx < hi }
+              .keys.toSeq
+            val n = ids.size
+            def r(fl: Set[Long]) =
+              if (n == 0) 1.0 else ids.count(fl).toDouble / n
+            val tag = if (i == 0) f"margin_lt_0.05"
+              else if (i == 1) "margin_0.05_0.15" else "margin_ge_0.15"
+            f""""$tag":{"n":$n,"auto_recall":${r(flagAuto)}%.4f,"plain_recall":${r(flagPlain)}%.4f}"""
+        }.mkString(",")
+        val exactFlagged = maxCos.count(_._2 >= theta)
+        val bogus = (flagAuto ++ flagPlain).count(d => maxCos(d) < theta)
+        f""""theta_$theta":{"auto_width":$w,"auto_flips":$flips,"exact_flagged":$exactFlagged,"auto_flagged":${flagAuto.size},"plain_flagged":${flagPlain.size},"auto_sec":$secAuto%.3f,"plain_sec":$secPlain%.3f,"false_flags":$bogus,$bucketJson}"""
       }
-      val (secAuto, decAuto) = probeFlags(flips)
-      val (secPlain, decPlain) = probeFlags(0)
-      def recall(dec: Map[Long, String]): (Long, Double, Long) = {
-        val flagged = dec.filter(_._2 != "new").keys.toSeq
-        // flagged ⊆ exact-flagged (exact-verified) — count violations
-        val bogus = flagged.count(d => exact(d) == "new")
-        (flagged.size.toLong,
-          if (exactFlagged == 0) 1.0 else flagged.size.toDouble / exactFlagged,
-          bogus.toLong)
-      }
-      val (fA, rA, bogusA) = recall(decAuto)
-      val (fP, rP, bogusP) = recall(decPlain)
-      println(f"""{"probe":"sem100_recall","sf":"$sfDir","index_rows":$nIdx,"batch_rows":$nBatch,"threshold":$theta,"auto_width":$w,"auto_flips":$flips,"exact_flagged":$exactFlagged,"auto_flagged":$fA,"auto_recall":$rA%.4f,"auto_sec":$secAuto%.3f,"plain_flagged":$fP,"plain_recall":$rP%.4f,"plain_sec":$secPlain%.3f,"false_flags_auto":$bogusA,"false_flags_plain":$bogusP}""")
+      val legs = Seq(0.8, 0.4).map(grade).mkString(",")
+      println(s"""{"probe":"sem100_recall","sf":"$sfDir","index_rows":$nIdx,"batch_rows":$nBatch,$legs}""")
       idx.unpersist(); embK2.unpersist(); bW.unpersist(); batch.unpersist()
     }
 
@@ -319,9 +339,17 @@ object Round19Probe {
           (covered, covered.toDouble / decisions.length)
         } finally q.stop()
       }
-      val sweep = Seq(64 -> "par64", 1024 -> "par1024",
-          1000000 -> "parInf").map { case (mb, nm) =>
-        val (cov, r) = coverage(mb, nm)
+      // an UNBOUNDED sweep leg is not runnable: a hot bucket of m
+      // members emits O(m²) candidates and maxBucket=∞ OOM'd the JVM —
+      // the eviction bound is precisely what keeps the stream path
+      // alive, so the attribution sweeps bounded values (one value per
+      // JVM via SPARK_GRAFT_R19_MAXBUCKET; the memory-sink candidate
+      // tables of a multi-value sweep accumulate heap in one run)
+      val mbs = sys.env.getOrElse("SPARK_GRAFT_R19_MAXBUCKET", "64,128,256")
+        .split(",").map(_.trim.toInt).toSeq
+      val sweep = mbs.map { mb =>
+        val (cov, r) = coverage(mb, s"par$mb")
+        spark.catalog.dropTempView(s"par$mb")
         f""""maxBucket_$mb":{"covered":$cov,"coverage":$r%.4f}"""
       }
       println(s"""{"probe":"sem_parity_attribution","sf":"$sfDir","flagged":${decisions.length},${sweep.mkString(",")}}""")

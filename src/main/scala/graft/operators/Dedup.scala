@@ -765,7 +765,13 @@ object Dedup {
     // (round-17 review).
     val interH = graft.expressions.SortedIntersectCount(
       col("hs_i"), col("hs_c")).cast("double")
+    // id_i ≠ id_c: a doc is never its own duplicate — inert in normal
+    // operation (a standing index and an incoming batch share no ids),
+    // load-bearing under foreachBatch REPLAY, where a crashed-after-
+    // append batch re-probes a store already holding its own rows and
+    // must converge instead of self-matching (CurationStream)
     val candPairs = broadcast(incB).join(corpusB, Seq("band", "bh"))
+      .filter(col("id_i") =!= col("id_c"))
       .select("id_i", "id_c")
     val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
     val fetched0 = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
@@ -892,22 +898,52 @@ object Dedup {
     * DISCOVERY over all `bandBuckets` directories, so a small store
     * wants FEW buckets (the r17-measured loss: 512–8192 dirs at a 5k-doc
     * store made the store probe slower than the in-memory scan). The
-    * rule targets ~8k banded rows (~one small parquet file) per band
-    * bucket and ~2k payload rows per id bucket:
-    * `bandBuckets = clamp(32n/8192, 16, maxBuckets)`,
+    * rule targets ~32k banded rows per band bucket and ~2k payload
+    * rows per id bucket — the constant is MEASURED, not taste: the
+    * ×100 (500k-row) bucket curve reads 64→3.9s, 512→3.0s, 2048→5.0s,
+    * 8192→14.6s (PROBES_r19), a shallow bowl whose floor sits near 32k
+    * rows/bucket with a steep over-bucketing wall (listing is linear
+    * in directories; read volume grows only gently as buckets shrink),
+    * so the rule errs low:
+    * `bandBuckets = clamp(n/1024, 16, maxBuckets)`,
     * `idBuckets = clamp(n/2048, 16, 1024)`. `maxBuckets` defaults to the
-    * 8192 local-directory listing bound; an object store with flat
-    * namespaces can raise it and keep the proportional count (and the
-    * flat probe curve) past 2M docs. Measured curve: PROBES_r19 /
-    * BASELINE.md round-19 section.
+    * 8192 local-directory listing bound; an object store with a flat
+    * namespace can raise it and keep the proportional count (and the
+    * flat probe curve) past 8M docs.
     */
   def recommendedBucketCounts(indexRows: Long,
                               maxBuckets: Int = 8192): (Int, Int) = {
     require(indexRows >= 0, s"indexRows must be non-negative, got $indexRows")
     val band = math.min(maxBuckets.toLong,
-      math.max(16L, indexRows * 32 / 8192)).toInt
+      math.max(16L, indexRows / 1024)).toInt
     val id = math.min(1024L, math.max(16L, indexRows / 2048)).toInt
     (band, id)
+  }
+
+  /** Idempotent [[appendNearDupIndexStore]]: rows whose id ALREADY
+    * exists in the store are dropped before the append — the
+    * replay-safe maintenance a `foreachBatch` sink needs, where a batch
+    * that crashed between the append and its commit marker re-runs and
+    * would otherwise land duplicate payload/banded rows (decisions
+    * survive duplicates — the min() keepers collapse them — but the
+    * store inflates monotonically and compaction joins multiply).
+    * The existence check reads ONLY the id-buckets the new rows hash
+    * to (one bucket-pruned scan of batch-bounded volume), so the guard
+    * costs one narrow read per append, not an O(store) pass.
+    */
+  def appendNearDupIndexStoreIdempotent(spark: SparkSession, path: String,
+                                        newRows: DataFrame): Unit = {
+    val (_, _, idBuckets) = readStoreMeta(spark, path)
+    val rows = newRows.localCheckpoint()
+    val idbs = rows
+      .select(pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
+    val existing =
+      if (idbs.isEmpty) rows.select("id").limit(0)
+      else spark.read.parquet(s"$path/payload")
+        .where(col("idb").isin(idbs: _*)).select("id")
+    appendNearDupIndexStore(spark, path,
+      rows.join(existing, Seq("id"), "left_anti"))
   }
 
   /** [[deltaNearDup]] against a PERSISTED [[writeNearDupIndexStore]]

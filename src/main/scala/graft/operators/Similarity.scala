@@ -1056,7 +1056,12 @@ object Similarity {
     // shape, measured flat to ×100). The fetched candidate payload
     // then joins the pair stream via SHUFFLE_HASH, not a broadcast,
     // for the same reason as the guard.
+    // id_i ≠ id_c: self-pairs excluded — inert normally (index and
+    // batch share no ids), load-bearing under foreachBatch replay
+    // against a store already holding the batch's rows (the lexical
+    // twin's CurationStream convergence contract)
     val candPairs = broadcast(incB).join(corB, Seq("key"))
+      .filter(col("id_i") =!= col("id_c"))
       .select("id_i", "id_c")
     val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
     val fetched0 = index.select(col("id").as("id_c"), col("e_d").as("e_c"),

@@ -169,7 +169,8 @@ object CurationJob {
                       batch: DataFrame, benchmark: DataFrame,
                       rules: Seq[(String, Column)] = DefaultRules,
                       idCol: String = "doc_id", textCol: String = "text",
-                      threshold: Double = 0.6, n: Int = 3): DataFrame = {
+                      threshold: Double = 0.6, n: Int = 3,
+                      idempotent: Boolean = false): DataFrame = {
     val pass = Curation.curationPass(batch, benchmark, idCol, textCol,
       rules).localCheckpoint()
     val kept = pass.filter(col("keep") === 1L)
@@ -177,9 +178,18 @@ object CurationJob {
     val dec = Dedup.deltaNearDupFromStore(spark, storePath,
         kept.select(col(idCol)), idx, idCol, threshold)
       .localCheckpoint()
-    Dedup.appendNearDupIndexStore(spark, storePath,
-      idx.join(dec.filter(col("status") === "new")
-        .select(col(idCol).as("id")), "id"))
+    // `idempotent` buys replay safety for foreachBatch sinks (the
+    // [[graft.streaming.CurationStream]] path): a batch that crashed
+    // after its append re-runs, re-probes a store already holding its
+    // own rows (decisions converge — the delta cross leg excludes
+    // self-pairs), and must not append them twice. Graded/batch callers
+    // keep the plain append (fresh stores, no replay, one less read).
+    val admit = idx.join(dec.filter(col("status") === "new")
+      .select(col(idCol).as("id")), "id")
+    if (idempotent)
+      Dedup.appendNearDupIndexStoreIdempotent(spark, storePath, admit)
+    else
+      Dedup.appendNearDupIndexStore(spark, storePath, admit)
     pass.select(col(idCol), col("keep"), col("reasons"))
       .join(dec, Seq(idCol), "left")
       .select(col(idCol), col("keep"), col("reasons"), col("status"),

@@ -491,9 +491,13 @@ class StreamingSpec extends SparkSpec {
     // (hash-embedded documents, cos >= 0.8, 16 bands x 8 bits on both
     // sides), run at sf0.1 (the pinned-SLO precedent: the fixture SF
     // flags too few batch docs for a meaningful floor). Misses can only
-    // come from banding luck or hot-bucket eviction; the floor leaves
-    // margin for testdata regeneration, not a code regression —
-    // measured coverage recorded in BASELINE.md's round-17 section.
+    // come from banding luck or hot-bucket eviction — ATTRIBUTED in
+    // round 19 (PROBES_r19): coverage 0.948/0.969/0.975 at maxBucket
+    // 64/128/256 under the old newest-kept eviction, so eviction
+    // dominated the recoverable half; first-seen representative
+    // retention (same bound) recovers it to a measured 0.960, and the
+    // floor rises 0.90 → 0.93 (margin for testdata regeneration, not a
+    // code regression).
     implicit val ctx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
     val emb = graft.operators.Similarity.hashEmbedRowwise(
@@ -539,8 +543,8 @@ class StreamingSpec extends SparkSpec {
       val recall = covered.toDouble / decisions.length
       info(f"sem-delta-vs-stream decision coverage: $recall%.3f " +
         s"($covered of ${decisions.length} flagged batch docs)")
-      assert(recall >= 0.9,
-        f"sem-delta-vs-stream coverage $recall%.3f below the 0.90 floor " +
+      assert(recall >= 0.93,
+        f"sem-delta-vs-stream coverage $recall%.3f below the 0.93 floor " +
           s"($covered of ${decisions.length})")
     } finally q.stop()
   }
@@ -828,5 +832,67 @@ class StreamingSpec extends SparkSpec {
       assert(sec < 30.0, f"micro-batch took $sec%.1f s")
       assert(spark.table("thru").agg(sum("record_count")).collect().head.getLong(0) >= 10000L)
     } finally q.stop()
+  }
+
+  test("CurationStream: incrementalStep per micro-batch — decisions per batch_id, store grows, replay idempotent") {
+    implicit val ctx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray"
+    val uniq = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree twentyfour"
+    val bench = Seq((0L, "benchmark prose entirely disjoint from every " +
+      "stream document body here")).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_curstream_store").toString
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(Seq((1L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3),
+      store, bands = 32, bandBuckets = 16, idBuckets = 16)
+    val out = Files.createTempDirectory("graft_curstream_out").toString
+    val ckpt = Files.createTempDirectory("graft_curstream_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.start(
+      in.toDF().toDF("doc_id", "text"), store, bench, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // micro-batch 0: a fresh doc (admit) + a copy of the standing doc
+      in.addData((101L, uniq), (102L, base))
+      q.processAllAvailable()
+      val d0 = spark.read.parquet(s"$out/decisions")
+        .filter($"batch_id" === 0L)
+        .select("doc_id", "keep", "status", "dup_of", "curated")
+        .as[(Long, Long, String, Option[Long], Long)].collect().sortBy(_._1)
+      assert(d0.toSeq == Seq((101L, 1L, "new", None, 1L),
+        (102L, 1L, "dup_of_corpus", Some(1L), 0L)), s"got ${d0.toSeq}")
+      assert(spark.read.parquet(s"$store/payload").count() == 2L,
+        "batch 0 must admit exactly the new doc")
+      // micro-batch 1: a copy of the batch-0 admit — the store grew, so
+      // it must come back dup_of_corpus POINTING AT the admitted doc
+      in.addData((201L, uniq))
+      q.processAllAvailable()
+      val d1 = spark.read.parquet(s"$out/decisions")
+        .filter($"batch_id" === 1L)
+        .select("doc_id", "status", "dup_of")
+        .as[(Long, String, Option[Long])].collect()
+      assert(d1.toSeq == Seq((201L, "dup_of_corpus", Some(101L))),
+        s"got ${d1.toSeq}")
+      assert(spark.read.parquet(s"$store/payload").count() == 2L)
+    } finally q.stop()
+    // REPLAY batch 0 (a foreachBatch re-run after a crash between the
+    // append and the commit): the store already holds 101's rows — the
+    // self-pair exclusion converges the decisions (101 is not its own
+    // dup) and the idempotent append lands nothing twice
+    val replay = graft.pipelines.CurationJob.incrementalStep(spark, store,
+        Seq((101L, uniq), (102L, base)).toDF("doc_id", "text"), bench,
+        idempotent = true)
+      .select("doc_id", "keep", "status", "curated")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(replay.toSeq == Seq((101L, 1L, "new", 1L),
+      (102L, 1L, "dup_of_corpus", 0L)), s"replay got ${replay.toSeq}")
+    assert(spark.read.parquet(s"$store/payload").count() == 2L,
+      "a replayed append must be a no-op")
   }
 }
