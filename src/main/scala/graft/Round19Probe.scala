@@ -151,16 +151,21 @@ object Round19Probe {
         val (secPlain, flagPlain) = probeFlags(0)
         // margin buckets over the exactly-flagged docs (mx ≥ θ)
         val edges = Seq(theta, theta + 0.05, theta + 0.15, 2.0)
+        // an empty bucket reports null, never 1.0 — a perfect-recall
+        // reading manufactured from zero graded decisions is the
+        // empty-verify trap this probe's own construction notes warn
+        // about (round-19 review)
         val bucketJson = edges.sliding(2).zipWithIndex.map {
           case (Seq(lo, hi), i) =>
             val ids = maxCos.filter { case (_, mx) => mx >= lo && mx < hi }
               .keys.toSeq
             val n = ids.size
             def r(fl: Set[Long]) =
-              if (n == 0) 1.0 else ids.count(fl).toDouble / n
+              if (n == 0) "null"
+              else f"${ids.count(fl).toDouble / n}%.4f"
             val tag = if (i == 0) f"margin_lt_0.05"
               else if (i == 1) "margin_0.05_0.15" else "margin_ge_0.15"
-            f""""$tag":{"n":$n,"auto_recall":${r(flagAuto)}%.4f,"plain_recall":${r(flagPlain)}%.4f}"""
+            s""""$tag":{"n":$n,"auto_recall":${r(flagAuto)},"plain_recall":${r(flagPlain)}}"""
         }.mkString(",")
         val exactFlagged = maxCos.count(_._2 >= theta)
         val bogus = (flagAuto ++ flagPlain).count(d => maxCos(d) < theta)
@@ -177,11 +182,19 @@ object Round19Probe {
       val hot = sys.env.getOrElse("SPARK_GRAFT_R19_HOT", "10000").toInt
       val docs = graft.sources.Tables.documents(spark, sfDir)
         .select("doc_id", "text")
+      // copy 0 stays PRISTINE (the replicate convention): the batch's
+      // non-template docs carry original text, so they have real
+      // standing matches and the zero-collateral check below can
+      // actually catch a drop-induced dup→new flip outside the
+      // template (round-19 review: a fully-suffixed replica made that
+      // assertion vacuous — every benign batch doc was 'new' under
+      // both legs)
       val benign = docs
         .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("copy"))
         .select((col("doc_id") * k + col("copy")).as("doc_id"),
           concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("copy")))).as("text"))
+            t => when(col("copy") === 0, t)
+              .otherwise(concat(t, lit("_"), col("copy"))))).as("text"))
       val tpl = SkewProbe.Template
       val hotDocs = spark.range(hot)
         .select((col("id") + 500000000L).as("doc_id"), lit(tpl).as("text"))
@@ -342,10 +355,11 @@ object Round19Probe {
       // an UNBOUNDED sweep leg is not runnable: a hot bucket of m
       // members emits O(m²) candidates and maxBucket=∞ OOM'd the JVM —
       // the eviction bound is precisely what keeps the stream path
-      // alive, so the attribution sweeps bounded values (one value per
-      // JVM via SPARK_GRAFT_R19_MAXBUCKET; the memory-sink candidate
-      // tables of a multi-value sweep accumulate heap in one run)
-      val mbs = sys.env.getOrElse("SPARK_GRAFT_R19_MAXBUCKET", "64,128,256")
+      // alive, so the attribution sweeps bounded values — ONE value per
+      // JVM via SPARK_GRAFT_R19_MAXBUCKET (the default is a single
+      // value for the same reason: the memory-sink candidate tables of
+      // a multi-value sweep accumulate heap in one run)
+      val mbs = sys.env.getOrElse("SPARK_GRAFT_R19_MAXBUCKET", "64")
         .split(",").map(_.trim.toInt).toSeq
       val sweep = mbs.map { mb =>
         val (cov, r) = coverage(mb, s"par$mb")

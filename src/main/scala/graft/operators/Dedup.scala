@@ -927,23 +927,44 @@ object Dedup {
     * would otherwise land duplicate payload/banded rows (decisions
     * survive duplicates — the min() keepers collapse them — but the
     * store inflates monotonically and compaction joins multiply).
-    * The existence check reads ONLY the id-buckets the new rows hash
-    * to (one bucket-pruned scan of batch-bounded volume), so the guard
-    * costs one narrow read per append, not an O(store) pass.
+    *
+    * The existence check runs PER TABLE (round-19 review): the plain
+    * append commits `payload/` and `banded/` as two separate jobs, so a
+    * crash BETWEEN them leaves a doc payload-present but banded-absent
+    * — a single payload-keyed check would anti-join the replay away and
+    * the doc would never generate candidates again. Each table repairs
+    * itself: payload rows anti-join the payload ids, banded rows
+    * anti-join the banded ids — both reads bucket-pruned to the
+    * partitions the new rows hash to (a doc's banded rows live in
+    * exactly the buckets its stored signature derives, so id-presence
+    * within those buckets is conclusive), batch-bounded volume either
+    * way. Parquet's job-level commit makes each table's append atomic,
+    * so per-table presence is all-or-nothing per doc.
     */
   def appendNearDupIndexStoreIdempotent(spark: SparkSession, path: String,
                                         newRows: DataFrame): Unit = {
-    val (_, _, idBuckets) = readStoreMeta(spark, path)
+    val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
     val rows = newRows.localCheckpoint()
     val idbs = rows
       .select(pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
       .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
-    val existing =
-      if (idbs.isEmpty) rows.select("id").limit(0)
-      else spark.read.parquet(s"$path/payload")
+    if (idbs.nonEmpty) {
+      val inPayload = spark.read.parquet(s"$path/payload")
         .where(col("idb").isin(idbs: _*)).select("id")
-    appendNearDupIndexStore(spark, path,
-      rows.join(existing, Seq("id"), "left_anti"))
+      rows.join(inPayload, Seq("id"), "left_anti")
+        .select(col("id"), col("sh"), col("hs"), col("sig"),
+          pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+        .repartition(col("idb"))
+        .write.mode("append").partitionBy("idb").parquet(s"$path/payload")
+      val newBanded = bandedRows(rows, bands, bandBuckets).localCheckpoint()
+      val bkts = newBanded.select("bkt").distinct()
+        .collect().map(_.getLong(0)).toSeq // ≤ min(32 × batch, buckets)
+      val inBanded = spark.read.parquet(s"$path/banded")
+        .where(col("bkt").isin(bkts: _*)).select("id").distinct()
+      newBanded.join(inBanded, Seq("id"), "left_anti")
+        .repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(s"$path/banded")
+    }
   }
 
   /** [[deltaNearDup]] against a PERSISTED [[writeNearDupIndexStore]]

@@ -928,12 +928,20 @@ object Similarity {
     * to IN THE SAME JVM keeps the pre-append decision until the frame
     * object changes — within tolerance, since the width moves on
     * decade-scale growth (and the store path re-resolves from `meta/`
-    * anyway). Bounded: cleared past [[SemProbeMemoMax]] retired-frame
-    * entries. [[semProbeResolves]] counts true resolutions (test hook).
+    * anyway). Keys are the plan's `semanticHash` DIGEST, not the plan
+    * object (round-19 review: a LogicalRDD key strongly pins the
+    * retired frame's checkpointed corpus-scale blocks until the memo
+    * clears — the digest holds three numbers; a 32-bit collision's
+    * worst case is reusing a neighbor frame's still-valid width, not a
+    * wrong answer). Bounded: cleared past [[SemProbeMemoMax]] entries.
+    * The resolve runs OUTSIDE the map lock (two O(index) Spark jobs
+    * inside `computeIfAbsent` would stall concurrent resolvers on the
+    * bin); a racing duplicate resolve is benign — both compute the
+    * same pair. [[semProbeResolves]] counts true resolutions (test
+    * hook).
     */
   private val semProbeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Double, Double), (Int, Int)]()
+    (Int, Double, Double), (Int, Int)]()
   private val SemProbeMemoMax = 256
   private[graft] val semProbeResolves =
     new java.util.concurrent.atomic.AtomicLong(0L)
@@ -941,13 +949,17 @@ object Similarity {
   private[graft] def semProbeDecisionCached(index: DataFrame,
                                             threshold: Double,
                                             recallTarget: Double): (Int, Int) = {
-    if (semProbeMemo.size > SemProbeMemoMax) semProbeMemo.clear()
-    semProbeMemo.computeIfAbsent(
-      (index.queryExecution.analyzed.canonicalized, threshold, recallTarget),
-      _ => {
-        semProbeResolves.incrementAndGet()
-        recommendedSemDeltaProbe(index, threshold, recallTarget)
-      })
+    val key = (index.queryExecution.analyzed.semanticHash(),
+      threshold, recallTarget)
+    val hit = semProbeMemo.get(key)
+    if (hit != null) hit
+    else {
+      semProbeResolves.incrementAndGet()
+      val dec = recommendedSemDeltaProbe(index, threshold, recallTarget)
+      if (semProbeMemo.size > SemProbeMemoMax) semProbeMemo.clear()
+      semProbeMemo.put(key, dec)
+      dec
+    }
   }
 
   /** The incremental probe's `(rowsPerBand, flips)` decision, closed

@@ -388,6 +388,51 @@ class PipelineJobSpec extends SparkSpec {
       s"got ${d2.toSeq}")
   }
 
+  test("idempotent store append repairs a payload-committed/banded-lost crash window") {
+    import graft.operators.Dedup
+    // the plain append commits payload/ and banded/ as two separate
+    // jobs; a crash between them leaves a doc payload-present but
+    // banded-absent. The idempotent append must repair PER TABLE: skip
+    // the payload re-write, still land the banded rows — a single
+    // payload-keyed existence check would anti-join the replay away
+    // and the doc would never generate candidates again
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo"
+    val uniq = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince dieciseis diecisiete dieciocho"
+    val store = freshStore(Dedup.nearDupIndex(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", n = 3))
+    val idx2 = Dedup.nearDupIndex(Seq((2L, uniq)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3).localCheckpoint()
+    // simulate the crash: payload committed, banded lost
+    idx2.select(col("id"), col("sh"), col("hs"), col("sig"),
+        pmod(xxhash64(col("id")), lit(16L)).as("idb"))
+      .repartition(col("idb"))
+      .write.mode("append").partitionBy("idb").parquet(s"$store/payload")
+    val bandedBefore = spark.read.parquet(s"$store/banded").count()
+    Dedup.appendNearDupIndexStoreIdempotent(spark, store, idx2)
+    assert(spark.read.parquet(s"$store/payload")
+      .filter(col("id") === 2L).count() == 1L,
+      "payload must not duplicate the already-committed row")
+    assert(spark.read.parquet(s"$store/banded").count() ==
+      bandedBefore + 32L, "the lost banded rows must be repaired")
+    // the repaired doc generates candidates again: a duplicate probes
+    // to dup_of_corpus pointing at it
+    val probe = Seq((99L, uniq)).toDF("doc_id", "text")
+    val dec = Dedup.deltaNearDupFromStore(spark, store,
+        probe.select("doc_id"),
+        Dedup.nearDupIndex(probe, "doc_id", "text", n = 3).localCheckpoint(),
+        "doc_id", threshold = 0.6)
+      .select("doc_id", "status", "dup_of")
+      .as[(Long, String, Option[Long])].collect()
+    assert(dec.toSeq == Seq((99L, "dup_of_corpus", Some(2L))), s"got ${dec.toSeq}")
+    // a full replay is now a complete no-op
+    val p0 = spark.read.parquet(s"$store/payload").count()
+    Dedup.appendNearDupIndexStoreIdempotent(spark, store, idx2)
+    assert(spark.read.parquet(s"$store/payload").count() == p0)
+    assert(spark.read.parquet(s"$store/banded").count() == bandedBefore + 32L)
+  }
+
   test("StreamingJob forks analytics + anomalies off one stream") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("graft_streamjob").toString
