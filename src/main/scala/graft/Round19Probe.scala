@@ -40,7 +40,7 @@ object Round19Probe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val sections = sys.env.getOrElse("SPARK_GRAFT_R19",
-      "sem100,hotstand,buckets,parity").split(",").map(_.trim).toSet
+      "sem100,sem100b,hotstand,buckets,parity").split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -173,6 +173,129 @@ object Round19Probe {
       }
       val legs = Seq(0.8, 0.4).map(grade).mkString(",")
       println(s"""{"probe":"sem100_recall","sf":"$sfDir","index_rows":$nIdx,"batch_rows":$nBatch,$legs}""")
+      idx.unpersist(); embK2.unpersist(); bW.unpersist(); batch.unpersist()
+    }
+
+    // ---------------------------------------------------------- sem100b
+    // The recall measurement sem100 could not make: rolled replicas of
+    // this testdata saturate decision recall through match MULTIPLICITY
+    // (~100 near-copies per organic match ≈ 100 banding draws). Here
+    // the ×100 index uses SIGN-FLIP replicas — copy c multiplies each
+    // dimension by a hash-derived ±1, so WITHIN-copy dot products are
+    // preserved EXACTLY ((v⊙s)·(u⊙s) = v·u) while cross-copy cosines
+    // decorrelate: every match has multiplicity ~1. The batch is
+    // SYNTHETIC: one probe per target vector at a controlled angle
+    // (d = cosα·t̂ + sinα·ŵ, ŵ a per-doc pseudo-random unit ⊥ t̂), one
+    // angle per target so batch-batch cosines stay sub-threshold. The
+    // margin buckets then measure the real banding-recall curve at the
+    // governed width vs the plain one — ground truth stays the exact
+    // brute-force max-cos, so construction error only moves a doc
+    // between buckets, never mislabels it.
+    if (sections("sem100b")) {
+      val embDim = 64
+      val k2 = 100
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(col("embedding").isNotNull).select("vec_id", "embedding")
+      val embK2 = emb
+        .select(col("*"), explode(sequence(lit(0), lit(k2 - 1))).as("copy"))
+        .select((col("vec_id") * k2 + col("copy")).as("vec_id"),
+          transform(sequence(lit(0), lit(embDim - 1)), i =>
+            element_at(col("embedding"), (i + 1).cast("int")) *
+              when(col("copy") === 0, lit(1.0))
+                .otherwise(when(pmod(xxhash64(col("copy"), i), lit(2)) === 0,
+                  lit(1.0)).otherwise(lit(-1.0))))
+            .as("embedding"))
+        .localCheckpoint()
+      val nIdx = embK2.count()
+      val idx = graft.operators.Similarity.signatureFrame(
+        embK2, "vec_id", "embedding").localCheckpoint()
+      idx.count()
+
+      // synthetic borderline batch: targets are copy-0 originals; the
+      // planted cosines straddle each θ leg's margin buckets (plus a
+      // sub-θ angle per leg as the false-flag control)
+      val targets = emb.orderBy("vec_id").limit(480)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+      val angles = Array(0.42, 0.47, 0.58, 0.35, 0.82, 0.87, 0.95, 0.72)
+      val rnd = new scala.util.Random(42)
+      val batchRows = targets.zipWithIndex.map { case ((tid, t), j) =>
+        val tn = math.sqrt(t.map(x => x * x).sum)
+        val th = t.map(_ / tn)
+        val r = Array.fill(embDim)(rnd.nextDouble() * 2 - 1)
+        val proj = th.zip(r).map(p => p._1 * p._2).sum
+        val w0 = r.zip(th).map(p => p._1 - proj * p._2)
+        val wn = math.sqrt(w0.map(x => x * x).sum)
+        val w = w0.map(_ / wn)
+        val a = angles(j % angles.length)
+        val s = math.sqrt(1 - a * a)
+        (1000000000L + j.toLong,
+          th.zip(w).map(p => a * p._1 + s * p._2).toSeq)
+      }.toSeq
+      val batch = batchRows.toDF("vec_id", "embedding").localCheckpoint()
+      val nBatch = batch.count()
+
+      val bW = batch.select(col("vec_id").as("id_i"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("e_i"),
+        graft.functions.VectorFns.norm(
+          graft.functions.VectorFns.toDouble(col("embedding"))).as("n_i"))
+        .localCheckpoint()
+      val cW = embK2.select(col("vec_id").as("id_c"),
+        graft.functions.VectorFns.toDouble(col("embedding")).as("e_c"),
+        graft.functions.VectorFns.norm(
+          graft.functions.VectorFns.toDouble(col("embedding"))).as("n_c"))
+      val maxCross = broadcast(bW).join(cW)
+        .groupBy("id_i")
+        .agg(max(graft.functions.VectorFns.dot(col("e_i"), col("e_c")) /
+          (col("n_i") * col("n_c"))).as("mc"))
+      val maxBatch = bW.select(col("id_i").as("id_a"), col("e_i").as("e_a"),
+          col("n_i").as("n_a"))
+        .crossJoin(bW.select(col("id_i").as("id_b"), col("e_i").as("e_b"),
+          col("n_i").as("n_b")))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_b").as("id_i"))
+        .agg(max(graft.functions.VectorFns.dot(col("e_a"), col("e_b")) /
+          (col("n_a") * col("n_b"))).as("mb"))
+      val maxCos = bW.select("id_i")
+        .join(maxCross, Seq("id_i"), "left")
+        .join(maxBatch, Seq("id_i"), "left")
+        .select(col("id_i"),
+          greatest(coalesce(col("mc"), lit(-1.0)),
+            coalesce(col("mb"), lit(-1.0))).as("mx"))
+        .as[(Long, Double)].collect().toMap
+
+      def grade(theta: Double): String = {
+        val (w, flips) = graft.operators.Similarity.recommendedSemDeltaProbe(
+          idx, theta, recallTarget = 0.9)
+        def probeFlags(fl: Int): (Double, Set[Long]) = {
+          def run() = graft.operators.Similarity.deltaSemNearDup(
+            idx, batch, "vec_id", "embedding", theta, rowsPerBand = w,
+            flips = fl)
+          val sec = time(run())
+          (sec, run().filter(col("status") =!= "new").select("vec_id")
+            .as[Long].collect().toSet)
+        }
+        val (secAuto, flagAuto) = probeFlags(flips)
+        val (secPlain, flagPlain) = probeFlags(0)
+        val edges = Seq(theta, theta + 0.05, theta + 0.15, 2.0)
+        val bucketJson = edges.sliding(2).zipWithIndex.map {
+          case (Seq(lo, hi), i) =>
+            val ids = maxCos.filter { case (_, mx) => mx >= lo && mx < hi }
+              .keys.toSeq
+            val n = ids.size
+            def r(fl: Set[Long]) =
+              if (n == 0) "null"
+              else f"${ids.count(fl).toDouble / n}%.4f"
+            val tag = if (i == 0) f"margin_lt_0.05"
+              else if (i == 1) "margin_0.05_0.15" else "margin_ge_0.15"
+            s""""$tag":{"n":$n,"auto_recall":${r(flagAuto)},"plain_recall":${r(flagPlain)}}"""
+        }.mkString(",")
+        val exactFlagged = maxCos.count(_._2 >= theta)
+        val bogus = (flagAuto ++ flagPlain).count(d => maxCos(d) < theta)
+        f""""theta_$theta":{"auto_width":$w,"auto_flips":$flips,"exact_flagged":$exactFlagged,"auto_flagged":${flagAuto.size},"plain_flagged":${flagPlain.size},"auto_sec":$secAuto%.3f,"plain_sec":$secPlain%.3f,"false_flags":$bogus,$bucketJson}"""
+      }
+      val legs = Seq(0.8, 0.4).map(grade).mkString(",")
+      println(s"""{"probe":"sem100b_recall_signflip","sf":"$sfDir","index_rows":$nIdx,"batch_rows":$nBatch,$legs}""")
       idx.unpersist(); embK2.unpersist(); bW.unpersist(); batch.unpersist()
     }
 
