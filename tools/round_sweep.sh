@@ -20,7 +20,12 @@ python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_sf0.01 \
   | tail -3
 
 # 2. bench sweep at the driver's bench SF (writes bench_queries.json and
-#    prints the compact tail-parseable line last)
+#    prints the compact tail-parseable line last). Stale graft temp dirs
+#    are cleared first: the store-writing queries (q183-q189 family)
+#    measurably slow against a populated /tmp (r19: q185 min-of-5 read
+#    7.7s with ~1000 stale test/probe dirs, 4.4s after clearing), so a
+#    dirty /tmp pollutes round-over-round comparison
+rm -rf /tmp/graft_* 2>/dev/null || true
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch 'runMain graft.Bench' | grep '"metric"' | tail -1
 
