@@ -959,9 +959,18 @@ object Dedup {
       val newBanded = bandedRows(rows, bands, bandBuckets).localCheckpoint()
       val bkts = newBanded.select("bkt").distinct()
         .collect().map(_.getLong(0)).toSeq // ≤ min(32 × batch, buckets)
+      // anti-join on (id, band), not id alone (round-19 ADVICE): the
+      // FileOutputCommitter moves task outputs sequentially, so a crash
+      // mid job-commit can leave a doc with only SOME of its banded
+      // rows; an id-keyed check would see the doc present, skip it
+      // entirely, and leave it permanently under-banded (reduced
+      // candidate recall, no later repair). Keyed per band, the replay
+      // appends exactly the missing rows — partial commits self-heal.
+      // Same bucket-pruned read; (id, band) identifies the row (bh/bkt
+      // derive deterministically from the stored signature).
       val inBanded = spark.read.parquet(s"$path/banded")
-        .where(col("bkt").isin(bkts: _*)).select("id").distinct()
-      newBanded.join(inBanded, Seq("id"), "left_anti")
+        .where(col("bkt").isin(bkts: _*)).select("id", "band").distinct()
+      newBanded.join(inBanded, Seq("id", "band"), "left_anti")
         .repartition(col("bkt"))
         .write.mode("append").partitionBy("bkt").parquet(s"$path/banded")
     }

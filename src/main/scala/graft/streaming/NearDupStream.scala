@@ -41,7 +41,19 @@ import graft.operators.Dedup
 case class NearDupCandidate(doc_id: Long, prior_id: Long)
 
 private[streaming] case class BucketMember(id: Long, tsUs: Long)
-private[streaming] case class NearDupBucketState(members: List[BucketMember])
+
+/** Per-bucket state: the retained representatives plus the bucket's
+  * LAST-ACTIVITY event time. `lastUs` is persisted separately from the
+  * member list because first-seen retention FREEZES the members once
+  * the bucket fills — re-deriving last activity from member timestamps
+  * plus only the current trigger's arrivals would forget a newer
+  * arrival's event time in a full bucket, letting a later out-of-order
+  * (older-ts) arrival move the timeout BACKWARD and expire the bucket
+  * earlier than the documented "last activity + retention" (round-19
+  * ADVICE).
+  */
+private[streaming] case class NearDupBucketState(members: List[BucketMember],
+                                                 lastUs: Long = 0L)
 
 object NearDupStream {
 
@@ -147,7 +159,14 @@ object NearDupStream {
             def micros(t: java.sql.Timestamp): Long =
               t.getTime / 1000 * 1000000L + t.getNanos / 1000
             var members = state.getOption.map(_.members).getOrElse(Nil)
-            var lastUs = members.headOption.map(_.tsUs).getOrElse(0L)
+            // last activity is STATE, not a derivation: the member list
+            // freezes once full, so the newest member timestamp is not
+            // the newest activity (round-19 ADVICE — see
+            // [[NearDupBucketState]]); pre-lastUs states (0L default)
+            // fall back to the old member-derived floor once
+            var lastUs = state.getOption.map(_.lastUs).getOrElse(0L)
+            if (lastUs == 0L)
+              lastUs = members.headOption.map(_.tsUs).getOrElse(0L)
             val out = Seq.newBuilder[NearDupCandidate]
             rows.toSeq.sortBy(r => (micros(r._2), r._1)).foreach { case (id, ts, _) =>
               members.foreach(m => if (m.id != id) out += NearDupCandidate(id, m.id))
@@ -156,7 +175,7 @@ object NearDupStream {
                   !members.exists(_.id == id))
                 members = BucketMember(id, micros(ts)) :: members
             }
-            state.update(NearDupBucketState(members))
+            state.update(NearDupBucketState(members, lastUs))
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs + 1,
                 lastUs / 1000 + retentionUs / 1000))

@@ -388,7 +388,8 @@ class PipelineOpSpec extends SparkSpec {
     // lookups against the same frame must not re-run the two O(index)
     // decision jobs, while a different frame must re-resolve
     val r0 = Similarity.semProbeResolves.get()
-    assert(Similarity.semProbeDecisionCached(idx, 0.4, 0.9) == (w, flips))
+    val cached = Similarity.semProbeDecisionCached(idx, 0.4, 0.9)
+    assert((cached.rowsPerBand, cached.flips) == (w, flips))
     val auto2 = canon(Similarity.deltaSemNearDupAuto(idx, batch,
       "vec_id", "embedding", threshold = 0.4))
     assert(auto2 == auto)
@@ -400,6 +401,74 @@ class PipelineOpSpec extends SparkSpec {
     assert(Similarity.semProbeResolves.get() == r0 + 1,
       "a new standing frame must re-resolve the decision")
     idx2.unpersist()
+  }
+
+  test("decideSemProbe: probe-volume budget degrades explicitly (r19 #1)") {
+    import graft.operators.Similarity
+    // the sem100b shape, unit-level: unbiased planes (agree = 1/2 per
+    // plane — the sign-flip corpus decorrelates cross-copy cosines), a
+    // 200k-row ×100 index, default 32768-candidate budget
+    val agree = IndexedSeq.fill(128)(0.5)
+    val n = 200000L
+    // θ=0.8: the governed (12, 1-flip) decision — the config whose
+    // 1-flip repair holds 0.983 borderline recall — estimates ~6.3k
+    // candidates/vector and must SURVIVE the default budget
+    val hi = Similarity.decideSemProbe(n, agree, 0.8, 0.9,
+      Similarity.SemProbeMaxCandidatesPerVector)
+    assert((hi.rowsPerBand, hi.flips) == (12, 1), s"got $hi")
+    assert(!hi.degraded && hi.recallShortfall == 0.0)
+    assert(hi.expectedCandidatesPerVector <=
+      Similarity.SemProbeMaxCandidatesPerVector)
+    // θ=0.4: the governed (8, 1-flip) decision estimates ~113k
+    // candidates/vector (the measured 107 s vs 2.9 s cliff) — the
+    // budget must relax the recall target stepwise until the fanout
+    // fits, and the shortfall must be REPORTED, not silent
+    val lo = Similarity.decideSemProbe(n, agree, 0.4, 0.9,
+      Similarity.SemProbeMaxCandidatesPerVector)
+    assert(lo.degraded, s"expected a degraded decision, got $lo")
+    assert(lo.expectedCandidatesPerVector <=
+      Similarity.SemProbeMaxCandidatesPerVector,
+      s"budget not honored: $lo")
+    assert(lo.rowsPerBand > 8,
+      s"relaxation must widen past the recall-pinned 8 bits: $lo")
+    assert(lo.recallShortfall > 0.0 &&
+      math.abs(lo.recallShortfall - (0.9 - lo.predictedRecall)) < 1e-12)
+    // infinite budget reproduces the historical governed decision
+    val unb = Similarity.decideSemProbe(n, agree, 0.4, 0.9,
+      Double.PositiveInfinity)
+    assert((unb.rowsPerBand, unb.flips) == (8, 1) && !unb.degraded)
+    // a budget below even the plain decision's fanout: terminal
+    // fallback is the volume-governed width with no flips — bounded
+    // and explicit, never an error
+    val floor = Similarity.decideSemProbe(n, agree, 0.4, 0.9, 1.0)
+    assert(floor.degraded && floor.flips == 0, s"got $floor")
+  }
+
+  test("deltaSemNearDupAuto: budgeted auto ≡ explicit at the decision") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4).limit(20)
+    val idx = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    // a 1-candidate budget forces the terminal plain fallback even on
+    // the small test corpus; the auto wrapper must run EXACTLY the
+    // explicit probe at the degraded configuration
+    val d = Similarity.recommendedSemDeltaProbeBudgeted(idx,
+      threshold = 0.4, recallTarget = 0.9, maxCandidatesPerVector = 1.0)
+    assert(d.degraded && d.flips == 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val auto = canon(Similarity.deltaSemNearDupAuto(idx, batch,
+      "vec_id", "embedding", threshold = 0.4,
+      maxCandidatesPerVector = 1.0))
+    val explicit = canon(Similarity.deltaSemNearDup(idx, batch,
+      "vec_id", "embedding", threshold = 0.4,
+      rowsPerBand = d.rowsPerBand, flips = d.flips))
+    assert(auto.nonEmpty && auto == explicit)
+    idx.unpersist()
   }
 
   test("delta cross leg: hot-standing-bucket drop + fetch fallback (lexical)") {

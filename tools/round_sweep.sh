@@ -24,8 +24,13 @@ python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_sf0.01 \
 #    are cleared first: the store-writing queries (q183-q189 family)
 #    measurably slow against a populated /tmp (r19: q185 min-of-5 read
 #    7.7s with ~1000 stale test/probe dirs, 4.4s after clearing), so a
-#    dirty /tmp pollutes round-over-round comparison
-rm -rf /tmp/graft_* 2>/dev/null || true
+#    dirty /tmp pollutes round-over-round comparison. Scoped by AGE
+#    (round-19 ADVICE): a blanket rm raced any CONCURRENTLY running
+#    test/bench JVM's live stores (all graft_* prefixed) into
+#    missing-file failures — dirs touched in the last 30 min are
+#    presumed live and left alone; the accumulated-session pollution the
+#    clear targets is hours old
+find /tmp -maxdepth 1 -name 'graft_*' -mmin +30 -exec rm -rf {} + 2>/dev/null || true
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch 'runMain graft.Bench' | grep '"metric"' | tail -1
 
