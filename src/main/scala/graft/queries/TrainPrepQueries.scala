@@ -593,6 +593,62 @@ object TrainPrepQueries {
        |USING (doc_id)
        |ORDER BY v.doc_id""".stripMargin
 
+  /** Q190 — CONTINUOUS INGEST graded end-to-end (VERDICT r19 #4):
+    * [[graft.streaming.CurationStream]] replays q189's exact two-batch
+    * sequence through a REAL Structured Streaming query (MemoryStream →
+    * `foreachBatch` → `incrementalStep(idempotent = true)` →
+    * dynamic-partition-overwrite decision sink) and returns the landed
+    * decision TABLE — the oracle is q189's brute-force restatement
+    * verbatim, so one hash pins that the streaming wrapper writes
+    * EXACTLY the rows the batch job computes: the curation pass, the
+    * store bootstrap, batch A's admit visible to batch B's probe, the
+    * idempotent append variant (fresh store, so it must equal the
+    * plain append), and the `batch_id`-keyed partition layout. The
+    * batch_id → batch letter mapping is asserted, not assumed: the two
+    * feeds must land as micro-batches 0 and 1 or the query fails
+    * loudly.
+    */
+  private def q190(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") < BenchCut)
+    val nonBench = docs.filter(col("doc_id") >= BenchCut)
+    val path = QueryDefs.tempStoreDir("graft_q190_store")
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(
+        nonBench.filter(col("doc_id") % DeltaMod < DeltaMod - 2),
+        "doc_id", "text", n = 3),
+      path, bands = 32, bandBuckets = 16, idBuckets = 16)
+    val outDir = QueryDefs.tempStoreDir("graft_q190_out")
+    val ckpt = QueryDefs.tempStoreDir("graft_q190_ckpt")
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = graft.streaming.CurationStream.start(
+      in.toDF().toDF("doc_id", "text"), path, bench, outDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      def feed(m: Int): Unit = {
+        in.addData(nonBench.filter(col("doc_id") % DeltaMod === m)
+          .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+        stream.processAllAvailable()
+      }
+      feed(DeltaMod - 2)
+      feed(DeltaMod - 1)
+    } finally stream.stop()
+    val decisions = spark.read.parquet(s"$outDir/decisions")
+    val batchIds = decisions.select("batch_id").distinct()
+      .collect().map(_.get(0).toString.toLong).sorted.toSeq
+    require(batchIds == Seq(0L, 1L),
+      s"expected exactly micro-batches 0 and 1, got $batchIds")
+    decisions
+      .select(col("doc_id"), col("keep"), col("reasons"), col("status"),
+        col("dup_of"), col("curated"),
+        when(col("batch_id") === 0, lit("a")).otherwise(lit("b"))
+          .as("batch"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ unigram-LM tokenizer
 
   private[queries] val UniL = 4
@@ -3732,6 +3788,7 @@ object TrainPrepQueries {
     QueryDef("q184_store_admit_probe", q184, Some(q177Sql)),
     QueryDef("q187_store_compact_probe", q187, Some(q187Sql)),
     QueryDef("q189_incremental_step", q189, Some(q189Sql)),
+    QueryDef("q190_curation_stream", q190, Some(q189Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),
