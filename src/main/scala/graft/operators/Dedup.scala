@@ -1058,6 +1058,155 @@ object Dedup {
       spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig"),
       outPath, newBands, newBandBuckets, newIdBuckets)
 
+  // ------------------------------------------------- fingerprint store
+
+  /** Explicit schema for the fingerprint store's keys table: reads stay
+    * valid against an EMPTY table (a partitioned write of zero rows
+    * leaves no data file to infer from) and against a bucket-pruned
+    * subset. Ids are LONG by store contract (the delta family's id
+    * regime throughout).
+    */
+  private val FpKeysSchema = "id LONG, fp STRING, fpb LONG"
+
+  private def fpStoreExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/exact/meta")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** EXACT-duplicate side table of a persisted index store (VERDICT r19
+    * #3 — the short-doc seam): near-dup Jaccard is undefined on an
+    * empty shingle set, so a pipeline whose quality rules admit docs
+    * below the shingle width owes short-dup catching to the exact
+    * family. This table persists the standing corpus's normalized-text
+    * fingerprints ([[graft.functions.TextFns.fingerprint]]) under
+    * `$path/exact/` — `meta` (one row: fp_buckets) and `keys`
+    * partitioned by `fpb = xxhash64(fp) mod fpBuckets`, one row per
+    * DISTINCT standing fingerprint `(id = keeper = min id, fp)` — so a
+    * probe reads only the buckets its own fingerprints hash to (the
+    * store family's bucket-pruning discipline; exact keys never need a
+    * banded table). `rows` is the standing `(id, fp)` frame; typically
+    * only the SHINGLE-LESS standing docs — docs with shingles are
+    * already caught by the Jaccard store (identical texts have
+    * J = 1.0), so fingerprinting them would double-classify.
+    */
+  def writeFingerprintStore(spark: SparkSession, path: String,
+                            rows: DataFrame, fpBuckets: Int = 64): Unit = {
+    require(fpBuckets >= 1, s"fpBuckets must be positive, got $fpBuckets")
+    require(Seq("id", "fp").forall(rows.columns.contains),
+      s"rows must be an (id, fp) frame; got ${rows.columns.mkString(", ")}")
+    import spark.implicits._
+    Seq(fpBuckets).toDF("fp_buckets")
+      .write.mode("overwrite").parquet(s"$path/exact/meta")
+    rows.groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("fp"),
+        pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("fpb"))
+      .repartition(col("fpb"))
+      .write.mode("overwrite").partitionBy("fpb").parquet(s"$path/exact/keys")
+  }
+
+  /** [[deltaDedup]] against a persisted [[writeFingerprintStore]] table
+    * — the q74 contract with the existing side bucket-pruned: only the
+    * `keys` partitions the incoming batch's fingerprints hash to are
+    * read (≤ min(batch, fpBuckets) directories — a bounded driver
+    * collect of bucket ids, the store family's convention). `incoming`
+    * is the batch's `(id, fp)` frame; an ABSENT side table reads as an
+    * empty standing corpus (every fp-first row classifies `new`), so a
+    * pipeline can enable the exact stage on a store created before it
+    * existed. Output matches [[deltaDedup]]: `(id, status, dup_of)` —
+    * with one delta-family addition [[deltaDedup]] itself doesn't need:
+    * SELF-matches are excluded from the corpus leg (inert normally — a
+    * fresh batch shares no ids with the store; load-bearing under
+    * `foreachBatch` replay against a table already holding the batch's
+    * own fingerprints, where decisions must converge rather than
+    * classify a doc as a duplicate of itself — the near-dup cross leg's
+    * `id_i =!= id_c` convention). As there, only the dup SUBTYPE can
+    * shift on replay (`dup_of_corpus` instead of `dup_in_batch`, same
+    * keeper, same verdict downstream).
+    */
+  def deltaDedupFromFingerprintStore(spark: SparkSession, path: String,
+                                     incoming: DataFrame): DataFrame = {
+    require(Seq("id", "fp").forall(incoming.columns.contains),
+      s"incoming must be an (id, fp) frame; got " +
+        incoming.columns.mkString(", "))
+    val inc = incoming.select(col("id"), col("fp"))
+    val pruned =
+      if (!fpStoreExists(spark, path))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(FpKeysSchema))
+      else {
+        val fpBuckets = spark.read.parquet(s"$path/exact/meta")
+          .collect().head.getAs[Int]("fp_buckets")
+        val fpbs = inc
+          .select(pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("fpb"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ fpBuckets
+        if (fpbs.isEmpty)
+          spark.read.schema(FpKeysSchema).parquet(s"$path/exact/keys")
+            .limit(0)
+        else
+          spark.read.schema(FpKeysSchema).parquet(s"$path/exact/keys")
+            .where(col("fpb").isin(fpbs: _*))
+      }
+    // deltaDedup's decision shape with the corpus leg's min() taken
+    // AFTER self-exclusion (the store is fp-unique by construction, but
+    // the aggregate also self-heals a replay-corrupted duplicate row)
+    val corpusKeys = pruned
+      .select(col("fp").as("__fp"), col("id").as("__ck"))
+    val batchKeeper = min(col("id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))
+    inc
+      .join(corpusKeys,
+        col("fp") === col("__fp") && col("id") =!= col("__ck"), "left")
+      .groupBy(col("id"), col("fp"))
+      .agg(min(col("__ck")).as("__ck"))
+      .withColumn("__bk", batchKeeper)
+      .select(col("id"),
+        when(col("__ck").isNotNull, lit("dup_of_corpus"))
+          .when(col("id") === col("__bk"), lit("new"))
+          .otherwise(lit("dup_in_batch")).as("status"),
+        when(col("__ck").isNotNull, col("__ck"))
+          .when(col("id") =!= col("__bk"), col("__bk"))
+          .as("dup_of"))
+  }
+
+  /** Append-only maintenance of the fingerprint side table: the batch's
+    * admitted `(id, fp)` rows (the `new` decisions — fp-distinct within
+    * a batch by the [[deltaDedup]] contract, so the table stays one row
+    * per fingerprint) land in their hash buckets. Creates the table if
+    * absent (the enable-later path). With `idempotent`, rows whose
+    * fingerprint is already stored are dropped first via a
+    * bucket-pruned anti-join — the `foreachBatch` replay convention;
+    * the single-table parquet job commit makes the plain append
+    * all-or-nothing, so fp presence is conclusive.
+    */
+  def appendFingerprintStore(spark: SparkSession, path: String,
+                             newRows: DataFrame,
+                             idempotent: Boolean = false): Unit = {
+    if (!fpStoreExists(spark, path)) {
+      writeFingerprintStore(spark, path, newRows)
+      return
+    }
+    val fpBuckets = spark.read.parquet(s"$path/exact/meta")
+      .collect().head.getAs[Int]("fp_buckets")
+    val rows = newRows
+      .select(col("id"), col("fp"),
+        pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("fpb"))
+      .localCheckpoint()
+    val keep =
+      if (!idempotent) rows
+      else {
+        val fpbs = rows.select("fpb").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ fpBuckets
+        if (fpbs.isEmpty) return
+        val inKeys = spark.read.schema(FpKeysSchema)
+          .parquet(s"$path/exact/keys")
+          .where(col("fpb").isin(fpbs: _*)).select("fp")
+        rows.join(inKeys, Seq("fp"), "left_anti")
+      }
+    keep.repartition(col("fpb"))
+      .write.mode("append").partitionBy("fpb").parquet(s"$path/exact/keys")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole candidate generation: the 64-bit signature is split into

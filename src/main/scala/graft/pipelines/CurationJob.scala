@@ -161,23 +161,54 @@ object CurationJob {
     * would make the store's Jaccard semantics partial. Under the
     * [[DefaultRules]] table the edge is unreachable (`too_short`
     * convicts below 20 tokens ≥ any sane `n`); a pipeline that relaxes
-    * the rules below `n` tokens owes short-dup catching to the exact
-    * family ([[graft.operators.Dedup.byFingerprint]] /
-    * [[graft.operators.Dedup.deltaDedup]]), composed separately.
+    * the rules below `n` tokens opts into the composed EXACT stage via
+    * `shortDocExact` (VERDICT r19 #3): shingle-less quality survivors
+    * route through [[graft.operators.Dedup.deltaDedupFromFingerprintStore]]
+    * — the q74 `deltaDedup` contract against the store's persisted
+    * `exact/` side table ([[graft.operators.Dedup.writeFingerprintStore]];
+    * absent reads as empty, so the flag can be enabled on a standing
+    * store) — their `new` fingerprints are admitted alongside the
+    * near-dup admit, and their decisions replace the fall-through
+    * `new`s in the output. Shingle-BEARING docs never touch the exact
+    * leg (identical long texts have J = 1.0 — the Jaccard store
+    * already catches them), so the merge is a disjoint union. NOTE:
+    * the `exact/` table has its own lifecycle — the near-dup store's
+    * compact/reband helpers rebuild from `payload/` and do not carry
+    * it; compact it by rewriting ([[graft.operators.Dedup.writeFingerprintStore]]
+    * over the surviving keys) when retention applies.
     */
   def incrementalStep(spark: SparkSession, storePath: String,
                       batch: DataFrame, benchmark: DataFrame,
                       rules: Seq[(String, Column)] = DefaultRules,
                       idCol: String = "doc_id", textCol: String = "text",
                       threshold: Double = 0.6, n: Int = 3,
-                      idempotent: Boolean = false): DataFrame = {
+                      idempotent: Boolean = false,
+                      shortDocExact: Boolean = false): DataFrame = {
     val pass = Curation.curationPass(batch, benchmark, idCol, textCol,
       rules).localCheckpoint()
     val kept = pass.filter(col("keep") === 1L)
     val idx = Dedup.nearDupIndex(kept, idCol, textCol, n).localCheckpoint()
-    val dec = Dedup.deltaNearDupFromStore(spark, storePath,
+    val decNear = Dedup.deltaNearDupFromStore(spark, storePath,
         kept.select(col(idCol)), idx, idCol, threshold)
-      .localCheckpoint()
+    val dec =
+      if (!shortDocExact) decNear.localCheckpoint()
+      else {
+        val short = kept
+          .join(idx.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol).as("id"),
+            graft.functions.TextFns.fingerprint(col(textCol)).as("fp"))
+          .localCheckpoint()
+        val exactDec = Dedup.deltaDedupFromFingerprintStore(spark,
+          storePath, short).localCheckpoint()
+        Dedup.appendFingerprintStore(spark, storePath,
+          short.join(exactDec.filter(col("status") === "new")
+            .select("id"), "id"),
+          idempotent)
+        decNear
+          .join(short.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+          .unionByName(exactDec.withColumnRenamed("id", idCol))
+          .localCheckpoint()
+      }
     // `idempotent` buys replay safety for foreachBatch sinks (the
     // [[graft.streaming.CurationStream]] path): a batch that crashed
     // after its append re-runs, re-probes a store already holding its

@@ -649,6 +649,198 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
+  /** Q191 — the SHORT-DOC EXACT stage composed into the job step
+    * (VERDICT r19 #3): q189's two-batch sequence over a MIXED corpus —
+    * every `doc_id % 3 = 0` doc truncated to its first two tokens
+    * (shingle-less under n = 3), the rest full text — with a rule
+    * table relaxed below the shingle width and
+    * `incrementalStep(shortDocExact = true)`. Shingle-bearing docs ride
+    * the persisted Jaccard store exactly as in q189; shingle-less
+    * quality survivors classify through the `exact/` fingerprint side
+    * table (bootstrapped from the standing shorts), and batch A's
+    * admitted short fingerprints must be visible to batch B — the
+    * seam q189 pins as `new`-forever is CLOSED here, and one hash
+    * checks the routing split, both probe families, both admit paths,
+    * and the merged decision output together. The oracle restates the
+    * exact leg as normalized-text equality (fingerprint = md5 of the
+    * normalized text, and grouping by `md5(x)` ≡ grouping by `x`).
+    */
+  private def q191(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") < BenchCut)
+    val mixed = docs.filter(col("doc_id") >= BenchCut)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)))
+          .otherwise(col("text")).as("text"))
+    val standing = mixed.filter(col("doc_id") % DeltaMod < DeltaMod - 2)
+    val path = QueryDefs.tempStoreDir("graft_q191_store")
+    Dedup.writeNearDupIndexStore(
+      Dedup.nearDupIndex(standing, "doc_id", "text", n = 3),
+      path, bands = 32, bandBuckets = 16, idBuckets = 16)
+    Dedup.writeFingerprintStore(spark, path,
+      standing.filter(size(TextFns.shingles(col("text"), 3)) === 0)
+        .select(col("doc_id").as("id"),
+          TextFns.fingerprint(col("text")).as("fp")))
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "too_short" -> (col("n_tokens") < 2),
+      "low_diversity" -> (col("distinct_ratio") < 0.35),
+      "dup_bigrams" -> (col("dup_bigram_frac") > 0.09))
+    def step(m: Int): DataFrame =
+      graft.pipelines.CurationJob.incrementalStep(spark, path,
+        mixed.filter(col("doc_id") % DeltaMod === m)
+          .select("doc_id", "text"),
+        bench, rules, shortDocExact = true)
+    val decA = step(DeltaMod - 2)
+    val decB = step(DeltaMod - 1)
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("doc_id")
+  }
+
+  private val q191Sql =
+    s"""WITH mix AS (SELECT doc_id,
+       |             CASE WHEN doc_id % 3 = 0
+       |                  THEN array_to_string(string_split(text, ' ')[1:2], ' ')
+       |                  ELSE text END AS text
+       |             FROM documents WHERE doc_id >= $BenchCut),
+       |bat AS (SELECT doc_id, text FROM mix
+       |        WHERE doc_id % $DeltaMod >= ${DeltaMod - 2}),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM bat),
+       |wcq AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS tp
+       |       FROM wcq GROUP BY 1),
+       |dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bat),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM dd),
+       |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bgs AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d
+       |        FROM bgc GROUP BY 1),
+       |sig AS (SELECT ws.doc_id, ws.n AS n_tokens,
+       |               round(ws.d / ws.n, 6) AS distinct_ratio,
+       |               round(1.0 - bgs.d / bgs.n, 6) AS dup_bigram_frac
+       |        FROM ws JOIN bgs USING (doc_id)),
+       |bad AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents WHERE doc_id < $BenchCut),
+       |bg5 AS (SELECT unnest(list_distinct(list_transform(
+       |            range(1, len(toks) - 3),
+       |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                           toks[i+3], toks[i+4])))) AS g FROM bad),
+       |bset AS (SELECT DISTINCT g FROM bg5),
+       |md AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bat),
+       |g5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, len(toks) - 3),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |                          toks[i+3], toks[i+4])))) AS g FROM md),
+       |ov AS (SELECT g5.doc_id, count(*)::BIGINT AS n_overlap
+       |       FROM g5 JOIN bset USING (g) GROUP BY 1),
+       |ver AS MATERIALIZED (SELECT sig.doc_id,
+       |        (CASE WHEN sig.n_tokens < 2 OR sig.distinct_ratio < 0.35
+       |                   OR sig.dup_bigram_frac > 0.09
+       |                   OR coalesce(ov.n_overlap, 0) > 0
+       |              THEN 0 ELSE 1 END)::BIGINT AS keep,
+       |        concat_ws(',',
+       |          CASE WHEN sig.n_tokens < 2 THEN 'too_short' END,
+       |          CASE WHEN sig.distinct_ratio < 0.35 THEN 'low_diversity' END,
+       |          CASE WHEN sig.dup_bigram_frac > 0.09 THEN 'dup_bigrams' END,
+       |          CASE WHEN coalesce(ov.n_overlap, 0) > 0
+       |               THEN 'contaminated' END) AS reasons
+       |        FROM sig LEFT JOIN ov USING (doc_id)),
+       |t3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM mix),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |       FROM t3),
+       |d AS MATERIALIZED (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |c0 AS (SELECT * FROM d WHERE doc_id % $DeltaMod < ${DeltaMod - 2}),
+       |ka AS MATERIALIZED (SELECT d.doc_id, d.s FROM d JOIN ver USING (doc_id)
+       |      WHERE d.doc_id % $DeltaMod = ${DeltaMod - 2} AND ver.keep = 1),
+       |kb AS MATERIALIZED (SELECT d.doc_id, d.s FROM d JOIN ver USING (doc_id)
+       |      WHERE d.doc_id % $DeltaMod = ${DeltaMod - 1} AND ver.keep = 1),
+       |acm AS (SELECT ka.doc_id AS doc_id, min(c0.doc_id) AS ck
+       |        FROM ka JOIN c0 ON len(list_intersect(ka.s, c0.s))::DOUBLE
+       |            / (len(ka.s) + len(c0.s) - len(list_intersect(ka.s, c0.s)))
+       |            >= 0.6
+       |        GROUP BY 1),
+       |abm AS (SELECT y.doc_id AS doc_id, min(x.doc_id) AS bk
+       |        FROM ka x JOIN ka y ON x.doc_id < y.doc_id
+       |             AND len(list_intersect(x.s, y.s))::DOUBLE
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= 0.6
+       |        GROUP BY 1),
+       |adec AS MATERIALIZED (SELECT ka.doc_id,
+       |               CASE WHEN acm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                    WHEN abm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                    ELSE 'new' END AS status,
+       |               CASE WHEN acm.ck IS NOT NULL THEN acm.ck
+       |                    ELSE abm.bk END AS dup_of
+       |        FROM ka LEFT JOIN acm USING (doc_id)
+       |        LEFT JOIN abm USING (doc_id)),
+       |c1 AS (SELECT * FROM c0
+       |       UNION ALL
+       |       SELECT d.doc_id, d.s FROM d
+       |       JOIN adec ON d.doc_id = adec.doc_id AND adec.status = 'new'),
+       |bcm AS (SELECT kb.doc_id AS doc_id, min(c1.doc_id) AS ck
+       |        FROM kb JOIN c1 ON len(list_intersect(kb.s, c1.s))::DOUBLE
+       |            / (len(kb.s) + len(c1.s) - len(list_intersect(kb.s, c1.s)))
+       |            >= 0.6
+       |        GROUP BY 1),
+       |bbm AS (SELECT y.doc_id AS doc_id, min(x.doc_id) AS bk
+       |        FROM kb x JOIN kb y ON x.doc_id < y.doc_id
+       |             AND len(list_intersect(x.s, y.s))::DOUBLE
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= 0.6
+       |        GROUP BY 1),
+       |bdec AS MATERIALIZED (SELECT kb.doc_id,
+       |               CASE WHEN bcm.ck IS NOT NULL THEN 'dup_of_corpus'
+       |                    WHEN bbm.bk IS NOT NULL THEN 'dup_in_batch'
+       |                    ELSE 'new' END AS status,
+       |               CASE WHEN bcm.ck IS NOT NULL THEN bcm.ck
+       |                    ELSE bbm.bk END AS dup_of
+       |        FROM kb LEFT JOIN bcm USING (doc_id)
+       |        LEFT JOIN bbm USING (doc_id)),
+       |fpm AS (SELECT m.doc_id,
+       |               trim(regexp_replace(lower(m.text), '\\s+', ' ', 'g'))
+       |                 AS fp
+       |        FROM mix m JOIN sh USING (doc_id) WHERE len(s) = 0),
+       |ex0 AS (SELECT fp, min(doc_id) AS ck FROM fpm
+       |        WHERE doc_id % $DeltaMod < ${DeltaMod - 2} GROUP BY 1),
+       |kas AS (SELECT f.doc_id, f.fp FROM fpm f JOIN ver USING (doc_id)
+       |        WHERE f.doc_id % $DeltaMod = ${DeltaMod - 2} AND ver.keep = 1),
+       |kbs AS (SELECT f.doc_id, f.fp FROM fpm f JOIN ver USING (doc_id)
+       |        WHERE f.doc_id % $DeltaMod = ${DeltaMod - 1} AND ver.keep = 1),
+       |aex AS MATERIALIZED (SELECT doc_id,
+       |        CASE WHEN ck IS NOT NULL THEN 'dup_of_corpus'
+       |             WHEN doc_id = bk THEN 'new'
+       |             ELSE 'dup_in_batch' END AS status,
+       |        CASE WHEN ck IS NOT NULL THEN ck
+       |             WHEN doc_id != bk THEN bk END AS dup_of
+       |        FROM (SELECT k.doc_id, e.ck,
+       |                     min(k.doc_id) OVER (PARTITION BY k.fp) AS bk
+       |              FROM kas k LEFT JOIN ex0 e USING (fp))),
+       |ex1 AS (SELECT * FROM ex0
+       |        UNION ALL
+       |        SELECT k.fp, k.doc_id AS ck FROM kas k
+       |        JOIN aex ON k.doc_id = aex.doc_id AND aex.status = 'new'),
+       |bex AS (SELECT doc_id,
+       |        CASE WHEN ck IS NOT NULL THEN 'dup_of_corpus'
+       |             WHEN doc_id = bk THEN 'new'
+       |             ELSE 'dup_in_batch' END AS status,
+       |        CASE WHEN ck IS NOT NULL THEN ck
+       |             WHEN doc_id != bk THEN bk END AS dup_of
+       |        FROM (SELECT k.doc_id, e.ck,
+       |                     min(k.doc_id) OVER (PARTITION BY k.fp) AS bk
+       |              FROM kbs k LEFT JOIN ex1 e USING (fp)))
+       |SELECT v.doc_id, v.keep, v.reasons, dec.status, dec.dup_of,
+       |       (CASE WHEN v.keep = 1 AND dec.status = 'new'
+       |             THEN 1 ELSE 0 END)::BIGINT AS curated,
+       |       CASE WHEN v.doc_id % $DeltaMod = ${DeltaMod - 2}
+       |            THEN 'a' ELSE 'b' END AS batch
+       |FROM ver v
+       |LEFT JOIN (SELECT * FROM adec UNION ALL SELECT * FROM bdec
+       |           UNION ALL SELECT * FROM aex UNION ALL SELECT * FROM bex) dec
+       |USING (doc_id)
+       |ORDER BY v.doc_id""".stripMargin
+
   // ------------------------------------------------ unigram-LM tokenizer
 
   private[queries] val UniL = 4
@@ -3789,6 +3981,7 @@ object TrainPrepQueries {
     QueryDef("q187_store_compact_probe", q187, Some(q187Sql)),
     QueryDef("q189_incremental_step", q189, Some(q189Sql)),
     QueryDef("q190_curation_stream", q190, Some(q189Sql)),
+    QueryDef("q191_short_doc_exact_step", q191, Some(q191Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),

@@ -47,7 +47,8 @@ object CurationStream {
             rules: Seq[(String, Column)] = CurationJob.DefaultRules,
             idCol: String = "doc_id", textCol: String = "text",
             threshold: Double = 0.6, n: Int = 3,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")):
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+            shortDocExact: Boolean = false):
       StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -57,7 +58,8 @@ object CurationStream {
         val spark = batch.sparkSession
         CurationJob.incrementalStep(spark, storePath,
             batch.select(col(idCol), col(textCol)), benchmark, rules,
-            idCol, textCol, threshold, n, idempotent = true)
+            idCol, textCol, threshold, n, idempotent = true,
+            shortDocExact = shortDocExact)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -388,6 +388,76 @@ class PipelineJobSpec extends SparkSpec {
       s"got ${d2.toSeq}")
   }
 
+  test("incrementalStep shortDocExact: short identical docs classify dup under the flag") {
+    import graft.operators.Dedup
+    val base = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val bench = Seq((0L,
+      "completely unrelated benchmark prose sharing nothing with anyone"))
+      .toDF("doc_id", "text")
+    val store = freshStore(Dedup.nearDupIndex(base, "doc_id", "text", n = 3))
+    // bootstrap the exact side table from the standing SHORT docs
+    Dedup.writeFingerprintStore(spark, store,
+      Seq((5L, "standing short")).toDF("doc_id", "text")
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFns.fingerprint(col("text")).as("fp")))
+    val rows0 = spark.read.parquet(s"$store/payload").count()
+    val lax: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty
+    def step(rows: Seq[(Long, String)], flag: Boolean) =
+      CurationJob.incrementalStep(spark, store,
+          rows.toDF("doc_id", "text"), bench, rules = lax,
+          shortDocExact = flag)
+        .select("doc_id", "keep", "status", "dup_of", "curated")
+        .as[(Long, Long, String, Option[Long], Long)].collect()
+        .sortBy(_._1).toSeq
+    // 101 is a CASE variant, single-spaced: the shingle tokenizer
+    // splits on single spaces without filtering empties (the oracle's
+    // string_split twin), so a double-spaced variant would grow a
+    // degenerate 3-token shingle and route to the Jaccard leg instead
+    val d1 = step(Seq(
+      (101L, "Standing SHORT"),  // normalized exact dup of standing 5
+      (102L, "tiny doc"),        // first of its content → new, admitted
+      (103L, "tiny doc"),        // in-batch exact dup of 102
+      (104L, "another tiny"),    // new, admitted
+      (105L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+      flag = true)               // near-dup leg untouched by the flag
+    assert(d1 == Seq(
+      (101L, 1L, "dup_of_corpus", Some(5L), 0L),
+      (102L, 1L, "new", None, 1L),
+      (103L, 1L, "dup_in_batch", Some(102L), 0L),
+      (104L, 1L, "new", None, 1L),
+      (105L, 1L, "dup_of_corpus", Some(1L), 0L)), s"got $d1")
+    // the exact admits grew ONLY the side table — never the Jaccard
+    // store (shingle-less docs have no signature to band)
+    assert(spark.read.parquet(s"$store/payload").count() == rows0)
+    assert(spark.read.parquet(s"$store/exact/keys")
+      .select("fp").as[String].collect().toSet.size == 3,
+      "side table must hold standing + the two admitted fingerprints")
+    // the seam is closed: an identical short doc in a LATER batch now
+    // classifies dup_of_corpus against the admitted keeper…
+    val d2 = step(Seq((201L, "tiny doc")), flag = true)
+    assert(d2 == Seq((201L, 1L, "dup_of_corpus", Some(102L), 0L)),
+      s"got $d2")
+    // …while the flag-off path keeps the pinned new-forever contract
+    val d3 = step(Seq((301L, "tiny doc")), flag = false)
+    assert(d3 == Seq((301L, 1L, "new", None, 1L)), s"got $d3")
+    // replay convergence (the CurationStream contract): re-running a
+    // batch whose fingerprints are already stored converges — verdicts
+    // and keepers identical, only the dup SUBTYPE may shift (103's
+    // keeper 102 is now corpus-side), and the side table doesn't grow
+    val k0 = spark.read.parquet(s"$store/exact/keys").count()
+    val r1 = CurationJob.incrementalStep(spark, store,
+        Seq((102L, "tiny doc"), (103L, "tiny doc")).toDF("doc_id", "text"),
+        bench, rules = lax, idempotent = true, shortDocExact = true)
+      .select("doc_id", "status", "dup_of")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(r1 == Seq((102L, "new", None),
+      (103L, "dup_of_corpus", Some(102L))), s"got $r1")
+    assert(spark.read.parquet(s"$store/exact/keys").count() == k0,
+      "a replayed batch must not grow the side table")
+  }
+
   test("idempotent store append repairs a payload-committed/banded-lost crash window") {
     import graft.operators.Dedup
     // the plain append commits payload/ and banded/ as two separate
