@@ -878,8 +878,9 @@ object Dedup {
     * [[nearDupIndex]] frame (already computed for the probe — the
     * q177 shared-frame shape) lands in both tables under the store's
     * recorded layout. */
-  def appendNearDupIndexStore(spark: SparkSession, path: String,
+  def appendNearDupIndexStore(spark: SparkSession, rawPath: String,
                               newRows: DataFrame): Unit = {
+    val path = resolveStoreDir(spark, rawPath)
     val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
     newRows.select(col("id"), col("sh"), col("hs"), col("sig"),
         pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
@@ -941,8 +942,9 @@ object Dedup {
     * way. Parquet's job-level commit makes each table's append atomic,
     * so per-table presence is all-or-nothing per doc.
     */
-  def appendNearDupIndexStoreIdempotent(spark: SparkSession, path: String,
+  def appendNearDupIndexStoreIdempotent(spark: SparkSession, rawPath: String,
                                         newRows: DataFrame): Unit = {
+    val path = resolveStoreDir(spark, rawPath)
     val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
     val rows = newRows.localCheckpoint()
     val idbs = rows
@@ -987,11 +989,12 @@ object Dedup {
     * contributes its own id-bucket), and non-matching cohabitant rows
     * generate no candidates when the delta core re-bands them.
     */
-  def deltaNearDupFromStore(spark: SparkSession, path: String,
+  def deltaNearDupFromStore(spark: SparkSession, rawPath: String,
                             incomingIds: DataFrame,
                             incomingIndex: DataFrame, idCol: String,
                             threshold: Double, hotBucketDrop: Int = 0,
                             hotBucketCap: Int = HotBucketCap): DataFrame = {
+    val path = resolveStoreDir(spark, rawPath)
     val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
     val incB = incomingIndex.select(col("id").as("id_i"),
         posexplode(sigBandKeys(col("sig"), bands)))
@@ -1031,9 +1034,10 @@ object Dedup {
     * dropped docs keep paying probe-side verify work forever. Plain
     * equi-join (keep lists are corpus-sized); blue/green to `outPath`.
     */
-  def compactNearDupIndexStore(spark: SparkSession, path: String,
+  def compactNearDupIndexStore(spark: SparkSession, rawPath: String,
                                outPath: String,
                                keepIds: DataFrame): Unit = {
+    val path = resolveStoreDir(spark, rawPath)
     val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
     writeNearDupIndexStore(
       spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig")
@@ -1051,12 +1055,197 @@ object Dedup {
     * (blue/green swap — the old store stays probe-able until the
     * caller retires it).
     */
-  def rebandIndexStore(spark: SparkSession, path: String, outPath: String,
+  def rebandIndexStore(spark: SparkSession, rawPath: String, outPath: String,
                        newBands: Int, newBandBuckets: Int,
-                       newIdBuckets: Int): Unit =
+                       newIdBuckets: Int): Unit = {
+    val path = resolveStoreDir(spark, rawPath)
     writeNearDupIndexStore(
       spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig"),
       outPath, newBands, newBandBuckets, newIdBuckets)
+  }
+
+  // ---------------------------------------------- managed (versioned) store
+
+  /** ONLINE store maintenance (VERDICT r19 #2): a MANAGED store root
+    * holds immutable store VERSIONS plus one atomic pointer —
+    *
+    *   - `$root/CURRENT` — a one-line file naming the active version
+    *     (`v00001`, …), committed by atomic rename (write `CURRENT.tmp`,
+    *     `FileContext.rename(OVERWRITE)` — atomic on HDFS and POSIX);
+    *   - `$root/versions/vNNNNN/` — a full [[writeNearDupIndexStore]]
+    *     layout (plus the `exact/` side table when present).
+    *
+    * Every store entry point resolves the pointer per call
+    * ([[resolveStoreDir]] — an unmanaged path resolves to itself, so
+    * the plain-path API is unchanged), which makes compaction/rebanding
+    * safe under a live [[graft.streaming.CurationStream]]: maintenance
+    * builds the GREEN version from the current one OUTSIDE any lock
+    * (the blue version keeps serving probes and appends), then under
+    * the per-root store lock appends the rows that landed in blue
+    * during the build (a bounded id-keyed catch-up) and swaps the
+    * pointer — the next micro-batch resolves green. Old versions stay
+    * on disk until the caller retires them (a lazy reader may still
+    * hold blue frames).
+    *
+    * LOCK SCOPE: [[withStoreLock]] is JVM-wide, striped per root —
+    * sound for the deployment shape where both the `foreachBatch` step
+    * and maintenance run on one driver. Cross-driver maintenance needs
+    * external coordination (the pointer swap itself is atomic either
+    * way; the lock only closes the append-vs-catch-up race).
+    */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize store appends against a concurrent pointer swap: the
+    * incremental step holds this for its probe+append, maintenance for
+    * its catch-up+swap. No-op cost for unmanaged stores. */
+  def withStoreLock[T](root: String)(f: => T): T =
+    storeLocks.computeIfAbsent(root, _ => new Object).synchronized(f)
+
+  private def hadoopFs(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp, hp.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  /** The active store directory of `path`: `$path/versions/<CURRENT>`
+    * for a managed root, `path` itself otherwise. */
+  def resolveStoreDir(spark: SparkSession, path: String): String =
+    readStorePointer(spark, path) match {
+      case Some(v) => s"$path/versions/$v"
+      case None => path
+    }
+
+  private def readStorePointer(spark: SparkSession,
+                               root: String): Option[String] = {
+    val (cur, fs) = hadoopFs(spark, s"$root/CURRENT")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def commitStorePointer(spark: SparkSession, root: String,
+                                 version: String): Unit = {
+    val (tmp, fs) = hadoopFs(spark, s"$root/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def nextVersion(current: String): String = {
+    require(current.matches("v\\d{5}"),
+      s"unrecognized store version '$current'")
+    f"v${current.drop(1).toInt + 1}%05d"
+  }
+
+  /** Create a managed store root: version `v00001` plus the pointer. */
+  def initManagedNearDupIndexStore(spark: SparkSession, root: String,
+                                   index: DataFrame, bands: Int = 32,
+                                   bandBuckets: Int = 256,
+                                   idBuckets: Int = 256): Unit = {
+    require(readStorePointer(spark, root).isEmpty,
+      s"managed store already exists at $root")
+    writeNearDupIndexStore(index, s"$root/versions/v00001", bands,
+      bandBuckets, idBuckets)
+    commitStorePointer(spark, root, "v00001")
+  }
+
+  /** RETENTION maintenance of a managed store, safe under a live
+    * ingest stream: build green from the current version's payload
+    * restricted to `keepIds` (and the `exact/` side table likewise),
+    * then under the store lock append the rows that arrived in blue
+    * during the build — blue-payload ids absent from green MINUS the
+    * ids the retention cut deliberately dropped (a snapshot of blue's
+    * id set taken before the build makes the two distinguishable;
+    * id-sized frames throughout) — and atomically swap the pointer.
+    * Returns the retired version's directory (the caller deletes it
+    * once no reader can still hold it).
+    */
+  def compactManagedStore(spark: SparkSession, root: String,
+                          keepIds: DataFrame): String =
+    maintainManagedStore(spark, root, keep = Some(keepIds),
+      reband = None)
+
+  /** Width/bucket maintenance of a managed store, same protocol as
+    * [[compactManagedStore]] (no retention cut — catch-up is a plain
+    * blue-minus-green append). */
+  def rebandManagedStore(spark: SparkSession, root: String, newBands: Int,
+                         newBandBuckets: Int, newIdBuckets: Int): String =
+    maintainManagedStore(spark, root, keep = None,
+      reband = Some((newBands, newBandBuckets, newIdBuckets)))
+
+  /** `afterBuild` is a TEST SEAM: invoked between the green build and
+    * the locked catch-up+swap, where a live stream's append would race
+    * — lets the catch-up leg be exercised deterministically instead of
+    * hoping a concurrent thread lands in the window. */
+  private[graft] def maintainManagedStore(spark: SparkSession, root: String,
+                                          keep: Option[DataFrame],
+                                          reband: Option[(Int, Int, Int)],
+                                          afterBuild: () => Unit =
+                                            () => ()): String = {
+    val curV = readStorePointer(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a managed store"))
+    val blue = s"$root/versions/$curV"
+    val newV = nextVersion(curV)
+    val green = s"$root/versions/$newV"
+    val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, blue)
+    val (gBands, gBB, gIB) = reband.getOrElse((bands, bandBuckets, idBuckets))
+    val keeps = keep.map(_.select(col(keep.get.columns.head).as("id"))
+      .distinct().localCheckpoint())
+    // snapshot blue's id universe BEFORE the build: blue ∖ green later
+    // mixes deliberately-dropped ids with build-concurrent arrivals,
+    // and only the snapshot separates them
+    val snapshot = spark.read.parquet(s"$blue/payload").select("id")
+      .localCheckpoint()
+    val basePayload = spark.read.parquet(s"$blue/payload")
+      .select("id", "sh", "hs", "sig")
+    val kept = keeps.fold(basePayload)(k => basePayload.join(k, "id"))
+    writeNearDupIndexStore(kept, green, gBands, gBB, gIB)
+    val hadExact = fpStoreExists(spark, blue)
+    if (hadExact) {
+      val fpBuckets = spark.read.parquet(s"$blue/exact/meta")
+        .collect().head.getAs[Int]("fp_buckets")
+      val baseKeys = spark.read.schema(FpKeysSchema)
+        .parquet(s"$blue/exact/keys").select("id", "fp")
+      writeFingerprintStore(spark, green,
+        keeps.fold(baseKeys)(k => baseKeys.join(k, "id")), fpBuckets)
+    }
+    val dropped = keeps.map(k => snapshot.join(k, Seq("id"), "left_anti")
+      .localCheckpoint())
+    afterBuild()
+    withStoreLock(root) {
+      val lateIds = spark.read.parquet(s"$blue/payload").select("id")
+        .join(spark.read.parquet(s"$green/payload").select("id"),
+          Seq("id"), "left_anti")
+      val catchUp = dropped.fold(lateIds)(d =>
+        lateIds.join(d, Seq("id"), "left_anti")).localCheckpoint()
+      if (catchUp.count() > 0)
+        appendNearDupIndexStore(spark, green,
+          spark.read.parquet(s"$blue/payload")
+            .select("id", "sh", "hs", "sig").join(catchUp, "id"))
+      if (hadExact) {
+        val lateKeys = spark.read.schema(FpKeysSchema)
+          .parquet(s"$blue/exact/keys").select("id", "fp")
+          .join(spark.read.schema(FpKeysSchema)
+            .parquet(s"$green/exact/keys").select("fp"),
+            Seq("fp"), "left_anti")
+        val fpCatchUp = dropped.fold(lateKeys)(d =>
+          lateKeys.join(d, Seq("id"), "left_anti")).localCheckpoint()
+        if (fpCatchUp.count() > 0)
+          appendFingerprintStore(spark, green, fpCatchUp)
+      }
+      commitStorePointer(spark, root, newV)
+    }
+    keeps.foreach(_.unpersist()); snapshot.unpersist()
+    dropped.foreach(_.unpersist())
+    blue
+  }
 
   // ------------------------------------------------- fingerprint store
 
@@ -1089,8 +1278,9 @@ object Dedup {
     * already caught by the Jaccard store (identical texts have
     * J = 1.0), so fingerprinting them would double-classify.
     */
-  def writeFingerprintStore(spark: SparkSession, path: String,
+  def writeFingerprintStore(spark: SparkSession, rawPath: String,
                             rows: DataFrame, fpBuckets: Int = 64): Unit = {
+    val path = resolveStoreDir(spark, rawPath)
     require(fpBuckets >= 1, s"fpBuckets must be positive, got $fpBuckets")
     require(Seq("id", "fp").forall(rows.columns.contains),
       s"rows must be an (id, fp) frame; got ${rows.columns.mkString(", ")}")
@@ -1123,8 +1313,9 @@ object Dedup {
     * shift on replay (`dup_of_corpus` instead of `dup_in_batch`, same
     * keeper, same verdict downstream).
     */
-  def deltaDedupFromFingerprintStore(spark: SparkSession, path: String,
+  def deltaDedupFromFingerprintStore(spark: SparkSession, rawPath: String,
                                      incoming: DataFrame): DataFrame = {
+    val path = resolveStoreDir(spark, rawPath)
     require(Seq("id", "fp").forall(incoming.columns.contains),
       s"incoming must be an (id, fp) frame; got " +
         incoming.columns.mkString(", "))
@@ -1179,9 +1370,10 @@ object Dedup {
     * the single-table parquet job commit makes the plain append
     * all-or-nothing, so fp presence is conclusive.
     */
-  def appendFingerprintStore(spark: SparkSession, path: String,
+  def appendFingerprintStore(spark: SparkSession, rawPath: String,
                              newRows: DataFrame,
                              idempotent: Boolean = false): Unit = {
+    val path = resolveStoreDir(spark, rawPath)
     if (!fpStoreExists(spark, path)) {
       writeFingerprintStore(spark, path, newRows)
       return

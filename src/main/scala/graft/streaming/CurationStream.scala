@@ -35,10 +35,19 @@ import graft.pipelines.CurationJob
   * not the streaming engine — by design: state the engine cannot
   * bound, the store's bucket layout can). The benchmark frame is
   * static (eval suites don't stream). A pipeline bootstraps the store
-  * once via [[graft.operators.Dedup.writeNearDupIndexStore]] and runs
-  * the q187-graded compaction/reband maintenance offline — both safe
-  * against this stream only between micro-batches (stop, maintain,
-  * restart: the store path is re-read per batch).
+  * once via [[graft.operators.Dedup.writeNearDupIndexStore]] (or, for
+  * ONLINE maintenance, [[graft.operators.Dedup.initManagedNearDupIndexStore]])
+  * and runs the q187-graded compaction/reband maintenance either
+  * offline (plain store: stop, maintain, restart) or LIVE against a
+  * managed root (VERDICT r19 #2):
+  * [[graft.operators.Dedup.compactManagedStore]] /
+  * [[graft.operators.Dedup.rebandManagedStore]] build the green
+  * version while this stream keeps probing and appending blue, catch
+  * up the build-concurrent appends, and swap the atomic `CURRENT`
+  * pointer — the next micro-batch resolves green. Each micro-batch
+  * holds the per-root store lock for its probe+append so an append
+  * can never race the catch-up/swap window (same-JVM contract — the
+  * `foreachBatch` body and maintenance both run on the driver).
   */
 object CurationStream {
 
@@ -56,15 +65,17 @@ object CurationStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        CurationJob.incrementalStep(spark, storePath,
-            batch.select(col(idCol), col(textCol)), benchmark, rules,
-            idCol, textCol, threshold, n, idempotent = true,
-            shortDocExact = shortDocExact)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$outDir/decisions")
+        graft.operators.Dedup.withStoreLock(storePath) {
+          CurationJob.incrementalStep(spark, storePath,
+              batch.select(col(idCol), col(textCol)), benchmark, rules,
+              idCol, textCol, threshold, n, idempotent = true,
+              shortDocExact = shortDocExact)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$outDir/decisions")
+        }
         ()
       }
       .start()

@@ -895,4 +895,85 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/payload").count() == 2L,
       "a replayed append must be a no-op")
   }
+
+  test("managed store: LIVE compaction mid-stream — pointer swap, decisions stable, replay converges") {
+    implicit val ctx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    val keepDoc = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray"
+    val dropDoc = "red orange yellow green blue indigo violet crimson " +
+      "scarlet amber teal cyan magenta maroon olive navy coral ivory " +
+      "jade pearl ruby topaz onyx garnet"
+    val uniq = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree twentyfour"
+    val late = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince dieciseis diecisiete dieciocho " +
+      "diecinueve veinte veintiuno veintidos veintitres veinticuatro"
+    val bench = Seq((0L, "benchmark prose entirely disjoint from every " +
+      "stream document body here")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_managed_store").toString
+    Dedup.initManagedNearDupIndexStore(spark, root,
+      Dedup.nearDupIndex(Seq((1L, keepDoc), (2L, dropDoc))
+        .toDF("doc_id", "text"), "doc_id", "text", n = 3),
+      bands = 32, bandBuckets = 16, idBuckets = 16)
+    def resolvedPayloadIds: Set[Long] =
+      spark.read.parquet(s"${Dedup.resolveStoreDir(spark, root)}/payload")
+        .select("id").as[Long].collect().toSet
+    assert(Dedup.resolveStoreDir(spark, root).endsWith("versions/v00001"))
+    val out = Files.createTempDirectory("graft_managed_out").toString
+    val ckpt = Files.createTempDirectory("graft_managed_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.start(
+      in.toDF().toDF("doc_id", "text"), root, bench, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // micro-batch 0 probes and grows v00001 through the pointer
+      in.addData((101L, uniq), (102L, dropDoc))
+      q.processAllAvailable()
+      val d0 = spark.read.parquet(s"$out/decisions")
+        .filter($"batch_id" === 0L).select("doc_id", "status", "dup_of")
+        .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+      assert(d0.toSeq == Seq((101L, "new", None),
+        (102L, "dup_of_corpus", Some(2L))), s"got ${d0.toSeq}")
+      assert(resolvedPayloadIds == Set(1L, 101L, 2L))
+      // LIVE maintenance while the stream is running: retention-cut doc
+      // 2, keep the standing doc and the stream's own admit — and a
+      // build-concurrent arrival lands in BLUE inside the race window
+      // (the afterBuild seam): the catch-up must carry it into green
+      val retired = Dedup.maintainManagedStore(spark, root,
+        keep = Some(Seq(1L, 101L).toDF("id")), reband = None,
+        afterBuild = () => Dedup.appendNearDupIndexStore(spark, root,
+          Dedup.nearDupIndex(Seq((150L, late)).toDF("doc_id", "text"),
+            "doc_id", "text", n = 3)))
+      assert(retired.endsWith("versions/v00001"))
+      assert(Dedup.resolveStoreDir(spark, root).endsWith("versions/v00002"))
+      assert(resolvedPayloadIds == Set(1L, 101L, 150L),
+        "green must hold the keep set PLUS the build-concurrent arrival")
+      // micro-batch 1 resolves green: the admitted doc and the
+      // catch-up doc still match, the dropped doc is forgotten
+      in.addData((201L, uniq), (202L, dropDoc), (203L, late))
+      q.processAllAvailable()
+      val d1 = spark.read.parquet(s"$out/decisions")
+        .filter($"batch_id" === 1L).select("doc_id", "status", "dup_of")
+        .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+      assert(d1.toSeq == Seq((201L, "dup_of_corpus", Some(101L)),
+        (202L, "new", None),
+        (203L, "dup_of_corpus", Some(150L))), s"got ${d1.toSeq}")
+      assert(resolvedPayloadIds == Set(1L, 101L, 150L, 202L))
+    } finally q.stop()
+    // replay of the post-swap batch converges against the green store
+    val replay = graft.pipelines.CurationJob.incrementalStep(spark, root,
+        Seq((201L, uniq), (202L, dropDoc), (203L, late))
+          .toDF("doc_id", "text"), bench, idempotent = true)
+      .select("doc_id", "status", "dup_of")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(replay.toSeq == Seq((201L, "dup_of_corpus", Some(101L)),
+      (202L, "new", None),
+      (203L, "dup_of_corpus", Some(150L))), s"replay got ${replay.toSeq}")
+    assert(resolvedPayloadIds == Set(1L, 101L, 150L, 202L),
+      "a replayed append against the swapped store must be a no-op")
+  }
 }
