@@ -56,8 +56,21 @@ object Bench {
     // never contains a wall-time for a query that didn't execute but a
     // round-over-round diff still sees WHAT didn't execute.
     val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    // The auto/store family times through REAL store writes + bucketed
+    // reads, and its recorded round-over-round band was the widest in
+    // the suite (VERDICT r19 #5: q160 5.5→7.5 s and q176 2.0→2.7 s
+    // sweep drift on untouched code, while the builder's own min-of-5
+    // re-checks sat inside ±20%) — so these queries run min-of-5 like
+    // the curation job instead of the default min-of-3: write-path
+    // noise (page-cache state, dirty-page writeback, temp-dir
+    // population) needs more samples to find the floor.
+    val noisyFamily = Set("q160", "q176", "q183", "q184", "q185", "q186",
+      "q187", "q188", "q189", "q190", "q191")
     val results = selected.flatMap { q =>
-      val times = (1 to iters).flatMap { _ =>
+      val qIters =
+        if (noisyFamily(q.name.takeWhile(_ != '_'))) math.max(iters, 5)
+        else iters
+      val times = (1 to qIters).flatMap { _ =>
         // pin GC state at iteration boundaries: heap pressure accumulated
         // by earlier queries otherwise lands as pauses inside whichever
         // query runs next, and a pause spanning all iterations defeats
@@ -73,7 +86,7 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       if (times.isEmpty) {
-        System.err.println(s"[bench] ${q.name} omitted — all $iters iterations threw")
+        System.err.println(s"[bench] ${q.name} omitted — all $qIters iterations threw")
         broken += q.name
         None
       } else Some(q.name -> times.min)
