@@ -929,6 +929,20 @@ object Dedup {
     * pays instead is per-probe LIST calls, typically amortized by the
     * probe's bounded bucket set (≤ batch × bands distinct buckets per
     * probe, regardless of `maxBuckets`).
+    *
+    * ×1000 DECADE POINT (VERDICT r19 #6, PROBES_r20
+    * `store_decade_x1000`, 5M docs / 160M banded rows): the id clamp
+    * is validated at its first binding decade (unclamping 1024 →
+    * 2441 id buckets slows the probe 22%), the store beats the
+    * in-memory probe 5–7× (11.8 s rule / 8.6 s best vs 59.5 s), but
+    * the 32k-row band constant does NOT extrapolate — half the
+    * rule's buckets (65k rows/bucket) probes 1.37× faster, so the
+    * optimum rows-per-bucket GROWS with n (the listing tax is flat
+    * per directory while per-bucket read volume shrinks). Past ~10⁶
+    * docs raise `bandRowsPerBucket` toward ~64k on listing-heavy
+    * filesystems; the default stays 32k (the miss costs 1.37×, and
+    * write cost moves the other way — 277.7 s at 65k rows/bucket vs
+    * 95.2 s at 16k — so write-heavy pipelines sit nearer the rule).
     */
   def recommendedBucketCounts(indexRows: Long,
                               maxBuckets: Int = 8192,
