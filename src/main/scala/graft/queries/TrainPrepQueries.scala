@@ -483,7 +483,12 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
-  private val q189Sql =
+  /** q189's brute-force restatement, parameterized by an optional
+    * retention predicate over the standing set batch B probes (`c1` =
+    * corpus ∪ batch A's admits): q189/q190 pass the empty cut, q192
+    * passes the compaction cut its managed store applied mid-sequence.
+    */
+  private def q189SqlRetained(c1Cut: String) =
     s"""WITH bat AS (SELECT doc_id, text FROM documents
        |             WHERE doc_id >= $BenchCut
        |               AND doc_id % $DeltaMod >= ${DeltaMod - 2}),
@@ -559,10 +564,11 @@ object TrainPrepQueries {
        |        FROM ver v LEFT JOIN acm USING (doc_id)
        |        LEFT JOIN abm USING (doc_id)
        |        WHERE v.doc_id % $DeltaMod = ${DeltaMod - 2} AND v.keep = 1),
-       |c1 AS (SELECT * FROM c0
+       |c1 AS (SELECT * FROM (SELECT * FROM c0
        |       UNION ALL
        |       SELECT d.doc_id, d.s FROM d
-       |       JOIN adec ON d.doc_id = adec.doc_id AND adec.status = 'new'),
+       |       JOIN adec ON d.doc_id = adec.doc_id AND adec.status = 'new')
+       |       $c1Cut),
        |bcm AS (SELECT kb.doc_id AS doc_id, min(c1.doc_id) AS ck
        |        FROM kb JOIN c1 ON len(list_intersect(kb.s, c1.s))::DOUBLE
        |            / (len(kb.s) + len(c1.s) - len(list_intersect(kb.s, c1.s)))
@@ -592,6 +598,8 @@ object TrainPrepQueries {
        |LEFT JOIN (SELECT * FROM adec UNION ALL SELECT * FROM bdec) dec
        |USING (doc_id)
        |ORDER BY v.doc_id""".stripMargin
+
+  private val q189Sql = q189SqlRetained("")
 
   /** Q190 — CONTINUOUS INGEST graded end-to-end (VERDICT r19 #4):
     * [[graft.streaming.CurationStream]] replays q189's exact two-batch
@@ -840,6 +848,55 @@ object TrainPrepQueries {
        |           UNION ALL SELECT * FROM aex UNION ALL SELECT * FROM bex) dec
        |USING (doc_id)
        |ORDER BY v.doc_id""".stripMargin
+
+  /** Q192 — MANAGED store maintenance graded end-to-end: q189's
+    * two-batch sequence against a MANAGED root
+    * ([[graft.operators.Dedup.initManagedNearDupIndexStore]]) with
+    * BOTH maintenance operations run between the batches — a
+    * retention compaction
+    * ([[graft.operators.Dedup.compactManagedStore]]: keep only
+    * `doc_id % 7 ≠ 0`, which also cuts batch A admits on the 7-grid)
+    * and a bucket-count reband
+    * ([[graft.operators.Dedup.rebandManagedStore]]: 16/16 → 8/8 with
+    * bands HELD at 32, so the layout changes but the candidate set is
+    * identical by construction). Batch B therefore probes the THIRD
+    * immutable store version through the atomic `CURRENT` pointer,
+    * and the oracle is q189's brute-force restatement with the same
+    * retention cut applied to the standing set batch B sees
+    * ([[q189SqlRetained]]) — one hash checks the managed init, batch
+    * A's admit landing in v1, both green builds carrying it (minus
+    * the cut), pointer resolution inside every store entry point the
+    * step uses, and that the cut (and nothing else) moved batch B's
+    * answer. Complements StreamingSpec's LIVE leg (which grades the
+    * build-concurrent race this offline sequence cannot have).
+    */
+  private def q192(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") < BenchCut)
+    val nonBench = docs.filter(col("doc_id") >= BenchCut)
+    val root = QueryDefs.tempStoreDir("graft_q192_store")
+    Dedup.initManagedNearDupIndexStore(spark, root,
+      Dedup.nearDupIndex(
+        nonBench.filter(col("doc_id") % DeltaMod < DeltaMod - 2),
+        "doc_id", "text", n = 3),
+      bands = 32, bandBuckets = 16, idBuckets = 16)
+    def step(m: Int): DataFrame =
+      graft.pipelines.CurationJob.incrementalStep(spark, root,
+        nonBench.filter(col("doc_id") % DeltaMod === m)
+          .select("doc_id", "text"),
+        bench)
+    val decA = step(DeltaMod - 2)
+    Dedup.compactManagedStore(spark, root,
+      docs.filter(col("doc_id") % 7 =!= 0).select("doc_id"))
+    Dedup.rebandManagedStore(spark, root, newBands = 32,
+      newBandBuckets = 8, newIdBuckets = 8)
+    val decB = step(DeltaMod - 1)
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("doc_id")
+  }
+
+  private val q192Sql = q189SqlRetained("WHERE doc_id % 7 != 0")
 
   // ------------------------------------------------ unigram-LM tokenizer
 
@@ -3982,6 +4039,7 @@ object TrainPrepQueries {
     QueryDef("q189_incremental_step", q189, Some(q189Sql)),
     QueryDef("q190_curation_stream", q190, Some(q189Sql)),
     QueryDef("q191_short_doc_exact_step", q191, Some(q191Sql)),
+    QueryDef("q192_managed_maintenance_step", q192, Some(q192Sql)),
     QueryDef("q73_contamination_score", q73, Some(q73Sql)),
     QueryDef("q74_delta_dedup", q74, Some(q74Sql)),
     QueryDef("q75_shard_assign", q75, Some(q75Sql)),
