@@ -172,10 +172,15 @@ object CurationJob {
     * `new`s in the output. Shingle-BEARING docs never touch the exact
     * leg (identical long texts have J = 1.0 — the Jaccard store
     * already catches them), so the merge is a disjoint union. NOTE:
-    * the `exact/` table has its own lifecycle — the near-dup store's
-    * compact/reband helpers rebuild from `payload/` and do not carry
-    * it; compact it by rewriting ([[graft.operators.Dedup.writeFingerprintStore]]
-    * over the surviving keys) when retention applies.
+    * the `exact/` table has its own lifecycle under the PLAIN offline
+    * helpers — [[graft.operators.Dedup.compactNearDupIndexStore]] /
+    * `rebandNearDupIndexStore` rebuild from `payload/` and do not
+    * carry it; compact it by rewriting
+    * ([[graft.operators.Dedup.writeFingerprintStore]] over the
+    * surviving keys) when retention applies. The MANAGED maintenance
+    * path ([[graft.operators.Dedup.compactManagedStore]] /
+    * `rebandManagedStore`) carries it into the green version
+    * automatically, retention cut and catch-up included.
     */
   def incrementalStep(spark: SparkSession, storePath: String,
                       batch: DataFrame, benchmark: DataFrame,
