@@ -164,6 +164,63 @@ object Round20Probe {
       idx.unpersist(); microIds.unpersist(); microIdx.unpersist()
     }
 
+    // ------------------------------------------------------- semdecade
+    // The lexical `decade` section's SEMANTIC twin: the signature
+    // store ([[graft.operators.Similarity.writeSignatureStore]])
+    // measured at ×100 (200k vectors) and ×2500 (5M — the decade the
+    // lexical probe validated) under the SAME construction (sign-flip
+    // replicas, fixed 480-vector borderline batch), store vs the
+    // in-memory probe at the BUDGETED auto decision per scale. Sem
+    // banded rows are (128/w)·n, not 32n, so bucket counts follow the
+    // measured 32k-rows/bucket rule applied to the actual banded-row
+    // count; the decision is the deployment default (budgeted), so a
+    // scale where the recall-governed fanout exceeds the budget
+    // records its explicit degradation alongside its cost.
+    if (sections("semdecade")) {
+      import graft.operators.Similarity
+      val theta = 0.8
+      val batch = SignFlipRecall.borderlineBatch(spark, sfDir)
+      val bIds = batch.select(col("vec_id")).localCheckpoint()
+      bIds.count()
+      val bSig = Similarity.signatureFrame(batch, "vec_id", "embedding")
+        .localCheckpoint()
+      bSig.count()
+      def leg(k: Int): String = {
+        val emb = SignFlipRecall.corpus(spark, sfDir, k)
+        val n = emb.count()
+        val sigF = Similarity.signatureFrame(emb, "vec_id", "embedding")
+          .localCheckpoint()
+        sigF.count()
+        emb.unpersist()
+        val dec = Similarity.recommendedSemDeltaProbeBudgeted(sigF, theta)
+        val bands = 128 / dec.rowsPerBand
+        val bandedRows = n * bands
+        val bb = math.min(8192L, math.max(16L, bandedRows / 32768L)).toInt
+        val ib = math.min(1024L, math.max(16L, n / 2048L)).toInt
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_r20_semstore").toString
+        val t0 = System.nanoTime()
+        Similarity.writeSignatureStore(sigF, p, dec.rowsPerBand, bb, ib)
+        val wSec = (System.nanoTime() - t0) / 1e9
+        def sProbe(): Double = time(Similarity.deltaSemNearDupFromStore(
+          spark, p, bIds, bSig, "vec_id", theta, dec.flips))
+        sProbe() // cold listing warmup, same discipline as the lex legs
+        val sSec = sProbe()
+        val mSec = {
+          time(Similarity.deltaSemNearDupFromIndex(sigF, bIds, bSig,
+            "vec_id", theta, dec.rowsPerBand, dec.flips), n = 1)
+          time(Similarity.deltaSemNearDupFromIndex(sigF, bIds, bSig,
+            "vec_id", theta, dec.rowsPerBand, dec.flips))
+        }
+        rmTree(p)
+        sigF.unpersist()
+        f""""x$k":{"rows":$n,"w":${dec.rowsPerBand},"flips":${dec.flips},"degraded":${dec.degraded},"shortfall":${dec.recallShortfall}%.4f,"band_buckets":$bb,"id_buckets":$ib,"write_sec":$wSec%.1f,"store_probe_sec":$sSec%.3f,"mem_probe_sec":$mSec%.3f,"store_vs_mem":${sSec / mSec}%.2f}"""
+      }
+      val legs = Seq(100, 2500).map(leg).mkString(",")
+      println(s"""{"probe":"sem_store_decade","sf":"$sfDir",$legs}""")
+      bIds.unpersist(); bSig.unpersist()
+    }
+
     spark.stop()
   }
 }
