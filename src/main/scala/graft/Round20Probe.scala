@@ -216,7 +216,8 @@ object Round20Probe {
         sigF.unpersist()
         f""""x$k":{"rows":$n,"w":${dec.rowsPerBand},"flips":${dec.flips},"degraded":${dec.degraded},"shortfall":${dec.recallShortfall}%.4f,"band_buckets":$bb,"id_buckets":$ib,"write_sec":$wSec%.1f,"store_probe_sec":$sSec%.3f,"mem_probe_sec":$mSec%.3f,"store_vs_mem":${sSec / mSec}%.2f}"""
       }
-      val legs = Seq(100, 2500).map(leg).mkString(",")
+      val legs = sys.env.getOrElse("SPARK_GRAFT_R20_SEMK", "100,2500")
+        .split(",").map(_.trim.toInt).toSeq.map(leg).mkString(",")
       println(s"""{"probe":"sem_store_decade","sf":"$sfDir",$legs}""")
       bIds.unpersist(); bSig.unpersist()
     }

@@ -1294,18 +1294,20 @@ object Similarity {
     * the STORED signatures (the hyperplane model is data-independent,
     * so no embedding rescan is ever needed).
     *
-    * WHEN THE STORE WINS (PROBES_r20 `sem_store_decade`): unlike the
-    * lexical index store (which beats the in-memory probe 5–7× at 5M
-    * docs), the signature store is still 1.41× SLOWER than the
-    * checkpointed in-memory probe at 5M vectors — the payload row is
-    * narrow (no shingle arrays), so the streaming scan it competes
-    * with stays cheap, and 1-flip probing multiplies the probed
-    * bucket set ((w+1)·bands keys per vector) until pruning
-    * degenerates. The gap closes sublinearly (2.50× at 200k → 1.41×
-    * at 5M), extrapolating the crossover to ~10⁷·⁵ standing vectors.
-    * Below that, keep the signature frame checkpointed and use this
-    * store for durability/restart and cross-job handoff, not probe
-    * speed.
+    * WHEN THE STORE WINS (PROBES_r20 `sem_store_decade`, three
+    * scales): unlike the lexical index store (which beats the
+    * in-memory probe 5–7× at 5M docs), the signature store LOSES to
+    * the checkpointed in-memory probe at every measured scale — 2.50×
+    * at 200k, 2.55× at 1M (same width: the ratio is width-governed,
+    * not scale-governed), 1.41× at 5M (where the probe budget steps
+    * the width to 15 bits). The payload row is narrow (no shingle
+    * arrays), so the streaming scan it competes with stays cheap, and
+    * 1-flip probing multiplies the probed bucket set ((w+1)·bands
+    * keys per vector) until pruning degenerates into a full banded
+    * read plus per-bucket overhead. Keep the probing frame
+    * checkpointed in memory for speed (at least through 10⁷ vectors)
+    * and use this store for durability, restart, and cross-job
+    * handoff.
     */
   def writeSignatureStore(sigF: DataFrame, path: String, rowsPerBand: Int,
                           bandBuckets: Int = 256,
