@@ -1307,7 +1307,8 @@ object Similarity {
     * read plus per-bucket overhead. Keep the probing frame
     * checkpointed in memory for speed (at least through 10⁷ vectors)
     * and use this store for durability, restart, and cross-job
-    * handoff.
+    * handoff — [[readSignatureStore]] + [[storedRowsPerBand]] are
+    * that bridge.
     */
   def writeSignatureStore(sigF: DataFrame, path: String, rowsPerBand: Int,
                           bandBuckets: Int = 256,
@@ -1416,6 +1417,25 @@ object Similarity {
     val (rows, _, _) = readSemStoreMeta(spark, path)
     if (bandingRecall(threshold, rows, flips = 0) >= recallTarget) 0 else 1
   }
+
+  /** Read a persisted signature store back as its [[signatureFrame]]
+    * — the durability→speed bridge the decade measurement prescribes
+    * (PROBES_r20 `sem_store_decade`: the store never beats the
+    * checkpointed in-memory probe at any measured scale, so a
+    * restarting pipeline reads the store ONCE, `localCheckpoint()`s
+    * the result, and probes via [[deltaSemNearDupFromIndex]] at the
+    * store's recorded width — [[storedRowsPerBand]] exposes it).
+    * Column-pruned to the frame contract; `banded/` is never read
+    * (band keys re-derive from `sig` at any width).
+    */
+  def readSignatureStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n")
+
+  /** The recorded banding width of a persisted signature store — the
+    * width [[readSignatureStore]]-then-[[deltaSemNearDupFromIndex]]
+    * callers probe at to reproduce the store path's decisions. */
+  def storedRowsPerBand(spark: SparkSession, path: String): Int =
+    readSemStoreMeta(spark, path)._1
 
   /** RETENTION maintenance for a persisted signature store — the
     * semantic twin of

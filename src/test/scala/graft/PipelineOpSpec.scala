@@ -274,6 +274,16 @@ class PipelineOpSpec extends SparkSpec {
     val gotA = canon(Similarity.deltaSemNearDupFromStore(spark, path,
       batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4))
     assert(gotA.nonEmpty && gotA == wantA)
+    // read-back bridge: the store read ONCE as a frame + the recorded
+    // width reproduce the store path's decisions in memory (the
+    // durability-to-speed path the sem decade measurement prescribes)
+    assert(Similarity.storedRowsPerBand(spark, path) == 8)
+    val reRead = Similarity.readSignatureStore(spark, path)
+      .localCheckpoint()
+    val gotRb = canon(Similarity.deltaSemNearDupFromIndex(reRead,
+      batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4,
+      rowsPerBand = Similarity.storedRowsPerBand(spark, path)))
+    assert(gotRb == wantA)
     // append admitted, probe batch B against the grown store
     val admitted = Similarity.deltaSemNearDupFromIndex(idx0,
         batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4,
