@@ -1153,7 +1153,7 @@ object Dedup {
       case None => path
     }
 
-  private def readStorePointer(spark: SparkSession,
+  private[operators] def readStorePointer(spark: SparkSession,
                                root: String): Option[String] = {
     val (cur, fs) = hadoopFs(spark, s"$root/CURRENT")
     if (!fs.exists(cur)) None
@@ -1164,7 +1164,7 @@ object Dedup {
     }
   }
 
-  private def commitStorePointer(spark: SparkSession, root: String,
+  private[operators] def commitStorePointer(spark: SparkSession, root: String,
                                  version: String): Unit = {
     val (tmp, fs) = hadoopFs(spark, s"$root/CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -1176,7 +1176,7 @@ object Dedup {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def nextVersion(current: String): String = {
+  private[operators] def nextVersion(current: String): String = {
     require(current.matches("v\\d{5}"),
       s"unrecognized store version '$current'")
     f"v${current.drop(1).toInt + 1}%05d"

@@ -1337,8 +1337,9 @@ object Similarity {
   /** Append-only maintenance: admitted rows' [[signatureFrame]] rows
     * (already computed for the probe — the q180 shared-frame shape)
     * land in both tables under the store's recorded layout. */
-  def appendSignatureStore(spark: SparkSession, path: String,
+  def appendSignatureStore(spark: SparkSession, rawPath: String,
                            newRows: DataFrame): Unit = {
+    val path = Dedup.resolveStoreDir(spark, rawPath)
     val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
     newRows.select(col("id"), col("e_d"), col("sig"), col("n"),
         pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
@@ -1367,11 +1368,12 @@ object Similarity {
     * `(width, flips)` (the pruned payload is a superset of every
     * band-matching vector).
     */
-  def deltaSemNearDupFromStore(spark: SparkSession, path: String,
+  def deltaSemNearDupFromStore(spark: SparkSession, rawPath: String,
                                incomingIds: DataFrame,
                                incomingIndex: DataFrame, idCol: String,
                                threshold: Double,
                                flips: Int = 0): DataFrame = {
+    val path = Dedup.resolveStoreDir(spark, rawPath)
     val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
     val incK = (if (flips >= 1) packedBandProbeKeys(incomingIndex, rows)
                 else packedBandKeys(incomingIndex, rows))
@@ -1412,9 +1414,10 @@ object Similarity {
     * into [[deltaSemNearDupFromStore]]; graded queries pin their flips
     * explicitly because the probe rule is part of the oracle contract.
     */
-  def storeProbeFlips(spark: SparkSession, path: String, threshold: Double,
+  def storeProbeFlips(spark: SparkSession, rawPath: String, threshold: Double,
                       recallTarget: Double = 0.9): Int = {
-    val (rows, _, _) = readSemStoreMeta(spark, path)
+    val (rows, _, _) = readSemStoreMeta(spark,
+      Dedup.resolveStoreDir(spark, rawPath))
     if (bandingRecall(threshold, rows, flips = 0) >= recallTarget) 0 else 1
   }
 
@@ -1428,22 +1431,25 @@ object Similarity {
     * Column-pruned to the frame contract; `banded/` is never read
     * (band keys re-derive from `sig` at any width).
     */
-  def readSignatureStore(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n")
+  def readSignatureStore(spark: SparkSession, rawPath: String): DataFrame =
+    spark.read
+      .parquet(s"${Dedup.resolveStoreDir(spark, rawPath)}/payload")
+      .select("id", "e_d", "sig", "n")
 
   /** The recorded banding width of a persisted signature store — the
     * width [[readSignatureStore]]-then-[[deltaSemNearDupFromIndex]]
     * callers probe at to reproduce the store path's decisions. */
-  def storedRowsPerBand(spark: SparkSession, path: String): Int =
-    readSemStoreMeta(spark, path)._1
+  def storedRowsPerBand(spark: SparkSession, rawPath: String): Int =
+    readSemStoreMeta(spark, Dedup.resolveStoreDir(spark, rawPath))._1
 
   /** RETENTION maintenance for a persisted signature store — the
     * semantic twin of
     * [[graft.operators.Dedup.compactNearDupIndexStore]]: rewrite
     * keeping only the ids in `keepIds` (one id column); expired vectors
     * stop generating candidates entirely. Blue/green to `outPath`. */
-  def compactSignatureStore(spark: SparkSession, path: String,
+  def compactSignatureStore(spark: SparkSession, rawPath: String,
                             outPath: String, keepIds: DataFrame): Unit = {
+    val path = Dedup.resolveStoreDir(spark, rawPath)
     val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
     writeSignatureStore(
       spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n")
@@ -1462,9 +1468,8 @@ object Similarity {
     * when they diverge — the width-tracks-corpus-size rule as a closed
     * measure→decide→reband loop.
     */
-  def recommendedRowsPerBand(spark: SparkSession, path: String): Int = {
-    val sigF = spark.read.parquet(s"$path/payload")
-      .select("id", "e_d", "sig", "n")
+  def recommendedRowsPerBand(spark: SparkSession, rawPath: String): Int = {
+    val sigF = readSignatureStore(spark, rawPath)
     val rows = math.max(sigF.count(), 1L)
     biasAwareRowsPerBand(rows, planeAgreeProbsFromSig(sigF, rows))
   }
@@ -1474,12 +1479,96 @@ object Similarity {
     * width (bias-aware widening as the corpus grows — see
     * [[recommendedRowsPerBand]] for the decision half). Blue/green to
     * `outPath`. */
-  def rebandSignatureStore(spark: SparkSession, path: String,
+  def rebandSignatureStore(spark: SparkSession, rawPath: String,
                            outPath: String, newRowsPerBand: Int,
                            newBandBuckets: Int, newIdBuckets: Int): Unit =
     writeSignatureStore(
-      spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n"),
+      readSignatureStore(spark, rawPath),
       outPath, newRowsPerBand, newBandBuckets, newIdBuckets)
+
+  // ------------------------------------- managed (versioned) sem store
+
+  /** Managed-root support for the signature store — the semantic twin
+    * of [[graft.operators.Dedup.initManagedNearDupIndexStore]], same
+    * layout (`$root/versions/vNNNNN/` + an atomic `CURRENT` pointer)
+    * and same protocol: every sem-store entry point resolves the
+    * pointer per call ([[graft.operators.Dedup.resolveStoreDir]] —
+    * unmanaged paths resolve to themselves), so compaction/rebanding
+    * is safe under a live appender that holds
+    * [[graft.operators.Dedup.withStoreLock]] for its probe+append.
+    */
+  def initManagedSignatureStore(spark: SparkSession, root: String,
+                                sigF: DataFrame, rowsPerBand: Int,
+                                bandBuckets: Int = 256,
+                                idBuckets: Int = 256): Unit = {
+    require(Dedup.readStorePointer(spark, root).isEmpty,
+      s"managed store already exists at $root")
+    writeSignatureStore(sigF, s"$root/versions/v00001", rowsPerBand,
+      bandBuckets, idBuckets)
+    Dedup.commitStorePointer(spark, root, "v00001")
+  }
+
+  /** RETENTION maintenance of a managed signature store, safe under a
+    * live appender — [[graft.operators.Dedup.compactManagedStore]]'s
+    * protocol in the embedding regime: build green restricted to
+    * `keepIds` outside any lock (blue keeps serving), then under the
+    * per-root lock append the build-concurrent arrivals (blue ∖ green
+    * minus the ids the retention cut deliberately dropped — a
+    * pre-build snapshot of blue's id set separates them) and swap the
+    * pointer. Returns the retired version's directory. */
+  def compactManagedSignatureStore(spark: SparkSession, root: String,
+                                   keepIds: DataFrame): String =
+    maintainManagedSignatureStore(spark, root, Some(keepIds), None)
+
+  /** Width/bucket maintenance of a managed signature store, same
+    * protocol (no retention cut — catch-up is plain blue ∖ green). */
+  def rebandManagedSignatureStore(spark: SparkSession, root: String,
+                                  newRowsPerBand: Int,
+                                  newBandBuckets: Int,
+                                  newIdBuckets: Int): String =
+    maintainManagedSignatureStore(spark, root, None,
+      Some((newRowsPerBand, newBandBuckets, newIdBuckets)))
+
+  /** `afterBuild` is the same TEST SEAM as the lexical twin's: invoked
+    * between the green build and the locked catch-up+swap. */
+  private[graft] def maintainManagedSignatureStore(
+      spark: SparkSession, root: String, keep: Option[DataFrame],
+      reband: Option[(Int, Int, Int)],
+      afterBuild: () => Unit = () => ()): String = {
+    val curV = Dedup.readStorePointer(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a managed store"))
+    val blue = s"$root/versions/$curV"
+    val newV = Dedup.nextVersion(curV)
+    val green = s"$root/versions/$newV"
+    val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, blue)
+    val (gR, gBB, gIB) = reband.getOrElse((rows, bandBuckets, idBuckets))
+    val keeps = keep.map(k => k.select(col(k.columns.head).as("id"))
+      .distinct().localCheckpoint())
+    val snapshot = spark.read.parquet(s"$blue/payload").select("id")
+      .localCheckpoint()
+    val base = spark.read.parquet(s"$blue/payload")
+      .select("id", "e_d", "sig", "n")
+    writeSignatureStore(keeps.fold(base)(k => base.join(k, "id")),
+      green, gR, gBB, gIB)
+    val dropped = keeps.map(k => snapshot.join(k, Seq("id"), "left_anti")
+      .localCheckpoint())
+    afterBuild()
+    Dedup.withStoreLock(root) {
+      val lateIds = spark.read.parquet(s"$blue/payload").select("id")
+        .join(spark.read.parquet(s"$green/payload").select("id"),
+          Seq("id"), "left_anti")
+      val catchUp = dropped.fold(lateIds)(d =>
+        lateIds.join(d, Seq("id"), "left_anti")).localCheckpoint()
+      if (catchUp.count() > 0)
+        appendSignatureStore(spark, green,
+          spark.read.parquet(s"$blue/payload")
+            .select("id", "e_d", "sig", "n").join(catchUp, "id"))
+      Dedup.commitStorePointer(spark, root, newV)
+    }
+    keeps.foreach(_.unpersist()); snapshot.unpersist()
+    dropped.foreach(_.unpersist())
+    blue
+  }
 
   /** [[lshNearDupPairs]] from a pre-built [[signatureFrame]] — the
     * shared-frame entry point (`rowsPerBand` must be explicit here; the

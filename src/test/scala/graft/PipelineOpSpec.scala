@@ -319,6 +319,67 @@ class PipelineOpSpec extends SparkSpec {
     assert(gotCp == wantCp)
   }
 
+  test("managed signature store: pointer-resolved probes, live compact+reband") {
+    import java.nio.file.Files
+    import graft.operators.{Dedup, Similarity}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull)
+    val corpus = emb.filter($"vec_id" % 5 < 3)
+    val batchA = emb.filter($"vec_id" % 5 === 3)
+    val batchB = emb.filter($"vec_id" % 5 === 4)
+    val idx0 = Similarity.signatureFrame(corpus, "vec_id", "embedding")
+      .localCheckpoint()
+    val idxA = Similarity.signatureFrame(batchA, "vec_id", "embedding")
+      .localCheckpoint()
+    val idxB = Similarity.signatureFrame(batchB, "vec_id", "embedding")
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val root = Files.createTempDirectory("graft_semstore_mg").toString
+    Similarity.initManagedSignatureStore(spark, root, idx0,
+      rowsPerBand = 8, bandBuckets = 16, idBuckets = 16)
+    // every entry point resolves the pointer: probing the ROOT equals
+    // the in-memory probe over v00001's frame
+    assert(Dedup.resolveStoreDir(spark, root).endsWith("v00001"))
+    assert(Similarity.storedRowsPerBand(spark, root) == 8)
+    val wantA = canon(Similarity.deltaSemNearDupFromIndex(idx0,
+      batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4,
+      rowsPerBand = 8))
+    assert(canon(Similarity.deltaSemNearDupFromStore(spark, root,
+      batchA.select("vec_id"), idxA, "vec_id", threshold = 0.4)) == wantA)
+    // LIVE retention compaction: keep the even standing ids, and inject
+    // a concurrent append (batch A's rows, landing in BLUE through the
+    // still-unswapped pointer) into the build-vs-swap race window — the
+    // locked catch-up must carry it into green
+    val keep = idx0.select($"id").filter($"id" % 2 === 0).localCheckpoint()
+    Similarity.maintainManagedSignatureStore(spark, root,
+      Some(keep), None, afterBuild = () =>
+        Dedup.withStoreLock(root) {
+          Similarity.appendSignatureStore(spark, root, idxA)
+        })
+    assert(Dedup.resolveStoreDir(spark, root).endsWith("v00002"))
+    val idx1 = idx0.join(keep, "id").unionByName(idxA).localCheckpoint()
+    val wantB = canon(Similarity.deltaSemNearDupFromIndex(idx1,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4,
+      rowsPerBand = 8))
+    assert(canon(Similarity.deltaSemNearDupFromStore(spark, root,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4)) == wantB)
+    // managed reband: decisions re-derive at the new width, same content
+    Similarity.rebandManagedSignatureStore(spark, root,
+      newRowsPerBand = 4, newBandBuckets = 8, newIdBuckets = 8)
+    assert(Dedup.resolveStoreDir(spark, root).endsWith("v00003"))
+    assert(Similarity.storedRowsPerBand(spark, root) == 4)
+    val want4 = canon(Similarity.deltaSemNearDupFromIndex(idx1,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4,
+      rowsPerBand = 4))
+    assert(canon(Similarity.deltaSemNearDupFromStore(spark, root,
+      batchB.select("vec_id"), idxB, "vec_id", threshold = 0.4)) == want4)
+    // read-back bridge resolves the pointer too
+    assert(Similarity.readSignatureStore(spark, root).count() ==
+      idx1.count())
+  }
+
   test("recommendedRowsPerBand: the standing-store decider widens with growth") {
     import java.nio.file.Files
     import graft.operators.Similarity
