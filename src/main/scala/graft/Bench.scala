@@ -65,7 +65,7 @@ object Bench {
     // noise (page-cache state, dirty-page writeback, temp-dir
     // population) needs more samples to find the floor.
     val noisyFamily = Set("q160", "q176", "q183", "q184", "q185", "q186",
-      "q187", "q188", "q189", "q190", "q191", "q192")
+      "q187", "q188", "q189", "q190", "q191", "q192", "q193")
     val results = selected.flatMap { q =>
       val qIters =
         if (noisyFamily(q.name.takeWhile(_ != '_'))) math.max(iters, 5)

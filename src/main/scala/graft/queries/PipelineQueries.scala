@@ -1249,7 +1249,13 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  private lazy val q180Sql: String =
+  /** q180's brute-force restatement, parameterized by an optional extra
+    * predicate over the standing set batch B probes (corpus ∪ batch A's
+    * admits): q180 passes the empty cut, q193 the retention cut its
+    * managed store applied mid-sequence — the [[q189SqlRetained]]
+    * convention in the embedding regime.
+    */
+  private def q180SqlRetained(bCut: String): String =
     s"""WITH $lshBandsSql,
        |acm AS (SELECT a.vec_id AS doc_id, min(b.vec_id) AS ck
        |        FROM bands a JOIN bands b ON a.band = b.band
@@ -1282,6 +1288,7 @@ object PipelineQueries {
        |        WHERE a.vec_id % 5 = 4
        |          AND (b.vec_id % 5 < 3 OR b.vec_id IN
        |               (SELECT vec_id FROM adec WHERE status = 'new'))
+       |          $bCut
        |          AND ${cosSql("ea.e", "eb.e")} >= $LshPairThreshold
        |        GROUP BY 1),
        |bbm AS (SELECT y.vec_id AS doc_id, min(x.vec_id) AS bk
@@ -1305,6 +1312,75 @@ object PipelineQueries {
        |UNION ALL
        |SELECT vec_id, status, dup_of, 'b' AS batch FROM bdec
        |ORDER BY vec_id""".stripMargin
+
+  private lazy val q180Sql: String = q180SqlRetained("")
+
+  /** Q193 — MANAGED store maintenance graded end-to-end in the
+    * SEMANTIC regime (the twin of the lexical q192, closing the last
+    * test-only seam of the round-20 managed-root work): q180's
+    * admit-then-probe sequence driven through a managed signature root
+    * ([[graft.operators.Similarity.initManagedSignatureStore]]) with
+    * BOTH maintenance operations run between the batches — a retention
+    * compaction
+    * ([[graft.operators.Similarity.compactManagedSignatureStore]]:
+    * keep only `vec_id % 3 ≠ 0`, which also cuts batch A admits on the
+    * 3-grid) and a bucket-count reband
+    * ([[graft.operators.Similarity.rebandManagedSignatureStore]]:
+    * 16/16 → 8/8 with the width HELD at 8 rows/band, so the layout
+    * changes but the banded candidate set is identical by
+    * construction). Batch A probes v1 through the store path
+    * ([[graft.operators.Similarity.deltaSemNearDupFromStore]] resolves
+    * the `CURRENT` pointer) and its `new` signature rows append to v1;
+    * batch B then probes the THIRD immutable version via the
+    * durability→speed BRIDGE the decade measurement prescribes —
+    * [[graft.operators.Similarity.readSignatureStore]] +
+    * [[graft.operators.Similarity.storedRowsPerBand]] +
+    * an in-memory [[graft.operators.Similarity.deltaSemNearDupFromIndex]]
+    * probe at the recorded width — so one hash checks the managed
+    * init, the pointer-resolved store probe, the admit landing in v1,
+    * both green builds carrying it (minus the cut), the read-back
+    * frame reproducing store decisions at the recorded width, and that
+    * the cut (and nothing else) moved batch B's answer. The oracle is
+    * [[q180SqlRetained]] with the same cut on the standing set batch B
+    * sees.
+    */
+  private def q193(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 < 3)
+    val batchA = emb.filter(col("vec_id") % 5 === 3)
+    val batchB = emb.filter(col("vec_id") % 5 === 4)
+    val root = QueryDefs.tempStoreDir("graft_q193_store")
+    Similarity.initManagedSignatureStore(spark, root,
+      Similarity.signatureFrame(corpus, "vec_id", "embedding"),
+      rowsPerBand = 8, bandBuckets = 16, idBuckets = 16)
+    val idxA = Similarity.signatureFrame(batchA, "vec_id", "embedding")
+      .localCheckpoint()
+    val decA = Similarity.deltaSemNearDupFromStore(spark, root,
+        batchA.select("vec_id"), idxA, "vec_id",
+        threshold = LshPairThreshold)
+      .localCheckpoint()
+    Similarity.appendSignatureStore(spark, root,
+      idxA.join(decA.filter(col("status") === "new")
+        .select(col("vec_id").as("id")), "id"))
+    Similarity.compactManagedSignatureStore(spark, root,
+      emb.filter(col("vec_id") % 5 =!= 4)
+        .filter(col("vec_id") % 3 =!= 0).select("vec_id"))
+    Similarity.rebandManagedSignatureStore(spark, root, newRowsPerBand = 8,
+      newBandBuckets = 8, newIdBuckets = 8)
+    val frame = Similarity.readSignatureStore(spark, root).localCheckpoint()
+    val decB = Similarity.deltaSemNearDupFromIndex(frame,
+      batchB.select("vec_id"),
+      Similarity.signatureFrame(batchB, "vec_id", "embedding")
+        .localCheckpoint(),
+      "vec_id", threshold = LshPairThreshold,
+      rowsPerBand = Similarity.storedRowsPerBand(spark, root))
+    decA.withColumn("batch", lit("a"))
+      .unionByName(decB.withColumn("batch", lit("b")))
+      .orderBy("vec_id")
+  }
+
+  private lazy val q193Sql: String =
+    q180SqlRetained("AND b.vec_id % 3 <> 0")
 
   /** q156's wide-band multi-probe configuration: 12-bit bands (the
     * regime where single-probe recall sags near the threshold —
@@ -1620,6 +1696,7 @@ object PipelineQueries {
     QueryDef("q185_sem_store_probe", q185, Some(q173Sql)),
     QueryDef("q186_delta_sem_multiprobe", q186, Some(q186Sql)),
     QueryDef("q188_sem_compact_probe", q188, Some(q188Sql)),
+    QueryDef("q193_managed_sem_maintenance", q193, Some(q193Sql)),
     QueryDef("q33_ann_ivf_topk", q33, Some(q33Sql)),
     QueryDef("q29_sessionize", q29, Some(q29Sql)),
     QueryDef("q30_gap_stats", q30, Some(q30Sql)),
