@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *     BINDS: n/2048 = 2441). Also the in-memory probe for the
   *     crossover curve's fourth point.
   *
+  *   - `managed`: the managed-root pointer indirection priced — the
+  *     same ×100 store probed as a plain path, a fresh managed root,
+  *     and a three-version root, plus the pointer read
+  *     microbenchmarked directly.
+  *
   * `SPARK_GRAFT_R20` (csv of section names) restricts the run.
   * Run the decade section with `SPARK_DRIVER_MEM=64g` — the 5M-row
   * checkpointed index frame carries the shingle-set payload.
@@ -220,6 +225,73 @@ object Round20Probe {
         .split(",").map(_.trim.toInt).toSeq.map(leg).mkString(",")
       println(s"""{"probe":"sem_store_decade","sf":"$sfDir",$legs}""")
       bIds.unpersist(); bSig.unpersist()
+    }
+
+    // --------------------------------------------------------- managed
+    // The managed-root protocol's PRICE: every store entry point
+    // resolves the `CURRENT` pointer per call
+    // ([[graft.operators.Dedup.resolveStoreDir]] — one small-file read),
+    // so the indirection must be measured, not assumed free. Same store
+    // content three ways — a plain path, a fresh managed root (v1), and
+    // the same root after a no-op maintenance pair (all-keep compact +
+    // same-counts reband → v3, the q192/q193 shape) — each probed by
+    // the same fixed micro-batch. `managed_v1 − plain` is the pointer
+    // price on an end-to-end probe; `managed_v3` confirms version
+    // history adds nothing (probes read only the resolved version);
+    // `resolve_ms` is the pointer read microbenchmarked directly, since
+    // a per-call cost in the low ms drowns in probe-scale jitter.
+    if (sections("managed")) {
+      val k = sys.env.getOrElse("SPARK_GRAFT_R20_MK", "100").toInt
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      val rep = docs
+        .select(col("*"), explode(sequence(lit(0), lit(k - 1))).as("copy"))
+        .select((col("doc_id") * k + col("copy")).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => when(col("copy") === 0, t)
+              .otherwise(concat(t, lit("_"), col("copy"))))).as("text"))
+      val idx = graft.operators.Dedup.nearDupIndex(rep, "doc_id", "text",
+        n = 3).localCheckpoint()
+      val n = idx.count()
+      val microBatch = docs.filter(col("doc_id") % 1000 === 999)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+      val microIds = microBatch.select("doc_id").localCheckpoint()
+      val microIdx = graft.operators.Dedup.nearDupIndex(
+        microBatch, "doc_id", "text", n = 3).localCheckpoint()
+      microIds.count(); microIdx.count()
+      val (bb, ib) = graft.operators.Dedup.recommendedBucketCounts(n)
+      def probe(path: String): Double =
+        time(graft.operators.Dedup.deltaNearDupFromStore(
+          spark, path, microIds, microIdx, "doc_id", threshold = 0.6))
+      val plain = java.nio.file.Files
+        .createTempDirectory("graft_r20_plainroot").toString
+      graft.operators.Dedup.writeNearDupIndexStore(idx, plain, bands = 32,
+        bandBuckets = bb, idBuckets = ib)
+      probe(plain) // cold-listing warmup, same discipline as decade legs
+      val plainSec = probe(plain)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_r20_managedroot").toString
+      graft.operators.Dedup.initManagedNearDupIndexStore(spark, root, idx,
+        bands = 32, bandBuckets = bb, idBuckets = ib)
+      probe(root)
+      val v1Sec = probe(root)
+      graft.operators.Dedup.compactManagedStore(spark, root,
+        idx.select("id"))
+      graft.operators.Dedup.rebandManagedStore(spark, root, newBands = 32,
+        newBandBuckets = bb, newIdBuckets = ib)
+      probe(root)
+      val v3Sec = probe(root)
+      val resolveMs = {
+        (1 to 20).foreach(_ =>
+          graft.operators.Dedup.resolveStoreDir(spark, root)) // warm
+        val t0 = System.nanoTime()
+        (1 to 200).foreach(_ =>
+          graft.operators.Dedup.resolveStoreDir(spark, root))
+        (System.nanoTime() - t0) / 200e6
+      }
+      rmTree(plain); rmTree(root)
+      println(f"""{"probe":"managed_overhead","sf":"$sfDir","rows":$n,"band_buckets":$bb,"id_buckets":$ib,"plain_probe_sec":$plainSec%.3f,"managed_v1_probe_sec":$v1Sec%.3f,"managed_v3_probe_sec":$v3Sec%.3f,"resolve_ms":$resolveMs%.3f}""")
+      idx.unpersist(); microIds.unpersist(); microIdx.unpersist()
     }
 
     spark.stop()
