@@ -1275,11 +1275,14 @@ object Similarity {
         pmod(col("key"), lit(bandBuckets.toLong)).as("bkt"))
 
   private def readSemStoreMeta(spark: SparkSession,
-                               path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta").collect().head
-    (r.getAs[Int]("rows_per_band"), r.getAs[Int]("band_buckets"),
-      r.getAs[Int]("id_buckets"))
-  }
+                               path: String): (Int, Int, Int) =
+    // same job-elision memo as the lexical store's meta (guide §1.2 —
+    // a store directory's meta is write-once; mtime guards rewrites)
+    Dedup.cachedMeta(spark, s"$path/meta") {
+      val r = spark.read.parquet(s"$path/meta").collect().head
+      (r.getAs[Int]("rows_per_band"), r.getAs[Int]("band_buckets"),
+        r.getAs[Int]("id_buckets"))
+    }
 
   /** Persist a [[signatureFrame]] as a PROBE-PRUNABLE parquet store —
     * the semantic twin of
@@ -1325,11 +1328,22 @@ object Similarity {
     Seq((rowsPerBand, bandBuckets, idBuckets))
       .toDF("rows_per_band", "band_buckets", "id_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // one pass over the caller's signature plan (optimization round 21):
+    // banded/ derives from the just-written payload's (id, sig) columns
+    // — the lexical store's read-back shape; see
+    // [[graft.operators.Dedup.writeNearDupIndexStore]] — instead of
+    // recomputing the hyperplane-projection pass a second time
+    val obs = org.apache.spark.sql.Observation()
     sigF.select(col("id"), col("e_d"), col("sig"), col("n"),
         pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+      .observe(obs, count(lit(1)).as("n_rows"))
       .repartition(col("idb"))
       .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
-    semBandedRows(sigF, rowsPerBand, bandBuckets)
+    val stored =
+      if (obs.get("n_rows").asInstanceOf[Long] == 0L)
+        sigF.select(col("id"), col("sig")).limit(0)
+      else spark.read.parquet(s"$path/payload").select("id", "sig")
+    semBandedRows(stored, rowsPerBand, bandBuckets)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
   }
@@ -1341,13 +1355,16 @@ object Similarity {
                            newRows: DataFrame): Unit = {
     val path = Dedup.resolveStoreDir(spark, rawPath)
     val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
-    newRows.select(col("id"), col("e_d"), col("sig"), col("n"),
-        pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
-      .repartition(col("idb"))
-      .write.mode("append").partitionBy("idb").parquet(s"$path/payload")
-    semBandedRows(newRows, rows, bandBuckets)
-      .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$path/banded")
+    // the two table writes are independent jobs — run them concurrently
+    // (guide §2.6; the lexical append's inParallel convention)
+    Dedup.inParallel(
+      newRows.select(col("id"), col("e_d"), col("sig"), col("n"),
+          pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
+        .repartition(col("idb"))
+        .write.mode("append").partitionBy("idb").parquet(s"$path/payload"),
+      semBandedRows(newRows, rows, bandBuckets)
+        .repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(s"$path/banded"))
   }
 
   /** [[deltaSemNearDup]] against a PERSISTED [[writeSignatureStore]]
@@ -1550,8 +1567,9 @@ object Similarity {
       .select("id", "e_d", "sig", "n")
     writeSignatureStore(keeps.fold(base)(k => base.join(k, "id")),
       green, gR, gBB, gIB)
-    val dropped = keeps.map(k => snapshot.join(k, Seq("id"), "left_anti")
-      .localCheckpoint())
+    // lazy (the lexical twin's convention): both inputs are
+    // checkpointed id frames — no eager-checkpoint job needed
+    val dropped = keeps.map(k => snapshot.join(k, Seq("id"), "left_anti"))
     afterBuild()
     Dedup.withStoreLock(root) {
       val lateIds = spark.read.parquet(s"$blue/payload").select("id")
@@ -1566,7 +1584,6 @@ object Similarity {
       Dedup.commitStorePointer(spark, root, newV)
     }
     keeps.foreach(_.unpersist()); snapshot.unpersist()
-    dropped.foreach(_.unpersist())
     blue
   }
 

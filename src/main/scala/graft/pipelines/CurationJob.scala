@@ -195,8 +195,13 @@ object CurationJob {
     val idx = Dedup.nearDupIndex(kept, idCol, textCol, n).localCheckpoint()
     val decNear = Dedup.deltaNearDupFromStore(spark, storePath,
         kept.select(col(idCol)), idx, idCol, threshold)
-    val dec =
-      if (!shortDocExact) decNear.localCheckpoint()
+    // the exact-leg decisions (shortDocExact) are computed here but the
+    // fingerprint append is DEFERRED to run concurrently with the
+    // near-dup admit below (guide §2.6 — the two appends touch disjoint
+    // store tables and neither feeds the other; within-step decision
+    // frames are checkpointed before either append runs)
+    val exactLeg =
+      if (!shortDocExact) None
       else {
         val short = kept
           .join(idx.select(col("id").as(idCol)), Seq(idCol), "left_anti")
@@ -205,15 +210,16 @@ object CurationJob {
           .localCheckpoint()
         val exactDec = Dedup.deltaDedupFromFingerprintStore(spark,
           storePath, short).localCheckpoint()
-        Dedup.appendFingerprintStore(spark, storePath,
-          short.join(exactDec.filter(col("status") === "new")
-            .select("id"), "id"),
-          idempotent)
+        Some((short, exactDec))
+      }
+    val dec = exactLeg match {
+      case None => decNear.localCheckpoint()
+      case Some((short, exactDec)) =>
         decNear
           .join(short.select(col("id").as(idCol)), Seq(idCol), "left_anti")
           .unionByName(exactDec.withColumnRenamed("id", idCol))
           .localCheckpoint()
-      }
+    }
     // `idempotent` buys replay safety for foreachBatch sinks (the
     // [[graft.streaming.CurationStream]] path): a batch that crashed
     // after its append re-runs, re-probes a store already holding its
@@ -222,10 +228,17 @@ object CurationJob {
     // keep the plain append (fresh stores, no replay, one less read).
     val admit = idx.join(dec.filter(col("status") === "new")
       .select(col(idCol).as("id")), "id")
-    if (idempotent)
-      Dedup.appendNearDupIndexStoreIdempotent(spark, storePath, admit)
-    else
-      Dedup.appendNearDupIndexStore(spark, storePath, admit)
+    Dedup.inParallel(
+      if (idempotent)
+        Dedup.appendNearDupIndexStoreIdempotent(spark, storePath, admit)
+      else
+        Dedup.appendNearDupIndexStore(spark, storePath, admit),
+      exactLeg.foreach { case (short, exactDec) =>
+        Dedup.appendFingerprintStore(spark, storePath,
+          short.join(exactDec.filter(col("status") === "new")
+            .select("id"), "id"),
+          idempotent)
+      })
     pass.select(col(idCol), col("keep"), col("reasons"))
       .join(dec, Seq(idCol), "left")
       .select(col(idCol), col("keep"), col("reasons"), col("status"),
@@ -377,7 +390,7 @@ object CurationJob {
             Seq(col("shard"), col("pos"), col("bin"))): _*)
 
         try {
-          Map(
+          val tables: Seq[(String, DataFrame)] = Seq(
             "corpus_clean" -> corpusClean,
             // projected from the CACHED scored frame, not the raw
             // verdicts plan — Spark's cache matches whole canonicalized
@@ -386,8 +399,8 @@ object CurationJob {
             "quality_report" -> scored.select("doc_id", "keep", "reasons"),
             "dedup_decisions" -> keepList,
             "mixture_report" -> weights,
-            "train_shards" -> trainShards
-          ).map { case (name, df) =>
+            "train_shards" -> trainShards)
+          def writeOne(name: String, df: DataFrame): (String, Long) = {
             val obs = org.apache.spark.sql.Observation(s"graft_curation_$name")
             val w = df.observe(obs, count(lit(1)).as("n_rows"))
               .write.mode("overwrite")
@@ -399,6 +412,22 @@ object CurationJob {
             else w.parquet(s"$outDir/$name")
             name -> obs.get("n_rows").asInstanceOf[Long]
           }
+          // corpus_clean FIRST and alone: its plan computes (and fills)
+          // the scored / keepList / corpusClean caches every other
+          // table reads. The remaining four writes are then independent
+          // jobs over warm caches — submitted from driver threads so
+          // each job's tasks back-fill the slots the previous job's
+          // tail would leave idle (guide §2.6). Output tables and row
+          // counts are identical to the sequential loop.
+          val first = writeOne(tables.head._1, tables.head._2)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.global
+          val rest = tables.tail
+            .map { case (n, df) => Future(writeOne(n, df)) }
+            .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+          (first +: rest.map(_.get)).toMap
         } finally corpusClean.unpersist()
       } finally keepList.unpersist()
     } finally scored.unpersist()
