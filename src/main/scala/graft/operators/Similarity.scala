@@ -827,17 +827,20 @@ object Similarity {
     * keyspace.
     */
   private def packedBandProbeKeys(sigF: DataFrame, rows: Int): DataFrame = {
-    val bands = Bits / rows
-    sigF.select(col("id"), explode(flatten(
-      transform(sequence(lit(0), lit(bands - 1)), b => {
-        val exact = aggregate(sequence(lit(0), lit(rows - 1)),
-          b.cast("long") + lit(1L),
-          (a, r) => a * 2 + element_at(col("sig"), b * rows + r + 1))
-        concat(array(exact),
-          transform(sequence(lit(0), lit(rows - 1)), j =>
-            exact.bitwiseXOR(call_function("shiftleft", lit(1L),
-              (lit(rows - 1) - j).cast("int")))))
-      }))).as("key"))
+    // TWO projections (optimization round 21, guide §1.2 order-of-work):
+    // fold each band's exact key ONCE into a scalar column, then derive
+    // the w flip keys from the packed key by bit arithmetic. The
+    // previous single-expression form captured the `exact` fold inside
+    // the flip-transform lambda, and higher-order-function lambdas
+    // re-evaluate captured subtrees PER ELEMENT (the documented O(w²)
+    // interpreted-HOF gotcha) — w extra fold evaluations per band.
+    // Key values are bit-identical: flipping plane j of the packed
+    // block is XOR with `1L << (rows-1-j)` either way.
+    packedBandKeys(sigF, rows)
+      .select(col("id"), explode(concat(array(col("key")),
+        transform(sequence(lit(0), lit(rows - 1)), j =>
+          col("key").bitwiseXOR(call_function("shiftleft", lit(1L),
+            (lit(rows - 1) - j).cast("int")))))).as("key"))
   }
 
   /** INCREMENTAL plane-signature near-dup — [[graft.operators.Dedup.deltaNearDup]]'s
@@ -1616,13 +1619,19 @@ object Similarity {
     // a straggler, never an OOM). The LEXICAL family keeps
     // candidatePairs: shingle document frequency is uncontrolled there,
     // which is exactly what its hot-bucket salting exists for.
+    // left side key-spread — same rationale as the multi-probe path's
+    // candidate joins (the at-scale SMJ exchange; parallel emission)
     val left = banded.select(col("id").as("id_a"), col("key"))
+      .repartition(col("key"))
     val right = banded.select(col("id").as("id_b"), col("key"))
     val cand = left.join(right, Seq("key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val withNorm = sigF.select(col("id"), col("e_d"), col("n"))
-    cand
+    // id_a hash-spread before the verify joins — same rationale as the
+    // multi-probe path below (the at-scale join key; parallelizes the
+    // dot-product verify when the signature frame is narrow)
+    cand.repartition(col("id_a"))
       .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
         col("n").as("n_a")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("e_d").as("e_b"),
@@ -1706,22 +1715,41 @@ object Similarity {
     // one `<` filter; splitting the joins halves the probe rows AND
     // stops the exact part double-emitting (measured 14.8 s → see
     // BASELINE round-14 for the landed number on the q160 corpus).
+    // the probe side of each candidate join is hash-spread on the key
+    // (optimization round 21): a narrow signature frame otherwise feeds
+    // the whole join through 1-2 partitions and the (heavy-tailed)
+    // candidate emission runs near-serial; at scale a sort-merge join
+    // hash-partitions this side by exactly this key, so the exchange is
+    // the one the big plan already pays, not an extra one.
     val exactCand = index.select(col("id_b").as("id_a"), col("key"))
+      .repartition(col("key"))
       .join(index, "key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val cand =
       if (flips == 0) exactCand
       else {
-        val flipKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
-          filter(
-            transform(sequence(lit(0), lit(rows - 1)), j =>
-              when(element_at(col("sig"), b * rows + j + 1) === 0,
-                keyOf(b, zip_with(bandBits(b), sequence(lit(0), lit(rows - 1)),
-                  (x, i) => when(i === j, lit(1) - x).otherwise(x))))),
-            x => x.isNotNull))
-        val probes = sig.select(col("id").as("id_a"),
-          explode(flatten(flipKeys)).as("key"))
+        // zeros-only flip keys derived from the PACKED exact key in a
+        // second projection (optimization round 21): plane j of the
+        // block is bit `rows-1-j` of the key, so "flip a zero plane" is
+        // `key XOR (1L << (rows-1-j))` guarded on that bit being 0 —
+        // bit-identical to re-folding the flipped bit vector, but the
+        // per-element work is two integer ops on a scalar attribute
+        // instead of a captured w-element fold re-evaluated per probe
+        // (the interpreted-HOF O(w²) gotcha; measured dominating q160's
+        // candidate stage).
+        val keyed = sig.select(col("id").as("id_a"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            keyOf(b, bandBits(b)))).as("key"))
+        val flipped = filter(
+          transform(sequence(lit(0), lit(rows - 1)), j =>
+            when(call_function("shiftright", col("key"),
+                (lit(rows - 1) - j).cast("int")).bitwiseAND(lit(1L)) === 0,
+              col("key").bitwiseXOR(call_function("shiftleft", lit(1L),
+                (lit(rows - 1) - j).cast("int"))))),
+          x => x.isNotNull)
+        val probes = keyed.select(col("id_a"), explode(flipped).as("key"))
+          .repartition(col("key"))
         val probeCand = probes.join(index, "key")
           .filter(col("id_a") =!= col("id_b"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -1740,7 +1768,18 @@ object Similarity {
     // a pure function of the pair, so the late distinct collapses the
     // k copies to the identical single row.
     val withNorm = sigF.select(col("id"), col("e_d"), col("n"))
-    cand
+    // the raw candidate stream is hash-spread on id_a BEFORE the verify
+    // joins (optimization round 21, guide §2): when the signature frame
+    // is narrow (a checkpointed small-corpus frame coalesces to 1-2
+    // partitions and the withNorm joins broadcast), the whole
+    // candidate+dot-product pipeline otherwise fuses into ONE near-
+    // serial stage — measured 5.3 s in a 2-task stage on q160's corpus.
+    // At scale the id_a verify join shuffles the stream by exactly this
+    // key anyway (withNorm outgrows the broadcast threshold), so the
+    // exchange adds nothing the big plan wasn't already paying; the
+    // per-pair cosine is an in-row fold, so partitioning cannot move
+    // the output.
+    cand.repartition(col("id_a"))
       .join(withNorm.select(col("id").as("id_a"), col("e_d").as("e_a"),
         col("n").as("n_a")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("e_d").as("e_b"),
