@@ -308,10 +308,10 @@ object ExtendedQueries {
     * oldest-first left folds).
     */
   private def q108(spark: SparkSession, dir: String): DataFrame =
-    TimeSeries.ewmaSmooth(Tables.events(spark, dir),
+    QueryDefs.orderByOnce(TimeSeries.ewmaSmooth(Tables.events(spark, dir),
         keyCol = "user_id", tsCol = "ts", idCol = "event_id",
-        valueCol = "value", alpha = EwmaAlpha, window = EwmaWindow)
-      .orderBy("user_id", "event_id")
+        valueCol = "value", alpha = EwmaAlpha, window = EwmaWindow),
+      col("user_id"), col("event_id"))
 
   private val q108Sql =
     s"""WITH w AS (SELECT user_id, event_id, value,
@@ -347,11 +347,11 @@ object ExtendedQueries {
     * parameterization are all checked.
     */
   private def q125(spark: SparkSession, dir: String): DataFrame =
-    TimeSeries.cusum(Tables.events(spark, dir),
+    QueryDefs.orderByOnce(TimeSeries.cusum(Tables.events(spark, dir),
         keyCol = "event_type", tsCol = "ts", idCol = "event_id",
         valueCol = "value", window = CusumWindow,
-        slackSigmas = CusumSlack, alarmSigmas = CusumAlarm)
-      .orderBy("event_type", "event_id")
+        slackSigmas = CusumSlack, alarmSigmas = CusumAlarm),
+      col("event_type"), col("event_id"))
 
   private val q125Sql =
     s"""WITH med AS (SELECT event_type,

@@ -81,6 +81,22 @@ object QueryDefs {
     p.toString
   }
 
+  /** ORDER BY with an exchange-protected child (optimization round 21,
+    * guide §1.2 — don't compute things twice): a global sort range-
+    * partitions its child, and the range partitioner's SAMPLING job
+    * reads every row of the child first — so a SHUFFLE-FREE expensive
+    * child (the stream-safe rowwise-kernel queries: one narrow codegen
+    * pass, no exchange anywhere) is computed TWICE per sort, once to
+    * sample and once to sort (measured as two equal ~0.5-0.7 s
+    * single-task jobs on q85/q146). Inserting one hash exchange on the
+    * first sort key directly below the sort makes the sampling job read
+    * the exchange's shuffle files instead of re-running the kernel
+    * chain. Row-content-neutral: hash partitioning moves rows, never
+    * values, and the sort re-establishes the graded order.
+    */
+  def orderByOnce(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(keys.head).orderBy(keys: _*)
+
   /** Money column (clean 2-decimal doubles) → exact DECIMAL(12,2).
     * All downstream arithmetic stays in decimal so sums are exact and
     * engine-independent; only one final `round(_, 2)` happens per

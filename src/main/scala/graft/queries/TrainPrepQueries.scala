@@ -106,11 +106,10 @@ object TrainPrepQueries {
     */
   private def q80(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Curation.contaminationScoreRowwise(
+    QueryDefs.orderByOnce(Curation.contaminationScoreRowwise(
         docs.filter(col("doc_id") >= BenchCut),
         docs.filter(col("doc_id") < BenchCut),
-        "doc_id", "text", n = 5)
-      .orderBy("doc_id")
+        "doc_id", "text", n = 5), col("doc_id"))
   }
 
   // ---------------------------------------------------- incremental dedup
@@ -1615,9 +1614,9 @@ object TrainPrepQueries {
     * independent plans, one algorithm of record.
     */
   private def q83(spark: SparkSession, dir: String): DataFrame =
-    Curation.repetitionStatsRowwise(Tables.documents(spark, dir),
-        "doc_id", "text")
-      .orderBy("doc_id")
+    QueryDefs.orderByOnce(
+      Curation.repetitionStatsRowwise(Tables.documents(spark, dir),
+        "doc_id", "text"), col("doc_id"))
 
   /** q85's rule table — q71's thresholds; `contaminated` is appended by
     * the pass itself. */
@@ -1636,13 +1635,12 @@ object TrainPrepQueries {
     */
   private def q85(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Curation.curationPass(
+    QueryDefs.orderByOnce(Curation.curationPass(
         docs.filter(col("doc_id") >= BenchCut)
           .select("doc_id", "lang", "text"),
         docs.filter(col("doc_id") < BenchCut),
         "doc_id", "text", PassRules)
-      .drop("text")
-      .orderBy("doc_id")
+      .drop("text"), col("doc_id"))
   }
 
   /** The q85 stage chain as a reusable CTE prefix (through `s2`), shared
@@ -2340,9 +2338,10 @@ object TrainPrepQueries {
     * family.
     */
   private def q176(spark: SparkSession, dir: String): DataFrame =
-    Curation.bpeEncodeRowwise(Tables.documents(spark, dir), "doc_id",
-        "text", merges = BpeMerges)
-      .orderBy("doc_id", "word_pos", "sym_pos")
+    QueryDefs.orderByOnce(
+      Curation.bpeEncodeRowwise(Tables.documents(spark, dir), "doc_id",
+        "text", merges = BpeMerges),
+      col("doc_id"), col("word_pos"), col("sym_pos"))
 
   private lazy val q91Sql =
     s"""$bpeCteChain,
@@ -2536,9 +2535,9 @@ object TrainPrepQueries {
     * of q81's signal). Graded text-for-text.
     */
   private def q93(spark: SparkSession, dir: String): DataFrame =
-    Curation.exciseDuplicateSpans(Tables.documents(spark, dir),
-        "doc_id", "text", n = 5)
-      .orderBy("doc_id")
+    QueryDefs.orderByOnce(
+      Curation.exciseDuplicateSpans(Tables.documents(spark, dir),
+        "doc_id", "text", n = 5), col("doc_id"))
 
   // `WHERE text IS NOT NULL` pins the null-text contract (q73's rule):
   // a null-text doc has no token rows in Spark and must not be
@@ -2579,11 +2578,10 @@ object TrainPrepQueries {
     */
   private def q95(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Curation.exciseContaminatedSpans(
+    QueryDefs.orderByOnce(Curation.exciseContaminatedSpans(
         docs.filter(col("doc_id") >= BenchCut),
         docs.filter(col("doc_id") < BenchCut),
-        "doc_id", "text", n = 5)
-      .orderBy("doc_id")
+        "doc_id", "text", n = 5), col("doc_id"))
   }
 
   private val q95Sql =
@@ -2958,9 +2956,9 @@ object TrainPrepQueries {
     * string-for-string.
     */
   private def q107(spark: SparkSession, dir: String): DataFrame =
-    Curation.spanCorrupt(Tables.documents(spark, dir), "doc_id", "text",
-        ratePct = CorruptPct)
-      .orderBy("doc_id")
+    QueryDefs.orderByOnce(
+      Curation.spanCorrupt(Tables.documents(spark, dir), "doc_id", "text",
+        ratePct = CorruptPct), col("doc_id"))
 
   private val q107Sql =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -3338,11 +3336,12 @@ object TrainPrepQueries {
     * the normalization.
     */
   private def q146(spark: SparkSession, dir: String): DataFrame =
-    Similarity.hashEmbed(Tables.documents(spark, dir), "doc_id", "text")
-      .select(col("doc_id"),
-        posexplode(col("embedding")).as(Seq("pos", "val")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val"))
-      .orderBy("doc_id", "pos")
+    QueryDefs.orderByOnce(
+      Similarity.hashEmbed(Tables.documents(spark, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val")),
+      col("doc_id"), col("pos"))
 
   private val q146Sql =
     s"""WITH $hashEmbedCte
@@ -3358,12 +3357,13 @@ object TrainPrepQueries {
     * stream-runnable projection.
     */
   private def q151(spark: SparkSession, dir: String): DataFrame =
-    Similarity.hashEmbedRowwise(Tables.documents(spark, dir),
+    QueryDefs.orderByOnce(
+      Similarity.hashEmbedRowwise(Tables.documents(spark, dir),
         "doc_id", "text")
       .select(col("doc_id"),
         posexplode(col("embedding")).as(Seq("pos", "val")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val"))
-      .orderBy("doc_id", "pos")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val")),
+      col("doc_id"), col("pos"))
 
   /** q154 semantic-text pair threshold: hashed embeddings of
     * reordered/duplicated-word copies keep cosine near 1; unrelated
@@ -3791,9 +3791,10 @@ object TrainPrepQueries {
   private def q163(spark: SparkSession, dir: String): DataFrame = {
     val corpus = clfCorpus(spark, dir)
     val w = Curation.rocchioTrain(corpus, "embedding", col("y"))
-    Curation.logisticScore(corpus, "embedding", w)
-      .select(col("doc_id"), col("score"), col("keep"))
-      .orderBy("doc_id")
+    QueryDefs.orderByOnce(
+      Curation.logisticScore(corpus, "embedding", w)
+        .select(col("doc_id"), col("score"), col("keep")),
+      col("doc_id"))
   }
 
   private lazy val q163Sql =
@@ -3873,10 +3874,10 @@ object TrainPrepQueries {
   private def q165(spark: SparkSession, dir: String): DataFrame = {
     val corpus = clfCorpus(spark, dir)
     val w = Curation.rocchioTrain(corpus, "embedding", col("y"))
-    Curation.paretoGate(
+    QueryDefs.orderByOnce(Curation.paretoGate(
         Curation.logisticScore(corpus, "embedding", w), "doc_id", "score")
-      .select(col("doc_id"), col("score"), col("gate"), col("kept"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("score"), col("gate"), col("kept")),
+      col("doc_id"))
   }
 
   private lazy val q165Sql =
