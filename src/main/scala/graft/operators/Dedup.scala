@@ -695,7 +695,8 @@ object Dedup {
                             hotBucketDrop: Int = 0,
                             hotBucketCap: Int = HotBucketCap,
                             maxFetchBroadcastIds: Long =
-                              MaxFetchBroadcastIds): DataFrame = {
+                              MaxFetchBroadcastIds,
+                            knownCandCount: Option[Long] = None): DataFrame = {
     require(idCol != "status" && idCol != "dup_of",
       s"idCol '$idCol' collides with an output column")
     require(bands >= 1 && 64 % bands == 0,
@@ -773,14 +774,32 @@ object Dedup {
     val candPairs = broadcast(incB).join(corpusB, Seq("band", "bh"))
       .filter(col("id_i") =!= col("id_c"))
       .select("id_i", "id_c")
-    val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
+    val candIdsPlan = candPairs.select(col("id_c")).distinct()
     val fetched0 = index.select(col("id").as("id_c"), col("sh").as("sh_c"),
       col("hs").as("hs_c"))
-    val fetched =
-      if (candIds.count() <= maxFetchBroadcastIds)
-        fetched0.join(broadcast(candIds), "id_c")
-      else
-        fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"), "left_semi")
+    // `knownCandCount` (optimization round 21): the store probe's
+    // bucket-pruning job already counts the distinct candidate ids as a
+    // free aggregate of the collect it runs anyway, so the store path
+    // skips the materialize+count pair here (two fewer sequential jobs
+    // per probe) and the broadcast build evaluates the candidate-scale
+    // banding join lazily — the r17 shape, measured flat. A count taken
+    // before hot-bucket dropping can only over-estimate, which only
+    // flips the guard toward the degraded-but-safe shuffle semi.
+    val fetched = knownCandCount match {
+      case Some(n) =>
+        if (n <= maxFetchBroadcastIds)
+          fetched0.join(broadcast(candIdsPlan), "id_c")
+        else
+          fetched0.join(candIdsPlan.hint("shuffle_hash"), Seq("id_c"),
+            "left_semi")
+      case None =>
+        val candIds = candIdsPlan.localCheckpoint()
+        if (candIds.count() <= maxFetchBroadcastIds)
+          fetched0.join(broadcast(candIds), "id_c")
+        else
+          fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"),
+            "left_semi")
+    }
     val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("sh").as("sh_i"), col("hs").as("hs_i"))), "id_i")
@@ -1118,27 +1137,42 @@ object Dedup {
     val probeBkts = incB
       .select(pmod(col("bh"), lit(bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val prunedIndex =
+    val (prunedIndex, candCount) =
       if (probeBkts.isEmpty)
-        spark.read.parquet(s"$path/payload")
-          .select("id", "sh", "hs", "sig").limit(0)
+        (spark.read.parquet(s"$path/payload")
+          .select("id", "sh", "hs", "sig").limit(0), 0L)
       else {
         val corpusB = spark.read.parquet(s"$path/banded")
           .where(col("bkt").isin(probeBkts: _*))
           .select(col("id").as("id_c"), col("band"), col("bh"))
-        val candIdb = broadcast(incB).join(corpusB, Seq("band", "bh"))
-          .select(pmod(xxhash64(col("id_c")), lit(idBuckets.toLong)).as("idb"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
+        // one collect yields BOTH the candidate id-buckets (the
+        // partition filter) and the distinct candidate-id count (idb
+        // partitions the id space, so the per-bucket distinct counts
+        // sum to the global one) — the count feeds the probe core's
+        // fetch guard so it skips its own materialize+count jobs
+        // (optimization round 21). Self-pairs are excluded to match
+        // the guard's candidate set; the pruned payload stays a
+        // superset of every needed candidate either way.
+        val stats = broadcast(incB).join(corpusB, Seq("band", "bh"))
+          .filter(col("id_i") =!= col("id_c"))
+          .select(pmod(xxhash64(col("id_c")), lit(idBuckets.toLong)).as("idb"),
+            col("id_c"))
+          .groupBy(col("idb"))
+          .agg(count_distinct(col("id_c")).as("n"))
+          .collect() // ≤ idBuckets rows
+        val candIdb = stats.map(_.getLong(0)).toSeq
+        val n = stats.map(_.getLong(1)).sum
         if (candIdb.isEmpty)
-          spark.read.parquet(s"$path/payload")
-            .select("id", "sh", "hs", "sig").limit(0)
+          (spark.read.parquet(s"$path/payload")
+            .select("id", "sh", "hs", "sig").limit(0), 0L)
         else
-          spark.read.parquet(s"$path/payload")
+          (spark.read.parquet(s"$path/payload")
             .where(col("idb").isin(candIdb: _*))
-            .select("id", "sh", "hs", "sig")
+            .select("id", "sh", "hs", "sig"), n)
       }
     deltaNearDupFromIndex(prunedIndex, incomingIds, incomingIndex, idCol,
-      threshold, bands, hotBucketDrop, hotBucketCap)
+      threshold, bands, hotBucketDrop, hotBucketCap,
+      knownCandCount = Some(candCount))
   }
 
   /** RETENTION maintenance for a persisted store: rewrite it keeping

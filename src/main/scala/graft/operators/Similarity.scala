@@ -1163,7 +1163,9 @@ object Similarity {
                                rowsPerBand: Int, flips: Int = 0,
                                hotBucketDrop: Int = 0,
                                maxFetchBroadcastIds: Long =
-                                 Dedup.MaxFetchBroadcastIds): DataFrame = {
+                                 Dedup.MaxFetchBroadcastIds,
+                               knownCandCount: Option[Long] = None)
+      : DataFrame = {
     require(idCol != "status" && idCol != "dup_of",
       s"idCol '$idCol' collides with an output column")
     require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
@@ -1233,14 +1235,27 @@ object Similarity {
     val candPairs = broadcast(incB).join(corB, Seq("key"))
       .filter(col("id_i") =!= col("id_c"))
       .select("id_i", "id_c")
-    val candIds = candPairs.select(col("id_c")).distinct().localCheckpoint()
+    val candIdsPlan = candPairs.select(col("id_c")).distinct()
     val fetched0 = index.select(col("id").as("id_c"), col("e_d").as("e_c"),
       col("n").as("n_c"))
-    val fetched =
-      if (candIds.count() <= maxFetchBroadcastIds)
-        fetched0.join(broadcast(candIds), "id_c")
-      else
-        fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"), "left_semi")
+    // `knownCandCount`: the store probe's pruning collect already
+    // counted the distinct candidates — skip the materialize+count
+    // pair here (the lexical twin's convention, optimization round 21)
+    val fetched = knownCandCount match {
+      case Some(n) =>
+        if (n <= maxFetchBroadcastIds)
+          fetched0.join(broadcast(candIdsPlan), "id_c")
+        else
+          fetched0.join(candIdsPlan.hint("shuffle_hash"), Seq("id_c"),
+            "left_semi")
+      case None =>
+        val candIds = candIdsPlan.localCheckpoint()
+        if (candIds.count() <= maxFetchBroadcastIds)
+          fetched0.join(broadcast(candIds), "id_c")
+        else
+          fetched0.join(candIds.hint("shuffle_hash"), Seq("id_c"),
+            "left_semi")
+    }
     val corpusMatch = candPairs
       .join(broadcast(incIdx.select(col("id").as("id_i"),
         col("e_d").as("e_i"), col("n").as("n_i"))), "id_i")
@@ -1401,28 +1416,36 @@ object Similarity {
     val probeBkts = incK
       .select(pmod(col("key"), lit(bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val prunedIndex =
+    val (prunedIndex, candCount) =
       if (probeBkts.isEmpty)
-        spark.read.parquet(s"$path/payload")
-          .select("id", "e_d", "sig", "n").limit(0)
+        (spark.read.parquet(s"$path/payload")
+          .select("id", "e_d", "sig", "n").limit(0), 0L)
       else {
         val corpusK = spark.read.parquet(s"$path/banded")
           .where(col("bkt").isin(probeBkts: _*))
           .select(col("id").as("id_c"), col("key"))
-        val candIdb = broadcast(incK).join(corpusK, Seq("key"))
+        // buckets + distinct candidate count in ONE collect (the
+        // lexical store probe's convention — idb partitions the id
+        // space, so per-bucket distinct counts sum to the global one)
+        val stats = broadcast(incK).join(corpusK, Seq("key"))
+          .filter(col("id_i") =!= col("id_c"))
           .select(pmod(xxhash64(col("id_c")), lit(idBuckets.toLong))
-            .as("idb"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
+            .as("idb"), col("id_c"))
+          .groupBy(col("idb"))
+          .agg(count_distinct(col("id_c")).as("n"))
+          .collect() // ≤ idBuckets rows
+        val candIdb = stats.map(_.getLong(0)).toSeq
+        val n = stats.map(_.getLong(1)).sum
         if (candIdb.isEmpty)
-          spark.read.parquet(s"$path/payload")
-            .select("id", "e_d", "sig", "n").limit(0)
+          (spark.read.parquet(s"$path/payload")
+            .select("id", "e_d", "sig", "n").limit(0), 0L)
         else
-          spark.read.parquet(s"$path/payload")
+          (spark.read.parquet(s"$path/payload")
             .where(col("idb").isin(candIdb: _*))
-            .select("id", "e_d", "sig", "n")
+            .select("id", "e_d", "sig", "n"), n)
       }
     deltaSemNearDupFromIndex(prunedIndex, incomingIds, incomingIndex,
-      idCol, threshold, rows, flips)
+      idCol, threshold, rows, flips, knownCandCount = Some(candCount))
   }
 
   /** The recall-governed flip decision for probing a persisted store
