@@ -871,12 +871,54 @@ object Dedup {
     })._2.asInstanceOf[T]
   }
 
+  /** Store meta is a handful of layout ints written exactly once per
+    * store directory — writing it as a one-row parquet TABLE cost a
+    * full Spark job (plan + schedule + task + commit ≈ 100–200 ms) per
+    * store create and another per cold read, and the maintenance-
+    * sequence queries create 3+ store versions per run (optimization
+    * round 21, guide §1.2 — fewer driver-sync jobs). New stores write
+    * `meta` as a PLAIN KEY=VALUE FILE via the filesystem client (zero
+    * Spark jobs either side); readers fall back to the legacy parquet
+    * directory layout so pre-existing stores stay readable. The
+    * [[cachedMeta]] mtime guard works unchanged (a file's mtime moves
+    * on rewrite exactly like a directory's).
+    */
+  private[operators] def writeMetaFile(spark: SparkSession, metaPath: String,
+                                       kv: (String, Int)*): Unit = {
+    val (p, fs) = hadoopFs(spark, metaPath)
+    val out = fs.create(p, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[operators] def readMetaFile(spark: SparkSession,
+                                      metaPath: String): Option[Map[String, Int]] = {
+    val (p, fs) = hadoopFs(spark, metaPath)
+    val isFile =
+      try fs.getFileStatus(p).isFile
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!isFile) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v.trim.toInt
+        }.toMap)
+      finally in.close()
+    }
+  }
+
   private def readStoreMeta(spark: SparkSession,
                             path: String): (Int, Int, Int) =
     cachedMeta(spark, s"$path/meta") {
-      val r = spark.read.parquet(s"$path/meta").collect().head
-      (r.getAs[Int]("bands"), r.getAs[Int]("band_buckets"),
-        r.getAs[Int]("id_buckets"))
+      readMetaFile(spark, s"$path/meta") match {
+        case Some(m) => (m("bands"), m("band_buckets"), m("id_buckets"))
+        case None =>
+          val r = spark.read.parquet(s"$path/meta").collect().head
+          (r.getAs[Int]("bands"), r.getAs[Int]("band_buckets"),
+            r.getAs[Int]("id_buckets"))
+      }
     }
 
   /** Persist a [[nearDupIndex]] frame as a PROBE-PRUNABLE parquet
@@ -911,10 +953,9 @@ object Dedup {
       s"index must be a nearDupIndex frame (id, sh, hs, sig); got " +
         index.columns.mkString(", "))
     val spark = index.sparkSession
-    import spark.implicits._
-    Seq((bands, bandBuckets, idBuckets))
-      .toDF("bands", "band_buckets", "id_buckets")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // driver-side key=value file — no Spark job (see [[writeMetaFile]])
+    writeMetaFile(spark, s"$path/meta", "bands" -> bands,
+      "band_buckets" -> bandBuckets, "id_buckets" -> idBuckets)
     // ONE pass over the caller's index plan (optimization round 21,
     // guide §1.2/§2.3): the payload write counts its rows via observe();
     // banded/ then derives from the just-written payload's (id, sig)
@@ -1350,9 +1391,12 @@ object Dedup {
       .distinct().localCheckpoint())
     // snapshot blue's id universe BEFORE the build: blue ∖ green later
     // mixes deliberately-dropped ids with build-concurrent arrivals,
-    // and only the snapshot separates them
-    val snapshot = spark.read.parquet(s"$blue/payload").select("id")
-      .localCheckpoint()
+    // and only the snapshot separates them. ONLY the retention path
+    // needs it (optimization round 21, guide §1.2): a pure reband drops
+    // nothing, so blue ∖ green IS the catch-up set and the snapshot
+    // job (a full blue-payload id scan + checkpoint) was pure waste.
+    val snapshot = keep.map(_ =>
+      spark.read.parquet(s"$blue/payload").select("id").localCheckpoint())
     val basePayload = spark.read.parquet(s"$blue/payload")
       .select("id", "sh", "hs", "sig")
     val kept = keeps.fold(basePayload)(k => basePayload.join(k, "id"))
@@ -1371,32 +1415,39 @@ object Dedup {
     // lazy by design: both inputs are checkpointed id frames, so the
     // anti-join re-derives cheaply inside each catch-up plan — the
     // eager checkpoint here was one more sequential job for no reuse win
-    val dropped = keeps.map(k => snapshot.join(k, Seq("id"), "left_anti"))
+    val dropped = keeps.map(k =>
+      snapshot.get.join(k, Seq("id"), "left_anti"))
     afterBuild()
     withStoreLock(root) {
-      val lateIds = spark.read.parquet(s"$blue/payload").select("id")
-        .join(spark.read.parquet(s"$green/payload").select("id"),
-          Seq("id"), "left_anti")
-      val catchUp = dropped.fold(lateIds)(d =>
-        lateIds.join(d, Seq("id"), "left_anti")).localCheckpoint()
-      if (catchUp.count() > 0)
-        appendNearDupIndexStore(spark, green,
-          spark.read.parquet(s"$blue/payload")
-            .select("id", "sh", "hs", "sig").join(catchUp, "id"))
-      if (hadExact) {
-        val lateKeys = spark.read.schema(FpKeysSchema)
-          .parquet(s"$blue/exact/keys").select("id", "fp")
-          .join(spark.read.schema(FpKeysSchema)
-            .parquet(s"$green/exact/keys").select("fp"),
-            Seq("fp"), "left_anti")
-        val fpCatchUp = dropped.fold(lateKeys)(d =>
-          lateKeys.join(d, Seq("id"), "left_anti")).localCheckpoint()
-        if (fpCatchUp.count() > 0)
-          appendFingerprintStore(spark, green, fpCatchUp)
-      }
+      // the two catch-up legs touch DISJOINT green tables
+      // (payload+banded vs exact/keys) and neither feeds the other —
+      // run them concurrently (guide §2.6; optimization round 21)
+      inParallel(
+        {
+          val lateIds = spark.read.parquet(s"$blue/payload").select("id")
+            .join(spark.read.parquet(s"$green/payload").select("id"),
+              Seq("id"), "left_anti")
+          val catchUp = dropped.fold(lateIds)(d =>
+            lateIds.join(d, Seq("id"), "left_anti")).localCheckpoint()
+          if (catchUp.count() > 0)
+            appendNearDupIndexStore(spark, green,
+              spark.read.parquet(s"$blue/payload")
+                .select("id", "sh", "hs", "sig").join(catchUp, "id"))
+        },
+        if (hadExact) {
+          val lateKeys = spark.read.schema(FpKeysSchema)
+            .parquet(s"$blue/exact/keys").select("id", "fp")
+            .join(spark.read.schema(FpKeysSchema)
+              .parquet(s"$green/exact/keys").select("fp"),
+              Seq("fp"), "left_anti")
+          val fpCatchUp = dropped.fold(lateKeys)(d =>
+            lateKeys.join(d, Seq("id"), "left_anti")).localCheckpoint()
+          if (fpCatchUp.count() > 0)
+            appendFingerprintStore(spark, green, fpCatchUp)
+        })
       commitStorePointer(spark, root, newV)
     }
-    keeps.foreach(_.unpersist()); snapshot.unpersist()
+    keeps.foreach(_.unpersist()); snapshot.foreach(_.unpersist())
     blue
   }
 
@@ -1414,8 +1465,10 @@ object Dedup {
     * rewrites (the enable-later create path) invalidate via mtime. */
   private def readFpBuckets(spark: SparkSession, path: String): Int =
     cachedMeta(spark, s"$path/exact/meta") {
-      Int.box(spark.read.parquet(s"$path/exact/meta")
-        .collect().head.getAs[Int]("fp_buckets"))
+      Int.box(readMetaFile(spark, s"$path/exact/meta")
+        .map(_("fp_buckets"))
+        .getOrElse(spark.read.parquet(s"$path/exact/meta")
+          .collect().head.getAs[Int]("fp_buckets")))
     }.intValue
 
   private def fpStoreExists(spark: SparkSession, path: String): Boolean = {
@@ -1445,9 +1498,8 @@ object Dedup {
     require(fpBuckets >= 1, s"fpBuckets must be positive, got $fpBuckets")
     require(Seq("id", "fp").forall(rows.columns.contains),
       s"rows must be an (id, fp) frame; got ${rows.columns.mkString(", ")}")
-    import spark.implicits._
-    Seq(fpBuckets).toDF("fp_buckets")
-      .write.mode("overwrite").parquet(s"$path/exact/meta")
+    // driver-side key=value file — no Spark job (see [[writeMetaFile]])
+    writeMetaFile(spark, s"$path/exact/meta", "fp_buckets" -> fpBuckets)
     rows.groupBy(col("fp")).agg(min(col("id")).as("id"))
       .select(col("id"), col("fp"),
         pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("fpb"))

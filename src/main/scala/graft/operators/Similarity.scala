@@ -1297,9 +1297,14 @@ object Similarity {
     // same job-elision memo as the lexical store's meta (guide §1.2 —
     // a store directory's meta is write-once; mtime guards rewrites)
     Dedup.cachedMeta(spark, s"$path/meta") {
-      val r = spark.read.parquet(s"$path/meta").collect().head
-      (r.getAs[Int]("rows_per_band"), r.getAs[Int]("band_buckets"),
-        r.getAs[Int]("id_buckets"))
+      Dedup.readMetaFile(spark, s"$path/meta") match {
+        case Some(m) =>
+          (m("rows_per_band"), m("band_buckets"), m("id_buckets"))
+        case None =>
+          val r = spark.read.parquet(s"$path/meta").collect().head
+          (r.getAs[Int]("rows_per_band"), r.getAs[Int]("band_buckets"),
+            r.getAs[Int]("id_buckets"))
+      }
     }
 
   /** Persist a [[signatureFrame]] as a PROBE-PRUNABLE parquet store —
@@ -1342,10 +1347,11 @@ object Similarity {
       s"sigF must be a signatureFrame (id, e_d, sig, n); got " +
         sigF.columns.mkString(", "))
     val spark = sigF.sparkSession
-    import spark.implicits._
-    Seq((rowsPerBand, bandBuckets, idBuckets))
-      .toDF("rows_per_band", "band_buckets", "id_buckets")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // driver-side key=value file — no Spark job (the lexical store's
+    // [[graft.operators.Dedup.writeMetaFile]] convention)
+    Dedup.writeMetaFile(spark, s"$path/meta",
+      "rows_per_band" -> rowsPerBand, "band_buckets" -> bandBuckets,
+      "id_buckets" -> idBuckets)
     // one pass over the caller's signature plan (optimization round 21):
     // banded/ derives from the just-written payload's (id, sig) columns
     // — the lexical store's read-back shape; see
@@ -1587,15 +1593,19 @@ object Similarity {
     val (gR, gBB, gIB) = reband.getOrElse((rows, bandBuckets, idBuckets))
     val keeps = keep.map(k => k.select(col(k.columns.head).as("id"))
       .distinct().localCheckpoint())
-    val snapshot = spark.read.parquet(s"$blue/payload").select("id")
-      .localCheckpoint()
+    // retention-path-only (the lexical twin's convention, optimization
+    // round 21): a pure reband drops nothing, so blue ∖ green IS the
+    // catch-up set and the snapshot scan+checkpoint would be waste
+    val snapshot = keep.map(_ =>
+      spark.read.parquet(s"$blue/payload").select("id").localCheckpoint())
     val base = spark.read.parquet(s"$blue/payload")
       .select("id", "e_d", "sig", "n")
     writeSignatureStore(keeps.fold(base)(k => base.join(k, "id")),
       green, gR, gBB, gIB)
     // lazy (the lexical twin's convention): both inputs are
     // checkpointed id frames — no eager-checkpoint job needed
-    val dropped = keeps.map(k => snapshot.join(k, Seq("id"), "left_anti"))
+    val dropped = keeps.map(k =>
+      snapshot.get.join(k, Seq("id"), "left_anti"))
     afterBuild()
     Dedup.withStoreLock(root) {
       val lateIds = spark.read.parquet(s"$blue/payload").select("id")
@@ -1609,7 +1619,7 @@ object Similarity {
             .select("id", "e_d", "sig", "n").join(catchUp, "id"))
       Dedup.commitStorePointer(spark, root, newV)
     }
-    keeps.foreach(_.unpersist()); snapshot.unpersist()
+    keeps.foreach(_.unpersist()); snapshot.foreach(_.unpersist())
     blue
   }
 

@@ -189,25 +189,57 @@ object CurationJob {
                       threshold: Double = 0.6, n: Int = 3,
                       idempotent: Boolean = false,
                       shortDocExact: Boolean = false): DataFrame = {
-    val pass = Curation.curationPass(batch, benchmark, idCol, textCol,
-      rules).localCheckpoint()
+    // ONE materialization serves the pass AND the batch's index frame
+    // (optimization round 21, guide §1.2 — fewer driver-sync jobs): the
+    // previous shape checkpointed the pass, then ran a SECOND job (plus
+    // shingleFrame's id exchange) checkpointing nearDupIndex(kept) —
+    // but the index columns are a narrow projection of the same rows,
+    // so they ride the pass's checkpoint as three extra columns
+    // computed only for kept docs (identical expressions to
+    // [[graft.operators.Dedup.nearDupIndex]]: distinct shingle set,
+    // sorted xxhash64 array, 64-way MinHash signature). A kept doc with
+    // no shingles carries a null `__graft_sh` — exactly the rows
+    // nearDupIndex's size>0 filter drops — which also hands the
+    // shortDocExact leg its routing split without the old anti-join.
+    val sh0 = graft.functions.TextFns.shingles(col(textCol), n)
+    val fused = Curation.curationPass(batch, benchmark, idCol, textCol,
+        rules)
+      // hash-spread on the id BEFORE the index kernels: the pass plan
+      // inherits the scan's few input partitions, and the 64-hash
+      // MinHash kernel needs the same spread shingleFrame's
+      // repartition(id) gave the old second checkpoint — without it the
+      // fused job ran the heavy kernel near-serially (measured: q191
+      // 11.8 → 13.9 s on the unspread variant)
+      .repartition(col(idCol))
+      .withColumn("__graft_sh",
+        when(col("keep") === 1L && size(sh0) > 0, sh0))
+      .withColumn("__graft_hs", when(col("__graft_sh").isNotNull,
+        sort_array(graft.expressions.XxHash64Array(col("__graft_sh")))))
+      .withColumn("__graft_sig", when(col("__graft_sh").isNotNull,
+        graft.expressions.MinHashSig(col("__graft_sh"), 64)))
+      .localCheckpoint()
+    val pass = fused.drop("__graft_sh", "__graft_hs", "__graft_sig")
     val kept = pass.filter(col("keep") === 1L)
-    val idx = Dedup.nearDupIndex(kept, idCol, textCol, n).localCheckpoint()
+    val idx = fused
+      .filter(col("keep") === 1L && col("__graft_sh").isNotNull)
+      .select(col(idCol).as("id"), col("__graft_sh").as("sh"),
+        col("__graft_hs").as("hs"), col("__graft_sig").as("sig"))
     val decNear = Dedup.deltaNearDupFromStore(spark, storePath,
         kept.select(col(idCol)), idx, idCol, threshold)
     // the exact-leg decisions (shortDocExact) are computed here but the
     // fingerprint append is DEFERRED to run concurrently with the
     // near-dup admit below (guide §2.6 — the two appends touch disjoint
     // store tables and neither feeds the other; within-step decision
-    // frames are checkpointed before either append runs)
+    // frames are checkpointed before either append runs). `short` is a
+    // narrow projection of the fused checkpoint (keep = 1, null
+    // shingles), so it needs no checkpoint of its own.
     val exactLeg =
       if (!shortDocExact) None
       else {
-        val short = kept
-          .join(idx.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        val short = fused
+          .filter(col("keep") === 1L && col("__graft_sh").isNull)
           .select(col(idCol).as("id"),
             graft.functions.TextFns.fingerprint(col(textCol)).as("fp"))
-          .localCheckpoint()
         val exactDec = Dedup.deltaDedupFromFingerprintStore(spark,
           storePath, short).localCheckpoint()
         Some((short, exactDec))

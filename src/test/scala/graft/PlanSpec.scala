@@ -828,7 +828,10 @@ class PlanSpec extends SparkSpec {
   test("q163 classifier-score plan: stateless projection, sort-only exchange") {
     // rocchioTrain's model collapses to a weight LITERAL, so scoring is
     // one projection over one documents scan — the shape that makes the
-    // same expression stream-safe; only the presentation sort exchanges
+    // same expression stream-safe; only the presentation sort (plus the
+    // single orderByOnce hash spread directly under it — round 21: the
+    // range sampler otherwise re-ran the whole scoring kernel as a
+    // second full pass) may exchange
     val nodes = finalNodes(SparkEntry.queries("q163_quality_clf_score")(spark, sf))
     val ns = names(nodes)
     assert(!ns.exists(_.contains("Join")),
@@ -836,8 +839,8 @@ class PlanSpec extends SparkSpec {
     assert(ns.count(_.startsWith("Scan parquet")) == 1,
       s"one documents scan: $ns")
     assert(nodes.count(n => n.nodeName.contains("Exchange") &&
-        !n.nodeName.contains("Reused")) <= 1,
-      s"only the output sort may exchange: $ns")
+        !n.nodeName.contains("Reused")) <= 2,
+      s"only the output sort and its orderByOnce spread may exchange: $ns")
   }
 
   test("q144 rho plan: pinned tf exchange reused by the total aggregate") {
