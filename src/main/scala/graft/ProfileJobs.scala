@@ -74,26 +74,45 @@ object ProfileJobs {
       }
     }
 
-    SparkEntry.registry.filter(q => names.contains(q.name)).foreach { q =>
+    // `curation_job` profiles the composed CurationJob.run through its
+    // real parquet writes (the bench's non-registry entry), same
+    // warmup + listener discipline as a registry query
+    def jobBody(sf: String): Unit = {
+      val out = java.nio.file.Files.createTempDirectory("graft_profile_job")
+      try graft.pipelines.CurationJob.run(spark, sf, out.toString)
+      finally {
+        val walk = java.nio.file.Files.walk(out)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    val selected: Seq[(String, String => Unit)] =
+      SparkEntry.registry.filter(q => names.contains(q.name))
+        .map(q => q.name -> ((sf: String) => materialize(q.spark(spark, sf)))) ++
+      (if (names.contains("curation_job"))
+        Seq("curation_job" -> ((sf: String) => jobBody(sf)))
+      else Nil)
+    selected.foreach { case (name, run) =>
       // untimed warmup at the smallest SF (codegen/JIT), then a warm
       // full-size pass so page cache and AQE state match Bench's min-of-N
       val tw0 = System.nanoTime()
-      try materialize(q.spark(spark, "/root/testdata/sf0.001"))
+      try run("/root/testdata/sf0.001")
       catch { case _: Throwable => () }
       val tw1 = System.nanoTime()
-      materialize(q.spark(spark, sfDir))
+      run(sfDir)
       val tw2 = System.nanoTime()
-      println(f"[profile] ${q.name} warmup ${(tw1 - tw0) / 1e9}%.2f s, " +
+      println(f"[profile] $name warmup ${(tw1 - tw0) / 1e9}%.2f s, " +
         f"warm full-size ${(tw2 - tw1) / 1e9}%.2f s")
       jobs.clear(); byId.clear(); stageTasks.clear()
       spark.sparkContext.addSparkListener(listener)
       System.gc()
       val t0 = System.nanoTime()
-      materialize(q.spark(spark, sfDir))
+      run(sfDir)
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
-      println(s"========== ${q.name}: wall ${f"$wall%.2f"} s ==========")
+      println(s"========== $name: wall ${f"$wall%.2f"} s ==========")
       val sorted = jobs.sortBy(_.start)
       sorted.foreach { r =>
         println(f"  job ${r.id}%3d  ${r.wallMs}%6d ms  stages=${r.stages}%2d " +

@@ -42,6 +42,17 @@ object Bm25 {
     require(k > 0, s"k must be positive, got $k")
     require(k1 >= 0.0 && b >= 0.0 && b <= 1.0,
       s"need k1 >= 0 and b in [0, 1], got k1=$k1 b=$b")
+    // NOTE (optimization round 21, measured and kept as-is): the dl
+    // window below looks like a removable full-tf sort, but its
+    // doc-keyed exchange DOUBLES as the final aggregate's clustered
+    // distribution (grouping by (query_id, doc_id) is satisfied by
+    // doc_id partitioning), so the score aggregate runs with NO
+    // exchange of the post-join stream — which is LARGER than tf
+    // (every query term fans out by its document frequency). Two
+    // rewrites that deleted the window (dl as a join-back aggregate;
+    // dl as a tf grouping column) both re-introduced an exchange of
+    // that fatter stream and measured ~1.5× SLOWER end to end
+    // (2.39 → 3.9 s at sf0.1), so the window stays.
     val tf = corpus
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),

@@ -944,7 +944,8 @@ object Dedup {
     */
   def writeNearDupIndexStore(index: DataFrame, path: String,
                              bands: Int = 32, bandBuckets: Int = 256,
-                             idBuckets: Int = 256): Unit = {
+                             idBuckets: Int = 256,
+                             bandedFromInput: Boolean = false): Unit = {
     require(bands >= 1 && 64 % bands == 0,
       s"bands must divide the 64-hash signature, got $bands")
     require(bandBuckets >= 1 && idBuckets >= 1,
@@ -956,29 +957,47 @@ object Dedup {
     // driver-side key=value file — no Spark job (see [[writeMetaFile]])
     writeMetaFile(spark, s"$path/meta", "bands" -> bands,
       "band_buckets" -> bandBuckets, "id_buckets" -> idBuckets)
-    // ONE pass over the caller's index plan (optimization round 21,
-    // guide §1.2/§2.3): the payload write counts its rows via observe();
-    // banded/ then derives from the just-written payload's (id, sig)
-    // columns — a narrow column-pruned read-back — instead of
-    // recomputing the index plan a second time. At corpus scale the
-    // index plan is a full text scan + shingle + MinHash pass; the
-    // read-back touches ~(8 + 8×64) bytes/row. (Empty guard: a
-    // partitioned write of zero rows leaves no data file to infer a
-    // schema from, so the banded side falls back to the original plan's
-    // empty projection.)
-    val obs = org.apache.spark.sql.Observation()
-    index.select(col("id"), col("sh"), col("hs"), col("sig"),
+    def payloadWrite(obs: Option[org.apache.spark.sql.Observation]): Unit = {
+      val p = index.select(col("id"), col("sh"), col("hs"), col("sig"),
         pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
-      .observe(obs, count(lit(1)).as("n"))
-      .repartition(col("idb"))
-      .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
-    val stored =
-      if (obs.get("n").asInstanceOf[Long] == 0L)
-        index.select(col("id"), col("sig")).limit(0)
-      else spark.read.parquet(s"$path/payload").select("id", "sig")
-    bandedRows(stored, bands, bandBuckets)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
+      obs.fold(p)(o => p.observe(o, count(lit(1)).as("n")))
+        .repartition(col("idb"))
+        .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
+    }
+    if (bandedFromInput) {
+      // MAINTENANCE-REWRITE shape (optimization round 21, guide §2.6):
+      // when the caller's index plan is itself a cheap materialized
+      // read (compaction/rebanding: a payload scan, at most joined
+      // against a checkpointed keep set), the banded table derives from
+      // the INPUT directly and the two table writes run concurrently —
+      // the read-back below would serialize write → read → write for
+      // no recompute saving.
+      inParallel(
+        payloadWrite(None),
+        bandedRows(index.select("id", "sig"), bands, bandBuckets)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded"))
+    } else {
+      // ONE pass over the caller's index plan (optimization round 21,
+      // guide §1.2/§2.3): the payload write counts its rows via observe();
+      // banded/ then derives from the just-written payload's (id, sig)
+      // columns — a narrow column-pruned read-back — instead of
+      // recomputing the index plan a second time. At corpus scale the
+      // index plan is a full text scan + shingle + MinHash pass; the
+      // read-back touches ~(8 + 8×64) bytes/row. (Empty guard: a
+      // partitioned write of zero rows leaves no data file to infer a
+      // schema from, so the banded side falls back to the original plan's
+      // empty projection.)
+      val obs = org.apache.spark.sql.Observation()
+      payloadWrite(Some(obs))
+      val stored =
+        if (obs.get("n").asInstanceOf[Long] == 0L)
+          index.select(col("id"), col("sig")).limit(0)
+        else spark.read.parquet(s"$path/payload").select("id", "sig")
+      bandedRows(stored, bands, bandBuckets)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
+    }
   }
 
   /** Run two independent Spark actions from two driver threads (guide
@@ -1120,9 +1139,20 @@ object Dedup {
     val path = resolveStoreDir(spark, rawPath)
     val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
     val rows = newRows.localCheckpoint()
-    val idbs = rows
-      .select(pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
-      .distinct().collect().map(_.getLong(0)).toSeq // ≤ idBuckets
+    // BOTH tables' pruning key sets from ONE driver job (optimization
+    // round 21, guide §1.2): the id-buckets and the band-buckets each
+    // derive narrowly from the checkpointed rows, so tagging them and
+    // unioning costs one pass where the old shape ran a second
+    // checkpoint (the banded frame) plus a second collect. Both sets
+    // stay bounded (≤ idBuckets / ≤ min(32 × batch, bandBuckets)).
+    val keys = rows
+      .select(lit(0).as("t"),
+        pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("k"))
+      .union(bandedRows(rows, bands, bandBuckets)
+        .select(lit(1).as("t"), col("bkt").as("k")))
+      .distinct().collect()
+    val idbs = keys.filter(_.getInt(0) == 0).map(_.getLong(1)).toSeq
+    val bkts = keys.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq
     if (idbs.nonEmpty) inParallel(
       {
         val inPayload = spark.read.parquet(s"$path/payload")
@@ -1134,9 +1164,7 @@ object Dedup {
           .write.mode("append").partitionBy("idb").parquet(s"$path/payload")
       },
       {
-        val newBanded = bandedRows(rows, bands, bandBuckets).localCheckpoint()
-        val bkts = newBanded.select("bkt").distinct()
-          .collect().map(_.getLong(0)).toSeq // ≤ min(32 × batch, buckets)
+        val newBanded = bandedRows(rows, bands, bandBuckets)
         // anti-join on (id, band), not id alone (round-19 ADVICE): the
         // FileOutputCommitter moves task outputs sequentially, so a crash
         // mid job-commit can leave a doc with only SOME of its banded
@@ -1230,11 +1258,16 @@ object Dedup {
                                keepIds: DataFrame): Unit = {
     val path = resolveStoreDir(spark, rawPath)
     val (bands, bandBuckets, idBuckets) = readStoreMeta(spark, path)
-    writeNearDupIndexStore(
+    // keep set checkpointed once (it may be an arbitrary caller plan —
+    // a dedup keep list), then the green payload/banded writes derive
+    // from the cheap payload⋈keeps read concurrently (bandedFromInput)
+    val keeps = keepIds.select(col(keepIds.columns.head).as("id"))
+      .distinct().localCheckpoint()
+    try writeNearDupIndexStore(
       spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig")
-        .join(keepIds.select(col(keepIds.columns.head).as("id")).distinct(),
-          "id"),
-      outPath, bands, bandBuckets, idBuckets)
+        .join(keeps, "id"),
+      outPath, bands, bandBuckets, idBuckets, bandedFromInput = true)
+    finally keeps.unpersist()
   }
 
   /** Re-band / re-bucket a persisted store WITHOUT a text rescan
@@ -1252,7 +1285,8 @@ object Dedup {
     val path = resolveStoreDir(spark, rawPath)
     writeNearDupIndexStore(
       spark.read.parquet(s"$path/payload").select("id", "sh", "hs", "sig"),
-      outPath, newBands, newBandBuckets, newIdBuckets)
+      outPath, newBands, newBandBuckets, newIdBuckets,
+      bandedFromInput = true)
   }
 
   // ---------------------------------------------- managed (versioned) store
@@ -1404,7 +1438,8 @@ object Dedup {
     // the green payload/banded build and the exact/ side-table build
     // touch disjoint tables — run them concurrently (guide §2.6)
     inParallel(
-      writeNearDupIndexStore(kept, green, gBands, gBB, gIB),
+      writeNearDupIndexStore(kept, green, gBands, gBB, gIB,
+        bandedFromInput = true),
       if (hadExact) {
         val fpBuckets = readFpBuckets(spark, blue)
         val baseKeys = spark.read.schema(FpKeysSchema)
@@ -1591,13 +1626,18 @@ object Dedup {
       return
     }
     val fpBuckets = readFpBuckets(spark, path)
-    val rows = newRows
+    val projected = newRows
       .select(col("id"), col("fp"),
         pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("fpb"))
-      .localCheckpoint()
+    // the checkpoint exists for the idempotent path's two consumers
+    // (the fpb collect and the anti-join append); the plain append
+    // consumes the rows exactly once, so its checkpoint was one wasted
+    // job per step (optimization round 21, guide §1.2) — callers pass
+    // frames derived from already-checkpointed decisions
     val keep =
-      if (!idempotent) rows
+      if (!idempotent) projected
       else {
+        val rows = projected.localCheckpoint()
         val fpbs = rows.select("fpb").distinct()
           .collect().map(_.getLong(0)).toSeq // ≤ fpBuckets
         if (fpbs.isEmpty) return

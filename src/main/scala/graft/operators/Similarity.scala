@@ -1338,7 +1338,8 @@ object Similarity {
     */
   def writeSignatureStore(sigF: DataFrame, path: String, rowsPerBand: Int,
                           bandBuckets: Int = 256,
-                          idBuckets: Int = 256): Unit = {
+                          idBuckets: Int = 256,
+                          bandedFromInput: Boolean = false): Unit = {
     require(rowsPerBand >= 1 && rowsPerBand <= MaxRowsPerBand,
       s"rowsPerBand must be in [1, $MaxRowsPerBand], got $rowsPerBand")
     require(bandBuckets >= 1 && idBuckets >= 1,
@@ -1352,24 +1353,38 @@ object Similarity {
     Dedup.writeMetaFile(spark, s"$path/meta",
       "rows_per_band" -> rowsPerBand, "band_buckets" -> bandBuckets,
       "id_buckets" -> idBuckets)
-    // one pass over the caller's signature plan (optimization round 21):
-    // banded/ derives from the just-written payload's (id, sig) columns
-    // — the lexical store's read-back shape; see
-    // [[graft.operators.Dedup.writeNearDupIndexStore]] — instead of
-    // recomputing the hyperplane-projection pass a second time
-    val obs = org.apache.spark.sql.Observation()
-    sigF.select(col("id"), col("e_d"), col("sig"), col("n"),
+    def payloadWrite(obs: Option[org.apache.spark.sql.Observation]): Unit = {
+      val p = sigF.select(col("id"), col("e_d"), col("sig"), col("n"),
         pmod(xxhash64(col("id")), lit(idBuckets.toLong)).as("idb"))
-      .observe(obs, count(lit(1)).as("n_rows"))
-      .repartition(col("idb"))
-      .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
-    val stored =
-      if (obs.get("n_rows").asInstanceOf[Long] == 0L)
-        sigF.select(col("id"), col("sig")).limit(0)
-      else spark.read.parquet(s"$path/payload").select("id", "sig")
-    semBandedRows(stored, rowsPerBand, bandBuckets)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
+      obs.fold(p)(o => p.observe(o, count(lit(1)).as("n_rows")))
+        .repartition(col("idb"))
+        .write.mode("overwrite").partitionBy("idb").parquet(s"$path/payload")
+    }
+    if (bandedFromInput) {
+      // maintenance-rewrite shape (the lexical store's convention,
+      // guide §2.6): the caller's plan is a cheap materialized read, so
+      // the two table writes run concurrently off the input directly
+      Dedup.inParallel(
+        payloadWrite(None),
+        semBandedRows(sigF.select("id", "sig"), rowsPerBand, bandBuckets)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded"))
+    } else {
+      // one pass over the caller's signature plan (optimization round 21):
+      // banded/ derives from the just-written payload's (id, sig) columns
+      // — the lexical store's read-back shape; see
+      // [[graft.operators.Dedup.writeNearDupIndexStore]] — instead of
+      // recomputing the hyperplane-projection pass a second time
+      val obs = org.apache.spark.sql.Observation()
+      payloadWrite(Some(obs))
+      val stored =
+        if (obs.get("n_rows").asInstanceOf[Long] == 0L)
+          sigF.select(col("id"), col("sig")).limit(0)
+        else spark.read.parquet(s"$path/payload").select("id", "sig")
+      semBandedRows(stored, rowsPerBand, bandBuckets)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/banded")
+    }
   }
 
   /** Append-only maintenance: admitted rows' [[signatureFrame]] rows
@@ -1500,11 +1515,13 @@ object Similarity {
                             outPath: String, keepIds: DataFrame): Unit = {
     val path = Dedup.resolveStoreDir(spark, rawPath)
     val (rows, bandBuckets, idBuckets) = readSemStoreMeta(spark, path)
-    writeSignatureStore(
+    val keeps = keepIds.select(col(keepIds.columns.head).as("id"))
+      .distinct().localCheckpoint()
+    try writeSignatureStore(
       spark.read.parquet(s"$path/payload").select("id", "e_d", "sig", "n")
-        .join(keepIds.select(col(keepIds.columns.head).as("id")).distinct(),
-          "id"),
-      outPath, rows, bandBuckets, idBuckets)
+        .join(keeps, "id"),
+      outPath, rows, bandBuckets, idBuckets, bandedFromInput = true)
+    finally keeps.unpersist()
   }
 
   /** The maintenance DECIDER for a persisted signature store: the
@@ -1533,7 +1550,8 @@ object Similarity {
                            newBandBuckets: Int, newIdBuckets: Int): Unit =
     writeSignatureStore(
       readSignatureStore(spark, rawPath),
-      outPath, newRowsPerBand, newBandBuckets, newIdBuckets)
+      outPath, newRowsPerBand, newBandBuckets, newIdBuckets,
+      bandedFromInput = true)
 
   // ------------------------------------- managed (versioned) sem store
 
@@ -1601,7 +1619,7 @@ object Similarity {
     val base = spark.read.parquet(s"$blue/payload")
       .select("id", "e_d", "sig", "n")
     writeSignatureStore(keeps.fold(base)(k => base.join(k, "id")),
-      green, gR, gBB, gIB)
+      green, gR, gBB, gIB, bandedFromInput = true)
     // lazy (the lexical twin's convention): both inputs are
     // checkpointed id frames — no eager-checkpoint job needed
     val dropped = keeps.map(k =>

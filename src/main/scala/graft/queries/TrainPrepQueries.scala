@@ -348,10 +348,11 @@ object TrainPrepQueries {
     * Jaccard over the same three-way split, with the grown corpus
     * restated as `corpus ∪ {A : new}` — hash-checks admit and probe
     * TOGETHER: a wrong admission changes batch B's rows. Decisions and
-    * the grown index are `localCheckpoint`ed exactly as a pipeline
-    * persists them between runs; PlanSpec pins that the final plan
-    * re-shingles only batch B's text (one text scan; corpus + batch A
-    * enter as materialized RDDs).
+    * both batches' index frames are `localCheckpoint`ed exactly as a
+    * pipeline persists them between runs; the grown index is their lazy
+    * union (checkpointing it re-serialized the whole index again).
+    * PlanSpec pins that the final plan re-shingles only batch B's text
+    * (one text scan; corpus + batch A enter as materialized RDDs).
     */
   private def q177(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -371,8 +372,13 @@ object TrainPrepQueries {
       .localCheckpoint()
     val admitted = decA.filter(col("status") === "new")
       .select(col("doc_id").as("id"))
+    // the grown index is the LAZY union of two checkpointed frames
+    // (optimization round 21, guide §1.2): the old eager checkpoint
+    // re-serialized the entire grown index one more time, where
+    // re-deriving the admitted-join per probe consumer is a bounded
+    // in-memory RDD read — no text rescan either way (PlanSpec pins
+    // batch B as the only re-shingled text)
     val index1 = index0.unionByName(idxA.join(admitted, "id"))
-      .localCheckpoint()
     val decB = Dedup.deltaNearDup(index1, batchB, "doc_id", "text",
       n = 3, threshold = 0.6)
     decA.withColumn("batch", lit("a"))
