@@ -453,6 +453,13 @@ object Dedup {
     */
   private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
+    // NOTE (round 21, measured): spreading the raw (id, text) rows
+    // before the shingle kernel (the unsplittable-input remedy of
+    // [[graft.queries.QueryDefs.spreadInput]]) was tried and REVERTED —
+    // the extra exchange per consumer checkpoint cost more than the
+    // kernel parallelism bought on this family (q177 +2.2 s, q21
+    // +0.8 s, q157 +1.1 s same-session A/B); the heavy-kernel
+    // single-pass queries keep the spread at the query level instead.
     df.select(col(idCol).as("id"),
         TextFns.shingles(col(textCol), n).as("sh"))
       // isNotNull stated EXPLICITLY alongside the size guard: a consumer

@@ -300,6 +300,11 @@ object CurationJob {
       s"tokenizer must be unigram, bpe, or greedy, got $tokenizer")
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.filter(col("doc_id") < benchCut)
+    // NOTE (round 21, measured): an input-layout-adaptive spread of the
+    // corpus (guide §2.5) was tried here and REVERTED — min-of-5 job
+    // time went 9.9 → 27.9 s: the job's frames are cached/checkpointed
+    // and re-joined against `corpus` throughout, so the extra exchange
+    // multiplied through every consumer instead of amortizing
     val corpus = docs.filter(col("doc_id") >= benchCut)
 
     // 1. verdict over repetition signals — every doc gets one; with

@@ -97,6 +97,32 @@ object QueryDefs {
   def orderByOnce(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(keys.head).orderBy(keys: _*)
 
+  /** Input-layout-adaptive spread (optimization round 21, guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): the driver's test tables are single-row-group
+    * parquet files, so a scan yields ONE split and every narrow kernel
+    * above it (shingling, MinHash, rowwise encoders, embedding math)
+    * runs serially until the first exchange — at 32 cores that is a
+    * 32× loss on exactly the CPU-heavy stages. The spread fires ONLY
+    * when the scan's available split count is below the session's
+    * parallelism (at production scale a table has thousands of row
+    * groups and this is a no-op — the gate measures the deficiency
+    * directly instead of hard-coding either environment), and uses an
+    * explicit partition count so AQE's byte-based coalescing cannot
+    * fold the tiny-but-CPU-heavy rows back into one partition.
+    * Hash-partitioned on a deterministic key: values never depend on
+    * partitioning, and retried tasks reproduce the same assignment
+    * (guide §2.5 on rand-derived keys).
+    */
+  def spreadInput(df: DataFrame, key: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cores = sc.defaultParallelism
+    // planning-only (no job): the scan's split count under the current
+    // file layout
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 <= cores) df.repartition(cores, key) else df
+  }
+
   /** Money column (clean 2-decimal doubles) → exact DECIMAL(12,2).
     * All downstream arithmetic stays in decimal so sums are exact and
     * engine-independent; only one final `round(_, 2)` happens per

@@ -1278,7 +1278,8 @@ object TrainPrepQueries {
     */
   private def q175(spark: SparkSession, dir: String): DataFrame =
     Curation.unigramSampleEncodeRowwiseFromVocab(
-        Tables.documents(spark, dir), "doc_id", "text",
+        QueryDefs.spreadInput(Tables.documents(spark, dir), col("doc_id")),
+        "doc_id", "text",
         SharedFrames.unigramVocab(spark, dir), maxPieceLen = UniL)
       .orderBy("doc_id", "word_pos", "sym_pos")
 
@@ -1642,8 +1643,8 @@ object TrainPrepQueries {
   private def q85(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     QueryDefs.orderByOnce(Curation.curationPass(
-        docs.filter(col("doc_id") >= BenchCut)
-          .select("doc_id", "lang", "text"),
+        QueryDefs.spreadInput(docs.filter(col("doc_id") >= BenchCut)
+          .select("doc_id", "lang", "text"), col("doc_id")),
         docs.filter(col("doc_id") < BenchCut),
         "doc_id", "text", PassRules)
       .drop("text"), col("doc_id"))
@@ -2585,7 +2586,8 @@ object TrainPrepQueries {
   private def q95(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     QueryDefs.orderByOnce(Curation.exciseContaminatedSpans(
-        docs.filter(col("doc_id") >= BenchCut),
+        QueryDefs.spreadInput(docs.filter(col("doc_id") >= BenchCut),
+          col("doc_id")),
         docs.filter(col("doc_id") < BenchCut),
         "doc_id", "text", n = 5), col("doc_id"))
   }
@@ -2963,8 +2965,9 @@ object TrainPrepQueries {
     */
   private def q107(spark: SparkSession, dir: String): DataFrame =
     QueryDefs.orderByOnce(
-      Curation.spanCorrupt(Tables.documents(spark, dir), "doc_id", "text",
-        ratePct = CorruptPct), col("doc_id"))
+      Curation.spanCorrupt(
+        QueryDefs.spreadInput(Tables.documents(spark, dir), col("doc_id")),
+        "doc_id", "text", ratePct = CorruptPct), col("doc_id"))
 
   private val q107Sql =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -3343,7 +3346,9 @@ object TrainPrepQueries {
     */
   private def q146(spark: SparkSession, dir: String): DataFrame =
     QueryDefs.orderByOnce(
-      Similarity.hashEmbed(Tables.documents(spark, dir), "doc_id", "text")
+      Similarity.hashEmbed(
+        QueryDefs.spreadInput(Tables.documents(spark, dir), col("doc_id")),
+        "doc_id", "text")
         .select(col("doc_id"),
           posexplode(col("embedding")).as(Seq("pos", "val")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("val")),
